@@ -1,0 +1,306 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Per-connection session state + statement execution — the engine analog
+  * of `UniverSQLSession` (`universql/protocol/session.py:31-44`) with the
+  * DuckDB executor replaced by Spark SQL.
+  *
+  * Responsibilities, mapped to SURVEY §2.A operators:
+  *   - A1/A16 routing: every statement classified and dispatched here
+  *     (offline engine: all-local; SHOW served from the registry)
+  *   - A2 multi-statement batches: sequential execution, last result wins
+  *   - A3/A5 table resolution: references found in the token stream, fully
+  *     qualified with session defaults, registered as temp views
+  *   - A8/A9 CREATE [TEMP] TABLE [AS SELECT] (parquet-backed managed
+  *     tables — Iceberg surrogate, no Iceberg jar in this environment)
+  *   - A11 CREATE VIEW, A12 INSERT, A13 DROP, A14 USE, A15 COPY INTO
+  *   - A22 CURRENT_WAREHOUSE() UDF
+  */
+final class GraftSession(
+    val spark: SparkSession,
+    warehouseDir: String =
+      Files.createTempDirectory("graft_warehouse").toString) {
+
+  var currentDatabase: String = "GRAFT"
+  var currentSchema: String = "PUBLIC"
+  val registry = new TableRegistry(spark)
+  /** Stage name → base URL (DESCRIBE STAGE analog,
+    * `universql/plugins/snow.py:600-618`). */
+  private val stages = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  spark.udf.register("current_warehouse", () => "x-spark")
+
+  def attachLake(dir: String, database: String = "GRAFT",
+      schema: String = "PUBLIC",
+      names: Seq[String] = graft.Tables.names): Unit =
+    registry.registerLakeDir(dir, database, schema, names)
+
+  private def fqn(name: String): FQN =
+    Identifiers.fullQualifier(name, currentDatabase, currentSchema)
+
+  // ── statement driver (A2) ──────────────────────────────────────────────
+  /** Execute a (possibly multi-statement) Snowflake-dialect batch; returns
+    * the last statement's result. */
+  def sql(batch: String): DataFrame = {
+    val stmts = SqlTokens.splitStatements(batch)
+    require(stmts.nonEmpty, "empty batch")
+    stmts.map(executeOne).last
+  }
+
+  private val createRe =
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(TEMP\\s+|TEMPORARY\\s+)?(ICEBERG\\s+)?" +
+     "(TABLE|VIEW)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w$\".]+)\\s*(.*)$").r
+  private val useRe   = "(?is)^USE\\s+(?:(DATABASE|SCHEMA|WAREHOUSE|ROLE)\\s+)?([\\w$\".]+)\\s*$".r
+  private val dropRe  = "(?is)^DROP\\s+(?:TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
+  private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
+  private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
+  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS)\\b.*$".r
+  private val stageRe =
+    "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?STAGE\\s+([\\w$\".]+)\\s+.*?URL\\s*=\\s*'([^']+)'.*$".r
+
+  private def executeOne(stmt: String): DataFrame = stmt.trim match {
+    case useRe(kind, name) => doUse(Option(kind).map(_.toUpperCase), name)
+    case stageRe(name, url) =>
+      stages.put(Identifiers.normalizePart(name), url.stripSuffix("/"))
+      status(s"Stage area ${name.toUpperCase} successfully created.")
+    case createRe(orReplace, temp, _, kind, ifNotExists, name, rest) =>
+      doCreate(orReplace != null, temp != null, kind.equalsIgnoreCase("VIEW"),
+        ifNotExists != null, name, rest)
+    case dropRe(ifExists, name) => doDrop(ifExists != null, name)
+    case insertRe(overwrite, name, body) => doInsert(overwrite != null, name, body)
+    case copyRe(name, rest) => doCopy(name, rest)
+    case showRe(what) => doShow(what.toUpperCase)
+    case q => runQuery(q)
+  }
+
+  // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
+  def runQuery(snowflakeSql: String): DataFrame = {
+    val rewritten = SnowflakeRewriter.rewrite(snowflakeSql)
+    val substituted = TableResolver.resolveAndSubstitute(rewritten, this)
+    spark.sql(substituted)
+  }
+
+  /** Used by [[TableResolver]]: materialize `fqn` as a flat temp view and
+    * return the view name; unknown names are left untouched so Spark can
+    * resolve its own temp views / raise its own errors. */
+  private[engine] def ensureView(f: FQN): Option[String] =
+    registry.resolve(f).map { ref =>
+      if (ref.kind == TableKind.Lake)
+        registry.load(ref).createOrReplaceTempView(f.flat)
+      f.flat
+    }
+
+  // ── USE (A14) ──────────────────────────────────────────────────────────
+  private def doUse(kind: Option[String], rawName: String): DataFrame = {
+    val name = Identifiers.normalizePart(rawName)
+    kind match {
+      case Some("DATABASE") => currentDatabase = name
+      case Some("SCHEMA") =>
+        // USE SCHEMA db.schema or bare schema
+        val parts = Identifiers.splitQualified(rawName).map(Identifiers.normalizePart)
+        if (parts.length == 2) { currentDatabase = parts(0); currentSchema = parts(1) }
+        else currentSchema = name
+      case Some("WAREHOUSE") | Some("ROLE") => // session decoration only
+      case None => currentDatabase = name
+      case Some(other) => throw new IllegalArgumentException(s"USE $other")
+    }
+    status("Statement executed successfully.")
+  }
+
+  // ── CREATE (A8/A9/A11) ─────────────────────────────────────────────────
+  private def doCreate(orReplace: Boolean, temp: Boolean, isView: Boolean,
+      ifNotExists: Boolean, rawName: String, rest: String): DataFrame = {
+    val f = fqn(rawName)
+    if (registry.resolve(f).isDefined && !orReplace) {
+      if (ifNotExists)
+        return status(s"${f.table} already exists, statement succeeded.")
+      throw new IllegalArgumentException(s"object $f already exists")
+    }
+    val asIdx = "(?is)^(?:\\([^)]*\\)\\s*)?AS\\s+(.*)$".r
+    rest.trim match {
+      case asIdx(select) if isView =>
+        val rewritten = TableResolver.resolveAndSubstitute(
+          SnowflakeRewriter.rewrite(select), this)
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${f.flat} AS $rewritten")
+        registry.register(TableRef(f, TableKind.Local, None))
+        status(s"View ${f.table} successfully created.")
+      case asIdx(select) =>
+        val df = runQuery(select)
+        val path = tablePath(f, temp)
+        df.write.mode("overwrite").parquet(path)
+        registry.register(TableRef(f, TableKind.Lake, Some(path)))
+        status(s"Table ${f.table} successfully created.")
+      case colDefs if colDefs.startsWith("(") =>
+        // CREATE TABLE t (col type, …): empty table with translated schema
+        val ddl = SnowflakeRewriter.rewrite(
+          s"SELECT * FROM VALUES (1) WHERE 1=0") // placeholder, schema below
+        val schema = parseColumnDefs(colDefs)
+        val path = tablePath(f, temp)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+          .write.mode("overwrite").parquet(path)
+        registry.register(TableRef(f, TableKind.Lake, Some(path)))
+        val _ = ddl
+        status(s"Table ${f.table} successfully created.")
+      case other =>
+        throw new IllegalArgumentException(s"cannot CREATE: $other")
+    }
+  }
+
+  /** Parse `(col type, col type, …)` into a StructType via the rewriter's
+    * type map + Spark's DDL parser. */
+  private def parseColumnDefs(defs: String): StructType = {
+    val inner = defs.trim.stripPrefix("(").stripSuffix(")")
+    // translate each "name TYPE" pair through the cast-type rewriter by
+    // wrapping in a CAST so the type map applies
+    val fields = splitTopLevel(inner, ',').map { d =>
+      val trimmed = d.trim
+      val sp = trimmed.indexWhere(_.isWhitespace)
+      require(sp > 0, s"bad column def: $trimmed")
+      val name = Identifiers.normalizePart(trimmed.substring(0, sp))
+      val typeSql = trimmed.substring(sp + 1).trim
+        .replaceAll("(?i)\\s+NOT\\s+NULL$", "")
+      val mapped = SnowflakeRewriter.rewrite(s"CAST(x AS $typeSql)")
+      val sparkType = mapped.replaceAll("(?is)^CAST\\(x AS\\s*", "")
+        .replaceAll("\\)$", "").trim
+      StructField(name,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(sparkType))
+    }
+    StructType(fields)
+  }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == sep && depth == 0) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private def tablePath(f: FQN, temp: Boolean): String = {
+    val base = if (temp) s"$warehouseDir/_temp" else warehouseDir
+    s"$base/${f.database}/${f.schema}/${f.table}"
+  }
+
+  // ── DROP (A13) ─────────────────────────────────────────────────────────
+  private def doDrop(ifExists: Boolean, rawName: String): DataFrame = {
+    val f = fqn(rawName)
+    val existed = registry.drop(f)
+    if (!existed && !ifExists)
+      throw new IllegalArgumentException(s"object $f does not exist")
+    status(s"${f.table} successfully dropped.")
+  }
+
+  // ── INSERT (A12) ───────────────────────────────────────────────────────
+  private def doInsert(overwrite: Boolean, rawName: String, body: String): DataFrame = {
+    val f = fqn(rawName)
+    val ref = registry.resolve(f).getOrElse(
+      throw new IllegalArgumentException(s"table $f does not exist"))
+    require(ref.kind == TableKind.Lake && ref.path.isDefined,
+      s"cannot INSERT into $f")
+    val existing = registry.load(ref)
+    val df0 = runQuery(body)
+    // align by position like Snowflake INSERT ... SELECT
+    val aligned = df0.toDF(existing.schema.fieldNames.take(df0.columns.length): _*)
+      .select(existing.schema.fields.map(sf =>
+        org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)).toIndexedSeq: _*)
+    aligned.write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(ref.path.get)
+    status(s"inserted rows into ${f.table}")
+  }
+
+  // ── COPY INTO (A15) ────────────────────────────────────────────────────
+  private def doCopy(rawName: String, rest: String): DataFrame = {
+    val f = fqn(rawName)
+    val ref = registry.resolve(f).getOrElse(
+      throw new IllegalArgumentException(s"table $f does not exist"))
+    require(ref.kind == TableKind.Lake && ref.path.isDefined,
+      s"cannot COPY into $f")
+    // FROM <source> [FILE_FORMAT = ( ... )] [other options]
+    val ffRe = "(?is)FILE_FORMAT\\s*=\\s*\\(([^)]*)\\)".r
+    val optsRaw = ffRe.findFirstMatchIn(rest).map(_.group(1)).getOrElse("")
+    val source = ffRe.replaceAllIn(rest, "").trim.split("\\s+").headOption
+      .getOrElse(throw new IllegalArgumentException("COPY INTO needs a source"))
+    val url = resolveStagePath(source)
+    val optPairs = parseOptionPairs(optsRaw)
+    val mapped = CopyOptions.map(optPairs)
+    val target = registry.load(ref)
+    val reader = spark.read.format(mapped.format).options(mapped.options)
+    val df =
+      if (mapped.format == "csv")
+        reader.schema(target.schema).load(url)
+      else reader.load(url)
+    val aligned = df.toDF(target.schema.fieldNames.take(df.columns.length): _*)
+      .select(target.schema.fields.map(sf =>
+        org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)).toIndexedSeq: _*)
+    aligned.write.mode("append").parquet(ref.path.get)
+    status(s"file(s) loaded into ${f.table}")
+  }
+
+  /** `@stage/path` → stage URL + path; quoted literals pass through
+    * (stage metadata analog of `universql/plugins/snow.py:575-629`). */
+  private def resolveStagePath(src: String): String = {
+    val s = src.trim.stripPrefix("'").stripSuffix("'")
+    if (s.startsWith("@")) {
+      val body = s.stripPrefix("@")
+      val slash = body.indexOf('/')
+      val (stage, sub) =
+        if (slash < 0) (body, "") else (body.substring(0, slash), body.substring(slash))
+      val base = stages.getOrElse(Identifiers.normalizePart(stage),
+        throw new IllegalArgumentException(s"unknown stage @$stage"))
+      base + sub
+    } else s
+  }
+
+  private def parseOptionPairs(s: String): Map[String, String] = {
+    // KEY = value pairs; values may be quoted strings, numbers, idents, or
+    // parenthesized lists
+    val re = "(?is)(\\w+)\\s*=\\s*('(?:[^']|'')*'|\\([^)]*\\)|[\\w.+-]+)".r
+    re.findAllMatchIn(s).map { m =>
+      val v = m.group(2).trim
+      val clean = if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'").replace("''", "'")
+        else v
+      m.group(1).toUpperCase -> clean
+    }.toMap
+  }
+
+  // ── SHOW (A16) ─────────────────────────────────────────────────────────
+  private def doShow(what: String): DataFrame = {
+    val schemaOf = StructType(Seq(
+      StructField("name", StringType), StructField("database_name", StringType),
+      StructField("schema_name", StringType), StructField("kind", StringType)))
+    what match {
+      case "TABLES" | "OBJECTS" | "VIEWS" =>
+        val wantView = what == "VIEWS"
+        val rows = registry.list(Some(currentDatabase), Some(currentSchema))
+          .filter(r => (r.kind == TableKind.Local) == wantView || what == "OBJECTS")
+          .map(r => Row(r.fqn.table, r.fqn.database, r.fqn.schema,
+            if (r.kind == TableKind.Local) "VIEW" else "TABLE"))
+        spark.createDataFrame(rows.asJava, schemaOf)
+      case "SCHEMAS" =>
+        val rows = registry.schemas(currentDatabase)
+          .map(s => Row(s, currentDatabase, s, "SCHEMA"))
+        spark.createDataFrame(rows.asJava, schemaOf)
+      case "DATABASES" =>
+        val dbs = registry.list().map(_.fqn.database).distinct.sorted
+        spark.createDataFrame(
+          dbs.map(d => Row(d, d, null, "DATABASE")).asJava, schemaOf)
+      case other => throw new IllegalArgumentException(s"SHOW $other")
+    }
+  }
+
+  private def status(msg: String): DataFrame =
+    spark.createDataFrame(
+      List(Row(msg)).asJava,
+      StructType(Seq(StructField("status", StringType))))
+}

@@ -1,0 +1,502 @@
+package graft.engine
+
+import SqlTokens._
+import scala.collection.mutable.ArrayBuffer
+
+/** Snowflake → Spark SQL dialect translation (SURVEY §7.2 step 3).
+  *
+  * Replaces the reference's sqlglot-based AST transforms
+  * (`universql/warehouse/duckdb.py:428-446`, `universql/plugins/snow.py`)
+  * with targeted token-stream rewrites, scoped to the surface the reference
+  * exercises (§2.B evidence):
+  *
+  *   - `expr::type` casts → `CAST(expr AS type)` with the type-name map
+  *   - `col:path.sub` / `col:'key'` VARIANT access → `get_json_object`
+  *   - type names (NUMBER, VARIANT, TIMESTAMP_LTZ, …) → Spark types
+  *   - `TABLE(TO_QUERY('sql'))` → inline subquery; `TABLE(f(x))` → `f(x)`
+  *     (reference: `universql/warehouse/duckdb.py:428-434`)
+  *   - function renames (IFF→IF, ARRAY_CONSTRUCT→ARRAY, …) and PARSE_JSON
+  *     pass-through (VARIANT is JSON text in this engine, §1.2)
+  *   - Snowflake datetime format tokens → java.time patterns
+  *     (reference map: `universql/plugins/snow.py:41-68`)
+  */
+object SnowflakeRewriter {
+
+  // ── type-name map ──────────────────────────────────────────────────────
+  /** Snowflake type → (Spark type, keepArgs). */
+  private val typeMap: Map[String, (String, Boolean)] = Map(
+    "NUMBER" -> ("DECIMAL", true), "DEC" -> ("DECIMAL", true),
+    "NUMERIC" -> ("DECIMAL", true), "DECIMAL" -> ("DECIMAL", true),
+    "INT" -> ("INT", false), "INTEGER" -> ("INT", false),
+    "BIGINT" -> ("BIGINT", false), "SMALLINT" -> ("SMALLINT", false),
+    "TINYINT" -> ("TINYINT", false), "BYTEINT" -> ("TINYINT", false),
+    "FLOAT" -> ("DOUBLE", false), "FLOAT4" -> ("DOUBLE", false),
+    "FLOAT8" -> ("DOUBLE", false), "REAL" -> ("DOUBLE", false),
+    "DOUBLE" -> ("DOUBLE", false),
+    "VARCHAR" -> ("STRING", false), "CHAR" -> ("STRING", false),
+    "CHARACTER" -> ("STRING", false), "STRING" -> ("STRING", false),
+    "TEXT" -> ("STRING", false),
+    "BINARY" -> ("BINARY", false), "VARBINARY" -> ("BINARY", false),
+    "BOOLEAN" -> ("BOOLEAN", false), "DATE" -> ("DATE", false),
+    "DATETIME" -> ("TIMESTAMP_NTZ", false),
+    "TIMESTAMP" -> ("TIMESTAMP_NTZ", false),
+    "TIMESTAMP_NTZ" -> ("TIMESTAMP_NTZ", false),
+    "TIMESTAMPNTZ" -> ("TIMESTAMP_NTZ", false),
+    "TIMESTAMP_LTZ" -> ("TIMESTAMP", false),
+    "TIMESTAMPLTZ" -> ("TIMESTAMP", false),
+    "TIMESTAMP_TZ" -> ("TIMESTAMP", false),
+    "TIMESTAMPTZ" -> ("TIMESTAMP", false),
+    "VARIANT" -> ("STRING", false), "OBJECT" -> ("STRING", false),
+    "ARRAY" -> ("STRING", false))
+
+  private val fnRename: Map[String, String] = Map(
+    "IFF" -> "IF",
+    "ARRAY_CONSTRUCT" -> "ARRAY",
+    "OBJECT_CONSTRUCT" -> "NAMED_STRUCT",
+    "GETDATE" -> "CURRENT_TIMESTAMP",
+    "SYSDATE" -> "CURRENT_TIMESTAMP",
+    "DATEADD" -> "TIMESTAMPADD",
+    "DATEDIFF" -> "TIMESTAMPDIFF",
+    "EDITDISTANCE" -> "LEVENSHTEIN",
+    "LEN" -> "LENGTH",
+    "CHARINDEX" -> "INSTR",
+    "STRTOK_TO_ARRAY" -> "SPLIT",
+    "REGEXP_SUBSTR" -> "REGEXP_EXTRACT",
+    "ARRAY_SIZE" -> "SIZE",
+    "CURRENT_TIMESTAMP" -> "CURRENT_TIMESTAMP")
+
+  /** Functions whose call collapses to their (single) argument: VARIANT is
+    * already JSON text here (reference stores VARIANT as JSON,
+    * `universql/warehouse/duckdb.py:443-444`). */
+  private val passThroughFns = Set("PARSE_JSON", "TO_VARIANT", "TO_JSON")
+
+  // ── datetime token map (Snowflake → java.time) ─────────────────────────
+  // Port of the shape at universql/plugins/snow.py:41-68 (strptime there).
+  private val dtTokens: Seq[(String, String)] = Seq(
+    "YYYY" -> "yyyy", "YY" -> "yy",
+    "MMMM" -> "MMMM", "MON" -> "MMM", "MM" -> "MM",
+    "DD" -> "dd", "DY" -> "EEE", "DAY" -> "EEEE",
+    "HH24" -> "HH", "HH12" -> "hh", "HH" -> "HH",
+    "AM" -> "a", "PM" -> "a",
+    "MI" -> "mm", "SS" -> "ss",
+    "FF9" -> "SSSSSS", "FF8" -> "SSSSSS", "FF7" -> "SSSSSS",
+    "FF6" -> "SSSSSS", "FF5" -> "SSSSS", "FF4" -> "SSSS",
+    "FF3" -> "SSS", "FF2" -> "SS", "FF1" -> "S", "FF0" -> "",
+    "FF" -> "SSSSSS",
+    "TZH:TZM" -> "xxx", "TZHTZM" -> "xx", "TZH" -> "x",
+    "UUUU" -> "yyyy")
+
+  /** Translate a Snowflake datetime format string to a java.time pattern. */
+  def translateDatetimeFormat(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val rest = fmt.substring(i)
+      dtTokens.find { case (sf, _) => rest.toUpperCase.startsWith(sf) } match {
+        case Some((sf, java)) => sb.append(java); i += sf.length
+        case None => sb.append(fmt.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Functions whose 2nd argument is a datetime format string. */
+  private val fmtArgFns = Set("TO_TIMESTAMP", "TO_DATE", "TO_TIME",
+    "TO_CHAR", "TO_VARCHAR", "TRY_TO_TIMESTAMP", "TRY_TO_DATE")
+
+  // ── entry point ────────────────────────────────────────────────────────
+  def rewrite(sql: String): String = {
+    var toks = lex(sql)
+    toks = unwrapTableFn(toks)
+    toks = rewriteJsonPaths(toks)
+    toks = rewriteCasts(toks)
+    toks = rewriteCastTypeNames(toks)
+    toks = rewriteFunctions(toks)
+    render(toks)
+  }
+
+  // ── pass: TABLE(TO_QUERY('q')) → (q) ;  TABLE(f(x)) → f(x) ────────────
+  private def unwrapTableFn(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Ident(t) if t.equalsIgnoreCase("TABLE") &&
+            nextSig(toks, i).exists(j => toks(j) == Op("(")) =>
+          val open = nextSig(toks, i).get
+          val close = matchParen(toks, open)
+          val inner = toks.slice(open + 1, close)
+          val innerSig = significant(inner)
+          // TABLE(TO_QUERY('sql' [, ...])) → (sql)
+          val isToQuery = innerSig.headOption.exists(k => inner(k) match {
+            case Ident(f) => f.equalsIgnoreCase("TO_QUERY")
+            case _ => false
+          })
+          if (isToQuery) {
+            val strTok = inner.collectFirst { case s: Str => s }
+            strTok match {
+              case Some(s) =>
+                out += Op("(")
+                out ++= lex(rewrite(s.value))
+                out += Op(")")
+              case None => out ++= toks.slice(i, close + 1)
+            }
+          } else {
+            out ++= inner // TABLE(f(x)) → f(x)
+          }
+          i = close + 1
+        case t => out += t; i += 1
+      }
+    }
+    out.toVector
+  }
+
+  // ── pass: col:path / col:'key' → get_json_object(col, '$.path') ───────
+  private def rewriteJsonPaths(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      val isColon = toks(i) == Op(":")
+      val prevIdx = if (out.nonEmpty) Some(out.length - 1) else None
+      val prevOk = prevIdx.exists(p => out(p) match {
+        case _: Ident | _: QIdent => true
+        case Op(")") => true
+        case _ => false
+      })
+      // colon must be tight (no space) against a preceding column expr and
+      // followed by a key; this distinguishes VARIANT access from other ':'.
+      if (isColon && prevOk && i + 1 < toks.length &&
+          (toks(i + 1) match {
+            case _: Ident | _: QIdent | _: Str => true; case _ => false })) {
+        // collect path: key (.key)* ([idx])*
+        val path = new StringBuilder
+        var j = i + 1
+        var more = true
+        while (more && j < toks.length) {
+          toks(j) match {
+            case Ident(k)  => path.append('.').append(k); j += 1
+            case QIdent(k) => path.append('.')
+              .append(k.substring(1, k.length - 1).replace("\"\"", "\"")); j += 1
+            case s: Str    => path.append("['").append(s.value).append("']"); j += 1
+            case _ => more = false
+          }
+          // continue on '.' or '[' n ']'
+          if (more && j < toks.length) {
+            toks(j) match {
+              case Op(".") if j + 1 < toks.length => j += 1
+              case Op("[") =>
+                val close = matchBracket(toks, j)
+                val idx = render(toks.slice(j + 1, close)).trim
+                path.append('[').append(idx).append(']')
+                j = close + 1
+                more = j < toks.length && toks(j) == Op(".")
+                if (more) j += 1
+              case _ => more = false
+            }
+          }
+        }
+        // grab the column expression already emitted to `out`
+        val exprStart = out(out.length - 1) match {
+          case Op(")") => // balance back
+            var depth = 0
+            var k = out.length - 1
+            var found = -1
+            while (k >= 0 && found < 0) {
+              out(k) match {
+                case Op(")") => depth += 1
+                case Op("(") => depth -= 1; if (depth == 0) found = k
+                case _ =>
+              }
+              k -= 1
+            }
+            // include a function name directly before '('
+            if (found > 0 && (out(found - 1) match {
+              case _: Ident | _: QIdent => true; case _ => false })) found - 1
+            else found
+          case _ =>
+            // identifier, possibly qualified a.b
+            var k = out.length - 1
+            while (k - 2 >= 0 && out(k - 1) == Op(".") &&
+                   (out(k - 2) match {
+                     case _: Ident | _: QIdent => true; case _ => false }))
+              k -= 2
+            k
+        }
+        val colExpr = out.slice(exprStart, out.length).toVector
+        out.remove(exprStart, out.length - exprStart)
+        out += Ident("get_json_object")
+        out += Op("(")
+        out ++= colExpr
+        out += Op(",")
+        out += Ws(" ")
+        out += Str("'$" + path.toString + "'")
+        out += Op(")")
+        i = j
+      } else {
+        out += toks(i); i += 1
+      }
+    }
+    out.toVector
+  }
+
+  // ── pass: expr::type → CAST(expr AS type) ──────────────────────────────
+  private def rewriteCasts(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i) == Op("::")) {
+        // type: ident [ '(' args ')' ]
+        var j = i + 1
+        while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+        if (j < toks.length && toks(j).isInstanceOf[Ident]) {
+          val tname = toks(j).text.toUpperCase
+          var typeEnd = j + 1
+          var args = ""
+          if (typeEnd < toks.length && toks(typeEnd) == Op("(")) {
+            val close = matchParen(toks, typeEnd)
+            args = render(toks.slice(typeEnd, close + 1))
+            typeEnd = close + 1
+          }
+          // DOUBLE PRECISION
+          if (tname == "DOUBLE" && typeEnd + 1 < toks.length &&
+              toks(typeEnd).isInstanceOf[Ws] &&
+              toks(typeEnd + 1).text.equalsIgnoreCase("PRECISION"))
+            typeEnd += 2
+          val (mapped, keepArgs) =
+            typeMap.getOrElse(tname, (tname, args.nonEmpty))
+          val typeStr = if (keepArgs && args.nonEmpty) mapped + args
+            else if (mapped == "DECIMAL" && args.isEmpty) "DECIMAL(38,0)"
+            else mapped
+          // pop the preceding atom off `out`
+          var exprStart = out.length - 1
+          while (exprStart >= 0 && out(exprStart).isInstanceOf[Ws]) exprStart -= 1
+          out(exprStart) match {
+            case Op(")") =>
+              var depth = 0
+              var k = exprStart
+              var found = -1
+              while (k >= 0 && found < 0) {
+                out(k) match {
+                  case Op(")") => depth += 1
+                  case Op("(") => depth -= 1; if (depth == 0) found = k
+                  case _ =>
+                }
+                k -= 1
+              }
+              if (found > 0 && (out(found - 1) match {
+                case _: Ident | _: QIdent => true; case _ => false }))
+                exprStart = found - 1
+              else exprStart = found
+            case _: Ident | _: QIdent =>
+              var k = exprStart
+              while (k - 2 >= 0 && out(k - 1) == Op(".") &&
+                     (out(k - 2) match {
+                       case _: Ident | _: QIdent => true; case _ => false }))
+                k -= 2
+              exprStart = k
+            case _: Str | _: Num => // single literal
+              exprStart = exprStart
+            case _ => // fallback: single token
+          }
+          val expr = out.slice(exprStart, out.length).toVector
+          out.remove(exprStart, out.length - exprStart)
+          out += Ident("CAST")
+          out += Op("(")
+          out ++= expr
+          out += Ws(" ")
+          out += Ident("AS")
+          out += Ws(" ")
+          out ++= lex(typeStr)
+          out += Op(")")
+          i = typeEnd
+        } else { out += toks(i); i += 1 }
+      } else { out += toks(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  // ── pass: CAST(x AS <snowflake type>) type-name mapping ────────────────
+  private def rewriteCastTypeNames(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    // stack of booleans: is the open paren at this depth a CAST-paren?
+    val parenIsCast = ArrayBuffer.empty[Boolean]
+    var lastSigWasCast = false
+    var inCastAs = false // saw AS inside a CAST paren; next ident is a type
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      t match {
+        case Op("(") =>
+          parenIsCast += lastSigWasCast
+          lastSigWasCast = false
+          out += t
+        case Op(")") =>
+          if (parenIsCast.nonEmpty) parenIsCast.remove(parenIsCast.length - 1)
+          inCastAs = false
+          lastSigWasCast = false
+          out += t
+        case Ident(x) if x.equalsIgnoreCase("CAST") || x.equalsIgnoreCase("TRY_CAST") =>
+          lastSigWasCast = true
+          out += t
+        case Ident(x) if x.equalsIgnoreCase("AS") &&
+            parenIsCast.lastOption.contains(true) =>
+          inCastAs = true
+          lastSigWasCast = false
+          out += t
+        case Ident(x) if inCastAs =>
+          val up = x.toUpperCase
+          typeMap.get(up) match {
+            case Some((mapped, keepArgs)) =>
+              var args = ""
+              var skipTo = i + 1
+              if (skipTo < toks.length && toks(skipTo) == Op("(")) {
+                val close = matchParen(toks, skipTo)
+                args = render(toks.slice(skipTo, close + 1))
+                skipTo = close + 1
+              }
+              val typeStr = if (keepArgs && args.nonEmpty) mapped + args
+                else if (mapped == "DECIMAL" && args.isEmpty) "DECIMAL(38,0)"
+                else mapped
+              out ++= lex(typeStr)
+              inCastAs = false
+              i = skipTo - 1
+            case None => out += t
+          }
+          lastSigWasCast = false
+        case _: Ws | _: Comment => out += t
+        case _ =>
+          lastSigWasCast = false
+          out += t
+      }
+      i += 1
+    }
+    out.toVector
+  }
+
+  // ── pass: function renames + pass-throughs + fmt-string translation ────
+  private def rewriteFunctions(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Ident(name) if nextSig(toks, i).exists(j => toks(j) == Op("(")) =>
+          val up = name.toUpperCase
+          val open = nextSig(toks, i).get
+          val close = matchParen(toks, open)
+          if (passThroughFns.contains(up)) {
+            // PARSE_JSON(x) → (x): recurse into the args
+            val inner = rewriteFunctions(toks.slice(open + 1, close))
+            out += Op("(")
+            out ++= inner
+            out += Op(")")
+            i = close + 1
+          } else if (fmtArgFns.contains(up)) {
+            val argRanges = splitArgs(toks, open, close)
+            val mappedName = up match {
+              case "TO_CHAR" | "TO_VARCHAR" =>
+                if (argRanges.length >= 2) "DATE_FORMAT" else "CAST_STR"
+              case "TRY_TO_TIMESTAMP" => "TRY_TO_TIMESTAMP"
+              case other => other
+            }
+            if (mappedName == "CAST_STR") {
+              // TO_CHAR(x) → CAST(x AS STRING)
+              out += Ident("CAST")
+              out += Op("(")
+              out ++= rewriteFunctions(toks.slice(open + 1, close))
+              out += Ws(" ")
+              out += Ident("AS")
+              out += Ws(" ")
+              out += Ident("STRING")
+              out += Op(")")
+            } else {
+              out += Ident(mappedName.toLowerCase)
+              out += Op("(")
+              argRanges.zipWithIndex.foreach { case ((a, b), idx) =>
+                if (idx > 0) { out += Op(","); out += Ws(" ") }
+                val argToks = toks.slice(a, b)
+                if (idx == 1) {
+                  // translate a literal format string
+                  argToks.collectFirst { case s: Str => s } match {
+                    case Some(s) if significant(argToks).size == 1 =>
+                      out += Str("'" +
+                        translateDatetimeFormat(s.value).replace("'", "''") + "'")
+                    case _ => out ++= rewriteFunctions(argToks)
+                  }
+                } else out ++= rewriteFunctions(argToks)
+              }
+              out += Op(")")
+            }
+            i = close + 1
+          } else if (fnRename.contains(up)) {
+            out += Ident(fnRename(up).toLowerCase)
+            i = i + 1 // keep the original '(' and args; recursion continues
+          } else {
+            out += toks(i); i += 1
+          }
+        case t => out += t; i += 1
+      }
+    }
+    out.toVector
+  }
+
+  // ── helpers ────────────────────────────────────────────────────────────
+  private def nextSig(toks: Vector[Tok], from: Int): Option[Int] = {
+    var j = from + 1
+    while (j < toks.length) {
+      toks(j) match {
+        case _: Ws | _: Comment => j += 1
+        case _ => return Some(j)
+      }
+    }
+    None
+  }
+
+  private def matchParen(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var j = open
+    while (j < toks.length) {
+      toks(j) match {
+        case Op("(") => depth += 1
+        case Op(")") => depth -= 1; if (depth == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    toks.length - 1
+  }
+
+  private def matchBracket(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var j = open
+    while (j < toks.length) {
+      toks(j) match {
+        case Op("[") => depth += 1
+        case Op("]") => depth -= 1; if (depth == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    toks.length - 1
+  }
+
+  /** Token ranges of each top-level argument between open and close parens. */
+  private def splitArgs(toks: Vector[Tok], open: Int, close: Int): Seq[(Int, Int)] = {
+    val ranges = ArrayBuffer.empty[(Int, Int)]
+    var depth = 0
+    var start = open + 1
+    var j = open
+    while (j <= close) {
+      toks(j) match {
+        case Op("(") => depth += 1
+        case Op(")") =>
+          depth -= 1
+          if (depth == 0 && j == close && start < j) ranges += ((start, j))
+        case Op(",") if depth == 1 =>
+          ranges += ((start, j)); start = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    ranges.toSeq
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack}
+import graft.engine.{GraftSession, SnowflakeTypes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Files
+
+/** Statement-layer operators (SURVEY §2.A) exercised through the
+  * correctness gate: every query here enters as **Snowflake-dialect SQL**
+  * through [[GraftSession.sql]] — dialect rewrite, identifier
+  * normalization, table resolution, routing, DDL/DML — and must still
+  * hash-match the ANSI oracle on DuckDB. */
+object SnowflakeSql extends QueryPack {
+
+  private def session(s: SparkSession, dir: String): GraftSession = {
+    val gs = new GraftSession(s)
+    gs.attachLake(dir)
+    gs
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery("snow01_variant_path", Some("""
+      SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        count(*) AS n
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+      GROUP BY 1, 2 ORDER BY event_type, k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT event_type, props:k::bigint AS k, count(*) AS n
+        FROM events
+        WHERE props:k::bigint > 90
+        GROUP BY 1, 2 ORDER BY event_type, k""")
+    },
+
+    GQuery("snow02_iff_cast", Some("""
+      SELECT CASE WHEN o_totalprice > 250000 THEN 'hi' ELSE 'lo' END AS tier,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY tier""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT IFF(o_totalprice > 250000, 'hi', 'lo') AS tier,
+          count(*) AS n,
+          sum(o_totalprice::number(12,2))::double AS total
+        FROM orders GROUP BY 1 ORDER BY tier""")
+    },
+
+    GQuery("snow03_ctas_roundtrip", Some("""
+      SELECT o_orderpriority AS priority, count(*) AS n
+      FROM orders WHERE o_totalprice > 200000
+      GROUP BY 1 ORDER BY priority""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TEMP TABLE pricey AS
+          SELECT * FROM orders WHERE o_totalprice > 200000;
+        SELECT o_orderpriority AS priority, count(*) AS n
+        FROM pricey GROUP BY 1 ORDER BY priority;""")
+    },
+
+    GQuery("snow04_copy_into", Some("""
+      SELECT r_regionkey AS rkey, r_name AS rname
+      FROM region ORDER BY rkey""")) { (s, dir) =>
+      val gs = session(s, dir)
+      val stageDir = Files.createTempDirectory("graft_stage").toString
+      graft.Tables.load(s, dir, "region")
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$stageDir/objects")
+      gs.sql(s"CREATE STAGE verify_stage URL='$stageDir'")
+      gs.sql("""
+        CREATE OR REPLACE TABLE region_copy (r_regionkey INT, r_name VARCHAR);
+        COPY INTO region_copy FROM @verify_stage/objects
+          FILE_FORMAT = (SKIP_HEADER = 1);""")
+      gs.sql("""SELECT r_regionkey AS rkey, r_name AS rname
+                FROM region_copy ORDER BY rkey""")
+    },
+
+    GQuery("snow05_datetime_tokens", Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY ym""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS ym, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY ym""")
+    },
+
+    GQuery("snow06_use_and_insert", Some("""
+      SELECT n_name AS nation, count(*) AS n_suppliers
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY nation""")) { (s, dir) =>
+      session(s, dir).sql("""
+        USE DATABASE graft;
+        USE SCHEMA public;
+        CREATE OR REPLACE TEMP TABLE supp_nation AS
+          SELECT n_name AS nation, count(*) AS n_suppliers
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1;
+        SELECT nation, n_suppliers FROM supp_nation ORDER BY nation;""")
+    },
+
+    GQuery("snow07_semi_structured_wire", Some("""
+      SELECT to_json([l_returnflag, l_linestatus]) AS pair, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY pair""")) { (s, dir) =>
+      val df = session(s, dir).sql("""
+        SELECT ARRAY_CONSTRUCT(l_returnflag, l_linestatus) AS pair, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1""")
+      SnowflakeTypes.toWire(df)
+    },
+
+    GQuery("snow08_to_query_unwrap", Some("""
+      SELECT priority, n FROM (
+        SELECT o_orderpriority AS priority, count(*) AS n FROM orders GROUP BY 1
+      ) WHERE n > 0 ORDER BY priority""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT priority, n FROM table(to_query(
+          'SELECT o_orderpriority AS priority, count(*) AS n FROM orders GROUP BY 1'))
+        WHERE n > 0 ORDER BY priority""")
+    }
+  )
+}

@@ -1,0 +1,180 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RewriterSpec extends AnyFunSuite {
+  private def rw(s: String) = SnowflakeRewriter.rewrite(s)
+    .replaceAll("\\s+", " ").trim
+
+  test("colon-colon cast of a column") {
+    assert(rw("SELECT a::int FROM t") == "SELECT CAST(a AS INT) FROM t")
+  }
+
+  test("cast of qualified column and literal") {
+    assert(rw("SELECT t.a::bigint, '1'::number(10,2) FROM t") ==
+      "SELECT CAST(t.a AS BIGINT), CAST('1' AS DECIMAL(10,2)) FROM t")
+  }
+
+  test("cast of parenthesized expression") {
+    assert(rw("SELECT (a + b)::double FROM t") ==
+      "SELECT CAST((a + b) AS DOUBLE) FROM t")
+  }
+
+  test("cast of subquery keeps inner whitespace") {
+    assert(rw("SELECT (SELECT max(x) FROM t)::int") ==
+      "SELECT CAST((SELECT max(x) FROM t) AS INT)")
+  }
+
+  test("cast of function call") {
+    assert(rw("SELECT sum(x)::varchar FROM t") ==
+      "SELECT CAST(sum(x) AS STRING) FROM t")
+  }
+
+  test("snowflake type names inside CAST") {
+    assert(rw("SELECT CAST(a AS NUMBER(38,0)) FROM t") ==
+      "SELECT CAST(a AS DECIMAL(38,0)) FROM t")
+    assert(rw("SELECT CAST(a AS VARIANT) FROM t") ==
+      "SELECT CAST(a AS STRING) FROM t")
+    assert(rw("SELECT CAST(a AS TIMESTAMP_LTZ) FROM t") ==
+      "SELECT CAST(a AS TIMESTAMP) FROM t")
+    assert(rw("SELECT CAST(a AS BYTEINT) FROM t") ==
+      "SELECT CAST(a AS TINYINT) FROM t")
+  }
+
+  test("AS in alias position is not a type") {
+    assert(rw("SELECT a AS TEXT FROM t") == "SELECT a AS TEXT FROM t")
+  }
+
+  test("variant colon path access") {
+    assert(rw("SELECT props:k FROM events") ==
+      "SELECT get_json_object(props, '$.k') FROM events")
+    assert(rw("SELECT v:a.b FROM t") ==
+      "SELECT get_json_object(v, '$.a.b') FROM t")
+  }
+
+  test("variant path with cast") {
+    assert(rw("SELECT props:k::int FROM events") ==
+      "SELECT CAST(get_json_object(props, '$.k') AS INT) FROM events")
+  }
+
+  test("variant path with quoted key") {
+    assert(rw("SELECT v:'my key' FROM t") ==
+      "SELECT get_json_object(v, '$['my key']') FROM t")
+  }
+
+  test("PARSE_JSON passes through") {
+    assert(rw("SELECT PARSE_JSON('{\"k\":1}') FROM t") ==
+      "SELECT ('{\"k\":1}') FROM t")
+  }
+
+  test("PARSE_JSON with path and cast") {
+    assert(rw("SELECT PARSE_JSON(s):k::int FROM t") ==
+      "SELECT CAST(get_json_object((s), '$.k') AS INT) FROM t")
+  }
+
+  test("ARRAY_CONSTRUCT and OBJECT_CONSTRUCT rename") {
+    assert(rw("SELECT ARRAY_CONSTRUCT(1,2,3)") == "SELECT array(1,2,3)")
+    assert(rw("SELECT OBJECT_CONSTRUCT('a', 1)") ==
+      "SELECT named_struct('a', 1)")
+  }
+
+  test("IFF renames to IF") {
+    assert(rw("SELECT IFF(a > 1, 'x', 'y') FROM t") ==
+      "SELECT if(a > 1, 'x', 'y') FROM t")
+  }
+
+  test("table(to_query()) unwraps to inline subquery") {
+    assert(rw("SELECT * FROM table(to_query('SELECT 1 AS x'))") ==
+      "SELECT * FROM (SELECT 1 AS x)")
+  }
+
+  test("table(fn(x)) unwraps to fn(x)") {
+    assert(rw("SELECT * FROM table(generate_series(1, 3))") ==
+      "SELECT * FROM generate_series(1, 3)")
+  }
+
+  test("datetime format token translation") {
+    assert(SnowflakeRewriter.translateDatetimeFormat("YYYY-MM-DD") == "yyyy-MM-dd")
+    assert(SnowflakeRewriter.translateDatetimeFormat("YYYY-MM-DD HH24:MI:SS.FF3") ==
+      "yyyy-MM-dd HH:mm:ss.SSS")
+    assert(SnowflakeRewriter.translateDatetimeFormat("DD/MON/YYYY") == "dd/MMM/yyyy")
+  }
+
+  test("TO_TIMESTAMP with format translates tokens") {
+    assert(rw("SELECT TO_TIMESTAMP('2024-01-02', 'YYYY-MM-DD')") ==
+      "SELECT to_timestamp('2024-01-02', 'yyyy-MM-dd')")
+  }
+
+  test("TO_CHAR with format becomes date_format") {
+    assert(rw("SELECT TO_CHAR(ts, 'YYYY-MM') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM') FROM t")
+  }
+
+  test("TO_CHAR single arg becomes cast to string") {
+    assert(rw("SELECT TO_CHAR(x) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+  }
+
+  test("DATEADD maps to timestampadd") {
+    assert(rw("SELECT DATEADD(day, 3, ts) FROM t") ==
+      "SELECT timestampadd(day, 3, ts) FROM t")
+  }
+
+  test("strings and comments survive untouched") {
+    assert(rw("SELECT 'a::b' FROM t -- c::d") == "SELECT 'a::b' FROM t -- c::d")
+  }
+
+  test("statement splitting respects strings") {
+    val stmts = SqlTokens.splitStatements("SELECT 'a;b'; SELECT 2;")
+    assert(stmts == Seq("SELECT 'a;b'", "SELECT 2"))
+  }
+}
+
+class IdentifiersSpec extends AnyFunSuite {
+  test("unquoted parts fold upper") {
+    assert(Identifiers.fullQualifier("tbl", "db", "sch") == FQN("DB", "SCH", "TBL"))
+  }
+  test("quoted parts keep case") {
+    assert(Identifiers.fullQualifier("\"MyTable\"", "db", "sch") ==
+      FQN("DB", "SCH", "MyTable"))
+  }
+  test("qualified names override defaults") {
+    assert(Identifiers.fullQualifier("d2.s2.t", "db", "sch") == FQN("D2", "S2", "T"))
+    assert(Identifiers.fullQualifier("s2.t", "db", "sch") == FQN("DB", "S2", "T"))
+  }
+  test("quoted dots are not separators") {
+    assert(Identifiers.fullQualifier("\"a.b\"", "db", "sch") == FQN("DB", "SCH", "a.b"))
+  }
+}
+
+class CopyOptionsSpec extends AnyFunSuite {
+  test("csv defaults") {
+    val m = CopyOptions.map(Map.empty)
+    assert(m.format == "csv" && m.options("header") == "false")
+  }
+  test("skip_header=1 maps to header") {
+    val m = CopyOptions.map(Map("SKIP_HEADER" -> "1"))
+    assert(m.options("header") == "true")
+  }
+  test("skip_header>1 rejected loudly") {
+    intercept[IllegalArgumentException] {
+      CopyOptions.map(Map("SKIP_HEADER" -> "3"))
+    }
+  }
+  test("delimiters, quotes, nulls, compression") {
+    val m = CopyOptions.map(Map(
+      "FIELD_DELIMITER" -> "|", "FIELD_OPTIONALLY_ENCLOSED_BY" -> "\"",
+      "NULL_IF" -> "('NULL')", "COMPRESSION" -> "GZIP"))
+    assert(m.options("sep") == "|")
+    assert(m.options("quote") == "\"")
+    assert(m.options("nullValue") == "NULL")
+    assert(m.options("compression") == "gzip")
+  }
+  test("timestamp format tokens translate") {
+    val m = CopyOptions.map(Map("TIMESTAMP_FORMAT" -> "YYYY-MM-DD HH24:MI:SS"))
+    assert(m.options("timestampFormat") == "yyyy-MM-dd HH:mm:ss")
+  }
+  test("unsupported format rejected") {
+    intercept[IllegalArgumentException] { CopyOptions.map(Map("TYPE" -> "XML")) }
+  }
+}

@@ -1,0 +1,158 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end statement lifecycle over real testdata, mirroring the
+  * reference's integration suite shapes (`tests/integration/extract.py`,
+  * `load.py`, `object_identifiers.py`). */
+class SessionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newSession(): GraftSession = {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s
+  }
+
+  test("simple aggregate query end to end") {
+    val s = newSession()
+    val df = s.sql(
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1")
+    assert(df.count() == 5)
+  }
+
+  test("identifier case-insensitivity: upper/lower/qualified variants") {
+    val s = newSession()
+    for (name <- Seq("ORDERS", "orders", "Orders", "graft.public.orders",
+                     "PUBLIC.ORDERS", "\"ORDERS\"")) {
+      val df = s.sql(s"SELECT count(*) AS n FROM $name")
+      assert(df.collect()(0).getLong(0) == 1500, s"failed for $name")
+    }
+  }
+
+  test("snowflake dialect: colon paths, :: casts, IFF") {
+    val s = newSession()
+    val df = s.sql(
+      """SELECT event_type, props:k::int AS k,
+         IFF(value > 100, 'hi', 'lo') AS tier
+         FROM events WHERE event_id <= 10 ORDER BY event_id""")
+    val rows = df.collect()
+    assert(rows.length == 11)
+    assert(Set("hi", "lo").contains(rows(0).getAs[String]("tier")))
+  }
+
+  test("USE DATABASE / SCHEMA change resolution") {
+    val s = newSession()
+    s.attachLake("/root/testdata/sf0.001", database = "OTHERDB", schema = "S2",
+      names = Seq("region"))
+    s.sql("USE DATABASE otherdb")
+    s.sql("USE SCHEMA s2")
+    assert(s.sql("SELECT count(*) AS n FROM region").collect()(0).getLong(0) == 5)
+    assert(s.currentDatabase == "OTHERDB" && s.currentSchema == "S2")
+  }
+
+  test("CREATE TEMP TABLE AS SELECT, query it, DROP it") {
+    val s = newSession()
+    s.sql("CREATE TEMP TABLE big_orders AS SELECT * FROM orders WHERE o_totalprice > 300000")
+    val n = s.sql("SELECT count(*) AS n FROM big_orders").collect()(0).getLong(0)
+    assert(n > 0)
+    s.sql("DROP TABLE big_orders")
+    intercept[Exception] { s.sql("SELECT * FROM big_orders").collect() }
+  }
+
+  test("CREATE OR REPLACE VIEW over a join") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE VIEW cust_nation AS
+             SELECT c_custkey, n_name FROM customer
+             JOIN nation ON c_nationkey = n_nationkey""")
+    assert(s.sql("SELECT count(*) AS n FROM cust_nation").collect()(0).getLong(0) == 150)
+  }
+
+  test("CREATE TABLE with column defs + INSERT INTO ... SELECT") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE summary (
+              flag VARCHAR, total NUMBER(38,0))""")
+    s.sql("""INSERT INTO summary
+             SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1""")
+    val rows = s.sql("SELECT * FROM summary ORDER BY flag").collect()
+    assert(rows.length == 3)
+    // appends accumulate
+    s.sql("""INSERT INTO summary SELECT 'X', 0""")
+    assert(s.sql("SELECT count(*) AS n FROM summary").collect()(0).getLong(0) == 4)
+  }
+
+  test("COPY INTO from a csv stage (SKIP_HEADER=1)") {
+    val s = newSession()
+    // build a csv stage from the region table
+    val stageDir = Files.createTempDirectory("graft_stage").toString
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "region")
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$stageDir/initial_objects")
+    s.sql(s"CREATE STAGE landing_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE region_ref (r_regionkey INT, r_name VARCHAR)")
+    s.sql("""COPY INTO region_ref FROM @landing_stage/initial_objects
+             FILE_FORMAT = (SKIP_HEADER = 1)""")
+    val rows = s.sql("SELECT * FROM region_ref ORDER BY r_regionkey").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("R_NAME")).contains("ASIA"))
+  }
+
+  test("multi-statement batch returns last result") {
+    val s = newSession()
+    val df = s.sql(
+      """USE DATABASE graft;
+         CREATE TEMP TABLE t1 AS SELECT 1 AS a;
+         SELECT a + 1 AS b FROM t1;""")
+    assert(df.collect()(0).getInt(0) == 2)
+  }
+
+  test("SHOW TABLES / SCHEMAS / DATABASES") {
+    val s = newSession()
+    val tables = s.sql("SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("ORDERS") && tables.contains("LINEITEM"))
+    val schemas = s.sql("SHOW SCHEMAS").collect().map(_.getString(0))
+    assert(schemas.contains("PUBLIC"))
+    val dbs = s.sql("SHOW DATABASES").collect().map(_.getString(0))
+    assert(dbs.contains("GRAFT"))
+  }
+
+  test("table(to_query()) hybrid unwrap") {
+    val s = newSession()
+    val df = s.sql(
+      "SELECT * FROM table(to_query('SELECT count(*) AS n FROM orders'))")
+    assert(df.collect()(0).getLong(0) == 1500)
+  }
+
+  test("CTE aliases are not resolved as lake tables") {
+    val s = newSession()
+    val df = s.sql(
+      """WITH orders AS (SELECT 1 AS x) SELECT * FROM orders""")
+    // CTE shadows the lake table, Snowflake-style
+    assert(df.collect()(0).getInt(0) == 1)
+  }
+
+  test("current_warehouse() UDF") {
+    val s = newSession()
+    assert(s.sql("SELECT current_warehouse() AS w").collect()(0).getString(0)
+      == "x-spark")
+  }
+
+  test("result wire typing: rowtype + complex-to-json") {
+    val s = newSession()
+    val df = s.sql("SELECT ARRAY_CONSTRUCT(1,2,3) AS arr, 1::int AS n")
+    val rt = SnowflakeTypes.rowType(df)
+    assert(rt.head.logicalType == "ARRAY")
+    assert(rt(1).logicalType == "FIXED")
+    val wire = SnowflakeTypes.toWire(df).collect()(0)
+    assert(wire.getString(0) == "[1,2,3]")
+  }
+}
