@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the designs assume hundreds of TB, tested at MBs):
+  *   - exact dedup is a single hash-shuffle on the digest — the canonical
+  *     scalable pattern; Catalyst plans partial aggregation map-side.
+  *   - n-gram Jaccard materializes (shingle, doc) pairs and joins on
+  *     shingle; the join key distribution is the shingle frequency — a
+  *     frequency cap (`maxShingleFreq`) drops degenerate stop-shingles,
+  *     which both bounds skew and removes semantically useless evidence
+  *     (same idea as stop-word removal; at web scale a shingle shared by
+  *     millions of docs contributes nothing to dedup decisions).
+  *   - MinHash+LSH replaces the all-pairs join with banded signatures:
+  *     O(n·bands) rows shuffle instead of O(n²) pairs; candidates are then
+  *     verified with exact Jaccard, restricted to the candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min of `idCol`) per distinct digest of
+    * `textCol`. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("digest"))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-`n`-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(col(idCol).as("doc"),
+        when(size(words) >= n,
+          transform(sequence(lit(0), size(words) - n),
+            i => array_join(slice(words, i + 1, lit(n)), " ")))
+          .otherwise(array(array_join(words, " ")))
+          .as("shs"))
+      .select(col("doc"), explode(col("shs")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold.
+    *
+    * @param maxShingleFreq drop shingles occurring in more than this many
+    *        docs before the pair join (skew + noise control). Disabled
+    *        (Int.MaxValue) keeps exact semantics.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val filtered =
+      if (maxShingleFreq == Int.MaxValue) sh
+      else {
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+          .filter(col("df_freq") <= maxShingleFreq)
+        sh.join(broadcast(freq.select("shingle")), Seq("shingle"))
+      }
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col("doc").as("d1"), col("shingle"))
+    val b = filtered.select(col("doc").as("d2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromIntersections(inter, sizes, threshold)
+  }
+
+  /** jaccard = |∩| / (|A| + |B| − |∩|) as a deterministic int/int double
+    * division (bit-identical across engines). */
+  private def jaccardFromIntersections(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("sz1") + col("sz2") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * `numHashes` minhash values per doc (min of a seeded xxhash64 over the
+    * shingle set), grouped into bands of `rowsPerBand`; docs sharing any
+    * band bucket become candidates; candidates are verified exactly. With
+    * rowsPerBand=2 / 64 bands, P(miss) at J=0.5 is (1−0.25)^64 ≈ 1e-8, so
+    * the result equals the exact jaccardPairs output with near-certainty
+    * while shuffling O(n·bands) instead of O(n²). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val sh = shingles(df, idCol, textCol, n).cache()
+
+    // one aggregation computes all minhashes: min over shingles of a
+    // seed-prefixed xxhash64 (partial agg map-side → tiny shuffle)
+    val mhCols = (0 until numHashes).map(k =>
+      min(xxhash64(concat(lit(k.toString + ":"), col("shingle")))).as(s"mh$k"))
+    val sigs = sh.groupBy(col("doc")).agg(mhCols.head, mhCols.tail: _*)
+
+    // band hash = xxhash64 of the band's minhash values
+    val bandCols = (0 until numBands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"),
+        xxhash64(cols: _*).as("bh")).as(s"b$bnd")
+    }
+    val banded = sigs.select(col("doc"), array(bandCols: _*).as("bands"))
+      .select(col("doc"), explode(col("bands")).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+    val candidates = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("d1"), col("y.doc").as("d2"))
+      .distinct()
+
+    // exact verification restricted to candidates
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc").as("d1"), col("shingle").as("sh1"))
+    val b = sh.select(col("doc").as("d2b"), col("shingle").as("sh2"))
+    val inter = candidates.join(a, Seq("d1"))
+      .join(b, col("d2") === col("d2b") && col("sh1") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    jaccardFromIntersections(inter, sizes, threshold)
+  }
+
+  /** SimHash signatures per doc (see [[graft.functions.SimHash64]]):
+    * per-row, shuffle-free. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHash64.simhash64(split(col(textCol), " ")).as("simhash"))
+
+  /** SimHash near-dup candidate pairs within Hamming distance `maxHd`,
+    * using 4-block banding (pigeonhole: hd ≤ 3 guarantees one equal
+    * 16-bit block; for larger maxHd recall is partial — callers verify). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHd: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol).cache()
+    val blocks = sigs.select(col(idCol).as("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        substring(col("simhash"), i * 4 + 1, 4)): _*)).as(Seq("blk", "bv")))
+    val cand = blocks.alias("x").join(blocks.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("d1"), col("y.doc").as("d2"),
+        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+    cand.withColumn("hd",
+        graft.functions.SimHash64.hammingHex(col("h1"), col("h2")))
+      .filter(col("hd") <= maxHd)
+      .select("d1", "d2", "hd")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text quality / language-ID / tokenization operators for training-data
+  * curation. All pure per-row expressions (codegen'd, shuffle-free), so
+  * the whole stage pipelines inside the scan at any scale. */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny and deterministic; the operator contract is the
+    * argmax structure, not lexicon quality. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "est"),
+    "es" -> Seq("el", "los", "de", "y", "un", "en", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "ist"),
+    "zh" -> Seq("de5", "le5", "shi4", "wo3", "bu4", "zai4", "you3"))
+
+  private def words(textCol: Column): Column = split(textCol, " ")
+
+  /** Count of tokens belonging to a profile (occurrences, not distinct). */
+  def profileHits(textCol: Column, profile: Seq[String]): Column =
+    size(filter(words(textCol),
+      w => profile.map(p => w === lit(p)).reduce(_ || _)))
+
+  /** Language-ID: argmax of profile hit counts; ties resolve to the first
+    * profile in declaration order ('und' when all scores are zero). */
+  def langId(textCol: Column): Column = {
+    val scores = langProfiles.map { case (l, p) => (l, profileHits(textCol, p)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps first-profile-wins on ties: en > fr > es > de > zh
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(words(textCol))
+
+  /** BPE-ish subword estimate: split words every ~4 chars, then count
+    * non-empty tokens after whitespace/punct splitting — a cheap regex
+    * proxy for tokenizer budgeting. (No lookahead: the oracle runs on
+    * RE2.) */
+  def subwordEstimate(textCol: Column): Column =
+    size(filter(
+      split(regexp_replace(textCol, "(\\w{4})", "$1 "), "[\\s\\p{Punct}]+"),
+      t => t =!= ""))
+
+  /** Quality features + a combined score. All int/int double divisions →
+    * deterministic across engines. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val nStop = profileHits(t, langProfiles.head._2)
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(nChars.cast(DoubleType) / nTokens.cast(DoubleType), 6).as("avg_token_len"),
+      round(nPunct.cast(DoubleType) / nChars.cast(DoubleType), 6).as("punct_ratio"),
+      round(nStop.cast(DoubleType) / nTokens.cast(DoubleType), 6).as("stopword_ratio"),
+      // score: in-range token length, some stopwords, low punctuation
+      round(
+        when(nTokens.between(10, 1000), 0.4).otherwise(0.0) +
+        when((nStop.cast(DoubleType) / nTokens.cast(DoubleType)) > 0.05, 0.3)
+          .otherwise(0.0) +
+        when((nPunct.cast(DoubleType) / nChars.cast(DoubleType)) < 0.1, 0.3)
+          .otherwise(0.0), 2).as("quality_score"))
+  }
+
+  /** Canonical-form fingerprint: lowercase, strip punctuation, collapse
+    * whitespace, md5 — the cheap member of the dedup family (catches
+    * case/punctuation-only variants). */
+  def fingerprint(textCol: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(textCol), "[\\p{Punct}]", ""), "\\s+", " ")))
+}

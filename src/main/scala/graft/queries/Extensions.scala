@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (the beyond-reference scope the brief
+  * names as first-class): deduplication (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), embedding similarity (brute-force top-k,
+  * threshold pairs, sign-LSH), text analysis (lang-ID, quality scoring,
+  * token counting, fingerprinting), and multimodal binary plumbing.
+  * Everything with portable semantics carries a DuckDB oracle. */
+object Extensions extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Shared oracle for exact n-gram Jaccard pairs (J ≥ 0.5, 5-gram). Also
+    * the oracle for the MinHash+LSH query: with 64 bands × 2 rows the miss
+    * probability at J = 0.5 is (1 − 0.25)^64 ≈ 1e-8, so LSH+verify equals
+    * the exact result. */
+  private val jaccardOracle = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+            FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i) g),
+    shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT d1, d2,
+      round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+    ORDER BY d1, d2"""
+
+  private val cosineExpr =
+    """round(list_dot_product(a.v, b.v) /
+       sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6)"""
+
+  val all: Seq[GQuery] = Seq(
+
+    // ───── deduplication ─────────────────────────────────────────────────
+    GQuery("x01_dedup_exact", Some("""
+      SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY digest""")) { (s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("digest")
+    },
+
+    GQuery("x02_ngram_jaccard_pairs", Some(jaccardOracle)) { (s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 5, threshold = 0.5)
+        .orderBy("d1", "d2")
+    },
+
+    GQuery("x03_minhash_lsh_pairs", Some(jaccardOracle)) { (s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 5,
+        threshold = 0.5, numHashes = 128, rowsPerBand = 2)
+        .orderBy("d1", "d2")
+    },
+
+    GQuery("x04_simhash_signatures", Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hx FROM w),
+      bits AS (SELECT doc_id, b,
+        CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + CAST(b // 4 AS INT), 1)) - 1)
+              >> CAST(3 - (b % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) g),
+      acc AS (SELECT doc_id, b, sum(v) AS sgn FROM bits GROUP BY 1, 2),
+      hexd AS (SELECT doc_id, b // 4 AS d,
+        sum((CASE WHEN sgn > 0 THEN 1 ELSE 0 END) *
+            (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS hv
+        FROM acc GROUP BY 1, 2)
+      SELECT doc_id,
+        string_agg(substr('0123456789abcdef', CAST(hv AS INT) + 1, 1), '' ORDER BY d) AS simhash
+      FROM hexd GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ───── similarity search ─────────────────────────────────────────────
+    GQuery("x05_cosine_threshold_pairs", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS i, b.vec_id AS j, $cosineExpr AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE $cosineExpr >= 0.4
+      ORDER BY i, j""")) { (s, dir) =>
+      Similarity.thresholdPairs(embs(s, dir), threshold = 0.4).orderBy("i", "j")
+    },
+
+    GQuery("x06_ann_bruteforce_topk", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        round(list_dot_product(a.v, b.v) /
+          sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS sim
+        FROM q JOIN e a ON a.vec_id = q.query_id
+        JOIN e b ON b.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id, sim,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk""")) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // LSH recall < 1 by design → no equality oracle; driver records a
+    // rows-only check. Output is still deterministic.
+    GQuery("x07_ann_lsh_bucketed", None) { (s, dir) =>
+      Similarity.lshBucketedPairs(embs(s, dir), threshold = 0.4, dim = 64)
+        .orderBy("i", "j")
+    },
+
+    // ───── text analysis ─────────────────────────────────────────────────
+    GQuery("x08_text_quality", Some("""
+      WITH t AS (SELECT doc_id, text,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS n_punct,
+        CAST(len(list_filter(string_split(text, ' '),
+          w -> w IN ('the','a','of','and','to','in','is'))) AS INT) AS n_stop
+      FROM documents)
+      SELECT doc_id, n_chars, n_tokens,
+        round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+        round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        round(
+          (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END +
+           CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05 THEN 0.3 ELSE 0.0 END) +
+           CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 0.3 ELSE 0.0 END, 2)
+          AS quality_score
+      FROM t ORDER BY doc_id""")) { (s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    GQuery("x09_langid", Some("""
+      WITH scored AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS INT) AS s_en,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','et','un','en','est'))) AS INT) AS s_fr,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','los','de','y','un','en','es'))) AS INT) AS s_es,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ein','zu','ist'))) AS INT) AS s_de,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('de5','le5','shi4','wo3','bu4','zai4','you3'))) AS INT) AS s_zh
+      FROM documents),
+      pred AS (SELECT doc_id,
+        CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'fr'
+             WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'de'
+             WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred
+      FROM scored)
+      SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1 ORDER BY lang_pred""")) { (s, dir) =>
+      docs(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    },
+
+    GQuery("x10_token_counts", Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        CAST(len(list_filter(
+          string_split_regex(regexp_replace(text, '(\w{4})', '\1 ', 'g'), '[\s[:punct:]]+'),
+          t -> t <> '')) AS INT) AS n_subwords
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.subwordEstimate(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    GQuery("x11_fingerprint_clusters", Some("""
+      SELECT md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+               '\s+', ' ', 'g'))) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n
+      FROM documents GROUP BY 1 ORDER BY fp""")) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy("fp")
+    },
+
+    // ───── multimodal binary plumbing ────────────────────────────────────
+    GQuery("x12_multimodal_features", Some("""
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS content_digest,
+        CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+        CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.binaryFromText(docs(s, dir), "doc_id", "text"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Long]("n_copies") == 2).get.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3).collect().map(_.getString(1))
+    assert(sh.toSet == Set("a b c", "b c d"))
+  }
+
+  test("shingles of short docs collapse to the full text") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3).collect().map(_.getString(1))
+    assert(sh.toSet == Set("a b"))
+  }
+
+  test("jaccard pairs find near-duplicates, not unrelated docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tomorrow"),
+      (3L, "completely different words appear in this one here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("d1") == 1L && pairs(0).getAs[Long]("d2") == 2L)
+  }
+
+  test("minhash LSH equals exact jaccard on near-dups") {
+    val docs = (0L until 20L).map(i => (i, s"unique words number $i " +
+      "padding tokens that differ completely between documents " + ("z" + i)))
+    val nearDup = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val df = (docs ++ nearDup).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((100L, 101L)))
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical texts same sig, near texts close, format ok") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "totally other tokens in here now")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).matches("[0-9a-f]{16}"))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash pairs via banding find hd<=3 duplicates") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHd = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs(0).getAs[Int]("hd") == 0)
+  }
+
+  test("cosine: orthogonal=0, identical=1") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(2f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.thresholdPairs(df, -2.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 0.0)
+    assert(pairs((1L, 3L)) == 1.0)
+  }
+
+  test("bruteForceTopK ranks by similarity with k cap") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(1f, 0.01f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), 2)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rnk")))
+    assert(top.toSeq == Seq((4L, 1), (2L, 2)))
+  }
+
+  test("langId picks dominant profile; und when no hits") {
+    val df = Seq("the cat and the dog", "le chat et le chien", "zzz qqq www")
+      .toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "fr", "und"))
+  }
+
+  test("quality features: ratios and score") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 12)
+    assert(r.getAs[Double]("stopword_ratio") > 0.2)
+    assert(r.getAs[Double]("quality_score") == 1.0)
+  }
+
+  test("fingerprint is case/punct/whitespace insensitive") {
+    val df = Seq("Hello,   World!", "hello world").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal plumbing: binary in, typed features out") {
+    val df = Seq((7L, "abc")).toDF("doc_id", "text")
+    val feat = Multimodal.extractFeatures(
+      Multimodal.binaryFromText(df, "doc_id", "text")).collect()(0)
+    assert(feat.getAs[Long]("n_bytes") == 3L)
+    assert(feat.getAs[String]("content_digest") ==
+      "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(feat.getAs[Int]("fake_width") == 3)
+  }
+}
