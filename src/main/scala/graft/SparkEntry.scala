@@ -11,7 +11,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, SnowflakeSql, Extensions)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, SnowflakeSql, Extensions, Streaming)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -301,6 +301,44 @@ object Relational extends QueryPack {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
 
+    GQuery("q28_window_ranks", Some("""
+      SELECT o_orderpriority, o_orderkey,
+        CAST(rank() OVER w AS INT) AS rk,
+        CAST(dense_rank() OVER w AS INT) AS drk,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(CAST(o_totalprice AS DECIMAL(12,2)) -
+          CAST(first_value(o_totalprice) OVER w AS DECIMAL(12,2)), 2) AS gap_to_top,
+        lead(o_orderkey, 1) OVER w AS next_key
+      FROM orders WHERE o_orderkey <= 500
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, rk, o_orderkey""")) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          round(dec2(col("o_totalprice")) -
+            dec2(first(col("o_totalprice")).over(w)), 2).as("gap_to_top"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"))
+        .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+    },
+
+    // Approximate distinct: HLL sketches differ across engines, so this is
+    // a rows-only entry (no oracle); the exact companions are in
+    // q06_count_distinct. Included because ClickBench-scale count-distinct
+    // at 100 TB runs approx first.
+    GQuery("q29_approx_distinct", None) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+
     // ───── sorts / limits ────────────────────────────────────────────────
     GQuery("q14_order_limit_offset", Some("""
       SELECT o_orderkey, o_totalprice FROM orders

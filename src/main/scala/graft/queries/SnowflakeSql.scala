@@ -105,6 +105,46 @@ object SnowflakeSql extends QueryPack {
       SnowflakeTypes.toWire(df)
     },
 
+    // The reference's canonical per-type round-trip fixture
+    // (ALL_COLUMNS_QUERY, tests/integration/utils.py:35-84), re-expressed
+    // over the exercised type surface; enters as Snowflake SQL (casts via
+    // ::, VARIANT via PARSE_JSON/:, semi-structured via *_CONSTRUCT) and
+    // must match DuckDB's ANSI equivalents bit-for-bit at the wire.
+    GQuery("snow09_type_matrix", Some("""
+      SELECT
+        CAST(123 AS DECIMAL(10,2)) AS num_dec,
+        CAST(42 AS INTEGER) AS num_int,
+        CAST(42 AS BIGINT) AS num_big,
+        CAST(42 AS SMALLINT) AS num_small,
+        CAST(42 AS TINYINT) AS num_tiny,
+        CAST(4.25 AS DOUBLE) AS num_float,
+        CAST('txt' AS VARCHAR) AS str_text,
+        CAST(TRUE AS BOOLEAN) AS bool_v,
+        CAST(CAST('2024-03-01' AS DATE) AS VARCHAR) AS date_s,
+        CAST(CAST('2024-03-01 12:34:56' AS TIMESTAMP) AS VARCHAR) AS ts_s,
+        hex(CAST('ab' AS BLOB)) AS bin_hex,
+        CAST(json_extract_string('{"k": 7}', '$.k') AS INT) AS var_k,
+        to_json([1, 2, 3]) AS arr,
+        to_json({'a': 1}) AS obj""")) { (s, dir) =>
+      val df = session(s, dir).sql("""
+        SELECT
+          123::NUMBER(10,2) AS num_dec,
+          42::INT AS num_int,
+          42::BIGINT AS num_big,
+          42::SMALLINT AS num_small,
+          42::BYTEINT AS num_tiny,
+          4.25::FLOAT AS num_float,
+          'txt'::TEXT AS str_text,
+          TRUE::BOOLEAN AS bool_v,
+          '2024-03-01'::DATE::VARCHAR AS date_s,
+          '2024-03-01 12:34:56'::TIMESTAMP::VARCHAR AS ts_s,
+          hex('ab'::BINARY) AS bin_hex,
+          PARSE_JSON('{"k": 7}'):k::int AS var_k,
+          ARRAY_CONSTRUCT(1, 2, 3) AS arr,
+          OBJECT_CONSTRUCT('a', 1) AS obj""")
+      SnowflakeTypes.toWire(df)
+    },
+
     GQuery("snow08_to_query_unwrap", Some("""
       SELECT priority, n FROM (
         SELECT o_orderpriority AS priority, count(*) AS n FROM orders GROUP BY 1

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference has no streaming surface (SURVEY §2.C) — this is added
+  * scope for the 100 TB pipeline story: the same windowed aggregation you
+  * would run with `readStream` against a live bucket, driven here by the
+  * file source over the testdata parquet and drained synchronously with
+  * `processAllAvailable` so the result is a deterministic batch the DuckDB
+  * oracle can check.
+  */
+object Streaming extends QueryPack {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val counter = new AtomicInteger(0)
+
+  /** The file source requires a directory; the testdata is one file per
+    * table, so expose it through a symlinked temp dir. */
+  private def asDir(dir: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    d.toString
+  }
+
+  private def runStream(s: SparkSession, dir: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val qn = s"graft_stream_${counter.incrementAndGet()}"
+    val src = s.readStream.schema(eventsSchema)
+      .parquet(asDir(dir))
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val q = transform(src).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery("stream01_windowed_counts", Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")) { (s, dir) =>
+      runStream(s, dir) { src =>
+        src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
+                 .as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+            col("event_type"), col("n"), col("sum_value"))
+      }.orderBy("win_start", "event_type")
+    },
+
+    GQuery("stream02_user_rollup", Some("""
+      SELECT user_id, count(*) AS n_events,
+        count(DISTINCT event_type) AS n_types,
+        CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+      FROM events GROUP BY 1 ORDER BY user_id""")) { (s, dir) =>
+      runStream(s, dir) { src =>
+        // streaming forbids COUNT(DISTINCT); size(collect_set()) is the
+        // supported exact-distinct formulation
+        src.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+               size(collect_set(col("event_type"))).cast(LongType).as("n_types"),
+               max(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
+                 .as("max_value"))
+      }.orderBy("user_id")
+    }
+  )
+}
