@@ -108,11 +108,119 @@ object SnowflakeRewriter {
   def rewrite(sql: String): String = {
     var toks = lex(sql)
     toks = unwrapTableFn(toks)
+    toks = rewriteFlatten(toks)
     toks = rewriteJsonPaths(toks)
     toks = rewriteCasts(toks)
     toks = rewriteCastTypeNames(toks)
     toks = rewriteFunctions(toks)
+    toks = rewriteQualify(toks)
     render(toks)
+  }
+
+  // ── pass: [,] [LATERAL] FLATTEN([INPUT =>] e) [alias]
+  //         → LATERAL VIEW posexplode(from_json((e),'array<string>'))
+  //           alias AS index, value
+  // VARIANT arrays are JSON text in this engine (§1.2), so FLATTEN parses
+  // the JSON and explodes with ordinality; `alias.value` / `alias.index`
+  // references then resolve as Spark lateral-view columns. ──────────────
+  private def rewriteFlatten(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      val isFlatten = toks(i) match {
+        case Ident(w) => w.equalsIgnoreCase("FLATTEN") &&
+          nextSig(toks, i).exists(j => toks(j) == Op("("))
+        case _ => false
+      }
+      if (isFlatten) {
+        // swallow an immediately preceding LATERAL and/or comma in `out`
+        def dropTrailing(pred: Tok => Boolean): Unit = {
+          var k = out.length - 1
+          while (k >= 0 && out(k).isInstanceOf[Ws]) k -= 1
+          if (k >= 0 && pred(out(k))) out.remove(k, out.length - k)
+        }
+        dropTrailing { case Ident(w) => w.equalsIgnoreCase("LATERAL"); case _ => false }
+        dropTrailing { case Op(",") => true; case _ => false }
+        val open = nextSig(toks, i).get
+        val close = matchParen(toks, open)
+        var inner = toks.slice(open + 1, close)
+        // strip leading INPUT =>
+        val sigI = significant(inner)
+        if (sigI.length >= 2 && (inner(sigI(0)) match {
+              case Ident(w) => w.equalsIgnoreCase("INPUT"); case _ => false }) &&
+            inner(sigI(1)) == Op("=>"))
+          inner = inner.drop(sigI(1) + 1)
+        // optional alias after the close paren
+        var j = close + 1
+        while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+        var alias = "f"
+        var consumedAlias = false
+        if (j < toks.length) toks(j) match {
+          case Ident(a) if a.equalsIgnoreCase("AS") =>
+            var j2 = j + 1
+            while (j2 < toks.length && toks(j2).isInstanceOf[Ws]) j2 += 1
+            toks.lift(j2) match {
+              case Some(Ident(a2)) => alias = a2; j = j2; consumedAlias = true
+              case _ =>
+            }
+          case Ident(a) if !SqlKeywords.reserved.contains(a.toUpperCase) =>
+            alias = a; consumedAlias = true
+          case _ =>
+        }
+        out += Ws(" ")
+        out ++= lex(s"LATERAL VIEW posexplode(from_json((" +
+          render(inner).trim + s"), 'array<string>')) $alias AS index, value")
+        i = if (consumedAlias) j + 1 else close + 1
+      } else { out += toks(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  // ── pass: top-level QUALIFY <pred> → nested SELECT * EXCEPT filter ─────
+  // Spark has no QUALIFY; Snowflake semantics are a post-window filter:
+  //   SELECT <list> FROM ... QUALIFY p [ORDER BY o] [LIMIT n]
+  //   → SELECT * EXCEPT (__graft_q) FROM
+  //       (SELECT <list>, (p) AS __graft_q FROM ...) WHERE __graft_q
+  //       [ORDER BY o] [LIMIT n]
+  private def rewriteQualify(toks: Vector[Tok]): Vector[Tok] = {
+    val sig = significant(toks)
+    var depth = 0
+    var qualifyAt = -1
+    var fromAt = -1
+    sig.foreach { idx =>
+      toks(idx) match {
+        case Op("(") => depth += 1
+        case Op(")") => depth -= 1
+        case Ident(w) if depth == 0 && w.equalsIgnoreCase("FROM") && fromAt < 0 =>
+          fromAt = idx
+        case Ident(w) if depth == 0 && w.equalsIgnoreCase("QUALIFY") =>
+          qualifyAt = idx
+        case _ =>
+      }
+    }
+    if (qualifyAt < 0 || fromAt < 0) return toks
+    // predicate: QUALIFY .. until depth-0 ORDER/LIMIT/OFFSET or end
+    val stopKw = Set("ORDER", "LIMIT", "OFFSET")
+    var depth2 = 0
+    var predEnd = toks.length
+    var k = qualifyAt + 1
+    while (k < toks.length && predEnd == toks.length) {
+      toks(k) match {
+        case Op("(") => depth2 += 1
+        case Op(")") => depth2 -= 1
+        case Ident(w) if depth2 == 0 && stopKw.contains(w.toUpperCase) =>
+          predEnd = k
+        case _ =>
+      }
+      k += 1
+    }
+    val pred = toks.slice(qualifyAt + 1, predEnd)
+    val head = toks.slice(0, fromAt)          // SELECT <list>
+    val mid  = toks.slice(fromAt, qualifyAt)  // FROM ... (pre-QUALIFY)
+    val tail = toks.slice(predEnd, toks.length) // ORDER BY / LIMIT
+    (lex("SELECT * EXCEPT (__graft_q) FROM (") ++
+      head ++ lex(", (" + render(pred).trim + ") AS __graft_q ") ++
+      mid ++ lex(") WHERE __graft_q ") ++ tail).toVector
   }
 
   // ── pass: TABLE(TO_QUERY('q')) → (q) ;  TABLE(f(x)) → f(x) ────────────
@@ -426,6 +534,15 @@ object SnowflakeRewriter {
               }
               out += Op(")")
             }
+            i = close + 1
+          } else if (up == "ZEROIFNULL" || up == "NULLIFZERO" || up == "DIV0") {
+            val inner = rewriteFunctions(toks.slice(open + 1, close))
+            val (pre, post) = up match {
+              case "ZEROIFNULL" => ("coalesce(", ", 0)")
+              case "NULLIFZERO" => ("nullif(", ", 0)")
+              case "DIV0"       => ("coalesce(try_divide(", "), 0)")
+            }
+            out ++= lex(pre); out ++= inner; out ++= lex(post)
             i = close + 1
           } else if (fnRename.contains(up)) {
             out += Ident(fnRename(up).toLowerCase)

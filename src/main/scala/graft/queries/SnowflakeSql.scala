@@ -145,6 +145,53 @@ object SnowflakeSql extends QueryPack {
       SnowflakeTypes.toWire(df)
     },
 
+    GQuery("snow10_qualify", Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 2
+      ORDER BY o_orderpriority, o_orderkey""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        ORDER BY o_orderpriority, o_orderkey""")
+    },
+
+    GQuery("snow11_flatten", Some("""
+      SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS idx,
+        CAST(unnest(l) AS INT) AS v
+      FROM (SELECT doc_id, list_value(n_chars, doc_id + 1) AS l
+            FROM documents WHERE doc_id < 50) t
+      ORDER BY doc_id, idx""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT doc_id, f.index AS idx, f.value::int AS v
+        FROM (SELECT doc_id,
+                PARSE_JSON('[' || n_chars || ',' || (doc_id + 1) || ']') AS arr
+              FROM documents WHERE doc_id < 50) t,
+          LATERAL FLATTEN(input => arr) f
+        ORDER BY doc_id, idx""")
+    },
+
+    GQuery("snow12_fn_extras", Some("""
+      SELECT c_mktsegment,
+        string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS keys_csv,
+        split_part(min(c_name), '#', 2) AS first_name_num,
+        round(coalesce(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) /
+          nullif(count(*), 0), 0), 4) AS avg_bal
+      FROM customer WHERE c_custkey <= 40
+      GROUP BY 1 ORDER BY c_mktsegment""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT c_mktsegment,
+          LISTAGG(c_custkey::VARCHAR, ',') WITHIN GROUP (ORDER BY c_custkey) AS keys_csv,
+          SPLIT_PART(min(c_name), '#', 2) AS first_name_num,
+          round(DIV0(sum(c_acctbal::NUMBER(12,2))::DOUBLE, count(*)), 4) AS avg_bal
+        FROM customer WHERE c_custkey <= 40
+        GROUP BY 1 ORDER BY c_mktsegment""")
+    },
+
     GQuery("snow08_to_query_unwrap", Some("""
       SELECT priority, n FROM (
         SELECT o_orderpriority AS priority, count(*) AS n FROM orders GROUP BY 1

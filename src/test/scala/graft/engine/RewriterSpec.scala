@@ -120,6 +120,32 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT timestampadd(day, 3, ts) FROM t")
   }
 
+  test("QUALIFY becomes a nested filtered select") {
+    assert(rw("SELECT a, b FROM t QUALIFY row_number() OVER (ORDER BY a) <= 2 ORDER BY a") ==
+      "SELECT * EXCEPT (__graft_q) FROM (SELECT a, b , " +
+      "(row_number() OVER (ORDER BY a) <= 2) AS __graft_q FROM t ) " +
+      "WHERE __graft_q ORDER BY a")
+  }
+
+  test("LATERAL FLATTEN becomes lateral view posexplode") {
+    assert(rw("SELECT d, f.value FROM t, LATERAL FLATTEN(input => arr) f") ==
+      "SELECT d, f.value FROM t LATERAL VIEW " +
+      "posexplode(from_json((arr), 'array<string>')) f AS index, value")
+  }
+
+  test("FLATTEN without alias defaults to f") {
+    assert(rw("SELECT f.value FROM t, LATERAL FLATTEN(arr)") ==
+      "SELECT f.value FROM t LATERAL VIEW " +
+      "posexplode(from_json((arr), 'array<string>')) f AS index, value")
+  }
+
+  test("ZEROIFNULL / NULLIFZERO / DIV0") {
+    assert(rw("SELECT ZEROIFNULL(x) FROM t") == "SELECT coalesce(x, 0) FROM t")
+    assert(rw("SELECT NULLIFZERO(x) FROM t") == "SELECT nullif(x, 0) FROM t")
+    assert(rw("SELECT DIV0(a, b) FROM t") ==
+      "SELECT coalesce(try_divide(a, b), 0) FROM t")
+  }
+
   test("strings and comments survive untouched") {
     assert(rw("SELECT 'a::b' FROM t -- c::d") == "SELECT 'a::b' FROM t -- c::d")
   }
