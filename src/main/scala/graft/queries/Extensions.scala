@@ -112,6 +112,40 @@ object Extensions extends QueryPack {
         .orderBy("i", "j")
     },
 
+    // IVF probing misses lists by design → rows-only; recall is covered by
+    // the operator spec against brute force.
+    GQuery("x13_ann_ivf_topk", None) { (s, dir) =>
+      val e = embs(s, dir)
+      val model = graft.operators.IvfIndex.train(e, nlist = 8, iters = 2)
+      graft.operators.IvfIndex.topK(e, e.filter(col("vec_id") < 10), model,
+        k = 5, nprobe = 3).orderBy("query_id", "rnk")
+    },
+
+    // Salted skew join: result identical to the plain join (salting only
+    // changes physical distribution), so the oracle is the unsalted join.
+    // l_returnflag has 3 values — the canonical pathological join key.
+    GQuery("x14_salted_skew_join", Some("""
+      SELECT l_returnflag AS flag, r.flag_desc, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem JOIN (
+        SELECT 'A' AS flag_key, 'returned_a' AS flag_desc UNION ALL
+        SELECT 'N', 'not_returned' UNION ALL
+        SELECT 'R', 'returned_r') r
+      ON l_returnflag = r.flag_key
+      GROUP BY 1, 2 ORDER BY flag""")) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumnRenamed("l_returnflag", "flag_key")
+      val dim = Seq(("A", "returned_a"), ("N", "not_returned"),
+        ("R", "returned_r")).toDF("flag_key", "flag_desc")
+      graft.operators.SkewJoin.saltedInnerJoin(li, dim, "flag_key", parts = 8)
+        .groupBy(col("flag_key").as("flag"), col("flag_desc"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("qty"))
+        .orderBy("flag")
+    },
+
     // ───── text analysis ─────────────────────────────────────────────────
     GQuery("x08_text_quality", Some("""
       WITH t AS (SELECT doc_id, text,

@@ -121,6 +121,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("salted join equals plain join") {
+    val skewed = (1 to 100).map(i => (if (i % 2 == 0) "A" else "B", i))
+      .toDF("k", "v")
+    val dim = Seq(("A", 10), ("B", 20)).toDF("k", "w")
+    val plain = skewed.join(dim, "k").agg(sum($"v" * $"w")).collect()(0).getLong(0)
+    val salted = SkewJoin.saltedInnerJoin(skewed, dim, "k", parts = 4)
+      .agg(sum($"v" * $"w")).collect()(0).getLong(0)
+    assert(salted == plain)
+  }
+
+  test("IVF topk: high recall vs brute force on real embeddings") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(e, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = IvfIndex.train(e, nlist = 8, iters = 2)
+    val ivf = IvfIndex.topK(e, queries, model, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(ivf.size == exact.size)
+  }
+
   test("multimodal plumbing: binary in, typed features out") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val feat = Multimodal.extractFeatures(
