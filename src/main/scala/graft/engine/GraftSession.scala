@@ -59,6 +59,7 @@ final class GraftSession(
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
   private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS)\\b.*$".r
+  private val descRe  = "(?is)^DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val stageRe =
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?STAGE\\s+([\\w$\".]+)\\s+.*?URL\\s*=\\s*'([^']+)'.*$".r
 
@@ -74,6 +75,7 @@ final class GraftSession(
     case insertRe(overwrite, name, body) => doInsert(overwrite != null, name, body)
     case copyRe(name, rest) => doCopy(name, rest)
     case showRe(what) => doShow(what.toUpperCase)
+    case descRe(name) => doDescribe(name)
     case q => runQuery(q)
   }
 
@@ -297,6 +299,23 @@ final class GraftSession(
           dbs.map(d => Row(d, d, null, "DATABASE")).asJava, schemaOf)
       case other => throw new IllegalArgumentException(s"SHOW $other")
     }
+  }
+
+  /** DESCRIBE TABLE: column name / Snowflake-typed kind / nullability,
+    * like the reference surfaces rowtype metadata (A23). */
+  private def doDescribe(rawName: String): DataFrame = {
+    val f = fqn(rawName)
+    val ref = registry.resolve(f).getOrElse(
+      throw new IllegalArgumentException(s"object $f does not exist"))
+    val df = registry.load(ref)
+    val rows = SnowflakeTypes.rowType(df).map { m =>
+      Row(m.name, m.logicalType +
+        m.precision.map(p => s"(${p},${m.scale.getOrElse(0)})").getOrElse(""),
+        if (m.nullable) "Y" else "N")
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("name", StringType), StructField("type", StringType),
+      StructField("null?", StringType))))
   }
 
   private def status(msg: String): DataFrame =

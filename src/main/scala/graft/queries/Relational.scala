@@ -503,6 +503,41 @@ object Relational extends QueryPack {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ClickBench-style arithmetic aggregate projections (Q29 shape:
+    // SUM(col + k) ladders) + combined-key count distinct
+    GQuery("q30_clickbench_mix", Some("""
+      SELECT l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) + 1) AS DOUBLE) AS s1,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) + 2) AS DOUBLE) AS s2,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) + 3) AS DOUBLE) AS s3,
+        count(DISTINCT l_partkey || '|' || l_suppkey) AS n_part_supp
+      FROM lineitem GROUP BY 1 ORDER BY l_linestatus""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity")) + 1).cast(DoubleType).as("s1"),
+          sum(dec2(col("l_quantity")) + 2).cast(DoubleType).as("s2"),
+          sum(dec2(col("l_quantity")) + 3).cast(DoubleType).as("s3"),
+          countDistinct(concat(col("l_partkey"), lit("|"), col("l_suppkey")))
+            .as("n_part_supp"))
+        .orderBy("l_linestatus")
+    },
+
+    GQuery("q31_regexp_extract", Some("""
+      SELECT p_partkey,
+        CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+        regexp_extract(p_name, '^(\w+)', 1) AS first_word
+      FROM part WHERE regexp_matches(p_brand, 'Brand#\d+')
+      ORDER BY p_partkey LIMIT 200""")) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_brand").rlike("Brand#\\d+"))
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1)
+            .cast(IntegerType).as("brand_num"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+        .orderBy("p_partkey").limit(200)
+    },
+
     // ───── semi-structured (VARIANT/JSON) ────────────────────────────────
     GQuery("q21_json_access", Some("""
       SELECT event_type,

@@ -146,6 +146,15 @@ class SessionSpec extends AnyFunSuite {
       == "x-spark")
   }
 
+  test("DESCRIBE TABLE surfaces snowflake-typed columns") {
+    val s = newSession()
+    val rows = s.sql("DESCRIBE TABLE orders").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("o_orderkey") == "FIXED(38,0)")
+    assert(rows("o_orderstatus") == "TEXT")
+    assert(rows("o_orderdate") == "TIMESTAMP_NTZ")
+  }
+
   test("result wire typing: rowtype + complex-to-json") {
     val s = newSession()
     val df = s.sql("SELECT ARRAY_CONSTRUCT(1,2,3) AS arr, 1::int AS n")
