@@ -242,9 +242,23 @@ final class GraftSession(
       if (mapped.format == "csv")
         reader.schema(target.schema).load(url)
       else reader.load(url)
-    val aligned = df.toDF(target.schema.fieldNames.take(df.columns.length): _*)
-      .select(target.schema.fields.map(sf =>
-        org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)).toIndexedSeq: _*)
+    // CSV aligns by position (Snowflake semantics); self-describing
+    // formats (json/parquet/avro) align by name, case-insensitively
+    val aligned =
+      if (mapped.format == "csv")
+        df.toDF(target.schema.fieldNames.take(df.columns.length): _*)
+          .select(target.schema.fields.map(sf =>
+            org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType))
+            .toIndexedSeq: _*)
+      else {
+        val byName = df.columns.map(c => c.toUpperCase -> c).toMap
+        df.select(target.schema.fields.map { sf =>
+          val src = byName.getOrElse(sf.name.toUpperCase,
+            throw new IllegalArgumentException(
+              s"source column for ${sf.name} not found in ${df.columns.mkString(",")}"))
+          org.apache.spark.sql.functions.col(src).cast(sf.dataType).as(sf.name)
+        }.toIndexedSeq: _*)
+      }
     aligned.write.mode("append").parquet(ref.path.get)
     status(s"file(s) loaded into ${f.table}")
   }

@@ -106,6 +106,28 @@ class SessionSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("R_NAME")).contains("ASIA"))
   }
 
+  test("INSERT INTO ... VALUES and INSERT OVERWRITE") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE kv (k VARCHAR, v NUMBER(38,0))")
+    s.sql("INSERT INTO kv VALUES ('a', 1), ('b', 2)")
+    assert(s.sql("SELECT count(*) AS n FROM kv").collect()(0).getLong(0) == 2)
+    s.sql("INSERT OVERWRITE INTO kv VALUES ('c', 3)")
+    val rows = s.sql("SELECT k FROM kv ORDER BY k").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("c"))
+  }
+
+  test("COPY INTO from json files") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_json").toString
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .coalesce(1).write.mode("overwrite").json(s"$stageDir/j")
+    s.sql(s"CREATE STAGE jstage URL='$stageDir'")
+    s.sql("""CREATE OR REPLACE TABLE nation_j
+             (n_nationkey INT, n_name VARCHAR, n_regionkey INT)""")
+    s.sql("COPY INTO nation_j FROM @jstage/j FILE_FORMAT = (TYPE = JSON)")
+    assert(s.sql("SELECT count(*) AS n FROM nation_j").collect()(0).getLong(0) == 25)
+  }
+
   test("multi-statement batch returns last result") {
     val s = newSession()
     val df = s.sql(
