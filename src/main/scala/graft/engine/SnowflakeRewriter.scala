@@ -113,8 +113,55 @@ object SnowflakeRewriter {
     toks = rewriteCasts(toks)
     toks = rewriteCastTypeNames(toks)
     toks = rewriteFunctions(toks)
+    toks = rewriteSample(toks)
     toks = rewriteQualify(toks)
     render(toks)
+  }
+
+  // ── pass: <table> SAMPLE [BERNOULLI|ROW|SYSTEM|BLOCK] (p) →
+  //          TABLESAMPLE (p PERCENT | n ROWS)  (A19) ────────────────────
+  private def rewriteSample(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      val isSample = toks(i) match {
+        case Ident(w) => w.equalsIgnoreCase("SAMPLE") || w.equalsIgnoreCase("TABLESAMPLE")
+        case _ => false
+      }
+      // table context guard: previous significant token is a name, not an
+      // operator/keyword — avoids clobbering a function named sample(x)
+      val prevOk = {
+        var k = out.length - 1
+        while (k >= 0 && (out(k).isInstanceOf[Ws] || out(k).isInstanceOf[Comment])) k -= 1
+        k >= 0 && (out(k) match {
+          case Ident(w) => !SqlKeywords.reserved.contains(w.toUpperCase)
+          case _: QIdent | Op(")") => true
+          case _ => false
+        })
+      }
+      if (isSample && prevOk) {
+        var j = i + 1
+        while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+        // optional method keyword
+        toks.lift(j) match {
+          case Some(Ident(m)) if Set("BERNOULLI", "ROW", "SYSTEM", "BLOCK")
+              .contains(m.toUpperCase) =>
+            j += 1
+            while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+          case _ =>
+        }
+        if (j < toks.length && toks(j) == Op("(")) {
+          val close = matchParen(toks, j)
+          val args = render(toks.slice(j + 1, close)).trim
+          val unit = if (args.toUpperCase.contains("ROWS")) args
+            else s"$args PERCENT"
+          out += Ws(" ")
+          out ++= lex(s"TABLESAMPLE ($unit)")
+          i = close + 1
+        } else { out += toks(i); i += 1 }
+      } else { out += toks(i); i += 1 }
+    }
+    out.toVector
   }
 
   // ── pass: [,] [LATERAL] FLATTEN([INPUT =>] e) [alias]

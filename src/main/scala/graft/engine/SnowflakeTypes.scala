@@ -44,6 +44,15 @@ object SnowflakeTypes {
       ColumnMeta(f.name, lt, p, s, f.nullable)
     }
 
+  /** Full wire payload: Snowflake's `rowsetBase64` — a base64 Arrow IPC
+    * stream of the (wire-normalized) result, plus rowtype metadata
+    * (parity with `universql/protocol/snowflake.py:223-243`). */
+  def toRowsetBase64(df: DataFrame): (String, Seq[ColumnMeta]) = {
+    val wire = toWire(df)
+    val bytes = org.apache.spark.sql.GraftArrow.toArrowIpcStream(wire)
+    (java.util.Base64.getEncoder.encodeToString(bytes), rowType(wire))
+  }
+
   /** Normalize a result for the wire: ARRAY/STRUCT/MAP columns become JSON
     * text (the reference serializes semi-structured results as JSON
     * strings tagged ARRAY/OBJECT). */

@@ -177,6 +177,35 @@ class SessionSpec extends AnyFunSuite {
     assert(rows("o_orderdate") == "TIMESTAMP_NTZ")
   }
 
+  test("arrow wire: rowsetBase64 round-trips through ArrowStreamReader") {
+    val s = newSession()
+    val df = s.sql(
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10")
+    val (b64, rowtype) = SnowflakeTypes.toRowsetBase64(df)
+    assert(rowtype.map(_.logicalType) == Seq("FIXED", "REAL"))
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      var n = 0
+      while (reader.loadNextBatch())
+        n += reader.getVectorSchemaRoot.getRowCount
+      assert(n == 10)
+      assert(reader.getVectorSchemaRoot.getSchema.getFields.size() == 2)
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("TABLESAMPLE rewrites and runs") {
+    val s = newSession()
+    val n = s.sql("SELECT count(*) AS n FROM (SELECT * FROM orders SAMPLE (10 ROWS))")
+      .collect()(0).getLong(0)
+    assert(n == 10)
+    val pct = s.sql("SELECT count(*) AS n FROM (SELECT * FROM orders TABLESAMPLE BERNOULLI (50))")
+      .collect()(0).getLong(0)
+    assert(pct > 0 && pct < 1500)
+  }
+
   test("result wire typing: rowtype + complex-to-json") {
     val s = newSession()
     val df = s.sql("SELECT ARRAY_CONSTRUCT(1,2,3) AS arr, 1::int AS n")
