@@ -1,0 +1,184 @@
+package graft.protocol
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.engine.{GraftSession, SnowflakeTypes}
+import org.apache.spark.sql.SparkSession
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+import java.util.zip.GZIPInputStream
+import scala.util.control.NonFatal
+
+/** Snowflake SQL V1 REST API façade — the reference's outermost layer
+  * (`universql/protocol/snowflake.py:51-118` login, `:188-264` query),
+  * re-expressed over the Spark engine. Any client that speaks the
+  * Snowflake V1 wire shape can log in, run Snowflake-dialect SQL, and get
+  * back `rowtype` metadata plus a base64 Arrow IPC `rowsetBase64` payload.
+  *
+  * Endpoints (paths match the reference's FastAPI routes):
+  *   - POST /session/v1/login-request    → token + session parameters
+  *   - POST /queries/v1/query-request    → run sqlText on the session
+  *   - POST /session/heartbeat           → keep-alive
+  *   - POST /session (delete=true)       → close session
+  *
+  * Built on the JDK's HttpServer + Jackson (both on the Spark classpath) —
+  * no extra dependencies. One `GraftSession` per token, sharing a single
+  * SparkSession, like the reference shares one process across sessions.
+  */
+final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
+
+  private val mapper = new ObjectMapper()
+  private val sessions =
+    scala.collection.concurrent.TrieMap.empty[String, GraftSession]
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/session/v1/login-request", handler(doLogin))
+    server.createContext("/queries/v1/query-request", handler(doQuery))
+    server.createContext("/session/heartbeat", handler((_, _) => ok()))
+    server.createContext("/session", handler(doSessionDelete))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ── endpoint bodies ────────────────────────────────────────────────────
+
+  /** Login: mint a token, build a session with the client's requested
+    * database/schema (CLIENT_ENVIRONMENT / query params, as in
+    * `universql/protocol/snowflake.py:55-75`). */
+  private def doLogin(ex: HttpExchange, body: JsonNode): ObjectNode = {
+    val token = UUID.randomUUID().toString
+    val session = new GraftSession(spark)
+    lakeDir.foreach(session.attachLake(_))
+    val q = queryParams(ex)
+    val env = body.path("data").path("CLIENT_ENVIRONMENT")
+    q.get("databaseName").orElse(textOpt(env, "database"))
+      .foreach(d => session.sql(s"USE DATABASE $d"))
+    q.get("schemaName").orElse(textOpt(env, "schema"))
+      .foreach(s => session.sql(s"USE SCHEMA $s"))
+    sessions.put(token, session)
+    val data = mapper.createObjectNode()
+    data.put("token", token)
+    data.put("masterToken", token)
+    val params = data.putArray("parameters")
+    val p = params.addObject()
+    p.put("name", "TIMEZONE"); p.put("value", "UTC")
+    val info = data.putObject("sessionInfo")
+    info.put("databaseName", session.currentDatabase)
+    info.put("schemaName", session.currentSchema)
+    info.put("warehouseName", "x-spark")
+    ok(data)
+  }
+
+  /** Query: run sqlText through the session, Arrow-encode the result
+    * (parity with `universql/protocol/snowflake.py:188-264`, `:223-243`). */
+  private def doQuery(ex: HttpExchange, body: JsonNode): ObjectNode = {
+    val session = sessionFor(ex)
+    val sqlText = body.path("sqlText").asText("")
+    require(sqlText.nonEmpty, "empty sqlText")
+    val df = session.sql(sqlText)
+    val (b64, rowtype) = SnowflakeTypes.toRowsetBase64(df)
+    val data = mapper.createObjectNode()
+    data.put("queryId", UUID.randomUUID().toString)
+    data.put("queryResultFormat", "arrow")
+    data.put("rowsetBase64", b64)
+    data.put("finalDatabaseName", session.currentDatabase)
+    data.put("finalSchemaName", session.currentSchema)
+    val rt = data.putArray("rowtype")
+    rowtype.foreach { m =>
+      val c = rt.addObject()
+      c.put("name", m.name)
+      c.put("type", m.logicalType.toLowerCase)
+      c.put("nullable", m.nullable)
+      m.precision.foreach(c.put("precision", _))
+      m.scale.foreach(c.put("scale", _))
+      c.put("database", session.currentDatabase)
+      c.put("schema", session.currentSchema)
+      c.put("table", "")
+      c.putNull("length")
+    }
+    ok(data)
+  }
+
+  private def doSessionDelete(ex: HttpExchange, body: JsonNode): ObjectNode = {
+    if (queryParams(ex).get("delete").contains("true"))
+      tokenOf(ex).foreach(sessions.remove)
+    ok()
+  }
+
+  // ── plumbing ───────────────────────────────────────────────────────────
+
+  private def textOpt(node: JsonNode, field: String): Option[String] = {
+    val v = node.path(field)
+    if (v.isTextual && v.asText().nonEmpty) Some(v.asText()) else None
+  }
+
+  private def sessionFor(ex: HttpExchange): GraftSession =
+    tokenOf(ex).flatMap(sessions.get).getOrElse(
+      throw new IllegalArgumentException("no session for token"))
+
+  /** `Authorization: Snowflake Token="<uuid>"` as sent by real clients. */
+  private def tokenOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .map(_.replaceAll("(?i)^Snowflake Token=\"?", "").stripSuffix("\""))
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(
+      _.split('&').toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  private def handler(f: (HttpExchange, JsonNode) => ObjectNode)
+      : com.sun.net.httpserver.HttpHandler = { ex =>
+    val resp: ObjectNode =
+      try f(ex, readBody(ex))
+      catch {
+        case NonFatal(e) =>
+          val n = mapper.createObjectNode()
+          n.put("success", false)
+          n.put("message", Option(e.getMessage).getOrElse(e.toString))
+          n
+      }
+    val bytes = mapper.writeValueAsBytes(resp)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Bodies may be gzip-compressed (the Snowflake connector gzips requests;
+    * reference: `unpack_request_body`, `universql/util.py:258-264`). */
+  private def readBody(ex: HttpExchange): JsonNode = {
+    val raw = ex.getRequestBody
+    val in =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.equalsIgnoreCase("gzip"))) new GZIPInputStream(raw)
+      else raw
+    val buf = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    var n = in.read(tmp)
+    while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+    val bytes = buf.toByteArray
+    if (bytes.isEmpty) mapper.createObjectNode()
+    else mapper.readTree(new String(bytes, UTF_8))
+  }
+
+  private def ok(data: ObjectNode = mapper.createObjectNode()): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.set[ObjectNode]("data", data)
+    n.put("success", true)
+    n
+  }
+}

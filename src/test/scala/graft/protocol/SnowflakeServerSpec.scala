@@ -1,0 +1,114 @@
+package graft.protocol
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.ByteArrayInputStream
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+/** Wire-level test of the Snowflake V1 REST façade: login → query →
+  * Arrow-decode the rowsetBase64 payload, the same round-trip the
+  * reference's integration suite performs with the real Snowflake
+  * connector (`tests/integration/utils.py:100-145`). */
+class SnowflakeServerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val mapper = new ObjectMapper()
+
+  private def post(port: Int, path: String, body: String,
+      token: Option[String] = None, gzip: Boolean = false) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    token.foreach(t =>
+      conn.setRequestProperty("Authorization", s"""Snowflake Token="$t""""))
+    val bytes =
+      if (gzip) {
+        conn.setRequestProperty("Content-Encoding", "gzip")
+        val buf = new java.io.ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(buf)
+        gz.write(body.getBytes(UTF_8)); gz.close()
+        buf.toByteArray
+      } else body.getBytes(UTF_8)
+    val os = conn.getOutputStream
+    try os.write(bytes) finally os.close()
+    val json = mapper.readTree(conn.getInputStream)
+    conn.disconnect()
+    json
+  }
+
+  test("login, query, arrow result, session delete") {
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val login = post(port, "/session/v1/login-request?databaseName=GRAFT", "{}")
+      assert(login.path("success").asBoolean())
+      val token = login.path("data").path("token").asText()
+      assert(token.nonEmpty)
+
+      val resp = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"}""",
+        token = Some(token), gzip = true)
+      assert(resp.path("success").asBoolean(), resp.toString)
+      val data = resp.path("data")
+      assert(data.path("queryResultFormat").asText() == "arrow")
+      val rowtype = data.path("rowtype")
+      assert(rowtype.get(0).path("name").asText() == "o_orderpriority")
+      assert(rowtype.get(0).path("type").asText() == "text")
+      assert(rowtype.get(1).path("type").asText() == "fixed")
+
+      val bytes = java.util.Base64.getDecoder.decode(
+        data.path("rowsetBase64").asText())
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new ByteArrayInputStream(bytes), alloc)
+      try {
+        var n = 0
+        while (reader.loadNextBatch())
+          n += reader.getVectorSchemaRoot.getRowCount
+        assert(n == 5)
+      } finally { reader.close(); alloc.close() }
+
+      // errors come back success=false, not a 500
+      val bad = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT * FROM nonexistent_xyz"}""", token = Some(token))
+      assert(!bad.path("success").asBoolean())
+
+      val hb = post(port, "/session/heartbeat", "{}", token = Some(token))
+      assert(hb.path("success").asBoolean())
+      val del = post(port, "/session?delete=true", "{}", token = Some(token))
+      assert(del.path("success").asBoolean())
+      val afterDelete = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT 1"}""", token = Some(token))
+      assert(!afterDelete.path("success").asBoolean())
+    } finally server.stop()
+  }
+
+  test("USE DATABASE from login params sticks to the session") {
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val login = post(port,
+        "/session/v1/login-request?databaseName=GRAFT&schemaName=PUBLIC", "{}")
+      val token = login.path("data").path("token").asText()
+      assert(login.path("data").path("sessionInfo")
+        .path("databaseName").asText() == "GRAFT")
+      val resp = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT count(*) AS n FROM public.orders"}""",
+        token = Some(token))
+      assert(resp.path("success").asBoolean(), resp.toString)
+      assert(resp.path("data").path("finalSchemaName").asText() == "PUBLIC")
+    } finally server.stop()
+  }
+}
