@@ -1,0 +1,322 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** UPDATE / DELETE / MERGE over parquet-backed managed tables.
+  *
+  * The reference leaves these as skipped placeholders
+  * (`tests/integration/transform.py:6-25`); this module implements them,
+  * exceeding reference parity. Semantics follow Snowflake's docs.
+  *
+  * Execution model is **copy-on-write snapshots**: each DML statement is
+  * compiled to ONE declarative SELECT producing the table's next contents,
+  * written to a fresh snapshot directory, and the registry pointer is
+  * swapped — the same model Iceberg/Delta COW uses. Nothing is mutated in
+  * place, the whole rewrite is a single distributed Spark job (joins get
+  * broadcast/AQE treatment from Catalyst), and a failed write leaves the
+  * old snapshot intact (atomic swap at the pointer).
+  */
+object Dml {
+
+  private val deleteRe =
+    "(?is)^DELETE\\s+FROM\\s+([\\w$\".]+)(?:\\s+WHERE\\s+(.*))?$".r
+  private val updateRe =
+    "(?is)^UPDATE\\s+([\\w$\".]+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$".r
+  private val mergeRe =
+    "(?is)^MERGE\\s+INTO\\s+([\\w$\".]+)(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+(.*)$".r
+
+  def matches(stmt: String): Boolean = {
+    val t = stmt.trim.toUpperCase
+    t.startsWith("DELETE") || t.startsWith("UPDATE") || t.startsWith("MERGE")
+  }
+
+  def execute(session: GraftSession, stmt: String): DataFrame = stmt.trim match {
+    case deleteRe(name, where) => doDelete(session, name, Option(where))
+    case updateRe(name, sets, where) => doUpdate(session, name, sets, Option(where))
+    case mergeRe(name, alias, rest) => doMerge(session, name, Option(alias), rest)
+    case other => throw new IllegalArgumentException(s"cannot parse DML: $other")
+  }
+
+  // ── DELETE ─────────────────────────────────────────────────────────────
+  private def doDelete(s: GraftSession, rawName: String,
+      where: Option[String]): DataFrame = {
+    val (f, ref) = managedTarget(s, rawName)
+    val before = s.registry.load(ref).count()
+    val survivors = where match {
+      case Some(w) => s.runQuery(
+        s"SELECT * FROM ${f.database}.${f.schema}.${f.table} WHERE NOT COALESCE(($w), FALSE)")
+      case None => s.runQuery(s"SELECT * FROM ${f.database}.${f.schema}.${f.table} WHERE FALSE")
+    }
+    val after = s.swapSnapshot(f, ref, survivors)
+    s.countStatus("number of rows deleted", before - after)
+  }
+
+  // ── UPDATE ─────────────────────────────────────────────────────────────
+  private def doUpdate(s: GraftSession, rawName: String, sets: String,
+      where: Option[String]): DataFrame = {
+    val (f, ref) = managedTarget(s, rawName)
+    val schema = s.registry.load(ref).schema
+    val assigns = parseAssignments(sets, schema.fieldNames.toSet)
+    val pred = where.map(w => s"COALESCE(($w), FALSE)").getOrElse("TRUE")
+    val proj = schema.fields.map { fd =>
+      assigns.get(fd.name.toUpperCase) match {
+        case Some(expr) =>
+          s"CASE WHEN $pred THEN CAST(($expr) AS ${fd.dataType.sql}) " +
+            s"ELSE ${q(fd.name)} END AS ${q(fd.name)}"
+        case None => q(fd.name)
+      }
+    }.mkString(", ")
+    val updated = s.runQuery(
+      s"SELECT count(*) AS n FROM ${f.database}.${f.schema}.${f.table} WHERE $pred")
+      .collect()(0).getLong(0)
+    val next = s.runQuery(s"SELECT $proj FROM ${f.database}.${f.schema}.${f.table}")
+    s.swapSnapshot(f, ref, next)
+    s.countStatus("number of rows updated", updated)
+  }
+
+  /** `a = e1, b = e2` split at top level; keys normalized upper-case and
+    * checked against the target schema. */
+  private def parseAssignments(sets: String,
+      fields: Set[String]): Map[String, String] = {
+    val upper = fields.map(_.toUpperCase)
+    splitTop(sets, ',').map { a =>
+      val eq = topLevelIndexOf(a, '=')
+      require(eq > 0, s"bad assignment: $a")
+      val colRaw = a.substring(0, eq).trim
+      // allow alias-qualified targets (t.col) as Snowflake does
+      val col = Identifiers.normalizePart(
+        colRaw.substring(colRaw.lastIndexOf('.') + 1))
+      require(upper.contains(col), s"unknown column in SET: $colRaw")
+      col -> a.substring(eq + 1).trim
+    }.toMap
+  }
+
+  // ── MERGE ──────────────────────────────────────────────────────────────
+  private final case class WhenClause(matched: Boolean, cond: Option[String],
+      action: String)
+
+  /** `MERGE INTO t [alias] USING src [alias] ON cond WHEN …` compiled to a
+    * single SELECT: survivors + updates via LEFT JOIN on a marked source,
+    * inserts via the source's LEFT ANTI JOIN, UNION ALL. One distributed
+    * job; Catalyst broadcasts the small side and AQE handles skew. */
+  private def doMerge(s: GraftSession, rawName: String,
+      tAliasOpt: Option[String], rest: String): DataFrame = {
+    val (f, ref) = managedTarget(s, rawName)
+    val schema = s.registry.load(ref).schema
+    // unaliased targets are referenced by bare table name in Snowflake
+    val tAlias = tAliasOpt.getOrElse(f.table)
+
+    // split `src ON cond WHEN … WHEN …` at the top-level ON / WHEN keywords
+    val onIdx = topLevelKeyword(rest, "ON")
+    require(onIdx >= 0, "MERGE requires ON")
+    val srcSpec = rest.substring(0, onIdx).trim
+    val afterOn = rest.substring(onIdx + 2)
+    val whenIdx = topLevelKeyword(afterOn, "WHEN")
+    require(whenIdx >= 0, "MERGE requires at least one WHEN clause")
+    val onCond = afterOn.substring(0, whenIdx).trim
+    val clauses = parseWhenClauses(afterOn.substring(whenIdx))
+
+    val (srcBody, sAlias) = parseSource(srcSpec)
+    val marked =
+      s"(SELECT __graft_src.*, TRUE AS __graft_m FROM $srcBody __graft_src) ${q(sAlias)}"
+    val matchedFlag = s"COALESCE(${q(sAlias)}.__graft_m, FALSE)"
+
+    def withCond(c: WhenClause) =
+      matchedFlag + c.cond.map(x => s" AND ($x)").getOrElse("")
+
+    val updates = clauses.filter(c => c.matched && c.action != "DELETE")
+    val deletes = clauses.filter(c => c.matched && c.action == "DELETE")
+    val inserts = clauses.filterNot(_.matched)
+
+    val proj = schema.fields.map { fd =>
+      val arms = updates.flatMap { u =>
+        parseAssignments(u.action.replaceAll("(?is)^UPDATE\\s+SET\\s+", ""),
+          schema.fieldNames.toSet).get(fd.name.toUpperCase)
+          .map(e => s"WHEN ${withCond(u)} THEN CAST(($e) AS ${fd.dataType.sql})")
+      }
+      if (arms.isEmpty) s"${q(tAlias)}.${q(fd.name)} AS ${q(fd.name)}"
+      else s"CASE ${arms.mkString(" ")} ELSE ${q(tAlias)}.${q(fd.name)} END AS ${q(fd.name)}"
+    }.mkString(", ")
+    val deleteFilter =
+      if (deletes.isEmpty) "TRUE"
+      else deletes.map(d => s"NOT (${withCond(d)})").mkString(" AND ")
+
+    val survivorsSql =
+      s"SELECT $proj FROM ${f.database}.${f.schema}.${f.table} ${q(tAlias)} LEFT JOIN $marked ON ($onCond) " +
+        s"WHERE $deleteFilter"
+
+    val insertSql = inserts.map { ins =>
+      val (cols, exprs) = parseInsert(ins.action, schema.fieldNames.toSeq)
+      val byCol = cols.map(_.toUpperCase).zip(exprs).toMap
+      val projIns = schema.fields.map { fd =>
+        val e = byCol.getOrElse(fd.name.toUpperCase, "NULL")
+        s"CAST(($e) AS ${fd.dataType.sql}) AS ${q(fd.name)}"
+      }.mkString(", ")
+      val cond = ins.cond.map(c => s" WHERE ($c)").getOrElse("")
+      s" UNION ALL SELECT $projIns FROM $srcBody ${q(sAlias)} " +
+        s"LEFT ANTI JOIN ${f.database}.${f.schema}.${f.table} ${q(tAlias)} ON ($onCond)$cond"
+    }.mkString
+
+    val next = s.runQuery(survivorsSql + insertSql)
+    val after = s.swapSnapshot(f, ref, next)
+    s.countStatus("number of rows merged", after)
+  }
+
+  /** Source is `(subquery) [AS] alias` or `table [AS] alias`. */
+  private def parseSource(spec: String): (String, String) = {
+    val t = spec.trim
+    if (t.startsWith("(")) {
+      val close = matchingParen(t, 0)
+      val body = t.substring(0, close + 1)
+      val alias = t.substring(close + 1).trim
+        .replaceAll("(?i)^AS\\s+", "").trim
+      require(alias.nonEmpty, "MERGE subquery source needs an alias")
+      (body, alias)
+    } else {
+      val parts = t.split("\\s+")
+      val name = parts(0)
+      val alias =
+        if (parts.length > 1) parts.last else name.substring(name.lastIndexOf('.') + 1)
+      (name, alias)
+    }
+  }
+
+  private def parseWhenClauses(text: String): Seq[WhenClause] = {
+    // text starts at the first WHEN
+    val starts = allTopLevelKeywords(text, "WHEN")
+    starts.zipAll(starts.drop(1), -1, text.length).map { case (a, b) =>
+      val clause = text.substring(a + 4, b).trim
+      val notMatched = "(?is)^NOT\\s+MATCHED\\b(.*)$".r
+      val matched = "(?is)^MATCHED\\b(.*)$".r
+      val (isMatched, rest) = clause match {
+        case notMatched(r) => (false, r)
+        case matched(r) => (true, r)
+        case other => throw new IllegalArgumentException(s"bad WHEN clause: $other")
+      }
+      val thenIdx = topLevelKeyword(rest, "THEN")
+      require(thenIdx >= 0, s"WHEN clause missing THEN: $clause")
+      val condPart = rest.substring(0, thenIdx).trim
+        .replaceAll("(?is)^AND\\s+", "").trim
+      val cond = if (condPart.isEmpty) None else Some(condPart)
+      WhenClause(isMatched, cond, rest.substring(thenIdx + 4).trim)
+    }
+  }
+
+  /** `INSERT [(c1, c2)] VALUES (e1, e2)` → (columns, expressions). */
+  private def parseInsert(action: String,
+      allCols: Seq[String]): (Seq[String], Seq[String]) = {
+    val insRe = "(?is)^INSERT\\s*(\\([^)]*\\))?\\s*VALUES\\s*\\((.*)\\)\\s*$".r
+    action.trim match {
+      case insRe(colList, exprs) =>
+        val cols = Option(colList)
+          .map(_.stripPrefix("(").stripSuffix(")")
+            .split(',').toSeq.map(_.trim))
+          .getOrElse(allCols)
+        val es = splitTop(exprs, ',').map(_.trim)
+        require(cols.length == es.length,
+          s"INSERT column/value count mismatch: $cols vs $es")
+        (cols, es)
+      case other =>
+        throw new IllegalArgumentException(s"bad MERGE INSERT action: $other")
+    }
+  }
+
+  // ── text utilities (string/paren-aware) ────────────────────────────────
+
+  /** Column/alias names come from parquet schemas (plain identifiers);
+    * emitted unquoted because the Snowflake-dialect rewriter treats
+    * double quotes as case-preserving and Spark treats them as strings. */
+  private def q(name: String): String = name
+
+  private def managedTarget(s: GraftSession, rawName: String): (FQN, TableRef) = {
+    val f = s.qualify(rawName)
+    val ref = s.registry.resolve(f).getOrElse(
+      throw new IllegalArgumentException(s"table $f does not exist"))
+    require(ref.kind == TableKind.Lake && ref.path.isDefined,
+      s"DML target must be a managed table: $f")
+    (f, ref)
+  }
+
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case x if x == sep && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private def topLevelIndexOf(s: String, ch: Char): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case x if x == ch && depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def topLevelKeyword(s: String, kw: String): Int =
+    allTopLevelKeywords(s, kw).headOption.getOrElse(-1)
+
+  private def allTopLevelKeywords(s: String, kw: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val upper = s.toUpperCase; val k = kw.toUpperCase
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(k, i) &&
+              (i == 0 || !Character.isLetterOrDigit(upper.charAt(i - 1)) &&
+                upper.charAt(i - 1) != '_') &&
+              (i + k.length >= s.length ||
+                !Character.isLetterOrDigit(upper.charAt(i + k.length)) &&
+                upper.charAt(i + k.length) != '_'))
+            out += i
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens: $s")
+  }
+}

@@ -42,6 +42,26 @@ final class GraftSession(
   private def fqn(name: String): FQN =
     Identifiers.fullQualifier(name, currentDatabase, currentSchema)
 
+  private[engine] def qualify(name: String): FQN = fqn(name)
+
+  /** Copy-on-write snapshot swap for DML: write `next` to a fresh snapshot
+    * dir, point the registry at it, return the new row count. The old
+    * snapshot stays on disk until dropped (Iceberg/Delta COW model —
+    * a failed write never corrupts the current version). */
+  private[engine] def swapSnapshot(f: FQN, ref: TableRef,
+      next: DataFrame): Long = {
+    val newPath = s"${ref.path.get.replaceAll("__v\\d+$", "")}__v${snapshotSeq.incrementAndGet()}"
+    next.write.mode("overwrite").parquet(newPath)
+    registry.register(ref.copy(path = Some(newPath)))
+    spark.read.parquet(newPath).count()
+  }
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[engine] def countStatus(label: String, n: Long): DataFrame =
+    spark.createDataFrame(
+      List(Row(java.lang.Long.valueOf(n))).asJava,
+      StructType(Seq(StructField(label, org.apache.spark.sql.types.LongType))))
+
   // ── statement driver (A2) ──────────────────────────────────────────────
   /** Execute a (possibly multi-statement) Snowflake-dialect batch; returns
     * the last statement's result. */
@@ -76,6 +96,7 @@ final class GraftSession(
     case copyRe(name, rest) => doCopy(name, rest)
     case showRe(what) => doShow(what.toUpperCase)
     case descRe(name) => doDescribe(name)
+    case dml if Dml.matches(dml) => Dml.execute(this, dml)
     case q => runQuery(q)
   }
 

@@ -200,6 +200,39 @@ object SnowflakeSql extends QueryPack {
         SELECT priority, n FROM table(to_query(
           'SELECT o_orderpriority AS priority, count(*) AS n FROM orders GROUP BY 1'))
         WHERE n > 0 ORDER BY priority""")
+    },
+
+    // UPDATE + DELETE + MERGE copy-on-write (beyond reference parity —
+    // the reference skips these, `tests/integration/transform.py:6-25`).
+    // Oracle replays the same mutations declaratively.
+    GQuery("snow13_dml", Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 500),
+      upd AS (
+        SELECT k, CASE WHEN k % 10 = 0 THEN v + 1 ELSE v END AS v FROM base),
+      del AS (SELECT * FROM upd WHERE NOT (k % 7 = 0)),
+      src AS (
+        SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        WHERE o_orderkey BETWEEN 400 AND 600),
+      merged AS (
+        SELECT d.k, CASE WHEN s.k IS NOT NULL THEN s.v * 2 ELSE d.v END AS v
+        FROM del d LEFT JOIN src s ON d.k = s.k
+        UNION ALL
+        SELECT s.k, s.v FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.k = s.k))
+      SELECT k, CAST(v AS DOUBLE) AS v FROM merged ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TEMP TABLE t_dml AS
+          SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 500;
+        UPDATE t_dml SET v = v + 1 WHERE k % 10 = 0;
+        DELETE FROM t_dml WHERE k % 7 = 0;
+        MERGE INTO t_dml t USING (
+            SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+            WHERE o_orderkey BETWEEN 400 AND 600) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v * 2
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
+        SELECT k, v::double AS v FROM t_dml ORDER BY k;""")
     }
   )
 }

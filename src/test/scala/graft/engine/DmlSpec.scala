@@ -1,0 +1,110 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UPDATE / DELETE / MERGE copy-on-write semantics — surface the reference
+  * leaves unimplemented (`tests/integration/transform.py:6-25`). */
+class DmlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newSession(): GraftSession = {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s
+  }
+
+  test("DELETE with predicate and with subquery") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_del AS SELECT * FROM orders WHERE o_orderkey <= 400")
+    val total = s.sql("SELECT count(*) AS n FROM t_del").collect()(0).getLong(0)
+    val evens = s.sql(
+      "SELECT count(*) AS n FROM t_del WHERE o_orderkey % 2 = 0").collect()(0).getLong(0)
+    val res = s.sql("DELETE FROM t_del WHERE o_orderkey % 2 = 0")
+    assert(res.collect()(0).getLong(0) == evens)
+    assert(s.sql("SELECT count(*) AS n FROM t_del").collect()(0).getLong(0)
+      == total - evens)
+    // subquery predicate
+    val r2 = s.sql(
+      "DELETE FROM t_del WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)")
+    assert(r2.collect()(0).getLong(0) >= 0)
+    s.sql("DROP TABLE t_del")
+  }
+
+  test("UPDATE with expressions and WHERE") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_upd AS SELECT * FROM orders WHERE o_orderkey <= 100")
+    val res = s.sql(
+      "UPDATE t_upd SET o_totalprice = o_totalprice * 2, o_orderstatus = 'X' " +
+        "WHERE o_orderpriority = '1-URGENT'")
+    val n = res.collect()(0).getLong(0)
+    assert(n > 0)
+    val bumped = s.sql(
+      "SELECT count(*) AS n FROM t_upd WHERE o_orderstatus = 'X'")
+      .collect()(0).getLong(0)
+    assert(bumped == n)
+    // non-matching rows untouched
+    val untouched = s.sql(
+      "SELECT count(*) AS n FROM t_upd WHERE o_orderstatus <> 'X' AND o_orderpriority <> '1-URGENT'")
+      .collect()(0).getLong(0)
+    assert(untouched > 0)
+    s.sql("DROP TABLE t_upd")
+  }
+
+  test("MERGE: update matched, insert not matched, delete clause") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_m AS SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st FROM orders WHERE o_orderkey <= 200")
+    val tgt0 = s.sql("SELECT count(*) AS n FROM t_m").collect()(0).getLong(0)
+    s.sql("CREATE OR REPLACE TABLE src_m AS SELECT o_orderkey AS k, o_totalprice + 10 AS v, o_orderstatus AS st FROM orders WHERE o_orderkey BETWEEN 100 AND 300")
+
+    s.sql(
+      """MERGE INTO t_m t USING src_m s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 100000 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v, st) VALUES (s.k, s.v, s.st)""".stripMargin)
+
+    val matchedKeys = s.sql(
+      "SELECT count(*) AS n FROM t_m WHERE k BETWEEN 100 AND 200").collect()(0).getLong(0)
+    // all surviving matched rows got s.v (= orders price + 10)
+    val matchedUpdated = s.sql(
+      """SELECT count(*) AS n FROM t_m m
+        | WHERE m.k BETWEEN 100 AND 200
+        |   AND m.v = (SELECT o_totalprice + 10 FROM orders o WHERE o.o_orderkey = m.k)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(matchedUpdated == matchedKeys)
+    // inserted rows: source keys beyond target range
+    val srcOnly = s.sql(
+      "SELECT count(*) AS n FROM src_m WHERE k > 200").collect()(0).getLong(0)
+    val inserted = s.sql(
+      "SELECT count(*) AS n FROM t_m WHERE k > 200").collect()(0).getLong(0)
+    assert(inserted == srcOnly && inserted > 0)
+    // deleted: matched rows with big v are gone
+    val bigLeft = s.sql(
+      "SELECT count(*) AS n FROM t_m WHERE k BETWEEN 100 AND 200 AND v > 100010")
+      .collect()(0).getLong(0)
+    assert(bigLeft == 0)
+    assert(tgt0 > 0)
+    s.sql("DROP TABLE t_m"); s.sql("DROP TABLE src_m")
+  }
+
+  test("MERGE with subquery source") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_ms AS SELECT n_nationkey AS k, n_name AS nm FROM nation")
+    s.sql(
+      """MERGE INTO t_ms USING (SELECT n_nationkey AS k, lower(n_name) AS nm FROM nation WHERE n_nationkey < 5) src
+        |ON t_ms.k = src.k
+        |WHEN MATCHED THEN UPDATE SET nm = src.nm""".stripMargin)
+    val lowered = s.sql(
+      "SELECT count(*) AS n FROM t_ms WHERE nm = lower(nm)").collect()(0).getLong(0)
+    assert(lowered == 5)
+    assert(s.sql("SELECT count(*) AS n FROM t_ms").collect()(0).getLong(0) == 25)
+    s.sql("DROP TABLE t_ms")
+  }
+}
