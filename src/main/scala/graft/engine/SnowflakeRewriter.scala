@@ -55,8 +55,10 @@ object SnowflakeRewriter {
     "OBJECT_CONSTRUCT" -> "NAMED_STRUCT",
     "GETDATE" -> "CURRENT_TIMESTAMP",
     "SYSDATE" -> "CURRENT_TIMESTAMP",
-    "DATEADD" -> "TIMESTAMPADD",
-    "DATEDIFF" -> "TIMESTAMPDIFF",
+    "ARRAYAGG" -> "ARRAY_AGG",
+    "ARRAY_CAT" -> "CONCAT",
+    "OBJECT_KEYS" -> "JSON_OBJECT_KEYS",
+    "WEEKISO" -> "WEEKOFYEAR",
     "EDITDISTANCE" -> "LEVENSHTEIN",
     "LEN" -> "LENGTH",
     "CHARINDEX" -> "INSTR",
@@ -69,6 +71,22 @@ object SnowflakeRewriter {
     * already JSON text here (reference stores VARIANT as JSON,
     * `universql/warehouse/duckdb.py:443-444`). */
   private val passThroughFns = Set("PARSE_JSON", "TO_VARIANT", "TO_JSON")
+
+  /** Snowflake conversion functions → [TRY_]CAST target types. */
+  private val castFns: Map[String, (String, Boolean)] = Map(
+    "TO_NUMBER" -> ("DECIMAL", false), "TO_DECIMAL" -> ("DECIMAL", false),
+    "TO_NUMERIC" -> ("DECIMAL", false),
+    "TRY_TO_NUMBER" -> ("DECIMAL", true), "TRY_TO_DECIMAL" -> ("DECIMAL", true),
+    "TO_BOOLEAN" -> ("BOOLEAN", false), "TRY_TO_BOOLEAN" -> ("BOOLEAN", true),
+    "TO_DOUBLE" -> ("DOUBLE", false), "TRY_TO_DOUBLE" -> ("DOUBLE", true))
+
+  /** Date/time functions whose first arg is a unit keyword-or-string. */
+  private val unitFns: Map[String, String] = Map(
+    "DATEADD" -> "timestampadd", "TIMEADD" -> "timestampadd",
+    "TIMESTAMPADD" -> "timestampadd",
+    "DATEDIFF" -> "timestampdiff", "TIMEDIFF" -> "timestampdiff",
+    "TIMESTAMPDIFF" -> "timestampdiff",
+    "DATE_PART" -> "date_part")
 
   // ── datetime token map (Snowflake → java.time) ─────────────────────────
   // Port of the shape at universql/plugins/snow.py:41-68 (strptime there).
@@ -590,6 +608,85 @@ object SnowflakeRewriter {
               case "DIV0"       => ("coalesce(try_divide(", "), 0)")
             }
             out ++= lex(pre); out ++= inner; out ++= lex(post)
+            i = close + 1
+          } else if (castFns.contains(up)) {
+            // TO_NUMBER(x[,p[,s]]) / TO_BOOLEAN / TO_DOUBLE → [TRY_]CAST
+            val (targetType, isTry) = castFns(up)
+            val argRanges = splitArgs(toks, open, close)
+            val castKw = if (isTry) "try_cast" else "CAST"
+            val tpe =
+              if (targetType == "DECIMAL") {
+                val nums = argRanges.tail.map(r =>
+                  render(toks.slice(r._1, r._2)).trim)
+                if (nums.nonEmpty && nums.forall(_.matches("\\d+")))
+                  s"DECIMAL(${nums.head},${if (nums.length > 1) nums(1) else "0"})"
+                else "DECIMAL(38,0)"
+              } else targetType
+            out ++= lex(s"$castKw(")
+            out ++= rewriteFunctions(
+              toks.slice(argRanges.head._1, argRanges.head._2))
+            out ++= lex(s" AS $tpe)")
+            i = close + 1
+          } else if (up == "DECODE") {
+            // DECODE(e, s1, r1, …, [default]) → CASE with null-safe equality
+            val args = splitArgs(toks, open, close).map(r =>
+              rewriteFunctions(toks.slice(r._1, r._2)))
+            out ++= lex("CASE")
+            args.tail.grouped(2).foreach { g =>
+              if (g.length == 2) {
+                out ++= lex(" WHEN (")
+                out ++= args.head
+                out ++= lex(") <=> (")
+                out ++= g(0)
+                out ++= lex(") THEN ")
+                out ++= g(1)
+              } else {
+                out ++= lex(" ELSE ")
+                out ++= g(0)
+              }
+            }
+            out ++= lex(" END")
+            i = close + 1
+          } else if (up == "DAYNAME" || up == "MONTHNAME") {
+            val fmt = if (up == "DAYNAME") "EEE" else "MMM"
+            out ++= lex("date_format(")
+            out ++= rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex(s", '$fmt')")
+            i = close + 1
+          } else if (up == "ARRAY_CONTAINS") {
+            // Snowflake arg order is (value, array); Spark's is (array, value)
+            val argRanges = splitArgs(toks, open, close)
+            if (argRanges.length == 2) {
+              out ++= lex("array_contains(")
+              out ++= rewriteFunctions(
+                toks.slice(argRanges(1)._1, argRanges(1)._2))
+              out += Op(",")
+              out ++= rewriteFunctions(
+                toks.slice(argRanges(0)._1, argRanges(0)._2))
+              out += Op(")")
+              i = close + 1
+            } else { out += toks(i); i += 1 }
+          } else if (unitFns.contains(up)) {
+            // DATEADD/DATEDIFF/DATE_PART: Snowflake takes the unit as a
+            // keyword OR a quoted string; Spark's timestampadd/-diff wants
+            // a bare keyword, date_part wants a string literal.
+            val mapped = unitFns(up)
+            val argRanges = splitArgs(toks, open, close)
+            out += Ident(mapped)
+            out += Op("(")
+            argRanges.zipWithIndex.foreach { case ((a, b), idx) =>
+              if (idx > 0) out += Op(",") // arg slices keep their own spacing
+              val argToks = toks.slice(a, b)
+              val sig = significant(argToks)
+              if (idx == 0 && sig.size == 1) (argToks(sig.head), mapped) match {
+                case (s: Str, "timestampadd" | "timestampdiff") =>
+                  out += Ident(s.value) // unquote: 'day' → day
+                case (Ident(w), "date_part") =>
+                  out += Str(s"'$w'") // quote: year → 'year'
+                case _ => out ++= rewriteFunctions(argToks)
+              } else out ++= rewriteFunctions(argToks)
+            }
+            out += Op(")")
             i = close + 1
           } else if (fnRename.contains(up)) {
             out += Ident(fnRename(up).toLowerCase)

@@ -233,6 +233,26 @@ object SnowflakeSql extends QueryPack {
           WHEN MATCHED THEN UPDATE SET v = s.v * 2
           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
         SELECT k, v::double AS v FROM t_dml ORDER BY k;""")
+    },
+
+    GQuery("snow14_fn_conversions", Some("""
+      SELECT
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 'u'
+             WHEN o_orderpriority = '2-HIGH' THEN 'h'
+             ELSE 'other' END AS pri,
+        CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+        strftime(o_orderdate, '%a') AS dn,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2, 3 ORDER BY pri, yr, dn""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT
+          DECODE(o_orderpriority, '1-URGENT', 'u', '2-HIGH', 'h', 'other') AS pri,
+          DATE_PART(year, o_orderdate)::bigint AS yr,
+          DAYNAME(o_orderdate) AS dn,
+          count(*) AS n,
+          sum(TO_NUMBER(o_totalprice, 12, 2))::double AS total
+        FROM orders GROUP BY 1, 2, 3 ORDER BY pri, yr, dn""")
     }
   )
 }

@@ -120,6 +120,53 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT timestampadd(day, 3, ts) FROM t")
   }
 
+  test("DATEADD with quoted unit unquotes it") {
+    assert(rw("SELECT DATEADD('day', 3, ts) FROM t") ==
+      "SELECT timestampadd(day, 3, ts) FROM t")
+    assert(rw("SELECT DATEDIFF('hour', a, b) FROM t") ==
+      "SELECT timestampdiff(hour, a, b) FROM t")
+  }
+
+  test("DATE_PART bare unit becomes a string literal") {
+    assert(rw("SELECT DATE_PART(year, ts) FROM t") ==
+      "SELECT date_part('year', ts) FROM t")
+    assert(rw("SELECT DATE_PART('month', ts) FROM t") ==
+      "SELECT date_part('month', ts) FROM t")
+  }
+
+  test("TO_NUMBER family becomes casts") {
+    assert(rw("SELECT TO_NUMBER(x, 10, 2) FROM t") ==
+      "SELECT CAST(x AS DECIMAL(10,2)) FROM t")
+    assert(rw("SELECT TO_NUMBER(x) FROM t") ==
+      "SELECT CAST(x AS DECIMAL(38,0)) FROM t")
+    assert(rw("SELECT TRY_TO_NUMBER(x, 5, 1) FROM t") ==
+      "SELECT try_cast(x AS DECIMAL(5,1)) FROM t")
+    assert(rw("SELECT TO_BOOLEAN(x) FROM t") ==
+      "SELECT CAST(x AS BOOLEAN) FROM t")
+    assert(rw("SELECT TRY_TO_DOUBLE(x) FROM t") ==
+      "SELECT try_cast(x AS DOUBLE) FROM t")
+  }
+
+  test("DECODE becomes null-safe CASE") {
+    val out = rw("SELECT DECODE(x, 1, 'a', 2, 'b', 'z') FROM t")
+    assert(out.contains("CASE WHEN (x) <=> ( 1) THEN 'a'"))
+    assert(out.contains("WHEN (x) <=> ( 2) THEN 'b'"))
+    assert(out.contains("ELSE 'z' END"))
+  }
+
+  test("DAYNAME / MONTHNAME become date_format") {
+    assert(rw("SELECT DAYNAME(d) FROM t") ==
+      "SELECT date_format(d, 'EEE') FROM t")
+    assert(rw("SELECT MONTHNAME(d) FROM t") ==
+      "SELECT date_format(d, 'MMM') FROM t")
+  }
+
+  test("ARRAY_CONTAINS swaps to Spark arg order") {
+    val out = rw("SELECT ARRAY_CONTAINS(5, arr) FROM t")
+    assert(out.replaceAll("\\s+", "") ==
+      "SELECTarray_contains(arr,5)FROMt")
+  }
+
   test("QUALIFY becomes a nested filtered select") {
     assert(rw("SELECT a, b FROM t QUALIFY row_number() OVER (ORDER BY a) <= 2 ORDER BY a") ==
       "SELECT * EXCEPT (__graft_q) FROM (SELECT a, b , " +
