@@ -96,11 +96,14 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val sh = shingles(df, idCol, textCol, n).cache()
 
-    // one aggregation computes all minhashes: min over shingles of a
-    // seed-prefixed xxhash64 (partial agg map-side → tiny shuffle)
+    // one aggregation computes all minhashes: hash each shingle string
+    // ONCE, then derive the k-th hash from the 8-byte base hash + seed —
+    // k× cheaper than re-hashing the string per seed, and partial agg
+    // keeps the shuffle tiny (one row per doc)
+    val hashed = sh.withColumn("h0", xxhash64(col("shingle")))
     val mhCols = (0 until numHashes).map(k =>
-      min(xxhash64(concat(lit(k.toString + ":"), col("shingle")))).as(s"mh$k"))
-    val sigs = sh.groupBy(col("doc")).agg(mhCols.head, mhCols.tail: _*)
+      min(xxhash64(col("h0"), lit(k))).as(s"mh$k"))
+    val sigs = hashed.groupBy(col("doc")).agg(mhCols.head, mhCols.tail: _*)
 
     // band hash = xxhash64 of the band's minhash values
     val bandCols = (0 until numBands).map { bnd =>
