@@ -68,6 +68,12 @@ object CopyOptions {
       }
     }
     if (fmt == "CSV" && !opts.contains("header")) opts += "header" -> "false"
-    Mapped(fmt.toLowerCase, opts.toMap)
+    // Avro's FileFormat class ships inside spark-sql in this distribution
+    // but is not service-registered under the "avro" short name, so the
+    // data source must be addressed by class
+    val fmtName =
+      if (fmt == "AVRO") "org.apache.spark.sql.avro.AvroFileFormat"
+      else fmt.toLowerCase
+    Mapped(fmtName, opts.toMap)
   }
 }

@@ -227,6 +227,40 @@ object Extensions extends QueryPack {
       Multimodal.extractFeatures(
         Multimodal.binaryFromText(docs(s, dir), "doc_id", "text"))
         .orderBy("doc_id")
+    },
+
+    // Sessionization with a 30-minute inactivity gap: Spark's
+    // `session_window` (shuffle by user_id, per-key merge — no full-sort
+    // window function, so it scales to 100 TB of events). The oracle
+    // replays the gap logic with lag + a running sum. Spark's session
+    // windows are half-open [start, last+gap), so a gap of exactly 30
+    // minutes starts a new session — hence `>=` in the oracle.
+    GQuery("x15_sessionization", Some("""
+      WITH d AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d)
+      SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sid ORDER BY user_id, start_s""")) { (s, dir) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
+               .as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("start_s"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "start_s")
     }
   )
 }

@@ -405,6 +405,25 @@ object Relational extends QueryPack {
                  coalesce(col("l_linestatus"), lit("~")))
     },
 
+    GQuery("q32_cube", Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INT) AS gid,
+        count(*) AS n, $SUM_QTY AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, COALESCE(l_returnflag,'~'), COALESCE(l_linestatus,'~')""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast(IntegerType).as("gid"),
+          count(lit(1)).as("n"),
+          sumd(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"),
+                 coalesce(col("l_returnflag"), lit("~")),
+                 coalesce(col("l_linestatus"), lit("~")))
+    },
+
     // ───── expressions: case / strings / dates / math ────────────────────
     GQuery("q08_case_buckets", Some(s"""
       SELECT CASE WHEN l_quantity < 10 THEN 'small'

@@ -128,6 +128,19 @@ class SessionSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) AS n FROM nation_j").collect()(0).getLong(0) == 25)
   }
 
+  test("COPY INTO from avro files") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_avro").toString
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .coalesce(1).write.mode("overwrite")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(s"$stageDir/a")
+    s.sql(s"CREATE STAGE astage URL='$stageDir'")
+    s.sql("""CREATE OR REPLACE TABLE nation_a
+             (n_nationkey INT, n_name VARCHAR, n_regionkey INT)""")
+    s.sql("COPY INTO nation_a FROM @astage/a FILE_FORMAT = (TYPE = AVRO)")
+    assert(s.sql("SELECT count(*) AS n FROM nation_a").collect()(0).getLong(0) == 25)
+  }
+
   test("multi-statement batch returns last result") {
     val s = newSession()
     val df = s.sql(
