@@ -192,12 +192,14 @@ object SnowflakeRewriter {
     val out = ArrayBuffer.empty[Tok]
     var i = 0
     while (i < toks.length) {
-      val isFlatten = toks(i) match {
-        case Ident(w) => w.equalsIgnoreCase("FLATTEN") &&
-          nextSig(toks, i).exists(j => toks(j) == Op("("))
-        case _ => false
+      val fnKind = toks(i) match {
+        case Ident(w) if nextSig(toks, i).exists(j => toks(j) == Op("(")) =>
+          if (w.equalsIgnoreCase("FLATTEN")) "FLATTEN"
+          else if (w.equalsIgnoreCase("SPLIT_TO_TABLE")) "SPLIT_TO_TABLE"
+          else ""
+        case _ => ""
       }
-      if (isFlatten) {
+      if (fnKind.nonEmpty) {
         // swallow an immediately preceding LATERAL and/or comma in `out`
         def dropTrailing(pred: Tok => Boolean): Unit = {
           var k = out.length - 1
@@ -233,8 +235,22 @@ object SnowflakeRewriter {
           case _ =>
         }
         out += Ws(" ")
-        out ++= lex(s"LATERAL VIEW posexplode(from_json((" +
-          render(inner).trim + s"), 'array<string>')) $alias AS index, value")
+        if (fnKind == "FLATTEN")
+          out ++= lex(s"LATERAL VIEW posexplode(from_json((" +
+            render(inner).trim + s"), 'array<string>')) $alias AS index, value")
+        else {
+          // SPLIT_TO_TABLE(e, d): Snowflake emits SEQ/INDEX/VALUE with a
+          // 1-based INDEX — build struct rows and explode with inline()
+          val args = splitArgs(toks, open, close)
+            .map(r => render(toks.slice(r._1, r._2)).trim)
+          require(args.length == 2, s"SPLIT_TO_TABLE needs (string, delim)")
+          // Spark split() takes a regex; Snowflake's delimiter is literal —
+          // \Q..\E-quote it
+          out ++= lex(
+            s"LATERAL VIEW inline(transform(" +
+            s"split((${args(0)}), concat('\\\\Q', (${args(1)}), '\\\\E')), " +
+            s"(v, i) -> named_struct('seq', 1, 'index', i + 1, 'value', v))) $alias")
+        }
         i = if (consumedAlias) j + 1 else close + 1
       } else { out += toks(i); i += 1 }
     }
@@ -608,6 +624,18 @@ object SnowflakeRewriter {
               case "DIV0"       => ("coalesce(try_divide(", "), 0)")
             }
             out ++= lex(pre); out ++= inner; out ++= lex(post)
+            i = close + 1
+          } else if (up == "GENERATOR") {
+            // GENERATOR(ROWCOUNT => n) → range(n) (table function; usually
+            // arrives here via TABLE(GENERATOR(...)) unwrap)
+            val args = render(toks.slice(open + 1, close))
+            val n = "\\d+".r.findFirstIn(args).getOrElse(
+              throw new IllegalArgumentException(s"GENERATOR needs ROWCOUNT: $args"))
+            out ++= lex(s"range($n)")
+            i = close + 1
+          } else if (up == "SEQ4" || up == "SEQ8" || up == "SEQ1" || up == "SEQ2") {
+            // sequence per generated row → range()'s id column
+            out += Ident("id")
             i = close + 1
           } else if (castFns.contains(up)) {
             // TO_NUMBER(x[,p[,s]]) / TO_BOOLEAN / TO_DOUBLE → [TRY_]CAST

@@ -253,6 +253,34 @@ object SnowflakeSql extends QueryPack {
           count(*) AS n,
           sum(TO_NUMBER(o_totalprice, 12, 2))::double AS total
         FROM orders GROUP BY 1, 2, 3 ORDER BY pri, yr, dn""")
+    },
+
+    // PIVOT rides the Spark SQL pass-through; SPLIT_TO_TABLE and
+    // GENERATOR/SEQ4 are rewriter table functions.
+    GQuery("snow15_pivot", Some("""
+      SELECT o_orderpriority AS pri,
+        count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+        count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+      FROM orders GROUP BY 1 ORDER BY pri""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT * FROM (
+          SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders)
+        PIVOT (count(st) FOR st IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        ORDER BY pri""")
+    },
+
+    GQuery("snow16_split_generator", Some("""
+      SELECT g.s, parts.idx, parts.part
+      FROM (SELECT unnest(generate_series(0, 2)) AS s) g,
+      LATERAL (SELECT CAST(generate_subscripts(string_split('a,b,c', ','), 1) AS BIGINT) AS idx,
+                      unnest(string_split('a,b,c', ',')) AS part) parts
+      ORDER BY g.s, parts.idx""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT g.s, f.index AS idx, f.value AS part
+        FROM (SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 3))) g,
+        LATERAL SPLIT_TO_TABLE('a,b,c', ',') f
+        ORDER BY g.s, f.index""")
     }
   )
 }

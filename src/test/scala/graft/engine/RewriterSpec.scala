@@ -161,6 +161,19 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT date_format(d, 'MMM') FROM t")
   }
 
+  test("GENERATOR and SEQ4 map to range/id") {
+    val out = rw("SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 10))")
+    assert(out.replaceAll("\\s+", " ").trim ==
+      "SELECT id AS s FROM range(10)")
+  }
+
+  test("SPLIT_TO_TABLE becomes lateral inline with 1-based index") {
+    val out = rw("SELECT f.value FROM t, LATERAL SPLIT_TO_TABLE(s, ',') f")
+    assert(out.contains("LATERAL VIEW inline(transform(split((s), concat('\\\\Q', (','), '\\\\E'))"))
+    assert(out.contains("'index', i + 1"))
+    assert(!out.contains("SPLIT_TO_TABLE"))
+  }
+
   test("ARRAY_CONTAINS swaps to Spark arg order") {
     val out = rw("SELECT ARRAY_CONTAINS(5, arr) FROM t")
     assert(out.replaceAll("\\s+", "") ==
