@@ -78,7 +78,7 @@ final class GraftSession(
   private val dropRe  = "(?is)^DROP\\s+(?:TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
-  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS)\\b.*$".r
+  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES)\\b.*$".r
   private val descRe  = "(?is)^DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val stageRe =
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?STAGE\\s+([\\w$\".]+)\\s+.*?URL\\s*=\\s*'([^']+)'.*$".r
@@ -324,6 +324,12 @@ final class GraftSession(
           .map(r => Row(r.fqn.table, r.fqn.database, r.fqn.schema,
             if (r.kind == TableKind.Local) "VIEW" else "TABLE"))
         spark.createDataFrame(rows.asJava, schemaOf)
+      case "STAGES" =>
+        val rows = stages.toSeq.sortBy(_._1)
+          .map { case (n, url) => Row(n, currentDatabase, currentSchema, url) }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("name", StringType), StructField("database_name", StringType),
+          StructField("schema_name", StringType), StructField("url", StringType))))
       case "SCHEMAS" =>
         val rows = registry.schemas(currentDatabase)
           .map(s => Row(s, currentDatabase, s, "SCHEMA"))

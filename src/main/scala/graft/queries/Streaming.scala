@@ -37,6 +37,9 @@ object Streaming extends QueryPack {
   private def runStream(s: SparkSession, dir: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     val qn = s"graft_stream_${counter.incrementAndGet()}"
+    // the drain is synchronous; the extra no-data micro-batch only adds
+    // latency here
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val src = s.readStream.schema(eventsSchema)
       .parquet(asDir(dir))
       .withColumn("ts",

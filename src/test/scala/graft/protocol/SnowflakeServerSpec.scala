@@ -95,6 +95,27 @@ class SnowflakeServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("two sessions keep independent USE state") {
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val t1 = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      val t2 = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      post(port, "/queries/v1/query-request",
+        """{"sqlText":"USE DATABASE otherdb"}""", token = Some(t1))
+      val r1 = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT 1 AS x"}""", token = Some(t1))
+      val r2 = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT count(*) AS n FROM orders"}""", token = Some(t2))
+      assert(r1.path("data").path("finalDatabaseName").asText() == "OTHERDB")
+      // session 2 still resolves the lake under GRAFT
+      assert(r2.path("success").asBoolean(), r2.toString)
+      assert(r2.path("data").path("finalDatabaseName").asText() == "GRAFT")
+    } finally server.stop()
+  }
+
   test("USE DATABASE from login params sticks to the session") {
     val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
     val port = server.start()
