@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumns
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * primitive loop per row over the ArrayData, with the SAME sequential
   * double accumulation (index order, double precision), so results are
   * bit-identical to the higher-order-function version and to the DuckDB
-  * oracle's list_dot_product.
+  * oracle's list_dot_product. Both implement `doGenCode`, so the n² pair
+  * filter stays inside one WholeStageCodegen span (no fallback boxing in
+  * the hot loop).
   */
 private object VecEval {
   def toDouble(arr: ArrayData, i: Int, et: DataType): Double = et match {
@@ -25,11 +27,33 @@ private object VecEval {
     case LongType   => arr.getLong(i).toDouble
     case _ => throw new IllegalArgumentException(s"bad element type $et")
   }
+
+  /** Java source for reading element `idx` of `arr` as double. */
+  def access(arr: String, idx: String, et: DataType): String = et match {
+    case FloatType   => s"(double)$arr.getFloat($idx)"
+    case DoubleType  => s"$arr.getDouble($idx)"
+    case IntegerType => s"(double)$arr.getInt($idx)"
+    case LongType    => s"(double)$arr.getLong($idx)"
+    case other => throw new IllegalArgumentException(s"bad element type $other")
+  }
+}
+
+/** Deterministic pseudo-random hyperplane components shared by the
+  * interpreted and generated code paths (called from generated Java via
+  * the static forwarder). splitmix64 finalizer — stable in [-1, 1). */
+object LshPlanes {
+  def component(p: Int, j: Int): Double = {
+    var z = (p.toLong << 32) ^ j.toLong ^ 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
 }
 
 /** dot(a, b) with sequential double accumulation. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -51,6 +75,22 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${VecEval.access(l, i, leftElem)} *
+         |          ${VecEval.access(r, i, rightElem)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
@@ -62,21 +102,12 @@ case class DotProduct(left: Expression, right: Expression)
   * One pass computes all bits; callers slice the returned Int into bands.
   */
 case class LshSignBits(child: Expression, numBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lsh_sign_bits"
   require(numBits <= 32)
 
   private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
-
-  /** splitmix64 finalizer — stable plane components in [-1, 1). */
-  private def planeComponent(p: Int, j: Int): Double = {
-    var z = (p.toLong << 32) ^ j.toLong ^ 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -87,7 +118,7 @@ case class LshSignBits(child: Expression, numBits: Int)
       var dot = 0d
       var j = 0
       while (j < dim) {
-        dot += VecEval.toDouble(v, j, elem) * planeComponent(p, j)
+        dot += VecEval.toDouble(v, j, elem) * LshPlanes.component(p, j)
         j += 1
       }
       if (dot >= 0) bits |= (1 << p)
@@ -95,6 +126,28 @@ case class LshSignBits(child: Expression, numBits: Int)
     }
     bits
   }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val bits = ctx.freshName("bits")
+      val dot = ctx.freshName("dot")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      s"""
+         |int $dim = $v.numElements();
+         |int $bits = 0;
+         |for (int $p = 0; $p < $numBits; $p++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $dot += ${VecEval.access(v, j, elem)} *
+         |            graft.functions.LshPlanes.component($p, $j);
+         |  }
+         |  if ($dot >= 0) $bits |= (1 << $p);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): LshSignBits =
     copy(child = newChild)
