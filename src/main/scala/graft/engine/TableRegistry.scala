@@ -63,7 +63,10 @@ final class TableRegistry(spark: SparkSession) {
   def load(ref: TableRef): DataFrame = ref.kind match {
     case TableKind.Local => spark.table(ref.fqn.flat)
     case TableKind.Lake  =>
-      val df = spark.read.format(ref.format).load(ref.path.get)
+      val df =
+        if (ref.format == "iceberg")
+          graft.sources.IcebergLite.scan(spark, ref.path.get)
+        else spark.read.format(ref.format).load(ref.path.get)
       // events carries INT64-nanos timestamps; normalize like Tables.load
       if (ref.fqn.table == "EVENTS" && df.schema.fieldNames.contains("ts") &&
           df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

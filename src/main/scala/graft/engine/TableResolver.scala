@@ -57,27 +57,42 @@ object TableResolver {
                   val bare = chain.length == 1 && !cteAliases.contains(
                     Identifiers.normalizePart(name))
                   val qualified = chain.length > 1
+                  var substituted = false
                   if (bare || qualified) {
                     val f = Identifiers.fullQualifier(name,
                       session.currentDatabase, session.currentSchema)
                     session.ensureView(f) match {
-                      case Some(flat) => out += Ident(flat)
-                      case None       => out ++= chain
+                      case Some(flat) =>
+                        out += Ident(flat); substituted = true
+                      case None => out ++= chain
                     }
                   } else out ++= chain
                   j = k + 1
                   // skip optional alias: [AS] ident
                   var j2 = j
                   while (j2 < toks.length && toks(j2).isInstanceOf[Ws]) j2 += 1
+                  var hasAlias = false
                   if (j2 < toks.length) toks(j2) match {
                     case Ident(a) if a.equalsIgnoreCase("AS") =>
                       var j3 = j2 + 1
                       while (j3 < toks.length && toks(j3).isInstanceOf[Ws]) j3 += 1
                       if (j3 < toks.length) {
-                        out ++= toks.slice(j, j3 + 1); j = j3 + 1
+                        out ++= toks.slice(j, j3 + 1); j = j3 + 1; hasAlias = true
                       }
                     case Ident(a) if !SqlKeywords.reserved.contains(a.toUpperCase) =>
-                      out ++= toks.slice(j, j2 + 1); j = j2 + 1
+                      out ++= toks.slice(j, j2 + 1); j = j2 + 1; hasAlias = true
+                    case _ =>
+                  }
+                  // a substituted unaliased table keeps its original name
+                  // as an alias so `table.col` references still resolve
+                  // (not when TABLESAMPLE follows — Spark's grammar puts
+                  // the sample clause before the alias)
+                  val nextIsSample = j2 < toks.length && (toks(j2) match {
+                    case Ident(w) => w.equalsIgnoreCase("TABLESAMPLE")
+                    case _ => false
+                  })
+                  if (substituted && !hasAlias && !nextIsSample) chain.last match {
+                    case Ident(last) => out += Ws(" "); out += Ident(last)
                     case _ =>
                   }
                   // comma → another table in the FROM list

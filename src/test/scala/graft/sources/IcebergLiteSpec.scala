@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.engine.{FQN, GraftSession, TableKind, TableRef}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Builds a minimal spec-layout Iceberg table (metadata.json → manifest
+  * list → manifest → parquet data files) and reads it back through
+  * [[IcebergLite]] and through the session's registry seam. */
+class IcebergLiteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Write a tiny Iceberg table of the `nation` rows; returns the
+    * metadata.json path. */
+  private def buildTable(): String = {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_iceberg").toString
+    val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+
+    // two data files
+    val d1 = s"$root/data/f1"
+    val d2 = s"$root/data/f2"
+    nation.filter(col("n_nationkey") < 10).coalesce(1)
+      .write.mode("overwrite").parquet(d1)
+    nation.filter(col("n_nationkey") >= 10).coalesce(1)
+      .write.mode("overwrite").parquet(d2)
+
+    // one manifest with two ADDED entries (+ one DELETED that must be
+    // filtered out)
+    val manifestDir = s"$root/meta/manifest1"
+    import spark.implicits._
+    Seq((1, d1), (1, d2), (2, s"$root/data/gone"))
+      .toDF("status", "file_path")
+      .select(col("status"), struct(col("file_path")).as("data_file"))
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(manifestDir)
+
+    // manifest list
+    val listDir = s"$root/meta/manifest-list-1"
+    Seq(manifestDir).toDF("manifest_path")
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(listDir)
+
+    // metadata.json (v2-shaped, minimal)
+    val metadataPath = s"$root/meta/v2.metadata.json"
+    val json =
+      s"""{"format-version": 2, "table-uuid": "00000000-0000-0000-0000-000000000001",
+         | "location": "$root", "current-snapshot-id": 77,
+         | "snapshots": [
+         |   {"snapshot-id": 42, "manifest-list": "$root/meta/old-list"},
+         |   {"snapshot-id": 77, "manifest-list": "$listDir"}]}""".stripMargin
+    Files.write(java.nio.file.Paths.get(metadataPath), json.getBytes)
+    metadataPath
+  }
+
+  test("scan by metadata path: current snapshot, deleted entries skipped") {
+    val metadataPath = buildTable()
+    val df = IcebergLite.scan(spark, metadataPath)
+    assert(df.count() == 25)
+    assert(df.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey"))
+  }
+
+  test("registry seam: iceberg-format table queryable through the session") {
+    val metadataPath = buildTable()
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.registry.register(TableRef(
+      FQN("GRAFT", "PUBLIC", "NATION_ICE"), TableKind.Lake,
+      Some(metadataPath), format = "iceberg"))
+    val n = s.sql(
+      """SELECT count(*) AS n FROM nation_ice n1
+        | JOIN region ON n1.n_regionkey = region.r_regionkey""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 25)
+  }
+}
