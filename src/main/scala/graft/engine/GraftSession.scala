@@ -50,10 +50,18 @@ final class GraftSession(
     * a failed write never corrupts the current version). */
   private[engine] def swapSnapshot(f: FQN, ref: TableRef,
       next: DataFrame): Long = {
-    val newPath = s"${ref.path.get.replaceAll("__v\\d+$", "")}__v${snapshotSeq.incrementAndGet()}"
-    next.write.mode("overwrite").parquet(newPath)
-    registry.register(ref.copy(path = Some(newPath)))
-    spark.read.parquet(newPath).count()
+    if (ref.format == "iceberg") {
+      val dir = java.nio.file.Paths.get(ref.path.get)
+        .getParent.getParent.toString + s"__v${snapshotSeq.incrementAndGet()}"
+      val newMeta = graft.sources.IcebergLite.write(spark, next, dir)
+      registry.register(ref.copy(path = Some(newMeta)))
+      graft.sources.IcebergLite.scan(spark, newMeta).count()
+    } else {
+      val newPath = s"${ref.path.get.replaceAll("__v\\d+$", "")}__v${snapshotSeq.incrementAndGet()}"
+      next.write.mode("overwrite").parquet(newPath)
+      registry.register(ref.copy(path = Some(newPath)))
+      spark.read.parquet(newPath).count()
+    }
   }
   private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -88,9 +96,9 @@ final class GraftSession(
     case stageRe(name, url) =>
       stages.put(Identifiers.normalizePart(name), url.stripSuffix("/"))
       status(s"Stage area ${name.toUpperCase} successfully created.")
-    case createRe(orReplace, temp, _, kind, ifNotExists, name, rest) =>
+    case createRe(orReplace, temp, iceberg, kind, ifNotExists, name, rest) =>
       doCreate(orReplace != null, temp != null, kind.equalsIgnoreCase("VIEW"),
-        ifNotExists != null, name, rest)
+        ifNotExists != null, name, rest, iceberg != null)
     case dropRe(ifExists, name) => doDrop(ifExists != null, name)
     case insertRe(overwrite, name, body) => doInsert(overwrite != null, name, body)
     case copyRe(name, rest) => doCopy(name, rest)
@@ -136,7 +144,8 @@ final class GraftSession(
 
   // ── CREATE (A8/A9/A11) ─────────────────────────────────────────────────
   private def doCreate(orReplace: Boolean, temp: Boolean, isView: Boolean,
-      ifNotExists: Boolean, rawName: String, rest: String): DataFrame = {
+      ifNotExists: Boolean, rawName: String, rest: String,
+      iceberg: Boolean = false): DataFrame = {
     val f = fqn(rawName)
     if (registry.resolve(f).isDefined && !orReplace) {
       if (ifNotExists)
@@ -154,8 +163,15 @@ final class GraftSession(
       case asIdx(select) =>
         val df = runQuery(select)
         val path = tablePath(f, temp)
-        df.write.mode("overwrite").parquet(path)
-        registry.register(TableRef(f, TableKind.Lake, Some(path)))
+        if (iceberg) {
+          // CREATE ICEBERG TABLE AS (A9): real spec-layout Iceberg commit
+          val metadataPath = graft.sources.IcebergLite.write(spark, df, path)
+          registry.register(
+            TableRef(f, TableKind.Lake, Some(metadataPath), format = "iceberg"))
+        } else {
+          df.write.mode("overwrite").parquet(path)
+          registry.register(TableRef(f, TableKind.Lake, Some(path)))
+        }
         status(s"Table ${f.table} successfully created.")
       case colDefs if colDefs.startsWith("(") =>
         // CREATE TABLE t (col type, …): empty table with translated schema
@@ -237,8 +253,18 @@ final class GraftSession(
     val aligned = df0.toDF(existing.schema.fieldNames.take(df0.columns.length): _*)
       .select(existing.schema.fields.map(sf =>
         org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)).toIndexedSeq: _*)
-    aligned.write.mode(if (overwrite) "overwrite" else "append")
-      .parquet(ref.path.get)
+    if (ref.format == "iceberg") {
+      // append = new snapshot; overwrite = fresh snapshot chain (A12)
+      val newMeta =
+        if (overwrite)
+          graft.sources.IcebergLite.write(spark, aligned,
+            java.nio.file.Paths.get(ref.path.get).getParent.getParent.toString + "_ow" +
+              System.nanoTime())
+        else graft.sources.IcebergLite.append(spark, aligned, ref.path.get)
+      registry.register(ref.copy(path = Some(newMeta)))
+    } else
+      aligned.write.mode(if (overwrite) "overwrite" else "append")
+        .parquet(ref.path.get)
     status(s"inserted rows into ${f.table}")
   }
 

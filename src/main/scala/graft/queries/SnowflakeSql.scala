@@ -281,6 +281,24 @@ object SnowflakeSql extends QueryPack {
         FROM (SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 3))) g,
         LATERAL SPLIT_TO_TABLE('a,b,c', ',') f
         ORDER BY g.s, f.index""")
+    },
+
+    // CREATE ICEBERG TABLE AS + INSERT append through the real spec-layout
+    // writer/reader (A6/A9/A12; `sources/IcebergLite.scala`).
+    GQuery("snow17_iceberg_roundtrip", Some("""
+      SELECT o_orderpriority AS p, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey <= 400
+      GROUP BY 1 ORDER BY p""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE ice_g AS
+          SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+          FROM orders WHERE o_orderkey <= 300;
+        INSERT INTO ice_g
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 400;
+        SELECT p, count(*) AS n, sum(v::number(12,2))::double AS total
+        FROM ice_g GROUP BY 1 ORDER BY p;""")
     }
   )
 }

@@ -72,4 +72,61 @@ object IcebergLite {
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file://")) p.stripPrefix("file://") else p
+
+  // ── write path (A9/A12: CREATE ICEBERG TABLE AS / INSERT append) ───────
+
+  /** Write `df` as a new Iceberg table under `tableDir`; returns the
+    * metadata.json path. Layout follows the spec: parquet data files under
+    * data/, Avro manifest + manifest list under metadata/, versioned
+    * vN.metadata.json (the reference's pyiceberg `create_table` +
+    * `overwrite` path, `universql/warehouse/duckdb.py:295-310`). */
+  def write(spark: SparkSession, df: DataFrame, tableDir: String): String =
+    commit(spark, df, tableDir, newVersion = 1, carryForward = Nil)
+
+  /** Append `df` as a new snapshot on an existing table; returns the new
+    * metadata.json path (pyiceberg `table.append` analog,
+    * `universql/warehouse/duckdb.py:368`). */
+  def append(spark: SparkSession, df: DataFrame, metadataPath: String): String = {
+    val dir = Paths.get(stripScheme(metadataPath)).getParent.getParent.toString
+    val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(metadataPath)
+      .map(_.group(1).toInt).getOrElse(1)
+    commit(spark, df, dir, version + 1,
+      carryForward = dataFiles(spark, metadataPath))
+  }
+
+  private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
+      newVersion: Int, carryForward: Seq[String]): String = {
+    import org.apache.spark.sql.functions._
+    val snapId = newVersion.toLong
+    val dataDir = s"$tableDir/data/s$snapId"
+    df.write.mode("overwrite").parquet(dataDir)
+    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
+      .map(_.toString).filter(p => p.endsWith(".parquet")).toSeq.sorted
+
+    import spark.implicits._
+    val manifestDir = s"$tableDir/metadata/manifest-s$snapId"
+    (carryForward.map((0, _)) ++ newFiles.map((1, _)))  // 0=EXISTING 1=ADDED
+      .toDF("status", "file_path")
+      .select(col("status"),
+        struct(col("file_path"), lit("PARQUET").as("file_format")).as("data_file"))
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(manifestDir)
+
+    val listDir = s"$tableDir/metadata/manifest-list-s$snapId"
+    Seq(manifestDir).toDF("manifest_path")
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(listDir)
+
+    val metadataPath = s"$tableDir/metadata/v$newVersion.metadata.json"
+    val snapshotsJson = (1L to snapId).map(sid =>
+      s"""{"snapshot-id": $sid, "manifest-list": "$tableDir/metadata/manifest-list-s$sid"}""")
+      .mkString("[", ", ", "]")
+    val json =
+      s"""{"format-version": 2,
+         | "table-uuid": "00000000-0000-0000-0000-${"%012d".format(snapId)}",
+         | "location": "$tableDir",
+         | "current-snapshot-id": $snapId,
+         | "snapshots": $snapshotsJson}""".stripMargin
+    Files.createDirectories(Paths.get(metadataPath).getParent)
+    Files.write(Paths.get(metadataPath), json.getBytes)
+    metadataPath
+  }
 }

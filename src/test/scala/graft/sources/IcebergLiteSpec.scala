@@ -69,6 +69,35 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(df.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("CREATE ICEBERG TABLE AS / INSERT append / UPDATE / DROP lifecycle") {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE nat_ice AS
+             SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 20""")
+    assert(s.sql("SELECT count(*) AS n FROM nat_ice").collect()(0).getLong(0) == 20)
+    // metadata path registered, spec layout on disk
+    val ref = s.registry.resolve(
+      graft.engine.Identifiers.fullQualifier("nat_ice", "GRAFT", "PUBLIC")).get
+    assert(ref.format == "iceberg")
+    assert(ref.path.get.endsWith("v1.metadata.json"))
+
+    // append = snapshot 2
+    s.sql("INSERT INTO nat_ice SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 20")
+    assert(s.sql("SELECT count(*) AS n FROM nat_ice").collect()(0).getLong(0) == 25)
+    val ref2 = s.registry.resolve(ref.fqn).get
+    assert(ref2.path.get.endsWith("v2.metadata.json"))
+    // snapshot 1 still readable by its own metadata file (time travel)
+    assert(IcebergLite.scan(spark,
+      ref2.path.get.replace("v2.metadata.json", "v1.metadata.json")).count() == 20)
+
+    // DML copy-on-write lands on an iceberg snapshot too
+    s.sql("UPDATE nat_ice SET nm = lower(nm) WHERE k < 5")
+    assert(s.sql("SELECT count(*) AS n FROM nat_ice WHERE nm = lower(nm)")
+      .collect()(0).getLong(0) >= 5)
+    assert(s.sql("SELECT count(*) AS n FROM nat_ice").collect()(0).getLong(0) == 25)
+    s.sql("DROP TABLE nat_ice")
+  }
+
   test("registry seam: iceberg-format table queryable through the session") {
     val metadataPath = buildTable()
     val s = new GraftSession(spark)
