@@ -141,6 +141,16 @@ class SessionSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) AS n FROM nation_a").collect()(0).getLong(0) == 25)
   }
 
+  test("error recovery: session stays usable after a failed statement") {
+    val s = newSession()
+    intercept[Exception] { s.sql("SELECT * FROM definitely_not_a_table") }
+    intercept[Exception] { s.sql("SELEC syntax error") }
+    assert(s.sql("SELECT count(*) AS n FROM orders").collect()(0).getLong(0) == 1500)
+    // failed CREATE leaves no phantom registration
+    intercept[Exception] { s.sql("CREATE TABLE bad_t AS SELECT * FROM missing_src") }
+    intercept[Exception] { s.sql("SELECT * FROM bad_t") }
+  }
+
   test("multi-statement batch returns last result") {
     val s = newSession()
     val df = s.sql(
