@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,19 +18,42 @@ import java.security.MessageDigest
   * the 16-hex-char signature, so results are portable across engines (the
   * DuckDB oracle recomputes it from `md5()` in SQL).
   *
+  * `doGenCode` emits a direct static call into [[SimHash64.compute]], so
+  * the signature stage stays inside whole-stage codegen (no fallback row
+  * boxing); the digest instance is thread-local, not per-row.
+  *
   * Near-dup pairing then happens by banding the 64 bits (pigeonhole over 4
   * blocks finds all pairs within Hamming distance 3 without an O(n²) join).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.GraftColumns
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** The per-row kernel; called from generated code via the static
+    * forwarder. */
+  def compute(arr: ArrayData): UTF8String = {
     val acc = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest.get()
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
@@ -64,13 +87,6 @@ case class SimHash64(child: Expression)
     }
     UTF8String.fromString(new String(out))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  import org.apache.spark.sql.GraftColumns
 
   /** Column API: simhash of an `array<string>` token column. */
   def simhash64(tokens: Column): Column =
