@@ -24,8 +24,11 @@ object PlanCheck {
                "x05_cosine_threshold_pairs")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      df.count() // materialize so AQE settles on the final plan
-      val plan = df.queryExecution.executedPlan.toString
+      // materialize THIS dataframe's own QueryExecution — count()/write
+      // build a new one and would leave df's AQE plan unfinalized
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
       def count(pat: String) = pat.r.findAllIn(plan).size
       println(s"=== $n")
       println(s"  PushedFilters: " + (
@@ -36,7 +39,10 @@ object PlanCheck {
       println(s"  broadcasts=${count("BroadcastHashJoin|BroadcastNestedLoopJoin")}" +
         s" sortMerge=${count("SortMergeJoin")}" +
         s" exchanges=${count("Exchange")}" +
-        s" wholeStageCodegen=${count("WholeStageCodegen")}")
+        // formatted explain tags codegen'd nodes "[codegen id : n]"
+        s" codegenSpans=${"codegen id : (\\d+)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSet.size}" +
+        s" nonCodegenNodes=${count("\\n\\(\\d+\\) (?!.*codegen id)[A-Za-z]+")}")
     }
     spark.stop()
   }
