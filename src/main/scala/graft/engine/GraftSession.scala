@@ -111,7 +111,12 @@ final class GraftSession(
   // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
   def runQuery(snowflakeSql: String): DataFrame = {
     val rewritten = SnowflakeRewriter.rewrite(snowflakeSql)
-    val substituted = TableResolver.resolveAndSubstitute(rewritten, this)
+    // session-context functions resolve against THIS session (a shared
+    // SparkSession can't carry per-session UDF state)
+    val contextual = rewritten
+      .replaceAll("(?i)\\bCURRENT_DATABASE\\s*\\(\\s*\\)", s"'$currentDatabase'")
+      .replaceAll("(?i)\\bCURRENT_SCHEMA\\s*\\(\\s*\\)", s"'$currentSchema'")
+    val substituted = TableResolver.resolveAndSubstitute(contextual, this)
     spark.sql(substituted)
   }
 
@@ -119,11 +124,48 @@ final class GraftSession(
     * return the view name; unknown names are left untouched so Spark can
     * resolve its own temp views / raise its own errors. */
   private[engine] def ensureView(f: FQN): Option[String] =
-    registry.resolve(f).map { ref =>
+    if (f.schema == "INFORMATION_SCHEMA") {
+      infoSchemaView(f.table).map { df =>
+        df.createOrReplaceTempView(f.flat); f.flat
+      }
+    } else registry.resolve(f).map { ref =>
       if (ref.kind == TableKind.Lake)
         registry.load(ref).createOrReplaceTempView(f.flat)
       f.flat
     }
+
+  /** information_schema emulation (the reference ships fakesnow's
+    * info_schema into every attached DuckDB database,
+    * `universql/warehouse/duckdb.py:211-217`). */
+  private def infoSchemaView(table: String): Option[DataFrame] = table match {
+    case "TABLES" =>
+      val rows = registry.list().map(r => Row(
+        r.fqn.database, r.fqn.schema, r.fqn.table,
+        if (r.kind == TableKind.Local) "VIEW" else "BASE TABLE"))
+      Some(spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("table_catalog", StringType),
+        StructField("table_schema", StringType),
+        StructField("table_name", StringType),
+        StructField("table_type", StringType)))))
+    case "COLUMNS" =>
+      val rows = registry.list().flatMap { r =>
+        val df = try registry.load(r) catch { case _: Exception => null }
+        if (df == null) Nil
+        else SnowflakeTypes.rowType(df).zipWithIndex.map { case (m, i) =>
+          Row(r.fqn.database, r.fqn.schema, r.fqn.table, m.name,
+            i + 1, m.logicalType, if (m.nullable) "YES" else "NO")
+        }
+      }
+      Some(spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("table_catalog", StringType),
+        StructField("table_schema", StringType),
+        StructField("table_name", StringType),
+        StructField("column_name", StringType),
+        StructField("ordinal_position", org.apache.spark.sql.types.IntegerType),
+        StructField("data_type", StringType),
+        StructField("is_nullable", StringType)))))
+    case _ => None
+  }
 
   // ── USE (A14) ──────────────────────────────────────────────────────────
   private def doUse(kind: Option[String], rawName: String): DataFrame = {

@@ -141,6 +141,29 @@ class SessionSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) AS n FROM nation_a").collect()(0).getLong(0) == 25)
   }
 
+  test("information_schema.tables and columns") {
+    val s = newSession()
+    val tabs = s.sql(
+      "SELECT table_name FROM information_schema.tables WHERE table_schema = 'PUBLIC' ORDER BY table_name")
+      .collect().map(_.getString(0))
+    assert(tabs.contains("ORDERS") && tabs.contains("LINEITEM"))
+    val cols = s.sql(
+      """SELECT column_name, data_type FROM information_schema.columns
+        | WHERE table_name = 'ORDERS' ORDER BY ordinal_position""".stripMargin)
+      .collect()
+    assert(cols.map(_.getString(0)).contains("o_orderkey"))
+    assert(cols.exists(r => r.getString(1) == "FIXED"))
+  }
+
+  test("CURRENT_DATABASE and CURRENT_SCHEMA reflect session state") {
+    val s = newSession()
+    s.sql("USE SCHEMA graft.public")
+    val r = s.sql("SELECT CURRENT_DATABASE() AS d, CURRENT_SCHEMA() AS sc, CURRENT_WAREHOUSE() AS w")
+      .collect()(0)
+    assert(r.getString(0) == "GRAFT" && r.getString(1) == "PUBLIC")
+    assert(r.getString(2) == "x-spark")
+  }
+
   test("error recovery: session stays usable after a failed statement") {
     val s = newSession()
     intercept[Exception] { s.sql("SELECT * FROM definitely_not_a_table") }
