@@ -317,20 +317,30 @@ final class GraftSession(
       throw new IllegalArgumentException(s"table $f does not exist"))
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
       s"cannot COPY into $f")
-    // FROM <source> [FILE_FORMAT = ( ... )] [other options]
+    // FROM <source> [FILES = ('f', …)] [FILE_FORMAT = ( ... )] [options]
     val ffRe = "(?is)FILE_FORMAT\\s*=\\s*\\(([^)]*)\\)".r
+    val filesRe = "(?is)FILES\\s*=\\s*\\(([^)]*)\\)".r
     val optsRaw = ffRe.findFirstMatchIn(rest).map(_.group(1)).getOrElse("")
-    val source = ffRe.replaceAllIn(rest, "").trim.split("\\s+").headOption
+    val filesList = filesRe.findFirstMatchIn(rest).map(_.group(1)).map(
+      _.split(',').toSeq.map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty)).getOrElse(Nil)
+    val source = filesRe.replaceAllIn(ffRe.replaceAllIn(rest, ""), "")
+      .trim.split("\\s+").headOption
       .getOrElse(throw new IllegalArgumentException("COPY INTO needs a source"))
-    val url = resolveStagePath(source)
+    val base = resolveStagePath(source)
+    // explicit FILES pin the scan to those objects under the stage path
+    // (reference: `expression.args['files']`, `universql/plugins/snow.py:391-398`)
+    val urls =
+      if (filesList.isEmpty) Seq(base)
+      else filesList.map(f => s"${base.stripSuffix("/")}/$f")
     val optPairs = parseOptionPairs(optsRaw)
     val mapped = CopyOptions.map(optPairs)
     val target = registry.load(ref)
     val reader = spark.read.format(mapped.format).options(mapped.options)
     val df =
       if (mapped.format == "csv")
-        reader.schema(target.schema).load(url)
-      else reader.load(url)
+        reader.schema(target.schema).load(urls: _*)
+      else reader.load(urls: _*)
     // CSV aligns by position (Snowflake semantics); self-describing
     // formats (json/parquet/avro) align by name, case-insensitively
     val aligned =

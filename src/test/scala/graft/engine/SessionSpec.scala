@@ -174,6 +174,23 @@ class SessionSpec extends AnyFunSuite {
     intercept[Exception] { s.sql("SELECT * FROM bad_t") }
   }
 
+  test("COPY INTO with FILES list") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_files").toString
+    val region = graft.Tables.load(spark, "/root/testdata/sf0.001", "region")
+    region.filter("r_regionkey < 2").coalesce(1)
+      .write.mode("overwrite").json(s"$stageDir/part_a")
+    region.filter("r_regionkey >= 2").coalesce(1)
+      .write.mode("overwrite").json(s"$stageDir/part_b")
+    region.limit(1).coalesce(1)
+      .write.mode("overwrite").json(s"$stageDir/ignored")
+    s.sql(s"CREATE STAGE fstage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE region_f (r_regionkey INT, r_name VARCHAR)")
+    s.sql("""COPY INTO region_f FROM @fstage
+             FILES = ('part_a', 'part_b') FILE_FORMAT = (TYPE = JSON)""")
+    assert(s.sql("SELECT count(*) AS n FROM region_f").collect()(0).getLong(0) == 5)
+  }
+
   test("multi-statement batch returns last result") {
     val s = newSession()
     val df = s.sql(
