@@ -4,10 +4,17 @@ import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame}
 import org.apache.spark.sql.execution.arrow.ArrowConverters
 import org.apache.spark.sql.util.ArrowUtils
 
-/** Bridge to Spark's `private[sql]` Arrow machinery: serialize a DataFrame
-  * result to a complete Arrow IPC stream (schema message + record batches
-  * + end-of-stream), the payload format the reference puts on the wire as
-  * `rowsetBase64` (`universql/protocol/snowflake.py:223-243`). */
+/** Bridge to Spark's `private[sql]` Arrow machinery.
+  *
+  * Sink direction: serialize a DataFrame result to a complete Arrow IPC
+  * stream (schema message + record batches + end-of-stream), the payload
+  * format the reference puts on the wire as `rowsetBase64`
+  * (`universql/protocol/snowflake.py:223-243`).
+  *
+  * Source direction: parse an Arrow IPC stream into a DataFrame — the
+  * reference materializes remote `to_query` results and Polaris scans
+  * from Arrow (`universql/catalog/iceberg.py:52`, `README.md:245`).
+  */
 object GraftArrow {
 
   def toArrowIpcStream(df: Dataset[Row]): Array[Byte] = {
@@ -34,5 +41,16 @@ object GraftArrow {
     ch.writeIntLittleEndian(-1)
     ch.writeIntLittleEndian(0)
     out.toByteArray
+  }
+
+  def fromArrowIpcStream(spark: SparkSession, bytes: Array[Byte]): Dataset[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val (iter, schema) = ArrowConverters.fromIPCStream(bytes)
+    try {
+      // the iterator reuses row buffers; copy before materializing
+      val rows = iter.map(_.copy()).toIndexedSeq
+      classic.internalCreateDataFrame(
+        classic.sparkContext.parallelize(rows, 1), schema)
+    } finally iter.close()
   }
 }

@@ -259,6 +259,19 @@ class SessionSpec extends AnyFunSuite {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("arrow source: IPC stream round-trips back into a DataFrame") {
+    val s = newSession()
+    val df = s.sql(
+      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20")
+    val bytes = org.apache.spark.sql.GraftArrow.toArrowIpcStream(df)
+    val back = org.apache.spark.sql.GraftArrow.fromArrowIpcStream(spark, bytes)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val a = df.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("TABLESAMPLE rewrites and runs") {
     val s = newSession()
     val n = s.sql("SELECT count(*) AS n FROM (SELECT * FROM orders SAMPLE (10 ROWS))")
