@@ -264,6 +264,25 @@ object SnowflakeRewriter {
   //       (SELECT <list>, (p) AS __graft_q FROM ...) WHERE __graft_q
   //       [ORDER BY o] [LIMIT n]
   private def rewriteQualify(toks: Vector[Tok]): Vector[Tok] = {
+    // subqueries carry their own QUALIFY scope — recurse into every
+    // parenthesized fragment first, then transform this level
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Op("(") =>
+          val close = matchParen(toks, i)
+          out += Op("(")
+          out ++= rewriteQualify(toks.slice(i + 1, close))
+          out += Op(")")
+          i = close + 1
+        case t => out += t; i += 1
+      }
+    }
+    rewriteQualifyTop(out.toVector)
+  }
+
+  private def rewriteQualifyTop(toks: Vector[Tok]): Vector[Tok] = {
     val sig = significant(toks)
     var depth = 0
     var qualifyAt = -1

@@ -1,0 +1,102 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial dialect inputs executed end-to-end through the session:
+  * keywords inside strings, comments straddling rewrites, nested
+  * subqueries mixing several rewriter passes at once. */
+class RobustnessSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newSession(): GraftSession = {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s
+  }
+
+  test("keywords and cast syntax inside string literals stay literal") {
+    val s = newSession()
+    val r = s.sql(
+      "SELECT 'SAMPLE (10 ROWS) FROM orders; QUALIFY x' AS a, 'b''s ::int' AS b")
+      .collect()(0)
+    assert(r.getString(0) == "SAMPLE (10 ROWS) FROM orders; QUALIFY x")
+    assert(r.getString(1) == "b's ::int")
+  }
+
+  test("comments between rewritten tokens") {
+    val s = newSession()
+    val n = s.sql(
+      """SELECT count(*) AS n FROM orders -- trailing comment with :: and SAMPLE
+        | WHERE o_orderkey /* inline :: comment */ <= 100""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 101) // keys start at 0
+  }
+
+  test("QUALIFY inside a subquery plus outer aggregate") {
+    val s = newSession()
+    val df = s.sql(
+      """SELECT o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderpriority, o_orderkey FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) <= 3
+        |) GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(df.collect().forall(_.getLong(1) == 3))
+  }
+
+  test("chained casts, IFF, and variant path in one expression") {
+    val s = newSession()
+    val r = s.sql(
+      """SELECT IFF(PARSE_JSON('{"a": {"b": 7}}'):a.b::int > 5,
+        |           '1995-03-15'::date::varchar, NULL) AS v""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "1995-03-15")
+  }
+
+  test("DML with strings containing WHERE/SET keywords") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE rob_t AS SELECT o_orderkey AS k, o_orderstatus AS st FROM orders WHERE o_orderkey <= 50")
+    s.sql("UPDATE rob_t SET st = 'WHERE SET = , MERGE' WHERE k <= 10")
+    val n = s.sql("SELECT count(*) AS n FROM rob_t WHERE st = 'WHERE SET = , MERGE'")
+      .collect()(0).getLong(0)
+    assert(n == 11) // keys 0..10
+    s.sql("DELETE FROM rob_t WHERE st = 'WHERE SET = , MERGE'")
+    assert(s.sql("SELECT count(*) AS n FROM rob_t").collect()(0).getLong(0) == 40) // 51 - 11
+    s.sql("DROP TABLE rob_t")
+  }
+
+  test("mixed-pass query: flatten + qualify + decode + sample-free") {
+    val s = newSession()
+    val df = s.sql(
+      """SELECT doc_id, f.value::int AS v,
+        |  DECODE(f.index, 0, 'first', 1, 'second', 'later') AS pos
+        |FROM (SELECT doc_id, PARSE_JSON('[' || n_chars || ',2,3]') AS arr
+        |      FROM documents WHERE doc_id < 5) t,
+        |  LATERAL FLATTEN(input => arr) f
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY f.index) <= 2
+        |ORDER BY doc_id, v""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getString(2)).toSet == Set("first", "second"))
+  }
+
+  test("deeply nested subqueries with set ops and window") {
+    val s = newSession()
+    val n = s.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT k FROM (
+        |    SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 100
+        |    UNION ALL
+        |    SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 101 AND 200
+        |  ) u
+        |  WHERE k IN (SELECT o_orderkey FROM orders WHERE o_orderkey <= 150)
+        |)""".stripMargin).collect()(0).getLong(0)
+    assert(n == 151) // keys 0..150
+  }
+}
