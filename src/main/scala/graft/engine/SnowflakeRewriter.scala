@@ -133,7 +133,36 @@ object SnowflakeRewriter {
     toks = rewriteFunctions(toks)
     toks = rewriteSample(toks)
     toks = rewriteQualify(toks)
+    toks = rewriteTop(toks)
     render(toks)
+  }
+
+  // ── pass: SELECT TOP n <list> … → SELECT <list> … LIMIT n (per scope) ──
+  private def rewriteTop(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Op("(") =>
+          val close = matchParen(toks, i)
+          out += Op("(")
+          out ++= rewriteTop(toks.slice(i + 1, close))
+          out += Op(")")
+          i = close + 1
+        case t => out += t; i += 1
+      }
+    }
+    val v = out.toVector
+    val sig = significant(v)
+    if (sig.length >= 3 && (v(sig(0)) match {
+          case Ident(w) => w.equalsIgnoreCase("SELECT"); case _ => false }) &&
+        (v(sig(1)) match {
+          case Ident(w) => w.equalsIgnoreCase("TOP"); case _ => false }) &&
+        (v(sig(2)) match { case Num(_) => true; case _ => false })) {
+      val n = v(sig(2)).text
+      (v.slice(0, sig(0) + 1) ++ v.slice(sig(2) + 1, v.length) ++
+        lex(s" LIMIT $n")).toVector
+    } else v
   }
 
   // ── pass: <table> SAMPLE [BERNOULLI|ROW|SYSTEM|BLOCK] (p) →

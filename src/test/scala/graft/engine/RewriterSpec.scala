@@ -161,6 +161,15 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT date_format(d, 'MMM') FROM t")
   }
 
+  test("SELECT TOP n becomes LIMIT, including subqueries") {
+    assert(rw("SELECT TOP 5 a FROM t ORDER BY a") ==
+      "SELECT a FROM t ORDER BY a LIMIT 5")
+    assert(rw("SELECT x FROM (SELECT TOP 3 x FROM t ORDER BY x) s") ==
+      "SELECT x FROM (SELECT x FROM t ORDER BY x LIMIT 3) s")
+    // TOP as a column name is untouched
+    assert(rw("SELECT top FROM t") == "SELECT top FROM t")
+  }
+
   test("GENERATOR and SEQ4 map to range/id") {
     val out = rw("SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 10))")
     assert(out.replaceAll("\\s+", " ").trim ==
