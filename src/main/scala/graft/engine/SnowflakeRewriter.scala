@@ -57,6 +57,12 @@ object SnowflakeRewriter {
     "SYSDATE" -> "CURRENT_TIMESTAMP",
     "ARRAYAGG" -> "ARRAY_AGG",
     "ARRAY_CAT" -> "CONCAT",
+    "VARIANCE_POP" -> "VAR_POP",
+    "VARIANCE_SAMP" -> "VAR_SAMP",
+    "BOOLOR_AGG" -> "BOOL_OR",
+    "BOOLAND_AGG" -> "BOOL_AND",
+    "BITSHIFTLEFT" -> "SHIFTLEFT",
+    "BITSHIFTRIGHT" -> "SHIFTRIGHT",
     "OBJECT_KEYS" -> "JSON_OBJECT_KEYS",
     "WEEKISO" -> "WEEKOFYEAR",
     "EDITDISTANCE" -> "LEVENSHTEIN",
@@ -79,6 +85,10 @@ object SnowflakeRewriter {
     "TRY_TO_NUMBER" -> ("DECIMAL", true), "TRY_TO_DECIMAL" -> ("DECIMAL", true),
     "TO_BOOLEAN" -> ("BOOLEAN", false), "TRY_TO_BOOLEAN" -> ("BOOLEAN", true),
     "TO_DOUBLE" -> ("DOUBLE", false), "TRY_TO_DOUBLE" -> ("DOUBLE", true))
+
+  /** Bitwise functions → Spark operators. */
+  private val bitOpFns: Map[String, String] = Map(
+    "BITAND" -> "&", "BITOR" -> "|", "BITXOR" -> "^")
 
   /** Date/time functions whose first arg is a unit keyword-or-string. */
   private val unitFns: Map[String, String] = Map(
@@ -722,6 +732,25 @@ object SnowflakeRewriter {
               }
             }
             out ++= lex(" END")
+            i = close + 1
+          } else if (bitOpFns.contains(up)) {
+            // BITAND/BITOR/BITXOR(a, b) → ((a) <op> (b))
+            val argRanges = splitArgs(toks, open, close)
+            if (argRanges.length == 2) {
+              val a = rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
+              val b = rewriteFunctions(toks.slice(argRanges(1)._1, argRanges(1)._2))
+              out ++= lex("((")
+              out ++= a
+              out ++= lex(s") ${bitOpFns(up)} (")
+              out ++= b
+              out ++= lex("))")
+              i = close + 1
+            } else { out += toks(i); i += 1 }
+          } else if (up == "SQUARE") {
+            val inner = rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex("power((")
+            out ++= inner
+            out ++= lex("), 2)")
             i = close + 1
           } else if (up == "DAYNAME" || up == "MONTHNAME") {
             val fmt = if (up == "DAYNAME") "EEE" else "MMM"

@@ -161,6 +161,18 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT date_format(d, 'MMM') FROM t")
   }
 
+  test("bitwise, square, and agg-variant renames") {
+    assert(rw("SELECT BITAND(a, b) FROM t").replaceAll("\\s+", "") ==
+      "SELECT((a)&(b))FROMt".replaceAll("\\s+", ""))
+    assert(rw("SELECT BITXOR(a, 3) FROM t").contains("^"))
+    assert(rw("SELECT SQUARE(x + 1) FROM t").replaceAll("\\s+", "") ==
+      "SELECTpower((x+1),2)FROMt")
+    assert(rw("SELECT VARIANCE_POP(x), BOOLOR_AGG(f) FROM t") ==
+      "SELECT var_pop(x), bool_or(f) FROM t")
+    assert(rw("SELECT BITSHIFTLEFT(x, 2) FROM t") ==
+      "SELECT shiftleft(x, 2) FROM t")
+  }
+
   test("SELECT TOP n becomes LIMIT, including subqueries") {
     assert(rw("SELECT TOP 5 a FROM t ORDER BY a") ==
       "SELECT a FROM t ORDER BY a LIMIT 5")
