@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryPack, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -261,6 +261,32 @@ object Extensions extends QueryPack {
             .as("start_s"),
           col("n"), col("sum_value"))
         .orderBy("user_id", "start_s")
+    },
+
+    // Bucketed co-located join: both sides pre-bucketed on the join key,
+    // so the join plans with ZERO shuffle exchanges (asserted in
+    // BucketingSpec) — the at-scale tool for repeated fact-fact joins.
+    GQuery("x16_bucketed_join", Some("""
+      SELECT c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY seg""")) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders").select("o_custkey", "o_totalprice")
+          .withColumnRenamed("o_custkey", "custkey"),
+        "x16_orders_b", "custkey", buckets = 8)
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+          .withColumnRenamed("c_custkey", "custkey"),
+        "x16_customer_b", "custkey", buckets = 8)
+      Bucketing.coLocatedJoin(s, "x16_orders_b", "x16_customer_b", "custkey")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast(DecimalType(12, 2)))
+               .cast(DoubleType).as("total"))
+        .orderBy("seg")
     }
   )
 }
