@@ -290,11 +290,32 @@ final class GraftSession(
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
       s"cannot INSERT into $f")
     val existing = registry.load(ref)
-    val df0 = runQuery(body)
-    // align by position like Snowflake INSERT ... SELECT
-    val aligned = df0.toDF(existing.schema.fieldNames.take(df0.columns.length): _*)
-      .select(existing.schema.fields.map(sf =>
-        org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)).toIndexedSeq: _*)
+    // optional explicit column list: INSERT INTO t (a, b) SELECT/VALUES …
+    val colListRe = "(?s)^\\s*\\(([^)]*)\\)\\s*(.*)$".r
+    val (targetCols, rest) = body match {
+      case colListRe(cols, r)
+          if !r.isEmpty && !cols.toUpperCase.contains("SELECT") =>
+        (cols.split(',').toSeq.map(c => Identifiers.normalizePart(c.trim)), r)
+      case _ => (Nil, body)
+    }
+    val df0 = runQuery(rest)
+    // align by position like Snowflake INSERT ... SELECT; an explicit
+    // column list maps positionally onto those columns, others → NULL
+    val aligned =
+      if (targetCols.nonEmpty) {
+        require(targetCols.length == df0.columns.length,
+          s"INSERT column list has ${targetCols.length} names for ${df0.columns.length} values")
+        val renamed = df0.toDF(targetCols: _*)
+        renamed.select(existing.schema.fields.map { sf =>
+          if (targetCols.contains(sf.name.toUpperCase) ||
+              targetCols.contains(sf.name))
+            org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)
+          else org.apache.spark.sql.functions.lit(null).cast(sf.dataType).as(sf.name)
+        }.toIndexedSeq: _*)
+      } else
+        df0.toDF(existing.schema.fieldNames.take(df0.columns.length): _*)
+          .select(existing.schema.fields.map(sf =>
+            org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)).toIndexedSeq: _*)
     if (ref.format == "iceberg") {
       // append = new snapshot; overwrite = fresh snapshot chain (A12)
       val newMeta =

@@ -14,12 +14,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed+sorted managed table. */
+  /** Persist `df` as a bucketed+sorted managed table. The in-memory
+    * catalog forgets tables between JVMs while their warehouse dirs
+    * persist, so clear both before writing. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val leftover = java.nio.file.Paths.get(warehouse, table.toLowerCase)
+    if (java.nio.file.Files.exists(leftover)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(leftover).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — plans with zero
     * shuffle exchanges when both sides share the bucket count. */

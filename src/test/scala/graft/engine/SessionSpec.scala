@@ -116,6 +116,18 @@ class SessionSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("c"))
   }
 
+  test("INSERT INTO with explicit column list, reordered and partial") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE kv3 (k VARCHAR, v NUMBER(38,0), extra VARCHAR)")
+    s.sql("INSERT INTO kv3 (v, k) VALUES (5, 'z')")
+    val r = s.sql("SELECT k, v, extra FROM kv3").collect()(0)
+    assert(r.getString(0) == "z" && r.getDecimal(1).longValue == 5L && r.isNullAt(2))
+    s.sql("INSERT INTO kv3 (k, v, extra) SELECT 'y', 6, 'e'")
+    assert(s.sql("SELECT count(*) AS n FROM kv3 WHERE extra = 'e'")
+      .collect()(0).getLong(0) == 1)
+    s.sql("DROP TABLE kv3")
+  }
+
   test("COPY INTO from json files") {
     val s = newSession()
     val stageDir = Files.createTempDirectory("graft_stage_json").toString
