@@ -66,11 +66,18 @@ object Dml {
         case None => q(fd.name)
       }
     }.mkString(", ")
-    val updated = s.runQuery(
-      s"SELECT count(*) AS n FROM ${f.database}.${f.schema}.${f.table} WHERE $pred")
-      .collect()(0).getLong(0)
-    val next = s.runQuery(s"SELECT $proj FROM ${f.database}.${f.schema}.${f.table}")
+    // updated-row count piggybacks on the snapshot write via an Observation
+    // (CollectMetrics) — no separate count(*) scan of the table
+    val obs = org.apache.spark.sql.Observation()
+    val nextRaw = s.runQuery(
+      s"SELECT $proj, ($pred) AS __graft_upd FROM ${f.database}.${f.schema}.${f.table}")
+    val next = nextRaw
+      .observe(obs, org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("__graft_upd").cast("long")).as("updated"))
+      .drop("__graft_upd")
     s.swapSnapshot(f, ref, next)
+    val updated = obs.get.get("updated")
+      .collect { case n: Number => n.longValue }.getOrElse(0L)
     s.countStatus("number of rows updated", updated)
   }
 
@@ -141,9 +148,22 @@ object Dml {
       if (deletes.isEmpty) "TRUE"
       else deletes.map(d => s"NOT (${withCond(d)})").mkString(" AND ")
 
+    // Snowflake raises on nondeterministic merges (multiple source rows
+    // matching one target row) instead of silently fanning the target out;
+    // detect via a per-target-row match count (window over a synthetic row
+    // id) and raise inside the same job — no extra scan. The tid window
+    // adds one shuffle, the price of the duplicate check.
     val survivorsSql =
-      s"SELECT $proj FROM ${f.database}.${f.schema}.${f.table} ${q(tAlias)} LEFT JOIN $marked ON ($onCond) " +
-        s"WHERE $deleteFilter"
+      s"SELECT ${schema.fieldNames.map(q).mkString(", ")} FROM (" +
+        s"SELECT $proj, ($deleteFilter) AS __graft_keep, " +
+        s"count(CASE WHEN $matchedFlag THEN 1 END) " +
+        s"OVER (PARTITION BY ${q(tAlias)}.__graft_tid) AS __graft_mcnt " +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __graft_tid " +
+        s"FROM ${f.database}.${f.schema}.${f.table}) ${q(tAlias)} " +
+        s"LEFT JOIN $marked ON ($onCond)) " +
+      "WHERE __graft_keep AND assert_true(__graft_mcnt <= 1, " +
+        "'MERGE: multiple source rows match the same target row " +
+        "(nondeterministic merge)') IS NULL"
 
     val insertSql = inserts.map { ins =>
       val (cols, exprs) = parseInsert(ins.action, schema.fieldNames.toSeq)

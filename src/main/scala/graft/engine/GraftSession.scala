@@ -27,7 +27,13 @@ final class GraftSession(
 
   var currentDatabase: String = "GRAFT"
   var currentSchema: String = "PUBLIC"
-  val registry = new TableRegistry(spark)
+  /** Temp views live in the SHARED SparkSession, but registries and DML
+    * snapshots are per-GraftSession — a session-unique suffix keeps one
+    * session's `createOrReplaceTempView` from clobbering another's between
+    * substitution and execution (concurrent server sessions). */
+  private val sessionId = GraftSession.idSeq.incrementAndGet()
+  private[engine] def viewName(f: FQN): String = s"${f.flat}_s$sessionId"
+  val registry = new TableRegistry(spark, f => viewName(f))
   /** Stage name → base URL (DESCRIBE STAGE analog,
     * `universql/plugins/snow.py:600-618`). */
   private val stages = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -112,12 +118,43 @@ final class GraftSession(
   def runQuery(snowflakeSql: String): DataFrame = {
     val rewritten = SnowflakeRewriter.rewrite(snowflakeSql)
     // session-context functions resolve against THIS session (a shared
-    // SparkSession can't carry per-session UDF state)
-    val contextual = rewritten
-      .replaceAll("(?i)\\bCURRENT_DATABASE\\s*\\(\\s*\\)", s"'$currentDatabase'")
-      .replaceAll("(?i)\\bCURRENT_SCHEMA\\s*\\(\\s*\\)", s"'$currentSchema'")
+    // SparkSession can't carry per-session UDF state); token-level so the
+    // function name inside a string literal survives untouched
+    val contextual = substituteSessionContext(rewritten)
     val substituted = TableResolver.resolveAndSubstitute(contextual, this)
     spark.sql(substituted)
+  }
+
+  /** CURRENT_DATABASE() / CURRENT_SCHEMA() → session-value string literals,
+    * on the token stream (literals are already classified by the lexer). */
+  private def substituteSessionContext(sql: String): String = {
+    import SqlTokens._
+    val toks = lex(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Ident(w)
+            if w.equalsIgnoreCase("CURRENT_DATABASE") ||
+               w.equalsIgnoreCase("CURRENT_SCHEMA") =>
+          // must be followed by '(' ')' (whitespace/comments allowed)
+          var j = i + 1
+          while (j < toks.length && (toks(j).isInstanceOf[Ws] ||
+                 toks(j).isInstanceOf[Comment])) j += 1
+          var k = j + 1
+          while (k < toks.length && (toks(k).isInstanceOf[Ws] ||
+                 toks(k).isInstanceOf[Comment])) k += 1
+          if (j < toks.length && toks(j) == Op("(") &&
+              k < toks.length && toks(k) == Op(")")) {
+            val v = if (w.equalsIgnoreCase("CURRENT_DATABASE")) currentDatabase
+                    else currentSchema
+            out += Str("'" + v.replace("'", "''") + "'")
+            i = k + 1
+          } else { out += toks(i); i += 1 }
+        case t => out += t; i += 1
+      }
+    }
+    render(out.toSeq)
   }
 
   /** Used by [[TableResolver]]: materialize `fqn` as a flat temp view and
@@ -126,12 +163,12 @@ final class GraftSession(
   private[engine] def ensureView(f: FQN): Option[String] =
     if (f.schema == "INFORMATION_SCHEMA") {
       infoSchemaView(f.table).map { df =>
-        df.createOrReplaceTempView(f.flat); f.flat
+        df.createOrReplaceTempView(viewName(f)); viewName(f)
       }
     } else registry.resolve(f).map { ref =>
       if (ref.kind == TableKind.Lake)
-        registry.load(ref).createOrReplaceTempView(f.flat)
-      f.flat
+        registry.load(ref).createOrReplaceTempView(viewName(f))
+      viewName(f)
     }
 
   /** information_schema emulation (the reference ships fakesnow's
@@ -199,7 +236,7 @@ final class GraftSession(
       case asIdx(select) if isView =>
         val rewritten = TableResolver.resolveAndSubstitute(
           SnowflakeRewriter.rewrite(select), this)
-        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${f.flat} AS $rewritten")
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${viewName(f)} AS $rewritten")
         registry.register(TableRef(f, TableKind.Local, None))
         status(s"View ${f.table} successfully created.")
       case asIdx(select) =>
@@ -462,4 +499,8 @@ final class GraftSession(
     spark.createDataFrame(
       List(Row(msg)).asJava,
       StructType(Seq(StructField("status", StringType))))
+}
+
+object GraftSession {
+  private val idSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -67,9 +67,9 @@ object SnowflakeRewriter {
     "WEEKISO" -> "WEEKOFYEAR",
     "EDITDISTANCE" -> "LEVENSHTEIN",
     "LEN" -> "LENGTH",
-    "CHARINDEX" -> "INSTR",
-    "STRTOK_TO_ARRAY" -> "SPLIT",
-    "REGEXP_SUBSTR" -> "REGEXP_EXTRACT",
+    // CHARINDEX(substr, str[, pos]) shares Spark locate's argument order;
+    // INSTR would silently swap subject and needle.
+    "CHARINDEX" -> "LOCATE",
     "ARRAY_SIZE" -> "SIZE",
     "CURRENT_TIMESTAMP" -> "CURRENT_TIMESTAMP")
 
@@ -746,6 +746,46 @@ object SnowflakeRewriter {
               out ++= lex("))")
               i = close + 1
             } else { out += toks(i); i += 1 }
+          } else if (up == "REGEXP_SUBSTR") {
+            // Snowflake REGEXP_SUBSTR(subject, pattern[, …]) returns the
+            // WHOLE match (NULL when none); Spark regexp_extract defaults to
+            // group 1 and throws on group-less patterns — emit group 0 and
+            // map no-match '' back to NULL.
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2,
+              s"REGEXP_SUBSTR supports (subject, pattern); got ${argRanges.length} args")
+            out ++= lex("nullif(regexp_extract(")
+            out ++= rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
+            out += Op(",")
+            out ++= rewriteFunctions(toks.slice(argRanges(1)._1, argRanges(1)._2))
+            out ++= lex(", 0), '')")
+            i = close + 1
+          } else if (up == "STRTOK_TO_ARRAY") {
+            // Snowflake splits on ANY character of the (literal) delimiter
+            // set and drops empty tokens; Spark split() takes a regex —
+            // build a [..] character class and filter empties.
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.nonEmpty && argRanges.length <= 2,
+              "STRTOK_TO_ARRAY needs (string[, delimiters])")
+            val delim: String =
+              if (argRanges.length == 2) {
+                val dToks = toks.slice(argRanges(1)._1, argRanges(1)._2)
+                val sig = significant(dToks)
+                dToks(sig.head) match {
+                  case s: Str if sig.size == 1 => s.value
+                  case _ => throw new IllegalArgumentException(
+                    "STRTOK_TO_ARRAY requires a literal delimiter string")
+                }
+              } else " "
+            val regexCls = "[" + delim.flatMap(c =>
+              if (c.isLetterOrDigit || c == ' ') c.toString
+              else "\\" + c) + "]"
+            val sqlLit = "'" +
+              regexCls.replace("\\", "\\\\").replace("'", "''") + "'"
+            out ++= lex("filter(split(")
+            out ++= rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
+            out ++= lex(s", $sqlLit), x -> x <> '')")
+            i = close + 1
           } else if (up == "SQUARE") {
             val inner = rewriteFunctions(toks.slice(open + 1, close))
             out ++= lex("power((")

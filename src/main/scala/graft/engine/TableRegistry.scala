@@ -26,14 +26,15 @@ final case class TableRef(
   * with a local registry over the testdata lake + session-created tables.
   * Lookup is Snowflake-case-insensitive via [[Identifiers]] normalization.
   */
-final class TableRegistry(spark: SparkSession) {
+final class TableRegistry(spark: SparkSession,
+    viewNamer: FQN => String = _.flat) {
 
   private val tables = TrieMap.empty[FQN, TableRef]
 
   def register(ref: TableRef): Unit = tables.put(ref.fqn, ref)
 
   def drop(fqn: FQN): Boolean = {
-    spark.catalog.dropTempView(fqn.flat)
+    spark.catalog.dropTempView(viewNamer(fqn))
     tables.remove(fqn).isDefined
   }
 
@@ -61,7 +62,7 @@ final class TableRegistry(spark: SparkSession) {
 
   /** Load the DataFrame for a resolved table. */
   def load(ref: TableRef): DataFrame = ref.kind match {
-    case TableKind.Local => spark.table(ref.fqn.flat)
+    case TableKind.Local => spark.table(viewNamer(ref.fqn))
     case TableKind.Lake  =>
       val df =
         if (ref.format == "iceberg")

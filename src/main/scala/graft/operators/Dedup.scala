@@ -54,9 +54,12 @@ object Dedup {
     val filtered =
       if (maxShingleFreq == Int.MaxValue) sh
       else {
-        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
-          .filter(col("df_freq") <= maxShingleFreq)
-        sh.join(broadcast(freq.select("shingle")), Seq("shingle"))
+        // broadcast the OVER-cap set (stop-shingles: tiny, Zipf head) and
+        // anti-join — broadcasting the kept vocabulary would ship nearly
+        // every distinct shingle to every executor and OOM at web scale
+        val over = sh.groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+          .filter(col("df_freq") > maxShingleFreq)
+        sh.join(broadcast(over.select("shingle")), Seq("shingle"), "left_anti")
       }
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val a = filtered.select(col("doc").as("d1"), col("shingle"))

@@ -128,8 +128,10 @@ object Relational extends QueryPack {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord  = t(s, dir, "orders").filter(col("o_orderdate") < ntz("1998-03-15"))
       val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > ntz("1998-03-15"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // orders/customer are fact-scale (grow with SF) — no broadcast hints;
+      // AQE broadcasts them only when runtime stats say they fit
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
                  col("o_orderdate").cast(DateType).cast(StringType).as("orderdate"),
                  col("o_orderpriority"))
@@ -177,9 +179,11 @@ object Relational extends QueryPack {
       val supp = t(s, dir, "supplier")
       val nat  = t(s, dir, "nation")
       val reg  = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+      // hints only on the fixed-size dims (nation=25, region=5 rows);
+      // orders/customer/supplier grow with SF — AQE decides those
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -306,8 +310,8 @@ object Relational extends QueryPack {
         CAST(rank() OVER w AS INT) AS rk,
         CAST(dense_rank() OVER w AS INT) AS drk,
         CAST(ntile(4) OVER w AS INT) AS quartile,
-        round(CAST(o_totalprice AS DECIMAL(12,2)) -
-          CAST(first_value(o_totalprice) OVER w AS DECIMAL(12,2)), 2) AS gap_to_top,
+        CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) -
+          CAST(first_value(o_totalprice) OVER w AS DECIMAL(12,2)), 2) AS DOUBLE) AS gap_to_top,
         lead(o_orderkey, 1) OVER w AS next_key
       FROM orders WHERE o_orderkey <= 500
       WINDOW w AS (PARTITION BY o_orderpriority
@@ -322,7 +326,8 @@ object Relational extends QueryPack {
           dense_rank().over(w).as("drk"),
           ntile(4).over(w).as("quartile"),
           round(dec2(col("o_totalprice")) -
-            dec2(first(col("o_totalprice")).over(w)), 2).as("gap_to_top"),
+            dec2(first(col("o_totalprice")).over(w)), 2)
+            .cast(DoubleType).as("gap_to_top"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
         .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
     },

@@ -112,7 +112,7 @@ object SnowflakeSql extends QueryPack {
     // must match DuckDB's ANSI equivalents bit-for-bit at the wire.
     GQuery("snow09_type_matrix", Some("""
       SELECT
-        CAST(123 AS DECIMAL(10,2)) AS num_dec,
+        CAST(CAST(123 AS DECIMAL(10,2)) AS DOUBLE) AS num_dec,
         CAST(42 AS INTEGER) AS num_int,
         CAST(42 AS BIGINT) AS num_big,
         CAST(42 AS SMALLINT) AS num_small,
@@ -128,7 +128,7 @@ object SnowflakeSql extends QueryPack {
         to_json({'a': 1}) AS obj""")) { (s, dir) =>
       val df = session(s, dir).sql("""
         SELECT
-          123::NUMBER(10,2) AS num_dec,
+          123::NUMBER(10,2)::DOUBLE AS num_dec,
           42::INT AS num_int,
           42::BIGINT AS num_big,
           42::SMALLINT AS num_small,

@@ -107,4 +107,33 @@ class DmlSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) AS n FROM t_ms").collect()(0).getLong(0) == 25)
     s.sql("DROP TABLE t_ms")
   }
+
+  test("MERGE raises when multiple source rows match one target row") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_nd AS SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 3")
+    // two source rows per key 1 — Snowflake's default is to raise, not fan out
+    val e = intercept[Exception] {
+      s.sql(
+        """MERGE INTO t_nd USING (
+          |  SELECT 1 AS k, 'a' AS nm UNION ALL SELECT 1 AS k, 'b' AS nm
+          |) src ON t_nd.k = src.k
+          |WHEN MATCHED THEN UPDATE SET nm = src.nm""".stripMargin).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple source rows")), e.toString)
+    // table unchanged (failed snapshot write never swapped in)
+    assert(s.sql("SELECT count(*) AS n FROM t_nd").collect()(0).getLong(0) == 3)
+    s.sql("DROP TABLE t_nd")
+  }
+
+  test("MERGE with exactly one match per target row does not raise") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_ok AS SELECT n_nationkey AS k, n_name AS nm FROM nation")
+    s.sql(
+      """MERGE INTO t_ok USING (SELECT 1 AS k, 'x' AS nm) src ON t_ok.k = src.k
+        |WHEN MATCHED THEN UPDATE SET nm = src.nm""".stripMargin)
+    assert(s.sql("SELECT nm FROM t_ok WHERE k = 1").collect()(0).getString(0) == "x")
+    s.sql("DROP TABLE t_ok")
+  }
 }

@@ -201,6 +201,27 @@ class RewriterSpec extends AnyFunSuite {
       "SELECTarray_contains(arr,5)FROMt")
   }
 
+  test("CHARINDEX keeps (substr, str[, pos]) order via locate") {
+    assert(rw("SELECT CHARINDEX('x', s) FROM t") ==
+      "SELECT locate('x', s) FROM t")
+    assert(rw("SELECT CHARINDEX('x', s, 3) FROM t") ==
+      "SELECT locate('x', s, 3) FROM t")
+  }
+
+  test("REGEXP_SUBSTR returns the whole match (group 0), NULL on no match") {
+    val out = rw("SELECT REGEXP_SUBSTR(s, '[0-9]+') FROM t")
+    assert(out.replaceAll("\\s+", "") ==
+      "SELECTnullif(regexp_extract(s,'[0-9]+',0),'')FROMt")
+  }
+
+  test("STRTOK_TO_ARRAY splits on a character class, dropping empties") {
+    val out = rw("SELECT STRTOK_TO_ARRAY(s, '.,') FROM t")
+    assert(out.replaceAll("\\s+", "") ==
+      "SELECTfilter(split(s,'[\\\\.\\\\,]'),x->x<>'')FROMt")
+    // default delimiter is a space
+    assert(rw("SELECT STRTOK_TO_ARRAY(s) FROM t").contains("'[ ]'"))
+  }
+
   test("QUALIFY becomes a nested filtered select") {
     assert(rw("SELECT a, b FROM t QUALIFY row_number() OVER (ORDER BY a) <= 2 ORDER BY a") ==
       "SELECT * EXCEPT (__graft_q) FROM (SELECT a, b , " +

@@ -44,6 +44,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Long]("d1") == 1L && pairs(0).getAs[Long]("d2") == 2L)
   }
 
+  test("jaccard shingle-frequency cap: anti-join against the small over-cap set") {
+    // all four docs share the leading shingle (freq 4 > cap 3) — it must be
+    // dropped via a broadcast LEFT ANTI against the over-cap set, never by
+    // broadcasting the kept vocabulary (OOM at web scale)
+    val df = Seq(
+      (1L, "common stop words a b c d e f g"),
+      (2L, "common stop words a b c d e f h"),
+      (3L, "common stop words p q r s t u v"),
+      (4L, "common stop words j k l m n o z")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5, maxShingleFreq = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(physical.contains("LeftAnti"), physical)
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("BroadcastExchange"), physical)
+  }
+
   test("minhash LSH equals exact jaccard on near-dups") {
     val docs = (0L until 20L).map(i => (i, s"unique words number $i " +
       "padding tokens that differ completely between documents " + ("z" + i)))

@@ -26,6 +26,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+STRICT = False
+
+
 def cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -34,6 +37,10 @@ def cells_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
+    if STRICT:
+        # Mimic the driver's representation-sensitive hash: string renderings
+        # must match exactly (catches Decimal('123.00') vs float 123.0).
+        return str(a) == str(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             return float(a) == float(b)
@@ -43,6 +50,10 @@ def cells_equal(a, b) -> bool:
 
 
 def main():
+    global STRICT
+    if "--strict" in sys.argv:
+        STRICT = True
+        sys.argv.remove("--strict")
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
