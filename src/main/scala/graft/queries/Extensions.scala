@@ -105,20 +105,64 @@ object Extensions extends QueryPack {
         .orderBy("query_id", "rnk")
     },
 
-    // LSH recall < 1 by design → no equality oracle; driver records a
-    // rows-only check. Output is still deterministic.
-    GQuery("x07_ann_lsh_bucketed", None) { (s, dir) =>
-      Similarity.lshBucketedPairs(embs(s, dir), threshold = 0.4, dim = 64)
-        .orderBy("i", "j")
+    // LSH recall < 1 by design, so an equality oracle is impossible — but
+    // the recall CONTRACT is checkable: the verified LSH output must be a
+    // subset of the exact pair set (verification re-scores with the exact
+    // cosine) and must recover at least half of it at this banding. Both
+    // sides of the comparison are computed in-engine; DuckDB independently
+    // reproduces the exact pair count.
+    GQuery("x07_ann_lsh_bucketed", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        TRUE AS subset_ok, TRUE AS recall_ok
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE $cosineExpr >= 0.4""")) { (s, dir) =>
+      val e = embs(s, dir)
+      val exact = Similarity.thresholdPairs(e, threshold = 0.4)
+        .select(col("i"), col("j"), lit(1).as("ex"))
+      val found = Similarity.lshBucketedPairs(e, threshold = 0.4, dim = 64)
+        .select(col("i"), col("j"), lit(1).as("fo"))
+      exact.join(found, Seq("i", "j"), "full_outer")
+        .agg(sum(col("ex")).cast("long").as("n_exact"),
+             coalesce(sum(when(col("ex").isNull, 1)), lit(0)).as("n_extra"),
+             coalesce(sum(when(col("ex") === 1 && col("fo") === 1, 1)), lit(0))
+               .as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_extra") === 0).as("subset_ok"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.5).as("recall_ok"))
     },
 
-    // IVF probing misses lists by design → rows-only; recall is covered by
-    // the operator spec against brute force.
-    GQuery("x13_ann_ivf_topk", None) { (s, dir) =>
+    // IVF probing misses lists by design → same recall-contract oracle:
+    // top-k lists come from the exact brute-force ranking (x06 shape);
+    // IVF must recover ≥ 60% of them at nlist=8/nprobe=3. Training is
+    // deterministic (lowest-id init + fixed Lloyd steps).
+    GQuery("x13_ann_ivf_topk", Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        round(list_dot_product(a.v, b.v) /
+          sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS sim
+        FROM q JOIN e a ON a.vec_id = q.query_id
+        JOIN e b ON b.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+      FROM ranked WHERE rnk <= 5""")) { (s, dir) =>
       val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("ex"))
       val model = graft.operators.IvfIndex.train(e, nlist = 8, iters = 2)
-      graft.operators.IvfIndex.topK(e, e.filter(col("vec_id") < 10), model,
-        k = 5, nprobe = 3).orderBy("query_id", "rnk")
+      val ivf = graft.operators.IvfIndex.topK(e, queries, model,
+        k = 5, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("fo"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(sum(col("ex")).cast("long").as("n_exact"),
+             coalesce(sum(when(col("ex") === 1 && col("fo") === 1, 1)), lit(0))
+               .as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
     },
 
     // Salted skew join: result identical to the plain join (salting only

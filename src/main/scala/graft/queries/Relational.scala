@@ -332,15 +332,21 @@ object Relational extends QueryPack {
         .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
     },
 
-    // Approximate distinct: HLL sketches differ across engines, so this is
-    // a rows-only entry (no oracle); the exact companions are in
-    // q06_count_distinct. Included because ClickBench-scale count-distinct
-    // at 100 TB runs approx first.
-    GQuery("q29_approx_distinct", None) { (s, dir) =>
+    // Approximate distinct: HLL sketch values differ across engines, so the
+    // oracle checks the CONTRACT instead — the sketch must land within 5%
+    // of the exact count (HLL++ default error is ~2.3%); the exact count
+    // itself is oracled directly.
+    GQuery("q29_approx_distinct", Some("""
+      SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        TRUE AS approx_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
              countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("approx_ok"))
         .orderBy("l_returnflag")
     },
 
