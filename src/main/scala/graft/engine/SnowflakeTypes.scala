@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.functions.{col, lit, pmod, struct, to_json, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Spark schema → Snowflake wire-schema decoration (A23).
@@ -46,11 +46,16 @@ object SnowflakeTypes {
 
   /** Full wire payload: Snowflake's `rowsetBase64` — a base64 Arrow IPC
     * stream of the (wire-normalized) result, plus rowtype metadata
-    * (parity with `universql/protocol/snowflake.py:223-243`). */
+    * (parity with `universql/protocol/snowflake.py:223-243`). Timestamps
+    * go out as Snowflake's `{epoch, fraction}` structs and every Arrow
+    * field carries Snowflake column metadata, matching
+    * `universql/protocol/utils.py:137-249`. rowtype reflects the ORIGINAL
+    * logical schema (a struct-encoded timestamp is still TIMESTAMP_*). */
   def toRowsetBase64(df: DataFrame): (String, Seq[ColumnMeta]) = {
-    val wire = toWire(df)
-    val bytes = org.apache.spark.sql.GraftArrow.toArrowIpcStream(wire)
-    (java.util.Base64.getEncoder.encodeToString(bytes), rowType(wire))
+    val wire = toSnowflakeWire(df)
+    val meta = df.schema.fields.map(f => f.name -> wireFieldMetadata(f)).toMap
+    val bytes = org.apache.spark.sql.GraftArrow.toArrowIpcStream(wire, meta)
+    (java.util.Base64.getEncoder.encodeToString(bytes), rowType(df))
   }
 
   /** Normalize a result for the wire: ARRAY/STRUCT/MAP columns become JSON
@@ -65,5 +70,66 @@ object SnowflakeTypes {
       }
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** [[toWire]] plus Snowflake's wire timestamp encoding: each timestamp
+    * column becomes a struct `{epoch: int64 seconds, fraction: int32
+    * nanos-within-second}` (`universql/protocol/utils.py:173-220`; the
+    * reference nulls the fraction — TODO in its source — while this
+    * encoder emits the real sub-second part, which real Snowflake clients
+    * reassemble as epoch + fraction). Floor semantics via pmod keep
+    * pre-1970 instants correct: fraction is always in [0, 1e9). */
+  def toSnowflakeWire(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          to_json(col(s"`${f.name}`")).as(f.name)
+        case TimestampType | TimestampNTZType =>
+          // session TZ is UTC, so NTZ wallclock == UTC instant
+          val micros = unix_micros(col(s"`${f.name}`").cast(TimestampType))
+          val subMicros = pmod(micros, lit(1000000L))
+          struct(
+            ((micros - subMicros) / lit(1000000L)).cast(LongType).as("epoch"),
+            (subMicros * lit(1000L)).cast(IntegerType).as("fraction"))
+            .as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Per-column Arrow field metadata, mirroring the reference's maps in
+    * `universql/protocol/utils.py:138-249` (logicalType / precision /
+    * scale / physicalType / charLength / byteLength / final_type). */
+  def wireFieldMetadata(f: StructField): Map[String, String] = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Map("logicalType" -> "FIXED", "precision" -> "38", "scale" -> "0",
+        "physicalType" -> "SB8", "final_type" -> "T")
+    case d: DecimalType =>
+      Map("logicalType" -> "FIXED", "precision" -> d.precision.toString,
+        "scale" -> d.scale.toString, "physicalType" -> "SB16",
+        "final_type" -> "T")
+    case FloatType | DoubleType => Map("logicalType" -> "REAL")
+    case StringType =>
+      Map("logicalType" -> "TEXT",
+        "charLength" -> "16777216", "byteLength" -> "16777216")
+    case BinaryType => Map("logicalType" -> "BINARY", "byteLength" -> "8388608")
+    case BooleanType => Map("logicalType" -> "BOOLEAN")
+    case DateType => Map("logicalType" -> "DATE")
+    case TimestampNTZType =>
+      Map("logicalType" -> "TIMESTAMP_NTZ", "precision" -> "0",
+        "scale" -> "9", "physicalType" -> "SB16")
+    case TimestampType =>
+      Map("logicalType" -> "TIMESTAMP_LTZ", "precision" -> "0",
+        "scale" -> "9", "physicalType" -> "SB16", "final_type" -> "T")
+    case _: ArrayType =>
+      Map("logicalType" -> "ARRAY", "charLength" -> "16777216",
+        "byteLength" -> "16777216", "scale" -> "0", "precision" -> "38",
+        "finalType" -> "T")
+    case _: StructType | _: MapType =>
+      Map("logicalType" -> "OBJECT", "charLength" -> "16777216",
+        "byteLength" -> "16777216", "scale" -> "0", "precision" -> "38",
+        "finalType" -> "T")
+    case _ => Map("logicalType" -> "TEXT")
   }
 }

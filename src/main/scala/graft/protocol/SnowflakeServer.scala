@@ -68,9 +68,37 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     val data = mapper.createObjectNode()
     data.put("token", token)
     data.put("masterToken", token)
+    // static session-parameter set clients expect at login (the reference
+    // returns the same shape, `universql/util.py:63-204`; TIMEZONE pinned
+    // to UTC here because the engine runs with session TZ UTC)
     val params = data.putArray("parameters")
-    val p = params.addObject()
-    p.put("name", "TIMEZONE"); p.put("value", "UTC")
+    def sp(name: String, value: Any): Unit = {
+      val p = params.addObject()
+      p.put("name", name)
+      value match {
+        case b: Boolean => p.put("value", b)
+        case i: Int => p.put("value", i)
+        case s: String => p.put("value", s)
+        case other => p.put("value", other.toString)
+      }
+    }
+    sp("TIMEZONE", "UTC")
+    sp("AUTOCOMMIT", true)
+    sp("DATE_OUTPUT_FORMAT", "YYYY-MM-DD")
+    sp("TIME_OUTPUT_FORMAT", "HH24:MI:SS")
+    sp("TIMESTAMP_OUTPUT_FORMAT", "YYYY-MM-DD HH24:MI:SS.FF3 TZHTZM")
+    sp("TIMESTAMP_NTZ_OUTPUT_FORMAT", "YYYY-MM-DD HH24:MI:SS.FF3")
+    sp("TIMESTAMP_TZ_OUTPUT_FORMAT", "")
+    sp("BINARY_OUTPUT_FORMAT", "HEX")
+    sp("CLIENT_TIMESTAMP_TYPE_MAPPING", "TIMESTAMP_LTZ")
+    sp("CLIENT_PREFETCH_THREADS", 4)
+    sp("CLIENT_RESULT_CHUNK_SIZE", 640)
+    sp("CLIENT_SESSION_KEEP_ALIVE", false)
+    sp("CLIENT_SESSION_KEEP_ALIVE_HEARTBEAT_FREQUENCY", 36000)
+    sp("CLIENT_RESULT_COLUMN_CASE_INSENSITIVE", false)
+    sp("CLIENT_HONOR_CLIENT_TZ_FOR_TIMESTAMP_NTZ", true)
+    sp("CLIENT_USE_V1_QUERY_API", false)
+    sp("QUERY_CONTEXT_CACHE_SIZE", 5)
     val info = data.putObject("sessionInfo")
     info.put("databaseName", session.currentDatabase)
     info.put("schemaName", session.currentSchema)
@@ -103,7 +131,15 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       c.put("database", session.currentDatabase)
       c.put("schema", session.currentSchema)
       c.put("table", "")
-      c.putNull("length")
+      // charLength/byteLength analogs (reference surfaces these in Arrow
+      // field metadata, `universql/protocol/utils.py:26-30`)
+      m.logicalType match {
+        case "TEXT" | "ARRAY" | "OBJECT" =>
+          c.put("length", 16777216); c.put("byteLength", 16777216)
+        case "BINARY" =>
+          c.put("length", 8388608); c.put("byteLength", 8388608)
+        case _ => c.putNull("length"); c.putNull("byteLength")
+      }
     }
     ok(data)
   }

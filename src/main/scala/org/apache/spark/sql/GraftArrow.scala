@@ -17,7 +17,8 @@ import org.apache.spark.sql.util.ArrowUtils
   */
 object GraftArrow {
 
-  def toArrowIpcStream(df: Dataset[Row]): Array[Byte] = {
+  def toArrowIpcStream(df: Dataset[Row],
+      fieldMetadata: Map[String, Map[String, String]] = Map.empty): Array[Byte] = {
     val classic = df.asInstanceOf[ClassicDataFrame]
     val spark = classic.sparkSession
     val tz = spark.sessionState.conf.sessionLocalTimeZone
@@ -31,8 +32,15 @@ object GraftArrow {
     val out = new java.io.ByteArrayOutputStream()
     val ch = new org.apache.arrow.vector.ipc.WriteChannel(
       java.nio.channels.Channels.newChannel(out))
-    val arrowSchema = ArrowUtils.toArrowSchema(schema, tz,
+    val arrowSchema0 = ArrowUtils.toArrowSchema(schema, tz,
       errorOnDuplicatedFieldNames = false, largeVarTypes = false)
+    // Record batches carry no field names/metadata, so decorating the
+    // schema message alone attaches Snowflake column metadata to the
+    // stream (the reference sets pa.field(..., metadata=...) the same way,
+    // universql/protocol/utils.py:98-103,173-220)
+    val arrowSchema =
+      if (fieldMetadata.isEmpty) arrowSchema0
+      else withFieldMetadata(arrowSchema0, fieldMetadata)
     org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(ch, arrowSchema)
     // toBatchIterator emits MessageSerializer-framed record-batch bytes —
     // already in IPC stream message format, so they concatenate directly
@@ -41,6 +49,34 @@ object GraftArrow {
     ch.writeIntLittleEndian(-1)
     ch.writeIntLittleEndian(0)
     out.toByteArray
+  }
+
+  /** Rebuild an Arrow schema with per-field custom metadata; struct fields
+    * tagged as wire timestamps (`scale=9` + `physicalType=SB16`) propagate
+    * the metadata to their epoch/fraction children like the reference. */
+  private def withFieldMetadata(
+      schema: org.apache.arrow.vector.types.pojo.Schema,
+      fieldMetadata: Map[String, Map[String, String]])
+      : org.apache.arrow.vector.types.pojo.Schema = {
+    import org.apache.arrow.vector.types.pojo.{Field, FieldType, Schema}
+    import scala.jdk.CollectionConverters._
+    def decorate(f: Field, meta: Map[String, String], deep: Boolean): Field = {
+      val ft = new FieldType(f.isNullable, f.getType, f.getDictionary,
+        meta.asJava)
+      val children =
+        if (deep) f.getChildren.asScala.map(c => decorate(c, meta, deep = false))
+        else f.getChildren.asScala
+      new Field(f.getName, ft, children.toList.asJava)
+    }
+    new Schema(schema.getFields.asScala.map { f =>
+      fieldMetadata.get(f.getName) match {
+        case Some(meta) =>
+          val isTsStruct = meta.get("scale").contains("9") &&
+            meta.get("physicalType").contains("SB16")
+          decorate(f, meta, deep = isTsStruct)
+        case None => f
+      }
+    }.toList.asJava)
   }
 
   def fromArrowIpcStream(spark: SparkSession, bytes: Array[Byte]): Dataset[Row] = {

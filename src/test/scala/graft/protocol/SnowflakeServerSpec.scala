@@ -95,6 +95,66 @@ class SnowflakeServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("timestamps cross the wire as {epoch, fraction} structs with metadata") {
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val login = post(port, "/session/v1/login-request", "{}")
+      val token = login.path("data").path("token").asText()
+      // login returns the session-parameter set clients expect
+      val pNames = (0 until login.path("data").path("parameters").size())
+        .map(i => login.path("data").path("parameters").get(i)
+          .path("name").asText()).toSet
+      assert(pNames.contains("AUTOCOMMIT") &&
+        pNames.contains("DATE_OUTPUT_FORMAT") && pNames.contains("TIMEZONE"))
+
+      val resp = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT TIMESTAMP '2024-03-01 12:34:56.789' AS ts, 1 AS n"}""",
+        token = Some(token))
+      assert(resp.path("success").asBoolean(), resp.toString)
+      val data = resp.path("data")
+      // rowtype still reports the LOGICAL type, not the struct encoding
+      assert(data.path("rowtype").get(0).path("type").asText()
+        .startsWith("timestamp"))
+
+      val bytes = java.util.Base64.getDecoder.decode(
+        data.path("rowsetBase64").asText())
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new ByteArrayInputStream(bytes), alloc)
+      try {
+        val schema = reader.getVectorSchemaRoot.getSchema
+        val tsField = schema.getFields.get(0)
+        // Snowflake's wire shape: struct{epoch: int64, fraction: int32}
+        // with column metadata (universql/protocol/utils.py:173-220)
+        assert(tsField.getType.isInstanceOf[
+          org.apache.arrow.vector.types.pojo.ArrowType.Struct], tsField.toString)
+        val children = tsField.getChildren
+        assert(children.get(0).getName == "epoch")
+        assert(children.get(1).getName == "fraction")
+        val meta = tsField.getMetadata
+        assert(meta.get("logicalType").startsWith("TIMESTAMP"))
+        assert(meta.get("scale") == "9")
+        assert(meta.get("physicalType") == "SB16")
+
+        assert(reader.loadNextBatch())
+        val root = reader.getVectorSchemaRoot
+        val sv = root.getVector(0)
+          .asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+        val epoch = sv.getChild("epoch")
+          .asInstanceOf[org.apache.arrow.vector.BigIntVector].get(0)
+        val fraction = sv.getChild("fraction")
+          .asInstanceOf[org.apache.arrow.vector.IntVector].get(0)
+        // 2024-03-01T12:34:56.789Z = 1709296496 s + 789_000_000 ns
+        assert(epoch == 1709296496L, s"epoch $epoch")
+        assert(fraction == 789000000, s"fraction $fraction")
+        // plain columns keep native encoding + FIXED metadata
+        val nField = schema.getFields.get(1)
+        assert(nField.getMetadata.get("logicalType") == "FIXED")
+      } finally { reader.close(); alloc.close() }
+    } finally server.stop()
+  }
+
   test("two sessions keep independent USE state") {
     val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
     val port = server.start()
