@@ -7,13 +7,39 @@ package graft.engine
   * allow lists; defaults at `:260-300`; per-format disallow lists at
   * `:304-344`). DuckDB reader params there become Spark reader options
   * here; datetime tokens run through
-  * [[SnowflakeRewriter.translateDatetimeFormat]].
+  * [[SnowflakeRewriter.translateDatetimeFormat]]. Options with no Spark
+  * reader analog surface as structured fields on [[Mapped]] and are
+  * applied by the COPY executor (skip-lines, multi-value NULL_IF,
+  * BINARY_FORMAT decode, SIZE_LIMIT file budget, PURGE, FORCE).
   */
 object CopyOptions {
 
-  final case class Mapped(format: String, options: Map[String, String])
+  final case class Mapped(
+      format: String,
+      options: Map[String, String],
+      /** SKIP_HEADER > 1: drop this many leading lines per file (the
+        * reader implements it; Spark csv has no skip-n option). */
+      skipLines: Int = 0,
+      /** All NULL_IF values; the first is also set as Spark's nullValue,
+        * the rest are applied post-read. */
+      nullIf: Seq[String] = Nil,
+      /** HEX | BASE64 | UTF8 — how string fields decode into BINARY
+        * target columns. */
+      binaryFormat: Option[String] = None,
+      /** Stop loading new files once cumulative input bytes reach this. */
+      sizeLimit: Option[Long] = None,
+      /** Delete successfully loaded files afterwards. */
+      purge: Boolean = false,
+      /** Re-load files already recorded in the table's load history. */
+      force: Boolean = false)
 
   private val supportedFormats = Set("CSV", "JSON", "PARQUET", "AVRO")
+
+  /** `('a', 'b')` or `'a'` or bare token → list of unquoted values. */
+  private def parseList(v: String): Seq[String] =
+    v.trim.stripPrefix("(").stripSuffix(")")
+      .split(",").toSeq.map(_.trim.stripPrefix("'").stripSuffix("'"))
+      .filter(_.nonEmpty)
 
   /** @param raw upper-cased Snowflake option name → raw value text
     *            (quotes already stripped from string values). */
@@ -21,16 +47,22 @@ object CopyOptions {
     val fmt = raw.getOrElse("TYPE", "CSV").toUpperCase
     require(supportedFormats.contains(fmt), s"unsupported file format: $fmt")
     val opts = scala.collection.mutable.Map.empty[String, String]
+    var skipLines = 0
+    var nullIf: Seq[String] = Nil
+    var binaryFormat: Option[String] = None
+    var sizeLimit: Option[Long] = None
+    var purge = false
+    var force = false
     raw.foreach { case (k, v) =>
       (k, fmt) match {
         case ("TYPE", _) => // handled above
         case ("SKIP_HEADER", "CSV") =>
           // Spark reads the first line as header; Snowflake's SKIP_HEADER=n
-          // skips n lines. n=1 maps exactly; larger n is rejected loudly
-          // rather than silently mis-read.
+          // skips n lines — n=1 maps to header=true, larger n is a manual
+          // per-file line drop in the executor.
           val n = v.trim.toInt
-          require(n <= 1, s"SKIP_HEADER=$n not supported (only 0 or 1)")
           if (n == 1) opts += "header" -> "true"
+          else if (n > 1) skipLines = n
         case ("PARSE_HEADER", "CSV") =>
           if (v.equalsIgnoreCase("true")) opts += "header" -> "true"
         case ("FIELD_DELIMITER", "CSV")   => opts += "sep" -> v
@@ -39,9 +71,10 @@ object CopyOptions {
         case ("ESCAPE", "CSV")            => opts += "escape" -> v
         case ("ESCAPE_UNENCLOSED_FIELD", "CSV") => // no Spark analog; ignore
         case ("NULL_IF", _) =>
-          // Snowflake takes a list; Spark csv takes one nullValue.
-          opts += "nullValue" -> v.split(",").head.trim
-            .stripPrefix("(").stripSuffix(")").trim.stripPrefix("'").stripSuffix("'")
+          // Snowflake takes a list; Spark csv takes one nullValue — the
+          // first value maps there, the rest are post-read rewrites.
+          nullIf = parseList(v)
+          nullIf.headOption.foreach(h => opts += "nullValue" -> h)
         case ("COMPRESSION", _) =>
           if (!v.equalsIgnoreCase("AUTO") && !v.equalsIgnoreCase("NONE"))
             opts += "compression" -> v.toLowerCase
@@ -63,6 +96,32 @@ object CopyOptions {
           opts += "mode" -> (if (v.equalsIgnoreCase("CONTINUE")) "PERMISSIVE" else "FAILFAST")
         case ("STRIP_OUTER_ARRAY", "JSON") => opts += "multiLine" -> v.toLowerCase
         case ("ALLOW_DUPLICATE", "JSON") => // DuckDB-side no-op in reference
+        case ("BINARY_FORMAT", _) =>
+          val bf = v.toUpperCase.replace("-", "")
+          require(Set("HEX", "BASE64", "UTF8").contains(bf),
+            s"BINARY_FORMAT=$v not one of HEX|BASE64|UTF8")
+          binaryFormat = Some(bf)
+        case ("SKIP_BLANK_LINES", "CSV") =>
+          // Spark's csv parser (univocity) always skips blank lines —
+          // TRUE is the default behavior; FALSE cannot be honored.
+          require(v.equalsIgnoreCase("true"),
+            "SKIP_BLANK_LINES=FALSE not supported (parser always skips)")
+        case ("REPLACE_INVALID_CHARACTERS", _) =>
+          // Spark's UTF-8 text decode already substitutes U+FFFD for
+          // invalid byte sequences, which is exactly TRUE's behavior;
+          // FALSE (error out) cannot be honored.
+          require(v.equalsIgnoreCase("true"),
+            "REPLACE_INVALID_CHARACTERS=FALSE not supported " +
+              "(decoder always replaces)")
+        case ("ENABLE_OCTAL", "CSV") =>
+          require(v.equalsIgnoreCase("false"),
+            "ENABLE_OCTAL=TRUE not supported")
+        case ("SIZE_LIMIT", _) => sizeLimit = Some(v.trim.toLong)
+        case ("PURGE", _) => purge = v.equalsIgnoreCase("true")
+        case ("FORCE", _) => force = v.equalsIgnoreCase("true")
+        case ("FILE_EXTENSION", _) => // unload-only option; no-op on load
+        case ("MATCH_BY_COLUMN_NAME", _) => // self-describing formats
+          // already align by name in the executor; CSV stays positional
         case (_, _) => // unknown/inapplicable options ignored, like the
                        // reference's DISALLOWED_PARAMS_BY_FORMAT filter
       }
@@ -74,6 +133,7 @@ object CopyOptions {
     val fmtName =
       if (fmt == "AVRO") "org.apache.spark.sql.avro.AvroFileFormat"
       else fmt.toLowerCase
-    Mapped(fmtName, opts.toMap)
+    Mapped(fmtName, opts.toMap, skipLines, nullIf, binaryFormat,
+      sizeLimit, purge, force)
   }
 }

@@ -369,55 +369,163 @@ final class GraftSession(
   }
 
   // ── COPY INTO (A15) ────────────────────────────────────────────────────
+  /** Per-table load history: COPY skips files already loaded into a table
+    * unless FORCE=TRUE, matching Snowflake's default (the reference keeps
+    * this on the Snowflake side; here it lives with the registry). */
+  private val loadHistory =
+    scala.collection.concurrent.TrieMap.empty[FQN, Set[String]]
+
   private def doCopy(rawName: String, rest: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit, unbase64, unhex, when}
     val f = fqn(rawName)
     val ref = registry.resolve(f).getOrElse(
       throw new IllegalArgumentException(s"table $f does not exist"))
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
       s"cannot COPY into $f")
     // FROM <source> [FILES = ('f', …)] [FILE_FORMAT = ( ... )] [options]
-    val ffRe = "(?is)FILE_FORMAT\\s*=\\s*\\(([^)]*)\\)".r
+    // value lists like NULL_IF = ('a','b') nest one paren level inside the
+    // FILE_FORMAT group
+    val ffRe = "(?is)FILE_FORMAT\\s*=\\s*\\(((?:[^()]|\\([^)]*\\))*)\\)".r
     val filesRe = "(?is)FILES\\s*=\\s*\\(([^)]*)\\)".r
     val optsRaw = ffRe.findFirstMatchIn(rest).map(_.group(1)).getOrElse("")
     val filesList = filesRe.findFirstMatchIn(rest).map(_.group(1)).map(
       _.split(',').toSeq.map(_.trim.stripPrefix("'").stripSuffix("'"))
         .filter(_.nonEmpty)).getOrElse(Nil)
-    val source = filesRe.replaceAllIn(ffRe.replaceAllIn(rest, ""), "")
-      .trim.split("\\s+").headOption
+    val restNoGroups = filesRe.replaceAllIn(ffRe.replaceAllIn(rest, ""), "").trim
+    val source = restNoGroups.split("\\s+").headOption
       .getOrElse(throw new IllegalArgumentException("COPY INTO needs a source"))
+    // PURGE / FORCE / SIZE_LIMIT / ON_ERROR are statement-level options,
+    // outside the FILE_FORMAT group (`universql/plugins/snow.py:89-258`)
+    val topPairs = parseOptionPairs(restNoGroups.drop(source.length))
     val base = resolveStagePath(source)
     // explicit FILES pin the scan to those objects under the stage path
     // (reference: `expression.args['files']`, `universql/plugins/snow.py:391-398`)
     val urls =
       if (filesList.isEmpty) Seq(base)
       else filesList.map(f => s"${base.stripSuffix("/")}/$f")
-    val optPairs = parseOptionPairs(optsRaw)
-    val mapped = CopyOptions.map(optPairs)
+    val mapped = CopyOptions.map(parseOptionPairs(optsRaw) ++ topPairs)
     val target = registry.load(ref)
-    val reader = spark.read.format(mapped.format).options(mapped.options)
+
+    // expand stage paths (globs, directories incl. hive-partition layouts)
+    // to concrete files so SIZE_LIMIT / load history / PURGE operate at
+    // Snowflake's file granularity
+    val allFiles = expandFiles(urls)
+    var cum = 0L
+    val afterLimit = mapped.sizeLimit match {
+      case Some(lim) => allFiles.filter { case (_, len) =>
+        val take = cum < lim; cum += len; take } // ≥1 file always loads
+      case None => allFiles
+    }
+    val already = loadHistory.getOrElse(f, Set.empty)
+    val toLoad =
+      if (mapped.force) afterLimit
+      else afterLimit.filterNot { case (p, _) => already.contains(p) }
+    if (toLoad.isEmpty)
+      return status("Copy executed with 0 files processed.")
+    val paths = toLoad.map(_._1)
+
+    val reader0 = spark.read.format(mapped.format).options(mapped.options)
+    // basePath keeps hive-partition column discovery working even though
+    // we pass leaf files (reference injects hive_partitioning=true,
+    // `universql/plugins/snow.py:77-87`); only valid when the stage path
+    // is a directory
+    val basePathOk = {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.getFileStatus(p).isDirectory catch { case _: Exception => false }
+    }
+    val reader =
+      if (basePathOk) reader0.option("basePath", base) else reader0
+    val df0 =
+      if (mapped.format == "csv" && mapped.skipLines > 1) {
+        // SKIP_HEADER > 1: drop the first n lines of each file (partition 0
+        // of a per-file text read holds the file head), then csv-parse
+        import spark.implicits._
+        val lines = paths.map { p =>
+          spark.createDataset(
+            spark.read.textFile(p).rdd.mapPartitionsWithIndex((i, it) =>
+              if (i == 0) it.drop(mapped.skipLines) else it))
+        }.reduce(_ union _)
+        spark.read.options(mapped.options - "header")
+          .schema(target.schema).csv(lines)
+      } else if (mapped.format == "csv")
+        reader.schema(target.schema).load(paths: _*)
+      else reader.load(paths: _*)
+    // NULL_IF beyond the first value: post-read rewrites (Spark csv takes
+    // a single nullValue)
+    val extraNulls = mapped.nullIf.drop(1)
     val df =
-      if (mapped.format == "csv")
-        reader.schema(target.schema).load(urls: _*)
-      else reader.load(urls: _*)
+      if (mapped.format == "csv" && extraNulls.nonEmpty)
+        df0.select(df0.schema.fields.map { sf =>
+          val matched = extraNulls.foldLeft(lit(false))((acc, v) =>
+            acc || c(sf.name).cast("string") === v)
+          when(matched, lit(null).cast(sf.dataType))
+            .otherwise(c(sf.name)).as(sf.name)
+        }.toIndexedSeq: _*)
+      else df0
+    // BINARY_FORMAT decode for BINARY target columns (csv carries them as
+    // text); default UTF8 is the plain string→binary cast
+    def toTarget(src: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+      (dt, mapped.binaryFormat) match {
+        case (org.apache.spark.sql.types.BinaryType, Some("HEX")) =>
+          unhex(src.cast("string"))
+        case (org.apache.spark.sql.types.BinaryType, Some("BASE64")) =>
+          unbase64(src.cast("string"))
+        case _ => src.cast(dt)
+      }
     // CSV aligns by position (Snowflake semantics); self-describing
     // formats (json/parquet/avro) align by name, case-insensitively
     val aligned =
       if (mapped.format == "csv")
         df.toDF(target.schema.fieldNames.take(df.columns.length): _*)
           .select(target.schema.fields.map(sf =>
-            org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType))
-            .toIndexedSeq: _*)
+            toTarget(c(sf.name), sf.dataType).as(sf.name)).toIndexedSeq: _*)
       else {
-        val byName = df.columns.map(c => c.toUpperCase -> c).toMap
+        val byName = df.columns.map(x => x.toUpperCase -> x).toMap
         df.select(target.schema.fields.map { sf =>
           val src = byName.getOrElse(sf.name.toUpperCase,
             throw new IllegalArgumentException(
               s"source column for ${sf.name} not found in ${df.columns.mkString(",")}"))
-          org.apache.spark.sql.functions.col(src).cast(sf.dataType).as(sf.name)
+          toTarget(c(src), sf.dataType).as(sf.name)
         }.toIndexedSeq: _*)
       }
     aligned.write.mode("append").parquet(ref.path.get)
-    status(s"file(s) loaded into ${f.table}")
+    loadHistory.update(f, already ++ paths)
+    if (mapped.purge) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, false)
+      }
+    }
+    status(s"Copy executed with ${paths.length} files processed.")
+  }
+
+  /** Expand stage URLs (globs, directories — recursively, so hive
+    * partition layouts resolve) into concrete (file, size) pairs,
+    * skipping hidden/metadata files. */
+  private def expandFiles(urls: Seq[String]): Seq[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    urls.flatMap { u =>
+      val p = new Path(u)
+      val fs = p.getFileSystem(conf)
+      val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      val statuses = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(p))
+      statuses.flatMap { st =>
+        if (st.isDirectory) {
+          val it = fs.listFiles(st.getPath, true)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.FileStatus]
+          while (it.hasNext) out += it.next()
+          out.toSeq
+        } else Seq(st)
+      }
+    }.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => (st.getPath.toString, st.getLen))
   }
 
   /** `@stage/path` → stage URL + path; quoted literals pass through

@@ -284,10 +284,19 @@ class CopyOptionsSpec extends AnyFunSuite {
     val m = CopyOptions.map(Map("SKIP_HEADER" -> "1"))
     assert(m.options("header") == "true")
   }
-  test("skip_header>1 rejected loudly") {
-    intercept[IllegalArgumentException] {
-      CopyOptions.map(Map("SKIP_HEADER" -> "3"))
-    }
+  test("skip_header>1 becomes a manual per-file line drop") {
+    val m = CopyOptions.map(Map("SKIP_HEADER" -> "3"))
+    assert(m.skipLines == 3)
+    assert(!m.options.get("header").contains("true"))
+  }
+  test("statement-level options: size limit, purge, force, binary format") {
+    val m = CopyOptions.map(Map("SIZE_LIMIT" -> "1024", "PURGE" -> "TRUE",
+      "FORCE" -> "TRUE", "BINARY_FORMAT" -> "BASE64",
+      "NULL_IF" -> "('NULL', 'N/A', '')"))
+    assert(m.sizeLimit.contains(1024L) && m.purge && m.force)
+    assert(m.binaryFormat.contains("BASE64"))
+    assert(m.nullIf == Seq("NULL", "N/A"))
+    assert(m.options("nullValue") == "NULL")
   }
   test("delimiters, quotes, nulls, compression") {
     val m = CopyOptions.map(Map(

@@ -153,6 +153,79 @@ class SessionSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) AS n FROM nation_a").collect()(0).getLong(0) == 25)
   }
 
+  test("COPY INTO: SKIP_HEADER>1, multi NULL_IF, BINARY_FORMAT=HEX") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_opts").toString
+    // hand-written csv: 2 header-ish lines to skip, NULL markers, hex binary
+    Files.writeString(java.nio.file.Paths.get(stageDir, "d.csv"),
+      """junk line one
+        |junk line two
+        |1,alpha,6162
+        |2,NULL,6364
+        |3,N/A,6566
+        |""".stripMargin)
+    s.sql(s"CREATE STAGE opt_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE opt_t (id INT, name VARCHAR, payload BINARY)")
+    s.sql("""COPY INTO opt_t FROM @opt_stage/d.csv
+             FILE_FORMAT = (SKIP_HEADER = 2, NULL_IF = ('NULL', 'N/A'),
+                            BINARY_FORMAT = HEX)""")
+    val rows = s.sql("SELECT * FROM opt_t ORDER BY id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("NAME") == "alpha")
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1)) // both NULL_IF values
+    assert(new String(rows(0).getAs[Array[Byte]]("PAYLOAD")) == "ab") // unhex
+  }
+
+  test("COPY INTO: load history skips re-loads unless FORCE") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_hist").toString
+    Files.writeString(java.nio.file.Paths.get(stageDir, "h.csv"), "1\n2\n3\n")
+    s.sql(s"CREATE STAGE hist_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE hist_t (id INT)")
+    s.sql("COPY INTO hist_t FROM @hist_stage/h.csv")
+    // second COPY of the same file is a no-op by default (Snowflake
+    // load-history semantics) …
+    s.sql("COPY INTO hist_t FROM @hist_stage/h.csv")
+    assert(s.sql("SELECT count(*) AS n FROM hist_t").collect()(0).getLong(0) == 3)
+    // … and FORCE=TRUE re-loads
+    s.sql("COPY INTO hist_t FROM @hist_stage/h.csv FORCE = TRUE")
+    assert(s.sql("SELECT count(*) AS n FROM hist_t").collect()(0).getLong(0) == 6)
+  }
+
+  test("COPY INTO: SIZE_LIMIT bounds files, PURGE deletes loaded files") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_lim").toString
+    Files.writeString(java.nio.file.Paths.get(stageDir, "a.csv"), "1\n2\n")
+    Files.writeString(java.nio.file.Paths.get(stageDir, "b.csv"), "3\n4\n")
+    s.sql(s"CREATE STAGE lim_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE lim_t (id INT)")
+    // SIZE_LIMIT=1 byte: the first file always loads, the second is cut
+    s.sql("COPY INTO lim_t FROM @lim_stage SIZE_LIMIT = 1")
+    assert(s.sql("SELECT count(*) AS n FROM lim_t").collect()(0).getLong(0) == 2)
+    // PURGE removes the source files it loaded
+    s.sql("CREATE OR REPLACE TABLE purge_t (id INT)")
+    s.sql("COPY INTO purge_t FROM @lim_stage/b.csv PURGE = TRUE")
+    assert(s.sql("SELECT count(*) AS n FROM purge_t").collect()(0).getLong(0) == 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "b.csv")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "a.csv")))
+  }
+
+  test("COPY INTO rejects unsupported option values loudly") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_rej").toString
+    Files.writeString(java.nio.file.Paths.get(stageDir, "r.csv"), "1\n")
+    s.sql(s"CREATE STAGE rej_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE rej_t (id INT)")
+    intercept[Exception] {
+      s.sql("""COPY INTO rej_t FROM @rej_stage/r.csv
+               FILE_FORMAT = (ENABLE_OCTAL = TRUE)""")
+    }
+    intercept[Exception] {
+      s.sql("""COPY INTO rej_t FROM @rej_stage/r.csv
+               FILE_FORMAT = (SKIP_BLANK_LINES = FALSE)""")
+    }
+  }
+
   test("information_schema.tables and columns") {
     val s = newSession()
     val tabs = s.sql(
