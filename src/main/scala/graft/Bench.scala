@@ -1,11 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: one JSON line of per-query hot-run seconds.
   *
   * Hot-run semantics match BASELINE.md — the reference's ClickBench totals
   * are sums of each query's SECOND run — so an untimed warm pass runs
   * first (JVM/codegen warmup + page cache), then the timed pass.
+  *
+  * The gate-query pack at sf0.1 is dominated by Spark's fixed per-job
+  * overhead (~0.2 s scheduler/codegen floor), which says nothing about
+  * data-path throughput — so a HEAVY phase replicates lineitem/events
+  * ~100× (≈60 M lineitem rows, cached across runs in /tmp) and times
+  * ClickBench-shape aggregates where scan+agg cost dominates. Reported
+  * as `heavy` (per-query seconds) and `heavy_mrows_per_sec` (scanned
+  * M rows / sec per query), the unit BASELINE.md's DuckDB numbers
+  * (100 M rows / 9.3 s over 43 queries ≈ 460 M rows/s) are comparable
+  * in. Disable with SPARK_GRAFT_HEAVY=0; scale with
+  * SPARK_GRAFT_HEAVY_REPL.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +46,109 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val heavyJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_HEAVY", "1") != "0")
+        try heavyPhase(spark, sfDir)
+        catch { case e: Throwable =>
+          s""","heavy_error":"${e.getMessage.replace('"', '\'')}"""" }
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$heavyJson}""")
     spark.stop()
+  }
+
+  // ── heavy phase ─────────────────────────────────────────────────────────
+
+  private def heavyPhase(spark: SparkSession, sfDir: String): String = {
+    val repl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
+    val dir = ensureHeavyData(spark, sfDir, repl)
+    val li = spark.read.parquet(s"$dir/lineitem")
+    val ev = spark.read.parquet(s"$dir/events")
+    val liRows = li.count()
+    val evRows = ev.count()
+
+    // ClickBench-shape heavy aggregates: full scans, low/high-cardinality
+    // groupings, count-distinct, arithmetic projections, string matching.
+    // Every plan is scan → partial agg → exchange → final agg (+ top-k);
+    // no fact-side broadcasts, no windows over the full set.
+    val heavy: Seq[(String, () => DataFrame, Long)] = Seq(
+      ("h01_filter_agg", () => li.filter(col("l_quantity") > 25)
+        .agg(count(lit(1)), sum(col("l_extendedprice")),
+          avg(col("l_discount"))), liRows),
+      ("h02_group_lowcard", () => li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+          avg(col("l_discount")), count(lit(1))), liRows),
+      ("h03_group_highcard_topk", () => li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("rev").desc).limit(10), liRows),
+      ("h04_count_distinct", () => li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey"))), liRows),
+      ("h05_arith_revenue", () => li
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), liRows),
+      ("h06_having_topk", () => li.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+        .filter(col("n") > 100)
+        .orderBy(col("q").desc).limit(10), liRows),
+      ("h07_events_hourly", () => ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), avg(col("value")))
+        .orderBy(col("n").desc).limit(10), evRows),
+      ("h08_events_like", () => ev
+        .filter(col("props").like("%a%"))
+        .groupBy("event_type")
+        .agg(count(lit(1)), avg(col("value"))), evRows))
+
+    heavy.foreach { case (_, fn, _) =>
+      try fn().count() catch { case _: Throwable => } // warm
+    }
+    val timed = heavy.map { case (name, fn, rows) =>
+      val t0 = System.nanoTime()
+      try fn().count() catch { case _: Throwable => }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, rows / sec / 1e6)
+    }
+    val hq = timed.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val hr = timed.map { case (k, _, r) => s"\"" + k + "\":" + f"$r%.1f" }
+      .mkString("{", ",", "}")
+    val hTotal = timed.map(_._2).sum
+    s""","heavy":$hq,"heavy_total":$hTotal,"heavy_lineitem_rows":$liRows,""" +
+      s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr"""
+  }
+
+  /** Replicate lineitem/events `repl`× into a cached /tmp dir (content
+    * keyed by source dir + factor; reused across bench runs and rounds).
+    * Keys are offset per replica so count-distinct cardinalities scale
+    * with the data instead of collapsing onto the originals. */
+  private def ensureHeavyData(spark: SparkSession, sfDir: String,
+      repl: Int): String = {
+    val dir = f"/tmp/graft_heavy_${(sfDir + "@" + repl).hashCode}%08x"
+    val done = new java.io.File(s"$dir/events/_SUCCESS")
+    if (!done.exists()) {
+      val reps = array((0 until repl).map(lit): _*)
+      Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+          "l_shipdate")
+        .withColumn("rep", explode(reps))
+        .withColumn("l_orderkey",
+          col("l_orderkey") + col("rep").cast("long") * 100000000L)
+        .drop("rep")
+        // one file per core → a single task wave per scan
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/lineitem")
+      Tables.load(spark, sfDir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("rep", explode(reps))
+        .withColumn("event_id",
+          col("event_id") + col("rep").cast("long") * 1000000000L)
+        .withColumn("user_id",
+          col("user_id") + col("rep").cast("long") * 10000000L)
+        .drop("rep")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/events")
+    }
+    dir
   }
 }
