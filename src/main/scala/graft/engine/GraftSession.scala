@@ -37,6 +37,20 @@ final class GraftSession(
   /** Stage name → base URL (DESCRIBE STAGE analog,
     * `universql/plugins/snow.py:600-618`). */
   private val stages = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** External (Iceberg-REST / Polaris-shape) catalogs consulted on a
+    * registry miss, in attach order — the reference's `--universql-catalog`
+    * seam (`universql/catalog/iceberg.py`). Resolutions are cached into
+    * the session registry. */
+  private val externalCatalogs =
+    scala.collection.mutable.ArrayBuffer.empty[RestCatalog]
+
+  def attachRestCatalog(cat: RestCatalog): Unit =
+    externalCatalogs.synchronized { externalCatalogs += cat }
+
+  private def resolveExternal(f: FQN): Option[TableRef] =
+    externalCatalogs.synchronized {
+      externalCatalogs.iterator.flatMap(_.resolve(f)).nextOption()
+    }.map { ref => registry.register(ref); ref }
 
   spark.udf.register("current_warehouse", () => "x-spark")
 
@@ -165,7 +179,7 @@ final class GraftSession(
       infoSchemaView(f.table).map { df =>
         df.createOrReplaceTempView(viewName(f)); viewName(f)
       }
-    } else registry.resolve(f).map { ref =>
+    } else registry.resolve(f).orElse(resolveExternal(f)).map { ref =>
       if (ref.kind == TableKind.Lake)
         registry.load(ref).createOrReplaceTempView(viewName(f))
       viewName(f)
