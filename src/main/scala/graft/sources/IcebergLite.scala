@@ -22,9 +22,18 @@ import scala.jdk.CollectionConverters._
   *
   * Driver-side work is metadata-only (a few KB of Avro/JSON, as in real
   * Iceberg clients); data files are read distributed by Spark's parquet
-  * scan, so predicate pushdown/column pruning still apply. Row-level
-  * deletes (v2 positional/equality) are rejected loudly rather than
-  * silently mis-read.
+  * scan, so predicate pushdown/column pruning still apply.
+  *
+  * v2 row-level deletes are applied during scan:
+  *   - POSITION deletes (content=1): parquet delete files of
+  *     `(file_path, pos)` rows, applied as a distributed anti-join
+  *     against `_metadata.file_path` / `_metadata.row_index` — Spark's
+  *     native per-row file/position columns, so no per-row UDF work.
+  *   - EQUALITY deletes (content=2): delete-file rows anti-joined
+  *     null-safely on the delete file's columns, applied only to data
+  *     files with a strictly smaller data sequence number (the v2 rule;
+  *     data entries are grouped by sequence number, each group gets the
+  *     deletes that postdate it, groups union back).
   */
 object IcebergLite {
 
@@ -34,14 +43,71 @@ object IcebergLite {
   /** Data-file entry status in manifests: 0=EXISTING 1=ADDED 2=DELETED. */
   private val StatusDeleted = 2
 
+  private final case class DataEntry(path: String, seq: Long)
+  /** content: 1 = position deletes, 2 = equality deletes. */
+  private final case class DeleteEntry(path: String, content: Int, seq: Long)
+
   def scan(spark: SparkSession, metadataPath: String): DataFrame = {
-    val files = dataFiles(spark, metadataPath)
-    require(files.nonEmpty, s"Iceberg table at $metadataPath has no data files")
-    spark.read.parquet(files: _*)
+    import org.apache.spark.sql.functions._
+    val (dataEntries, deleteEntries) = planFiles(spark, metadataPath)
+    require(dataEntries.nonEmpty,
+      s"Iceberg table at $metadataPath has no data files")
+    if (deleteEntries.isEmpty)
+      return spark.read.parquet(dataEntries.map(_.path): _*)
+
+    val posFiles = deleteEntries.filter(_.content == 1)
+    val eqFiles = deleteEntries.filter(_.content == 2)
+    def normPath(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+
+    def readGroup(paths: Seq[String]): DataFrame = {
+      val df = spark.read.parquet(paths: _*)
+      if (posFiles.isEmpty) df
+      else {
+        // pos deletes name explicit (file, row) targets → safe globally
+        val withMeta = df.select(col("*"),
+          col("_metadata.file_path").as("__ice_path"),
+          col("_metadata.row_index").as("__ice_pos"))
+        val pd = spark.read.parquet(posFiles.map(_.path): _*)
+          .select(normPath(col("file_path")).as("__del_path"),
+            col("pos").as("__del_pos"))
+        withMeta.join(pd,
+            normPath(col("__ice_path")) === col("__del_path") &&
+              col("__ice_pos") === col("__del_pos"), "left_anti")
+          .drop("__ice_path", "__ice_pos")
+      }
+    }
+
+    val groups = dataEntries.groupBy(_.seq).toSeq.sortBy(_._1)
+    groups.map { case (seq, entries) =>
+      var df = readGroup(entries.map(_.path))
+      val applicable = eqFiles.filter(_.seq > seq)
+      // one anti-join per distinct delete-column set (delete files carry
+      // the equality columns by name)
+      applicable.groupBy(e =>
+          spark.read.parquet(e.path).columns.toSeq).foreach {
+        case (cols, fs) =>
+          val del = spark.read.parquet(fs.map(_.path): _*)
+            .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
+          val cond = cols.map(c => col(c) <=> col(s"__del_$c"))
+            .reduce(_ && _)
+          df = df.join(del, cond, "left_anti")
+      }
+      df
+    }.reduce(_ unionByName _)
   }
 
-  /** Resolve current data file paths from a metadata.json. */
-  def dataFiles(spark: SparkSession, metadataPath: String): Seq[String] = {
+  /** Resolve current data file paths from a metadata.json (delete files
+    * excluded — callers wanting delete-aware reads use [[scan]]). */
+  def dataFiles(spark: SparkSession, metadataPath: String): Seq[String] =
+    planFiles(spark, metadataPath)._1.map(_.path).distinct
+
+  /** Walk metadata.json → manifest list → manifests, returning data-file
+    * and delete-file entries with their data sequence numbers (entry
+    * sequence number, inherited from the manifest list when null — the
+    * v2 inheritance rule). */
+  private def planFiles(spark: SparkSession, metadataPath: String)
+      : (Seq[DataEntry], Seq[DeleteEntry]) = {
     val meta = mapper.readTree(
       Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
     val snapId = meta.path("current-snapshot-id").asLong(-1)
@@ -54,20 +120,35 @@ object IcebergLite {
 
     // manifest list: one row per manifest; content 1 = delete manifest (v2)
     val manifests = spark.read.format(avroFmt).load(manifestList).collect()
-    val deleteManifests = manifests.filter(r =>
-      r.schema.fieldNames.contains("content") &&
-        !r.isNullAt(r.fieldIndex("content")) &&
-        r.getAs[Int]("content") == 1)
-    require(deleteManifests.isEmpty,
-      "Iceberg v2 delete manifests are not supported by this reader")
-    val manifestPaths = manifests
-      .map(r => stripScheme(r.getAs[String]("manifest_path"))).toSeq
+    def longField(r: org.apache.spark.sql.Row, name: String): Option[Long] =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.getAs[Number](name).longValue)
+      else None
+    def intField(r: org.apache.spark.sql.Row, name: String): Option[Int] =
+      longField(r, name).map(_.toInt)
 
-    // manifests: one row per data-file entry
-    val entries = spark.read.format(avroFmt).load(manifestPaths: _*)
-      .select("status", "data_file.file_path").collect()
-    entries.filter(_.getInt(0) != StatusDeleted)
-      .map(r => stripScheme(r.getString(1))).toSeq.distinct
+    val dataOut = Seq.newBuilder[DataEntry]
+    val delOut = Seq.newBuilder[DeleteEntry]
+    manifests.foreach { m =>
+      val mPath = stripScheme(m.getAs[String]("manifest_path"))
+      val isDeleteManifest = intField(m, "content").contains(1)
+      val mSeq = longField(m, "sequence_number").getOrElse(0L)
+      // read each manifest separately: data and delete manifests have
+      // different Avro schemas
+      val entries = spark.read.format(avroFmt).load(mPath).collect()
+      entries.foreach { e =>
+        if (e.getAs[Int]("status") != StatusDeleted) {
+          val eSeq = longField(e, "sequence_number").getOrElse(mSeq)
+          val dataFile = e.getAs[org.apache.spark.sql.Row]("data_file")
+          val path = stripScheme(dataFile.getAs[String]("file_path"))
+          val fileContent = intField(dataFile, "content").getOrElse(0)
+          if (isDeleteManifest || fileContent > 0)
+            delOut += DeleteEntry(path, math.max(fileContent, 1), eSeq)
+          else dataOut += DataEntry(path, eSeq)
+        }
+      }
+    }
+    (dataOut.result(), delOut.result())
   }
 
   private def stripScheme(p: String): String =

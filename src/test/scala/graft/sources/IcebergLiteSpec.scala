@@ -98,6 +98,72 @@ class IcebergLiteSpec extends AnyFunSuite {
     s.sql("DROP TABLE nat_ice")
   }
 
+  test("v2 row-level deletes: position and equality files applied on scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // snapshot 1: a plain data table of 25 nation rows
+    val root = Files.createTempDirectory("graft_ice_v2del").toString
+    val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val metaV1 = IcebergLite.write(spark, nation, s"$root/t")
+    val dataFiles = IcebergLite.dataFiles(spark, metaV1)
+    val dataManifest = s"$root/t/metadata/manifest-s1"
+
+    // a POSITION delete file: rows 0 and 1 of the first data file
+    val posDir = s"$root/t/data/posdel"
+    Seq((dataFiles.head, 0L), (dataFiles.head, 1L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(posDir)
+    val posFile = Files.list(java.nio.file.Paths.get(posDir)).iterator()
+      .asScala.map(_.toString).find(_.endsWith(".parquet")).get
+
+    // an EQUALITY delete file: nationkeys 20 and 24 by column value
+    val eqDir = s"$root/t/data/eqdel"
+    Seq(20, 24).toDF("n_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(eqDir)
+    val eqFile = Files.list(java.nio.file.Paths.get(eqDir)).iterator()
+      .asScala.map(_.toString).find(_.endsWith(".parquet")).get
+
+    // delete manifests (v2 shape: data_file.content 1=pos 2=eq) at seq 2
+    val posManifest = s"$root/t/metadata/manifest-posdel"
+    Seq((1, 2L, 1, posFile)).toDF("status", "sequence_number", "content", "file_path")
+      .select(col("status"), col("sequence_number"),
+        struct(col("content"), col("file_path"),
+          lit("PARQUET").as("file_format")).as("data_file"))
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(posManifest)
+    val eqManifest = s"$root/t/metadata/manifest-eqdel"
+    Seq((1, 2L, 2, eqFile)).toDF("status", "sequence_number", "content", "file_path")
+      .select(col("status"), col("sequence_number"),
+        struct(col("content"), col("file_path"),
+          lit("PARQUET").as("file_format")).as("data_file"))
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(eqManifest)
+
+    // snapshot 2's manifest list: data manifest (content 0, seq 1) + the
+    // two delete manifests (content 1, seq 2)
+    val listDir = s"$root/t/metadata/manifest-list-s2del"
+    Seq((dataManifest, 0, 1L), (posManifest, 1, 2L), (eqManifest, 1, 2L))
+      .toDF("manifest_path", "content", "sequence_number")
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(listDir)
+    val metaV2 = s"$root/t/metadata/v2.metadata.json"
+    Files.write(java.nio.file.Paths.get(metaV2),
+      s"""{"format-version": 2, "current-snapshot-id": 2,
+         | "snapshots": [{"snapshot-id": 2, "manifest-list": "$listDir"}]}"""
+        .stripMargin.getBytes)
+
+    val got = IcebergLite.scan(spark, metaV2)
+    val keys = got.select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    // the first two rows (by position) of data file 1 are gone…
+    val firstTwo = spark.read.parquet(dataFiles.head)
+      .limit(2).collect().map(_.getAs[Number](0).longValue).toSet
+    assert(got.count() == 25 - 2 - 2)
+    assert(firstTwo.forall(k => !keys.contains(k)))
+    // …and the equality-deleted keys are gone
+    assert(!keys.contains(20L) && !keys.contains(24L))
+    // snapshot 1 unaffected (time travel still sees all rows)
+    assert(IcebergLite.scan(spark, metaV1).count() == 25)
+  }
+
   test("registry seam: iceberg-format table queryable through the session") {
     val metadataPath = buildTable()
     val s = new GraftSession(spark)
