@@ -34,9 +34,17 @@ object Streaming extends QueryPack {
     d.toString
   }
 
-  private def runStream(s: SparkSession, dir: String)(
+  /** Drain a stream through a DISTRIBUTED sink: each micro-batch writes
+    * parquet via foreachBatch (complete mode overwrites — the last batch
+    * is the full result; update mode appends). Nothing is collected to
+    * the driver, unlike a memory sink — this is the shape that survives
+    * a real cluster, not just an oracle harness. */
+  private def runStream(s: SparkSession, dir: String,
+      outputMode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
-    val qn = s"graft_stream_${counter.incrementAndGet()}"
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_out_${counter.incrementAndGet()}")
+      .toString
     // the drain is synchronous; the extra no-data micro-batch only adds
     // latency here
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -44,13 +52,16 @@ object Streaming extends QueryPack {
       .parquet(asDir(dir))
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val writeMode = if (outputMode == "complete") "overwrite" else "append"
     val q = transform(src).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qn)
+      .outputMode(outputMode)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode(writeMode).parquet(outDir)
+      }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.table(qn)
+    s.read.parquet(outDir)
   }
 
   val all: Seq[GQuery] = Seq(
@@ -84,6 +95,36 @@ object Streaming extends QueryPack {
                size(collect_set(col("event_type"))).cast(LongType).as("n_types"),
                max(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
                  .as("max_value"))
+      }.orderBy("user_id")
+    },
+
+    // Custom keyed state via mapGroupsWithState — the API a 100 TB
+    // pipeline uses for per-entity state machines (dedup windows, session
+    // carts, rate counters). State updates use exact DECIMAL(12,2)
+    // addition so the running sum is order-independent and the DuckDB
+    // oracle matches bit-for-bit after the final cast to double.
+    GQuery("stream03_stateful_rollup", Some("""
+      SELECT user_id, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY user_id""")) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      runStream(s, dir, outputMode = "update") { src =>
+        src.select(col("user_id"),
+            col("value").cast(DecimalType(12, 2)).as("value"))
+          .as[(Long, java.math.BigDecimal)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[(Long, java.math.BigDecimal), (Long, Long, Double)](
+            GroupStateTimeout.NoTimeout) { case (uid, events, state) =>
+            val evs = events.toSeq
+            val (pn, pSum) = state.getOption
+              .getOrElse((0L, java.math.BigDecimal.ZERO))
+            val n = pn + evs.size
+            val sum = evs.foldLeft(pSum)((acc, e) => acc.add(e._2))
+            state.update((n, sum))
+            (uid, n, sum.doubleValue)
+          }
+          .toDF("user_id", "n_events", "sum_value")
       }.orderBy("user_id")
     }
   )
