@@ -51,6 +51,13 @@ object SnowflakeRewriter {
 
   private val fnRename: Map[String, String] = Map(
     "IFF" -> "IF",
+    "NVL" -> "COALESCE",
+    "IFNULL" -> "COALESCE",
+    // Snowflake POSITION(substr, str[, pos]) matches locate's arg order
+    "POSITION" -> "LOCATE",
+    "UUID_STRING" -> "UUID",
+    "TO_ARRAY" -> "ARRAY",
+    "ARRAY_TO_STRING" -> "ARRAY_JOIN",
     "ARRAY_CONSTRUCT" -> "ARRAY",
     "OBJECT_CONSTRUCT" -> "NAMED_STRUCT",
     "GETDATE" -> "CURRENT_TIMESTAMP",
@@ -76,7 +83,8 @@ object SnowflakeRewriter {
   /** Functions whose call collapses to their (single) argument: VARIANT is
     * already JSON text here (reference stores VARIANT as JSON,
     * `universql/warehouse/duckdb.py:443-444`). */
-  private val passThroughFns = Set("PARSE_JSON", "TO_VARIANT", "TO_JSON")
+  private val passThroughFns =
+    Set("PARSE_JSON", "TRY_PARSE_JSON", "TO_VARIANT", "TO_JSON")
 
   /** Snowflake conversion functions → [TRY_]CAST target types. */
   private val castFns: Map[String, (String, Boolean)] = Map(
@@ -746,6 +754,54 @@ object SnowflakeRewriter {
               out ++= lex("))")
               i = close + 1
             } else { out += toks(i); i += 1 }
+          } else if (up == "NVL2") {
+            // NVL2(a, b, c) → IF(a IS NOT NULL, b, c)
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 3, "NVL2 needs 3 arguments")
+            val Seq(a, b, cc) = argRanges.map(r =>
+              rewriteFunctions(toks.slice(r._1, r._2)))
+            out ++= lex("if((")
+            out ++= a
+            out ++= lex(") IS NOT NULL, ")
+            out ++= b
+            out += Op(",")
+            out ++= cc
+            out += Op(")")
+            i = close + 1
+          } else if (up == "REGEXP_COUNT") {
+            // REGEXP_COUNT(s, p) → size(regexp_extract_all(s, p, 0))
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2,
+              s"REGEXP_COUNT supports (subject, pattern); got ${argRanges.length}")
+            out ++= lex("size(regexp_extract_all(")
+            out ++= rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
+            out += Op(",")
+            out ++= rewriteFunctions(toks.slice(argRanges(1)._1, argRanges(1)._2))
+            out ++= lex(", 0))")
+            i = close + 1
+          } else if (up == "ARRAY_SLICE") {
+            // Snowflake ARRAY_SLICE(arr, from, to): 0-based, to-exclusive;
+            // Spark slice(arr, start, length): 1-based start
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 3, "ARRAY_SLICE needs 3 arguments")
+            val Seq(arr, from, toArg) = argRanges.map(r =>
+              rewriteFunctions(toks.slice(r._1, r._2)))
+            out ++= lex("slice(")
+            out ++= arr
+            out ++= lex(", (")
+            out ++= from
+            out ++= lex(") + 1, (")
+            out ++= toArg
+            out ++= lex(") - (")
+            out ++= from
+            out ++= lex("))")
+            i = close + 1
+          } else if (up == "DAYOFWEEKISO") {
+            // ISO day-of-week (Mon=1..Sun=7); Spark weekday is Mon=0
+            out ++= lex("(weekday(")
+            out ++= rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex(") + 1)")
+            i = close + 1
           } else if (up == "REGEXP_SUBSTR") {
             // Snowflake REGEXP_SUBSTR(subject, pattern[, …]) returns the
             // WHOLE match (NULL when none); Spark regexp_extract defaults to

@@ -201,6 +201,27 @@ class RewriterSpec extends AnyFunSuite {
       "SELECTarray_contains(arr,5)FROMt")
   }
 
+  test("NVL family, NVL2, and conversion extras") {
+    assert(rw("SELECT NVL(a, 0), IFNULL(b, '') FROM t") ==
+      "SELECT coalesce(a, 0), coalesce(b, '') FROM t")
+    assert(rw("SELECT NVL2(a, b, c) FROM t").replaceAll("\\s+", "") ==
+      "SELECTif((a)ISNOTNULL,b,c)FROMt")
+    assert(rw("SELECT POSITION('x', s) FROM t") ==
+      "SELECT locate('x', s) FROM t")
+  }
+
+  test("REGEXP_COUNT, ARRAY_SLICE, DAYOFWEEKISO") {
+    assert(rw("SELECT REGEXP_COUNT(s, '[0-9]+') FROM t").replaceAll("\\s+", "") ==
+      "SELECTsize(regexp_extract_all(s,'[0-9]+',0))FROMt")
+    assert(rw("SELECT ARRAY_SLICE(arr, 1, 3) FROM t").replaceAll("\\s+", "") ==
+      "SELECTslice(arr,(1)+1,(3)-(1))FROMt")
+    assert(rw("SELECT DAYOFWEEKISO(d) FROM t").replaceAll("\\s+", "") ==
+      "SELECT(weekday(d)+1)FROMt")
+    assert(rw("SELECT ARRAY_TO_STRING(arr, ',') FROM t") ==
+      "SELECT array_join(arr, ',') FROM t")
+    assert(rw("SELECT TRY_PARSE_JSON(s) FROM t") == "SELECT (s) FROM t")
+  }
+
   test("CHARINDEX keeps (substr, str[, pos]) order via locate") {
     assert(rw("SELECT CHARINDEX('x', s) FROM t") ==
       "SELECT locate('x', s) FROM t")

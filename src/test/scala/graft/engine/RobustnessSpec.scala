@@ -31,6 +31,20 @@ class RobustnessSpec extends AnyFunSuite {
     assert(r.getString(1) == "b's ::int")
   }
 
+  test("CURRENT_DATABASE() substitutes as a call but survives in literals") {
+    val s = newSession()
+    val r = s.sql(
+      "SELECT CURRENT_DATABASE() AS db, 'CURRENT_DATABASE()' AS lit, " +
+        "CURRENT_SCHEMA( /* c */ ) AS sch").collect()(0)
+    assert(r.getString(0) == "GRAFT")
+    assert(r.getString(1) == "CURRENT_DATABASE()") // literal untouched
+    assert(r.getString(2) == "PUBLIC") // comments inside the call parens ok
+    // session state changes are reflected
+    s.sql("USE DATABASE otherdb")
+    assert(s.sql("SELECT CURRENT_DATABASE() AS db").collect()(0)
+      .getString(0) == "OTHERDB")
+  }
+
   test("comments between rewritten tokens") {
     val s = newSession()
     val n = s.sql(
