@@ -107,6 +107,7 @@ final class GraftSession(
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
   private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES)\\b.*$".r
+  private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   private val descRe  = "(?is)^DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val stageRe =
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?STAGE\\s+([\\w$\".]+)\\s+.*?URL\\s*=\\s*'([^']+)'.*$".r
@@ -120,6 +121,7 @@ final class GraftSession(
       doCreate(orReplace != null, temp != null, kind.equalsIgnoreCase("VIEW"),
         ifNotExists != null, name, rest, iceberg != null)
     case dropRe(ifExists, name) => doDrop(ifExists != null, name)
+    case truncateRe(name) => doTruncate(name)
     case insertRe(overwrite, name, body) => doInsert(overwrite != null, name, body)
     case copyRe(name, rest) => doCopy(name, rest)
     case showRe(what) => doShow(what.toUpperCase)
@@ -246,7 +248,20 @@ final class GraftSession(
       throw new IllegalArgumentException(s"object $f already exists")
     }
     val asIdx = "(?is)^(?:\\([^)]*\\)\\s*)?AS\\s+(.*)$".r
+    val cloneRe = "(?is)^CLONE\\s+([\\w$\".]+)\\s*$".r
     rest.trim match {
+      case cloneRe(srcName) =>
+        // Zero-copy clone: snapshots are immutable (copy-on-write DML), so
+        // the clone just points at the source's current snapshot — exactly
+        // Snowflake's CLONE semantics; subsequent DML on either side lands
+        // on its own new snapshot.
+        val src = fqn(srcName)
+        val srcRef = registry.resolve(src).getOrElse(
+          throw new IllegalArgumentException(s"clone source $src does not exist"))
+        require(srcRef.kind == TableKind.Lake && srcRef.path.isDefined,
+          s"cannot CLONE non-lake object $src")
+        registry.register(TableRef(f, TableKind.Lake, srcRef.path, srcRef.format))
+        status(s"Table ${f.table} successfully created.")
       case asIdx(select) if isView =>
         val rewritten = TableResolver.resolveAndSubstitute(
           SnowflakeRewriter.rewrite(select), this)
@@ -322,6 +337,21 @@ final class GraftSession(
   private def tablePath(f: FQN, temp: Boolean): String = {
     val base = if (temp) s"$warehouseDir/_temp" else warehouseDir
     s"$base/${f.database}/${f.schema}/${f.table}"
+  }
+
+  /** TRUNCATE TABLE: a copy-on-write swap to an empty snapshot with the
+    * same schema (the table keeps its identity and type signature). */
+  private def doTruncate(rawName: String): DataFrame = {
+    val f = fqn(rawName)
+    val ref = registry.resolve(f).getOrElse(
+      throw new IllegalArgumentException(s"table $f does not exist"))
+    require(ref.kind == TableKind.Lake && ref.path.isDefined,
+      s"cannot TRUNCATE $f")
+    val schema = registry.load(ref).schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    swapSnapshot(f, ref, empty)
+    status("Statement executed successfully.")
   }
 
   // ── DROP (A13) ─────────────────────────────────────────────────────────

@@ -754,6 +754,30 @@ object SnowflakeRewriter {
               out ++= lex("))")
               i = close + 1
             } else { out += toks(i); i += 1 }
+          } else if (up == "GET") {
+            // GET(arr, n) is 0-based → element_at(arr, n+1);
+            // GET(variant, 'key') → get_json_object (VARIANT is JSON text
+            // in this engine, §1.2). Literal accessors only — the token
+            // layer has no type information for the general case.
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2, "GET needs 2 arguments")
+            val subject = rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2))
+            val accToks = toks.slice(argRanges(1)._1, argRanges(1)._2)
+            val accSig = significant(accToks)
+            (if (accSig.size == 1) Some(accToks(accSig.head)) else None) match {
+              case Some(Num(n)) if n.matches("\\d+") =>
+                out ++= lex("element_at(")
+                out ++= subject
+                out ++= lex(s", ${n.toLong + 1})")
+              case Some(s: Str) =>
+                out ++= lex("get_json_object(")
+                out ++= subject
+                out ++= lex(s", '$$.${s.value.replace("'", "''")}')")
+              case _ => throw new IllegalArgumentException(
+                "GET supports a literal index or key accessor")
+            }
+            i = close + 1
           } else if (up == "NVL2") {
             // NVL2(a, b, c) → IF(a IS NOT NULL, b, c)
             val argRanges = splitArgs(toks, open, close)

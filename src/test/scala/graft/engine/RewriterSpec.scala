@@ -222,6 +222,14 @@ class RewriterSpec extends AnyFunSuite {
     assert(rw("SELECT TRY_PARSE_JSON(s) FROM t") == "SELECT (s) FROM t")
   }
 
+  test("GET: 0-based array index and variant key accessors") {
+    assert(rw("SELECT GET(arr, 0) FROM t").replaceAll("\\s+", "") ==
+      "SELECTelement_at(arr,1)FROMt")
+    assert(rw("SELECT GET(v, 'k') FROM t").replaceAll("\\s+", "") ==
+      "SELECTget_json_object(v,'$.k')FROMt")
+    intercept[IllegalArgumentException] { rw("SELECT GET(v, x + 1) FROM t") }
+  }
+
   test("CHARINDEX keeps (substr, str[, pos]) order via locate") {
     assert(rw("SELECT CHARINDEX('x', s) FROM t") ==
       "SELECT locate('x', s) FROM t")

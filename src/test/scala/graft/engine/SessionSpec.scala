@@ -226,6 +226,22 @@ class SessionSpec extends AnyFunSuite {
     }
   }
 
+  test("TRUNCATE TABLE empties but keeps schema; CLONE is zero-copy COW") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_tr AS SELECT * FROM region")
+    // zero-copy clone points at the same snapshot…
+    s.sql("CREATE TABLE t_cl CLONE t_tr")
+    assert(s.sql("SELECT count(*) AS n FROM t_cl").collect()(0).getLong(0) == 5)
+    // …then each side's DML lands on its own snapshot
+    s.sql("TRUNCATE TABLE t_tr")
+    assert(s.sql("SELECT count(*) AS n FROM t_tr").collect()(0).getLong(0) == 0)
+    assert(s.sql("SELECT count(*) AS n FROM t_cl").collect()(0).getLong(0) == 5)
+    // schema survives truncation: inserts still align
+    s.sql("INSERT INTO t_tr SELECT * FROM region WHERE r_regionkey < 2")
+    assert(s.sql("SELECT count(*) AS n FROM t_tr").collect()(0).getLong(0) == 2)
+    s.sql("DROP TABLE t_tr"); s.sql("DROP TABLE t_cl")
+  }
+
   test("information_schema.tables and columns") {
     val s = newSession()
     val tabs = s.sql(
