@@ -108,6 +108,9 @@ final class GraftSession(
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
   private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES)\\b.*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
+  private val alterRe = "(?is)^ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s+(.*)$".r
+  private val listRe = "(?is)^(?:LIST|LS)\\s+(\\S+)\\s*$".r
+  private val showColsRe = "(?is)^SHOW\\s+COLUMNS\\s+IN\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val descRe  = "(?is)^DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val stageRe =
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?STAGE\\s+([\\w$\".]+)\\s+.*?URL\\s*=\\s*'([^']+)'.*$".r
@@ -122,6 +125,9 @@ final class GraftSession(
         ifNotExists != null, name, rest, iceberg != null)
     case dropRe(ifExists, name) => doDrop(ifExists != null, name)
     case truncateRe(name) => doTruncate(name)
+    case alterRe(name, action) => doAlter(name, action.trim)
+    case listRe(src) if src.startsWith("@") => doList(src)
+    case showColsRe(name) => doShowColumns(name)
     case insertRe(overwrite, name, body) => doInsert(overwrite != null, name, body)
     case copyRe(name, rest) => doCopy(name, rest)
     case showRe(what) => doShow(what.toUpperCase)
@@ -309,13 +315,7 @@ final class GraftSession(
       val sp = trimmed.indexWhere(_.isWhitespace)
       require(sp > 0, s"bad column def: $trimmed")
       val name = Identifiers.normalizePart(trimmed.substring(0, sp))
-      val typeSql = trimmed.substring(sp + 1).trim
-        .replaceAll("(?i)\\s+NOT\\s+NULL$", "")
-      val mapped = SnowflakeRewriter.rewrite(s"CAST(x AS $typeSql)")
-      val sparkType = mapped.replaceAll("(?is)^CAST\\(x AS\\s*", "")
-        .replaceAll("\\)$", "").trim
-      StructField(name,
-        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(sparkType))
+      StructField(name, parseSnowflakeType(trimmed.substring(sp + 1)))
     }
     StructType(fields)
   }
@@ -353,6 +353,83 @@ final class GraftSession(
     swapSnapshot(f, ref, empty)
     status("Statement executed successfully.")
   }
+
+  // ── ALTER TABLE (schema evolution on copy-on-write snapshots) ──────────
+  private def doAlter(rawName: String, action: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val f = fqn(rawName)
+    val ref = registry.resolve(f).getOrElse(
+      throw new IllegalArgumentException(s"table $f does not exist"))
+    require(ref.kind == TableKind.Lake && ref.path.isDefined,
+      s"cannot ALTER $f")
+    val renameToRe = "(?is)^RENAME\\s+TO\\s+([\\w$\".]+)$".r
+    val addColRe =
+      "(?is)^ADD\\s+(?:COLUMN\\s+)?(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w$\"]+)\\s+(.+)$".r
+    val dropColRe =
+      "(?is)^DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\"]+)\\s*$".r
+    val renameColRe =
+      "(?is)^RENAME\\s+COLUMN\\s+([\\w$\"]+)\\s+TO\\s+([\\w$\"]+)\\s*$".r
+    action match {
+      case renameToRe(newName) =>
+        val nf = fqn(newName)
+        require(registry.resolve(nf).isEmpty, s"object $nf already exists")
+        registry.register(TableRef(nf, ref.kind, ref.path, ref.format))
+        registry.drop(f)
+        status(s"Statement executed successfully.")
+      case addColRe(colName, typeSql) =>
+        val name = Identifiers.normalizePart(colName)
+        val df = registry.load(ref)
+        if (df.schema.fieldNames.map(_.toUpperCase).contains(name))
+          status(s"column $name already exists, statement succeeded.")
+        else {
+          val dt = parseSnowflakeType(typeSql.trim)
+          swapSnapshot(f, ref, df.withColumn(name, lit(null).cast(dt)))
+          status("Statement executed successfully.")
+        }
+      case dropColRe(colName) =>
+        val name = Identifiers.normalizePart(colName)
+        val df = registry.load(ref)
+        val actual = df.schema.fieldNames.find(_.toUpperCase == name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"column $colName does not exist in $f"))
+        swapSnapshot(f, ref, df.drop(actual))
+        status("Statement executed successfully.")
+      case renameColRe(from, to) =>
+        val df = registry.load(ref)
+        val actual = df.schema.fieldNames
+          .find(_.toUpperCase == Identifiers.normalizePart(from))
+          .getOrElse(throw new IllegalArgumentException(
+            s"column $from does not exist in $f"))
+        swapSnapshot(f, ref,
+          df.withColumnRenamed(actual, Identifiers.normalizePart(to)))
+        status("Statement executed successfully.")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported ALTER TABLE: $other")
+    }
+  }
+
+  /** Translate one Snowflake type name to a Spark DataType via the
+    * rewriter's type map (shared with CREATE TABLE column defs). */
+  private def parseSnowflakeType(typeSql: String): org.apache.spark.sql.types.DataType = {
+    val cleaned = typeSql.replaceAll("(?i)\\s+NOT\\s+NULL$", "").trim
+    val mapped = SnowflakeRewriter.rewrite(s"CAST(x AS $cleaned)")
+      .replaceAll("(?is)^CAST\\(x AS\\s*", "").replaceAll("\\)$", "").trim
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(mapped)
+  }
+
+  /** LIST @stage[/path]: stage files with sizes (reference surfaces
+    * stages via DESCRIBE STAGE metadata; LIST is its enumeration twin). */
+  private def doList(src: String): DataFrame = {
+    val base = resolveStagePath(src)
+    val rows = expandFiles(Seq(base)).sortBy(_._1).map { case (p, len) =>
+      Row(p, java.lang.Long.valueOf(len))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("name", StringType),
+      StructField("size", org.apache.spark.sql.types.LongType))))
+  }
+
+  private def doShowColumns(rawName: String): DataFrame = doDescribe(rawName)
 
   // ── DROP (A13) ─────────────────────────────────────────────────────────
   private def doDrop(ifExists: Boolean, rawName: String): DataFrame = {

@@ -242,6 +242,36 @@ class SessionSpec extends AnyFunSuite {
     s.sql("DROP TABLE t_tr"); s.sql("DROP TABLE t_cl")
   }
 
+  test("ALTER TABLE: rename, add/drop/rename column on COW snapshots") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_alt AS SELECT r_regionkey, r_name FROM region")
+    s.sql("ALTER TABLE t_alt ADD COLUMN note VARCHAR")
+    val r1 = s.sql("SELECT * FROM t_alt ORDER BY r_regionkey").collect()(0)
+    assert(r1.schema.fieldNames.map(_.toUpperCase).contains("NOTE"))
+    assert(r1.isNullAt(r1.fieldIndex("NOTE")))
+    s.sql("ALTER TABLE t_alt RENAME COLUMN note TO remark")
+    assert(s.sql("SELECT remark FROM t_alt").columns.head
+      .equalsIgnoreCase("REMARK"))
+    s.sql("ALTER TABLE t_alt DROP COLUMN remark")
+    assert(s.sql("SELECT * FROM t_alt").columns.length == 2)
+    s.sql("ALTER TABLE t_alt RENAME TO t_alt2")
+    assert(s.sql("SELECT count(*) AS n FROM t_alt2").collect()(0).getLong(0) == 5)
+    intercept[Exception] { s.sql("SELECT count(*) FROM t_alt").collect() }
+    s.sql("DROP TABLE t_alt2")
+  }
+
+  test("LIST @stage enumerates files with sizes") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_list").toString
+    Files.writeString(java.nio.file.Paths.get(stageDir, "x.csv"), "1\n2\n")
+    Files.writeString(java.nio.file.Paths.get(stageDir, "y.csv"), "3\n")
+    s.sql(s"CREATE STAGE list_stage URL='$stageDir'")
+    val rows = s.sql("LIST @list_stage").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).exists(_.endsWith("x.csv")))
+    assert(rows.map(_.getLong(1)).sum == 6L)
+  }
+
   test("information_schema.tables and columns") {
     val s = newSession()
     val tabs = s.sql(
