@@ -37,6 +37,10 @@ final class GraftSession(
   /** Stage name → base URL (DESCRIBE STAGE analog,
     * `universql/plugins/snow.py:600-618`). */
   private val stages = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Named file formats (CREATE FILE FORMAT), referenced from COPY via
+    * FILE_FORMAT = (FORMAT_NAME = '…'). */
+  private val fileFormats =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
   /** External (Iceberg-REST / Polaris-shape) catalogs consulted on a
     * registry miss, in attach order — the reference's `--universql-catalog`
     * seam (`universql/catalog/iceberg.py`). Resolutions are cached into
@@ -114,12 +118,40 @@ final class GraftSession(
   private val descRe  = "(?is)^DESC(?:RIBE)?\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val stageRe =
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?STAGE\\s+([\\w$\".]+)\\s+.*?URL\\s*=\\s*'([^']+)'.*$".r
+  private val descStageRe = "(?is)^DESC(?:RIBE)?\\s+STAGE\\s+([\\w$\".]+)\\s*$".r
+  private val fileFormatRe =
+    "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?FILE\\s+FORMAT\\s+([\\w$\".]+)\\s+(.*)$".r
+  private val unloadRe = "(?is)^COPY\\s+INTO\\s+(@\\S+)\\s+FROM\\s+(.*)$".r
+  /** Cloud-services / account statements a script carries but an offline
+    * single-user engine has nothing to do for — accepted as successful
+    * no-ops, the way Snowflake acks them without warehouse work. */
+  private val noopRe =
+    ("(?is)^(GRANT|REVOKE|COMMENT\\s+ON|ALTER\\s+SESSION|" +
+     "BEGIN(?:\\s+TRANSACTION|\\s+WORK)?|COMMIT(?:\\s+WORK)?|" +
+     "USE\\s+SECONDARY\\s+ROLES)\\b.*$").r
 
   private def executeOne(stmt: String): DataFrame = stmt.trim match {
     case useRe(kind, name) => doUse(Option(kind).map(_.toUpperCase), name)
     case stageRe(name, url) =>
       stages.put(Identifiers.normalizePart(name), url.stripSuffix("/"))
       status(s"Stage area ${name.toUpperCase} successfully created.")
+    case descStageRe(name) =>
+      val n = Identifiers.normalizePart(name)
+      val url = stages.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown stage @$n"))
+      spark.createDataFrame(
+        List(Row(n, url)).asJava,
+        StructType(Seq(StructField("name", StringType),
+          StructField("url", StringType))))
+    case fileFormatRe(name, rest) =>
+      fileFormats.put(Identifiers.normalizePart(name), parseOptionPairs(rest))
+      status(s"File format ${name.toUpperCase} successfully created.")
+    case noopRe(_) => status("Statement executed successfully.")
+    case r if r.toUpperCase.startsWith("ROLLBACK") =>
+      throw new UnsupportedOperationException(
+        "ROLLBACK not supported: the engine is autocommit; every statement " +
+        "is an atomic snapshot swap")
+    case unloadRe(target, rest) => doUnload(target, rest)
     case createRe(orReplace, temp, iceberg, kind, ifNotExists, name, rest) =>
       doCreate(orReplace != null, temp != null, kind.equalsIgnoreCase("VIEW"),
         ifNotExists != null, name, rest, iceberg != null)
@@ -524,7 +556,8 @@ final class GraftSession(
     val urls =
       if (filesList.isEmpty) Seq(base)
       else filesList.map(f => s"${base.stripSuffix("/")}/$f")
-    val mapped = CopyOptions.map(parseOptionPairs(optsRaw) ++ topPairs)
+    val mapped = CopyOptions.map(
+      resolveFormatName(parseOptionPairs(optsRaw)) ++ topPairs)
     val target = registry.load(ref)
 
     // expand stage paths (globs, directories incl. hive-partition layouts)
@@ -621,6 +654,66 @@ final class GraftSession(
       }
     }
     status(s"Copy executed with ${paths.length} files processed.")
+  }
+
+  /** FILE_FORMAT = (FORMAT_NAME = 'x'): splice in the named format's
+    * stored options; explicitly given options win. */
+  private def resolveFormatName(pairs: Map[String, String]): Map[String, String] =
+    pairs.get("FORMAT_NAME") match {
+      case Some(n) =>
+        val stored = fileFormats.getOrElse(Identifiers.normalizePart(n),
+          throw new IllegalArgumentException(s"unknown file format $n"))
+        stored ++ (pairs - "FORMAT_NAME")
+      case None => pairs
+    }
+
+  /** COPY INTO @stage[/path] FROM table-or-(subquery): unload a result to
+    * stage files (the loading path's mirror; Spark writes distributed).
+    * Supported copy options: OVERWRITE, SINGLE, HEADER, plus the
+    * FILE_FORMAT map for the writer. */
+  private def doUnload(target: String, rest: String): DataFrame = {
+    val ffRe = "(?is)FILE_FORMAT\\s*=\\s*\\(((?:[^()]|\\([^)]*\\))*)\\)".r
+    val optsRaw = ffRe.findFirstMatchIn(rest).map(_.group(1)).getOrElse("")
+    val restNoFf = ffRe.replaceAllIn(rest, "").trim
+    // source: (SELECT …) or a table name; remaining text = copy options
+    val (sourceSql, tail) =
+      if (restNoFf.startsWith("(")) {
+        val close = matchingParenStr(restNoFf, 0)
+        (restNoFf.substring(1, close), restNoFf.substring(close + 1))
+      } else {
+        val tok = restNoFf.split("\\s+").head
+        (s"SELECT * FROM $tok", restNoFf.drop(tok.length))
+      }
+    val top = resolveFormatName(parseOptionPairs(optsRaw)) ++
+      parseOptionPairs(tail)
+    val mapped = CopyOptions.map(top)
+    val overwrite = top.get("OVERWRITE").exists(_.equalsIgnoreCase("true"))
+    val single = top.get("SINGLE").exists(_.equalsIgnoreCase("true"))
+    val header = top.get("HEADER").exists(_.equalsIgnoreCase("true"))
+    val df0 = runQuery(sourceSql)
+    val df = if (single) df0.coalesce(1) else df0
+    val writeOpts = mapped.options -
+      ("mode") ++ (if (header) Map("header" -> "true") else Map.empty)
+    df.write.format(mapped.format).options(writeOpts)
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .save(resolveStagePath(target))
+    status(s"rows unloaded to $target")
+  }
+
+  private def matchingParenStr(s: String, open: Int): Int = {
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens: $s")
   }
 
   /** Expand stage URLs (globs, directories — recursively, so hive

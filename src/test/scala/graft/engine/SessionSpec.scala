@@ -272,6 +272,40 @@ class SessionSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == 6L)
   }
 
+  test("named FILE FORMAT + COPY unload to stage round-trip") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_unload").toString
+    s.sql(s"CREATE STAGE unload_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE FILE FORMAT my_csv TYPE = CSV FIELD_DELIMITER = '|'")
+    // DESC STAGE surfaces the URL
+    assert(s.sql("DESC STAGE unload_stage").collect()(0).getString(1) == stageDir)
+    // unload a query result with the named format
+    s.sql("""COPY INTO @unload_stage/out FROM (SELECT r_regionkey, r_name FROM region)
+             FILE_FORMAT = (FORMAT_NAME = 'my_csv') HEADER = TRUE SINGLE = TRUE""")
+    // …and load it back through the same named format
+    s.sql("CREATE OR REPLACE TABLE region_u (r_regionkey INT, r_name VARCHAR)")
+    s.sql("""COPY INTO region_u FROM @unload_stage/out
+             FILE_FORMAT = (FORMAT_NAME = 'my_csv', SKIP_HEADER = 1)""")
+    assert(s.sql("SELECT count(*) AS n FROM region_u").collect()(0).getLong(0) == 5)
+    val asia = s.sql("SELECT r_name FROM region_u WHERE r_regionkey = 2")
+      .collect()(0).getString(0)
+    assert(asia == "ASIA")
+  }
+
+  test("cloud-services statements no-op; ROLLBACK fails loudly") {
+    val s = newSession()
+    for (stmt <- Seq(
+        "GRANT SELECT ON orders TO ROLE analyst",
+        "COMMENT ON TABLE orders IS 'fact table'",
+        "ALTER SESSION SET QUERY_TAG = 'etl'",
+        "BEGIN", "COMMIT"))
+      assert(s.sql(stmt).collect()(0).getString(0)
+        .contains("executed successfully"), stmt)
+    intercept[UnsupportedOperationException] { s.sql("ROLLBACK") }
+    // engine still healthy afterwards
+    assert(s.sql("SELECT 1 AS x").collect()(0).get(0).toString == "1")
+  }
+
   test("information_schema.tables and columns") {
     val s = newSession()
     val tabs = s.sql(
