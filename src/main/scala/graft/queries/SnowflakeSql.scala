@@ -299,6 +299,40 @@ object SnowflakeSql extends QueryPack {
           FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 400;
         SELECT p, count(*) AS n, sum(v::number(12,2))::double AS total
         FROM ice_g GROUP BY 1 ORDER BY p;""")
+    },
+
+    // Unload → named FILE FORMAT → reload round-trip (the COPY path's
+    // mirror): a result leaves through the distributed writer and comes
+    // back bit-identical through the option map.
+    GQuery("snow18_unload_roundtrip", Some("""
+      SELECT r_regionkey AS rkey, r_name AS rname
+      FROM region ORDER BY rkey""")) { (s, dir) =>
+      val gs = session(s, dir)
+      val stageDir = Files.createTempDirectory("graft_unload_gate").toString
+      gs.sql(s"CREATE STAGE gate_unload URL='$stageDir'")
+      gs.sql("""
+        CREATE OR REPLACE FILE FORMAT gate_csv TYPE = CSV FIELD_DELIMITER = '|';
+        COPY INTO @gate_unload/r FROM (SELECT r_regionkey, r_name FROM region)
+          FILE_FORMAT = (FORMAT_NAME = 'gate_csv') HEADER = TRUE OVERWRITE = TRUE;
+        CREATE OR REPLACE TABLE gate_region_u (r_regionkey INT, r_name VARCHAR);
+        COPY INTO gate_region_u FROM @gate_unload/r
+          FILE_FORMAT = (FORMAT_NAME = 'gate_csv', SKIP_HEADER = 1);""")
+      gs.sql("""SELECT r_regionkey AS rkey, r_name AS rname
+                FROM gate_region_u ORDER BY rkey""")
+    },
+
+    // Zero-copy CLONE + TRUNCATE + ALTER on copy-on-write snapshots: the
+    // clone must keep the pre-truncate rows and survive schema evolution.
+    GQuery("snow19_clone_alter", Some("""
+      SELECT n_nationkey AS k, n_name AS nm, CAST(NULL AS VARCHAR) AS tag
+      FROM nation ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE nat_src AS SELECT n_nationkey, n_name FROM nation;
+        CREATE OR REPLACE TABLE nat_clone CLONE nat_src;
+        TRUNCATE TABLE nat_src;
+        ALTER TABLE nat_clone ADD COLUMN tag VARCHAR;
+        ALTER TABLE nat_clone RENAME TO nat_gold;
+        SELECT n_nationkey AS k, n_name AS nm, tag FROM nat_gold ORDER BY k;""")
     }
   )
 }

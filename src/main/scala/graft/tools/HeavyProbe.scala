@@ -35,6 +35,19 @@ object HeavyProbe {
       ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"), avg(col("value")))
         .orderBy(col("n").desc).limit(10).count())
+    val ord = spark.read.parquet(s"$dir/orders")
+    def joinAgg() = spark.read.parquet(s"$dir/lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .orderBy(col("rev").desc)
+    time("h09_smj_default")(joinAgg().count())
+    spark.conf.set(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "512m")
+    time("h09_aqe_shj")(joinAgg().count())
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    time("h09_prefer_shj")(joinAgg().count())
     spark.stop()
   }
 }

@@ -292,6 +292,14 @@ class SessionSpec extends AnyFunSuite {
     assert(asia == "ASIA")
   }
 
+  test("EXPLAIN returns the formatted physical plan") {
+    val s = newSession()
+    val lines = s.sql("EXPLAIN SELECT count(*) FROM orders WHERE o_orderkey < 10")
+      .collect().map(_.getString(0))
+    assert(lines.exists(_.contains("Physical Plan")), lines.mkString("\n"))
+    assert(lines.exists(_.contains("PushedFilters")), lines.mkString("\n"))
+  }
+
   test("cloud-services statements no-op; ROLLBACK fails loudly") {
     val s = newSession()
     for (stmt <- Seq(

@@ -38,6 +38,11 @@ QUERIES = {
     "h08_events_like":
         "SELECT event_type, count(*), avg(value) FROM ev "
         "WHERE props LIKE '%a%' GROUP BY 1",
+    "h09_join_agg":
+        "SELECT o_orderpriority, count(*) n, "
+        "sum(l_extendedprice * (1.0 - l_discount)) rev "
+        "FROM li JOIN o ON l_orderkey = o_orderkey "
+        "GROUP BY 1 ORDER BY rev DESC",
 }
 
 
@@ -53,8 +58,11 @@ def main():
                 f"read_parquet('{heavy}/lineitem/*.parquet')")
     con.execute(f"CREATE VIEW ev AS SELECT * FROM "
                 f"read_parquet('{heavy}/events/*.parquet')")
+    con.execute(f"CREATE VIEW o AS SELECT * FROM "
+                f"read_parquet('{heavy}/orders/*.parquet')")
     li_rows = con.sql("SELECT count(*) FROM li").fetchone()[0]
     ev_rows = con.sql("SELECT count(*) FROM ev").fetchone()[0]
+    o_rows = con.sql("SELECT count(*) FROM o").fetchone()[0]
     total = 0.0
     out = {}
     for name, sql in QUERIES.items():
@@ -63,8 +71,12 @@ def main():
         con.execute(sql).fetchall()
         dt = time.time() - t0
         total += dt
-        rows = ev_rows if name.startswith("h07") or name.startswith("h08") \
-            else li_rows
+        if name.startswith("h07") or name.startswith("h08"):
+            rows = ev_rows
+        elif name.startswith("h09"):
+            rows = li_rows + o_rows
+        else:
+            rows = li_rows
         out[name] = dt
         print(f"{name}: {dt:.3f}s  {rows / dt / 1e6:.1f} Mrows/s")
     print(f"duckdb_total: {total:.2f}s  (threads={threads}, "
