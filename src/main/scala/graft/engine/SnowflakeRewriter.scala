@@ -754,6 +754,33 @@ object SnowflakeRewriter {
               out ++= lex("))")
               i = close + 1
             } else { out += toks(i); i += 1 }
+          } else if (up == "RATIO_TO_REPORT") {
+            // RATIO_TO_REPORT(x) OVER w → (x) / (sum(x) OVER w); the OVER
+            // clause must be consumed so the sum binds to it.
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 1, "RATIO_TO_REPORT needs 1 argument")
+            val arg = rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2))
+            val overKw = nextSig(toks, close)
+            require(overKw.exists(j => toks(j) match {
+              case Ident(w) => w.equalsIgnoreCase("OVER"); case _ => false
+            }), "RATIO_TO_REPORT requires an OVER clause")
+            val afterOver = nextSig(toks, overKw.get).getOrElse(
+              throw new IllegalArgumentException("OVER needs a window"))
+            val overEnd = toks(afterOver) match {
+              case Op("(") => matchParen(toks, afterOver)
+              case _: Ident => afterOver // named window: OVER w
+              case other => throw new IllegalArgumentException(
+                s"bad OVER clause: ${other.text}")
+            }
+            out ++= lex("((")
+            out ++= arg
+            out ++= lex(") / (sum(")
+            out ++= arg
+            out ++= lex(") OVER ")
+            out ++= rewriteFunctions(toks.slice(afterOver, overEnd + 1))
+            out ++= lex("))")
+            i = overEnd + 1
           } else if (up == "GET") {
             // GET(arr, n) is 0-based → element_at(arr, n+1);
             // GET(variant, 'key') → get_json_object (VARIANT is JSON text

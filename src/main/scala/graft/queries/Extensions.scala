@@ -307,6 +307,87 @@ object Extensions extends QueryPack {
         .orderBy("user_id", "start_s")
     },
 
+    // Deterministic hash-ranked stratified sample: k docs per source,
+    // reproducible across engines (rank = md5(id), no RNG) — rerunning
+    // corpus curation at 100 TB must select the SAME sample.
+    GQuery("x17_stratified_sample", Some("""
+      WITH ranked AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT source, doc_id FROM ranked WHERE rn <= 20
+      ORDER BY source, doc_id""")) { (s, dir) =>
+      graft.operators.Sampling.stratifiedByHash(
+          docs(s, dir).select("source", "doc_id"), "source", "doc_id", k = 20)
+        .orderBy("source", "doc_id")
+    },
+
+    // Deterministic fraction sample: per-row hash filter, shuffle-free —
+    // the scale path when strata aren't needed.
+    // (fixed-length lowercase hex compares lexicographically == numerically,
+    // so the oracle's string threshold '4000' is exactly 0.25 * 65536)
+    GQuery("x18_fraction_sample", Some("""
+      SELECT doc_id FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+      ORDER BY doc_id""")) { (s, dir) =>
+      graft.operators.Sampling.fractionByHash(
+          docs(s, dir).select("doc_id"), "doc_id", fraction = 0.25)
+        .orderBy("doc_id")
+    },
+
+    // Composed curation pipeline — quality gate ∘ exact dedup ∘ near-dup
+    // removal, each stage an already-oracled operator; the oracle
+    // recomposes them in SQL. This is the end-to-end "clean the corpus"
+    // shape a training-data pipeline runs.
+    GQuery("x19_corpus_clean", Some(s"""
+      WITH q AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(length(text) AS INT) AS n_chars,
+            CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS n_punct,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','a','of','and','to','in','is'))) AS INT) AS n_stop
+          FROM documents)
+        WHERE (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END +
+               CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.05 THEN 0.3 ELSE 0.0 END +
+               CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 0.3 ELSE 0.0 END) >= 0.7),
+      keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS sng
+              FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i) g),
+      shd AS (SELECT DISTINCT doc_id, sng FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+      losers AS (
+        SELECT DISTINCT b.doc_id
+        FROM shd a JOIN shd b ON a.sng = b.sng AND a.doc_id < b.doc_id
+        JOIN sizes s1 ON a.doc_id = s1.doc_id
+        JOIN sizes s2 ON b.doc_id = s2.doc_id
+        GROUP BY a.doc_id, b.doc_id, s1.sz, s2.sz
+        HAVING CAST(count(*) AS DOUBLE) / (s1.sz + s2.sz - count(*)) >= 0.5)
+      SELECT d.doc_id FROM documents d
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN keep ON d.doc_id = keep.doc_id
+      LEFT JOIN losers ON d.doc_id = losers.doc_id
+      WHERE losers.doc_id IS NULL
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      import graft.operators.{Dedup, TextAnalysis}
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityFeatures(d, "doc_id", "text")
+        .filter(col("quality_score") >= 0.7).select("doc_id")
+      val exactKeep = Dedup.exact(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val nearDupLosers = Dedup.jaccardPairs(d, "doc_id", "text",
+          n = 5, threshold = 0.5)
+        .select(col("d2").as("doc_id"))
+      d.select("doc_id")
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // Bucketed co-located join: both sides pre-bucketed on the join key,
     // so the join plans with ZERO shuffle exchanges (asserted in
     // BucketingSpec) — the at-scale tool for repeated fact-fact joins.

@@ -333,6 +333,19 @@ object SnowflakeSql extends QueryPack {
         ALTER TABLE nat_clone ADD COLUMN tag VARCHAR;
         ALTER TABLE nat_clone RENAME TO nat_gold;
         SELECT n_nationkey AS k, n_name AS nm, tag FROM nat_gold ORDER BY k;""")
+    },
+
+    GQuery("snow20_ratio_to_report", Some("""
+      SELECT o_orderpriority AS pri,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) /
+          sum(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) OVER (), 6)
+          AS share
+      FROM orders GROUP BY 1 ORDER BY pri""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderpriority AS pri,
+          round(RATIO_TO_REPORT(sum(o_totalprice::number(12,2))::double) OVER (), 6)
+            AS share
+        FROM orders GROUP BY 1 ORDER BY pri""")
     }
   )
 }

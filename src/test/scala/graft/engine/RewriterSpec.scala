@@ -222,6 +222,17 @@ class RewriterSpec extends AnyFunSuite {
     assert(rw("SELECT TRY_PARSE_JSON(s) FROM t") == "SELECT (s) FROM t")
   }
 
+  test("RATIO_TO_REPORT consumes its OVER clause") {
+    assert(rw("SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY p) FROM t")
+      .replaceAll("\\s+", "") ==
+      "SELECT((x)/(sum(x)OVER(PARTITIONBYp)))FROMt")
+    assert(rw("SELECT RATIO_TO_REPORT(x) OVER w FROM t WINDOW w AS (PARTITION BY p)")
+      .replaceAll("\\s+", "").startsWith("SELECT((x)/(sum(x)OVERw))"))
+    intercept[IllegalArgumentException] {
+      rw("SELECT RATIO_TO_REPORT(x) FROM t")
+    }
+  }
+
   test("GET: 0-based array index and variant key accessors") {
     assert(rw("SELECT GET(arr, 0) FROM t").replaceAll("\\s+", "") ==
       "SELECTelement_at(arr,1)FROMt")
