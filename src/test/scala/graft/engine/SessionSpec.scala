@@ -314,6 +314,29 @@ class SessionSpec extends AnyFunSuite {
     assert(s.sql("SELECT 1 AS x").collect()(0).get(0).toString == "1")
   }
 
+  test("concurrent sessions: same-named tables never cross-read") {
+    // the ADVICE race: two sessions sharing one SparkSession could clobber
+    // each other's temp views between substitution and execution; view
+    // names are now session-unique, so same-named tables stay isolated
+    // under real concurrency
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map { sid =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val s = newSession()
+            s.sql(s"CREATE OR REPLACE TABLE shared_name AS SELECT $sid AS marker FROM region")
+            (1 to 20).forall { _ =>
+              s.sql("SELECT DISTINCT marker FROM shared_name")
+                .collect().map(_.getInt(0)).toSeq == Seq(sid)
+            }
+          }
+        })
+      }
+      assert(tasks.forall(_.get(120, java.util.concurrent.TimeUnit.SECONDS)))
+    } finally pool.shutdown()
+  }
+
   test("information_schema.tables and columns") {
     val s = newSession()
     val tabs = s.sql(
