@@ -307,6 +307,26 @@ object Extensions extends QueryPack {
         .orderBy("user_id", "start_s")
     },
 
+    // Embedding-cosine near-dup dedup decision over documents: docs whose
+    // embeddings (joined on id) are ≥ threshold cosine lose to the lower
+    // id — the semantic-dedup complement of the lexical (shingle) paths.
+    GQuery("x20_embedding_dedup", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      losers AS (
+        SELECT DISTINCT b.vec_id AS doc_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE $cosineExpr >= 0.4)
+      SELECT d.doc_id, CASE WHEN losers.doc_id IS NULL THEN TRUE ELSE FALSE END AS keep
+      FROM documents d LEFT JOIN losers ON d.doc_id = losers.doc_id
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      val losers = Similarity.thresholdPairs(embs(s, dir), threshold = 0.4)
+        .select(col("j").as("doc_id")).distinct()
+      docs(s, dir).select("doc_id")
+        .join(losers.withColumn("lost", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(!col("lost"), lit(true)).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic hash-ranked stratified sample: k docs per source,
     // reproducible across engines (rank = md5(id), no RNG) — rerunning
     // corpus curation at 100 TB must select the SAME sample.

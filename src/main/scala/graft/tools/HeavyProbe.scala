@@ -48,6 +48,15 @@ object HeavyProbe {
     time("h09_aqe_shj")(joinAgg().count())
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     time("h09_prefer_shj")(joinAgg().count())
+    val li = spark.read.parquet(s"$dir/lineitem")
+    def h03() = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+      .orderBy(col("rev").desc).limit(10)
+    time("h03_default")(h03().count())
+    spark.conf.set("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+    time("h03_vectorized_map")(h03().count())
+    spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "false")
+    time("h03_twolevel_final")(h03().count())
     spark.stop()
   }
 }
