@@ -41,6 +41,12 @@ final class GraftSession(
     * FILE_FORMAT = (FORMAT_NAME = '…'). */
   private val fileFormats =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+  /** SQL-bodied scalar functions (CREATE FUNCTION … AS '…'): name →
+    * (params, body). Expanded as macros BEFORE dialect rewrite, so the
+    * body stays declarative and Catalyst optimizes straight through it —
+    * no black-box UDF in the plan. */
+  private val sqlFunctions = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[String], String)]
   /** External (Iceberg-REST / Polaris-shape) catalogs consulted on a
     * registry miss, in attach order — the reference's `--universql-catalog`
     * seam (`universql/catalog/iceberg.py`). Resolutions are cached into
@@ -123,6 +129,12 @@ final class GraftSession(
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?FILE\\s+FORMAT\\s+([\\w$\".]+)\\s+(.*)$".r
   private val unloadRe = "(?is)^COPY\\s+INTO\\s+(@\\S+)\\s+FROM\\s+(.*)$".r
   private val explainRe = "(?is)^EXPLAIN\\s+(?:USING\\s+\\w+\\s+)?(.*)$".r
+  private val createFnRe =
+    ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([\\w$\".]+)\\s*" +
+     "\\(([^)]*)\\)\\s*RETURNS\\s+[\\w().,\\s]+?(?:LANGUAGE\\s+SQL\\s+)?AS\\s+" +
+     "(?:\\$\\$(.*)\\$\\$|'((?:[^']|'')*)')\\s*$").r
+  private val dropFnRe =
+    "(?is)^DROP\\s+FUNCTION\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*(?:\\([^)]*\\))?\\s*$".r
   /** Cloud-services / account statements a script carries but an offline
     * single-user engine has nothing to do for — accepted as successful
     * no-ops, the way Snowflake acks them without warehouse work. */
@@ -147,6 +159,17 @@ final class GraftSession(
     case fileFormatRe(name, rest) =>
       fileFormats.put(Identifiers.normalizePart(name), parseOptionPairs(rest))
       status(s"File format ${name.toUpperCase} successfully created.")
+    case createFnRe(name, params, bodyDollar, bodyQuoted) =>
+      val body = Option(bodyDollar).getOrElse(
+        Option(bodyQuoted).map(_.replace("''", "'")).getOrElse(""))
+      require(body.trim.nonEmpty, "CREATE FUNCTION needs a body")
+      val ps = params.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(p => Identifiers.normalizePart(p.split("\\s+").head))
+      sqlFunctions.put(Identifiers.normalizePart(name), (ps, body))
+      status(s"Function ${name.toUpperCase} successfully created.")
+    case dropFnRe(name) =>
+      sqlFunctions.remove(Identifiers.normalizePart(name))
+      status("Statement executed successfully.")
     case noopRe(_) => status("Statement executed successfully.")
     case r if r.toUpperCase.startsWith("ROLLBACK") =>
       throw new UnsupportedOperationException(
@@ -177,13 +200,91 @@ final class GraftSession(
 
   // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
   def runQuery(snowflakeSql: String): DataFrame = {
-    val rewritten = SnowflakeRewriter.rewrite(snowflakeSql)
+    val rewritten = SnowflakeRewriter.rewrite(expandSqlFunctions(snowflakeSql))
     // session-context functions resolve against THIS session (a shared
     // SparkSession can't carry per-session UDF state); token-level so the
     // function name inside a string literal survives untouched
     val contextual = substituteSessionContext(rewritten)
     val substituted = TableResolver.resolveAndSubstitute(contextual, this)
     spark.sql(substituted)
+  }
+
+  /** Expand SQL-function calls as macros: `f(a, b)` → `(body[p1←(a),
+    * p2←(b)])`, recursively (functions may call functions; depth-capped
+    * against cycles). Runs on the ORIGINAL Snowflake text, before dialect
+    * rewrite, since bodies are written in the Snowflake dialect too. */
+  private def expandSqlFunctions(sql: String, depth: Int = 0): String = {
+    import SqlTokens._
+    if (sqlFunctions.isEmpty || depth > 8) return sql
+    val toks = lex(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var changed = false
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Ident(name)
+            if sqlFunctions.contains(Identifiers.normalizePart(name)) =>
+          var j = i + 1
+          while (j < toks.length && (toks(j).isInstanceOf[Ws] ||
+                 toks(j).isInstanceOf[Comment])) j += 1
+          if (j < toks.length && toks(j) == Op("(")) {
+            val close = matchParenTok(toks, j)
+            val (params, body) =
+              sqlFunctions(Identifiers.normalizePart(name))
+            val args = splitArgsTok(toks, j, close).map(r =>
+              render(toks.slice(r._1, r._2)).trim)
+            require(args.count(_.nonEmpty) == params.length ||
+                (params.isEmpty && args.forall(_.isEmpty)),
+              s"function $name expects ${params.length} args, got ${args.length}")
+            val byParam = params.zip(args).toMap
+            val bodyOut = lex(body).map {
+              case Ident(w)
+                  if byParam.contains(Identifiers.normalizePart(w)) =>
+                Ident(s"(${byParam(Identifiers.normalizePart(w))})")
+              case t => t
+            }
+            out += Op("(")
+            out ++= bodyOut
+            out += Op(")")
+            changed = true
+            i = close + 1
+          } else { out += toks(i); i += 1 }
+        case t => out += t; i += 1
+      }
+    }
+    if (changed) expandSqlFunctions(render(out.toSeq), depth + 1) else sql
+  }
+
+  private def matchParenTok(toks: Vector[SqlTokens.Tok], open: Int): Int = {
+    var depth = 0; var j = open
+    while (j < toks.length) {
+      toks(j) match {
+        case SqlTokens.Op("(") => depth += 1
+        case SqlTokens.Op(")") => depth -= 1; if (depth == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    toks.length - 1
+  }
+
+  private def splitArgsTok(toks: Vector[SqlTokens.Tok], open: Int,
+      close: Int): Seq[(Int, Int)] = {
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var depth = 0; var start = open + 1; var j = open
+    while (j <= close) {
+      toks(j) match {
+        case SqlTokens.Op("(") => depth += 1
+        case SqlTokens.Op(")") =>
+          depth -= 1
+          if (depth == 0 && j > open) { ranges += ((start, j)) }
+        case SqlTokens.Op(",") if depth == 1 =>
+          ranges += ((start, j)); start = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    ranges.toSeq
   }
 
   /** CURRENT_DATABASE() / CURRENT_SCHEMA() → session-value string literals,

@@ -346,6 +346,22 @@ object SnowflakeSql extends QueryPack {
           round(RATIO_TO_REPORT(sum(o_totalprice::number(12,2))::double) OVER (), 6)
             AS share
         FROM orders GROUP BY 1 ORDER BY pri""")
+    },
+
+    // SQL-bodied CREATE FUNCTION: expanded as a macro before the dialect
+    // rewrite, so the body participates in Catalyst optimization instead
+    // of opaque per-row UDF calls.
+    GQuery("snow21_sql_udf", Some("""
+      SELECT l_returnflag AS flag,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1 ORDER BY flag""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE FUNCTION disc_price(p NUMBER, d NUMBER) RETURNS NUMBER
+          AS 'p::number(12,2) * (1 - d::number(12,2))';
+        SELECT l_returnflag AS flag,
+          sum(disc_price(l_extendedprice, l_discount))::double AS rev
+        FROM lineitem GROUP BY 1 ORDER BY flag;""")
     }
   )
 }

@@ -292,6 +292,23 @@ class SessionSpec extends AnyFunSuite {
     assert(asia == "ASIA")
   }
 
+  test("CREATE FUNCTION: SQL macros expand (nested too) and DROP removes") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE FUNCTION disc_price(p NUMBER, d NUMBER) " +
+      "RETURNS NUMBER AS 'p * (1 - d)'")
+    s.sql("CREATE OR REPLACE FUNCTION double_disc(p NUMBER, d NUMBER) " +
+      "RETURNS NUMBER AS 'disc_price(p, d) * 2'")
+    val v = s.sql("SELECT round(double_disc(100, 0.1), 2) AS x")
+      .collect()(0).get(0).toString.toDouble
+    assert(v == 180.0, v)
+    // the body is inlined, not a black-box UDF — the plan shows arithmetic
+    val plan = s.sql("SELECT double_disc(o_totalprice, 0.5) AS x FROM orders")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    s.sql("DROP FUNCTION double_disc")
+    intercept[Exception] { s.sql("SELECT double_disc(1, 1) AS x").collect() }
+  }
+
   test("EXPLAIN returns the formatted physical plan") {
     val s = newSession()
     val lines = s.sql("EXPLAIN SELECT count(*) FROM orders WHERE o_orderkey < 10")
