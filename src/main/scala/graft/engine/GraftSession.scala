@@ -116,7 +116,7 @@ final class GraftSession(
   private val dropRe  = "(?is)^DROP\\s+(?:TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
-  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES)\\b.*$".r
+  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|FILE\\s+FORMATS)\\b.*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   private val alterRe = "(?is)^ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s+(.*)$".r
   private val listRe = "(?is)^(?:LIST|LS)\\s+(\\S+)\\s*$".r
@@ -192,7 +192,7 @@ final class GraftSession(
     case showColsRe(name) => doShowColumns(name)
     case insertRe(overwrite, name, body) => doInsert(overwrite != null, name, body)
     case copyRe(name, rest) => doCopy(name, rest)
-    case showRe(what) => doShow(what.toUpperCase)
+    case showRe(what) => doShow(what.toUpperCase.replaceAll("\\s+", " "))
     case descRe(name) => doDescribe(name)
     case dml if Dml.matches(dml) => Dml.execute(this, dml)
     case q => runQuery(q)
@@ -899,6 +899,18 @@ final class GraftSession(
       case "SCHEMAS" =>
         val rows = registry.schemas(currentDatabase)
           .map(s => Row(s, currentDatabase, s, "SCHEMA"))
+        spark.createDataFrame(rows.asJava, schemaOf)
+      case "FUNCTIONS" =>
+        val rows = sqlFunctions.toSeq.sortBy(_._1).map { case (n, (ps, _)) =>
+          Row(n, currentDatabase, currentSchema,
+            s"FUNCTION(${ps.mkString(", ")})")
+        }
+        spark.createDataFrame(rows.asJava, schemaOf)
+      case "FILE FORMATS" =>
+        val rows = fileFormats.toSeq.sortBy(_._1).map { case (n, opts) =>
+          Row(n, currentDatabase, currentSchema,
+            opts.getOrElse("TYPE", "CSV"))
+        }
         spark.createDataFrame(rows.asJava, schemaOf)
       case "DATABASES" =>
         val dbs = registry.list().map(_.fqn.database).distinct.sorted

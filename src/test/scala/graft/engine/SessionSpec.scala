@@ -305,6 +305,9 @@ class SessionSpec extends AnyFunSuite {
     val plan = s.sql("SELECT double_disc(o_totalprice, 0.5) AS x FROM orders")
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    // SHOW FUNCTIONS lists the session's SQL functions
+    val fns = s.sql("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("DISC_PRICE") && fns.contains("DOUBLE_DISC"))
     s.sql("DROP FUNCTION double_disc")
     intercept[Exception] { s.sql("SELECT double_disc(1, 1) AS x").collect() }
   }
