@@ -116,21 +116,27 @@ object Bench {
         .orderBy(col("rev").desc), liRows + ordRows))
 
     heavy.foreach { case (_, fn, _) =>
-      try fn().count() catch { case _: Throwable => } // warm
+      try { val _ = fn().count() } catch { case _: Throwable => } // warm
     }
+    // a failed query must surface as a failure, not a (fast) fake time
     val timed = heavy.map { case (name, fn, rows) =>
       val t0 = System.nanoTime()
-      try fn().count() catch { case _: Throwable => }
+      val ok = try { fn().count(); true } catch { case e: Throwable =>
+        System.err.println(s"heavy $name FAILED: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, rows / sec / 1e6)
+      (name, sec, rows / sec / 1e6, ok)
     }
-    val hq = timed.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val hq = timed.map { case (k, v, _, ok) =>
+      s"\"" + k + "\":" + (if (ok) v.toString else "\"error\"") }
       .mkString("{", ",", "}")
-    val hr = timed.map { case (k, _, r) => s"\"" + k + "\":" + f"$r%.1f" }
+    val hr = timed.collect { case (k, _, r, true) => s"\"" + k + "\":" + f"$r%.1f" }
       .mkString("{", ",", "}")
-    val hTotal = timed.map(_._2).sum
+    val failed = timed.collect { case (k, _, _, false) => s"\"$k\"" }
+    val hTotal = timed.filter(_._4).map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) "" else s""","heavy_failed":[${failed.mkString(",")}]"""
     s""","heavy":$hq,"heavy_total":$hTotal,"heavy_lineitem_rows":$liRows,""" +
-      s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr"""
+      s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr$failedJson"""
   }
 
   /** Replicate lineitem/events `repl`× into a cached /tmp dir (content

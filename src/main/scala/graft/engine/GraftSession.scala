@@ -397,16 +397,26 @@ final class GraftSession(
     val cloneRe = "(?is)^CLONE\\s+([\\w$\".]+)\\s*$".r
     rest.trim match {
       case cloneRe(srcName) =>
-        // Zero-copy clone: snapshots are immutable (copy-on-write DML), so
-        // the clone just points at the source's current snapshot — exactly
-        // Snowflake's CLONE semantics; subsequent DML on either side lands
-        // on its own new snapshot.
+        // Zero-copy clone (Snowflake CLONE semantics). Iceberg tables get
+        // this for free: the metadata chain is immutable, and INSERT/DML
+        // re-point only the written table's ref at its new metadata file.
+        // Parquet snapshots are directories that INSERT/COPY append into
+        // in place, so a shared pointer would leak writes between clone
+        // and source — instead hard-link every data file into a directory
+        // owned by the clone (O(#files) metadata ops, no byte movement;
+        // the local-fs analog of a metadata-only clone).
         val src = fqn(srcName)
         val srcRef = registry.resolve(src).getOrElse(
           throw new IllegalArgumentException(s"clone source $src does not exist"))
         require(srcRef.kind == TableKind.Lake && srcRef.path.isDefined,
           s"cannot CLONE non-lake object $src")
-        registry.register(TableRef(f, TableKind.Lake, srcRef.path, srcRef.format))
+        if (srcRef.format == "iceberg")
+          registry.register(TableRef(f, TableKind.Lake, srcRef.path, "iceberg"))
+        else {
+          val dest = s"${tablePath(f, temp)}__clone${snapshotSeq.incrementAndGet()}"
+          linkTree(srcRef.path.get, dest)
+          registry.register(TableRef(f, TableKind.Lake, Some(dest), srcRef.format))
+        }
         status(s"Table ${f.table} successfully created.")
       case asIdx(select) if isView =>
         val rewritten = TableResolver.resolveAndSubstitute(
@@ -474,6 +484,28 @@ final class GraftSession(
     out.toSeq
   }
 
+  /** Hard-link `src` (a parquet snapshot file or directory) into `dest`,
+    * preserving layout; falls back to a byte copy per file only when the
+    * filesystem refuses links (cross-device). A single-file source becomes
+    * a one-link directory so both shapes read back as `parquet(dest)`. */
+  private def linkTree(src: String, dest: String): Unit = {
+    val s = Paths.get(src); val d = Paths.get(dest)
+    def linkOrCopy(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      try { val _ = Files.createLink(to, from) }
+      catch { case _: Exception => val _ = Files.copy(from, to) }
+    if (Files.isRegularFile(s)) {
+      Files.createDirectories(d)
+      linkOrCopy(s, d.resolve(s.getFileName))
+    } else {
+      val walk = Files.walk(s)
+      try walk.forEach { p =>
+        val t = d.resolve(s.relativize(p).toString)
+        if (Files.isDirectory(p)) { val _ = Files.createDirectories(t) }
+        else linkOrCopy(p, t)
+      } finally walk.close()
+    }
+  }
+
   private def tablePath(f: FQN, temp: Boolean): String = {
     val base = if (temp) s"$warehouseDir/_temp" else warehouseDir
     s"$base/${f.database}/${f.schema}/${f.table}"
@@ -491,6 +523,9 @@ final class GraftSession(
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     swapSnapshot(f, ref, empty)
+    // Snowflake's TRUNCATE deletes COPY load metadata so the same files
+    // can be reloaded into the now-empty table.
+    loadHistory.remove(f)
     status("Statement executed successfully.")
   }
 
@@ -577,6 +612,8 @@ final class GraftSession(
     val existed = registry.drop(f)
     if (!existed && !ifExists)
       throw new IllegalArgumentException(s"object $f does not exist")
+    // a re-created table under the same FQN starts with fresh load history
+    loadHistory.remove(f)
     status(s"${f.table} successfully dropped.")
   }
 
@@ -674,8 +711,12 @@ final class GraftSession(
     val allFiles = expandFiles(urls)
     var cum = 0L
     val afterLimit = mapped.sizeLimit match {
-      case Some(lim) => allFiles.filter { case (_, len) =>
-        val take = cum < lim; cum += len; take } // ≥1 file always loads
+      case Some(lim) =>
+        val kept = allFiles.filter { case (_, len) =>
+          val take = cum < lim; cum += len; take }
+        // Snowflake's SIZE_LIMIT loads at least one file regardless of the
+        // threshold (covers SIZE_LIMIT <= 0, where cum < lim never holds)
+        if (kept.isEmpty && allFiles.nonEmpty) allFiles.take(1) else kept
       case None => allFiles
     }
     val already = loadHistory.getOrElse(f, Set.empty)

@@ -940,6 +940,21 @@ object SnowflakeRewriter {
             }
             out += Op(")")
             i = close + 1
+          } else if (up == "POSITION" && {
+              // top-level IN between the parens (not inside a nested call)
+              var depth = 0; var found = false
+              toks.slice(open + 1, close).foreach {
+                case Op("(") => depth += 1
+                case Op(")") => depth -= 1
+                case Ident(w) if depth == 0 && w.equalsIgnoreCase("IN") =>
+                  found = true
+                case _ =>
+              }
+              found
+            }) {
+            // SQL-standard POSITION(needle IN haystack) parses natively in
+            // Spark; only the comma-argument Snowflake form needs LOCATE.
+            out += toks(i); i += 1
           } else if (fnRename.contains(up)) {
             out += Ident(fnRename(up).toLowerCase)
             i = i + 1 // keep the original '(' and args; recursion continues

@@ -208,6 +208,9 @@ class RewriterSpec extends AnyFunSuite {
       "SELECTif((a)ISNOTNULL,b,c)FROMt")
     assert(rw("SELECT POSITION('x', s) FROM t") ==
       "SELECT locate('x', s) FROM t")
+    // SQL-standard form parses natively in Spark — must NOT become LOCATE
+    assert(rw("SELECT POSITION('x' IN s) FROM t") ==
+      "SELECT POSITION('x' IN s) FROM t")
   }
 
   test("REGEXP_COUNT, ARRAY_SLICE, DAYOFWEEKISO") {

@@ -242,6 +242,59 @@ class SessionSpec extends AnyFunSuite {
     s.sql("DROP TABLE t_tr"); s.sql("DROP TABLE t_cl")
   }
 
+  test("CLONE isolation: INSERT / INSERT OVERWRITE / COPY never leak across") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE cl_src AS SELECT * FROM region")
+    s.sql("CREATE TABLE cl_dst CLONE cl_src")
+    // INSERT INTO the clone must not appear in the source
+    s.sql("INSERT INTO cl_dst SELECT * FROM region WHERE r_regionkey = 0")
+    assert(s.sql("SELECT count(*) AS n FROM cl_dst").collect()(0).getLong(0) == 6)
+    assert(s.sql("SELECT count(*) AS n FROM cl_src").collect()(0).getLong(0) == 5)
+    // INSERT OVERWRITE the source must not destroy the clone's data
+    s.sql("INSERT OVERWRITE INTO cl_src SELECT * FROM region WHERE r_regionkey < 2")
+    assert(s.sql("SELECT count(*) AS n FROM cl_src").collect()(0).getLong(0) == 2)
+    assert(s.sql("SELECT count(*) AS n FROM cl_dst").collect()(0).getLong(0) == 6)
+    // COPY INTO the source must not appear in the clone
+    val stageDir = Files.createTempDirectory("graft_stage_cl").toString
+    Files.writeString(java.nio.file.Paths.get(stageDir, "r.csv"),
+      "7,EXTRA,x\n")
+    s.sql(s"CREATE STAGE cl_stage URL='$stageDir'")
+    s.sql("COPY INTO cl_src FROM @cl_stage/r.csv")
+    assert(s.sql("SELECT count(*) AS n FROM cl_src").collect()(0).getLong(0) == 3)
+    assert(s.sql("SELECT count(*) AS n FROM cl_dst").collect()(0).getLong(0) == 6)
+    s.sql("DROP TABLE cl_src"); s.sql("DROP TABLE cl_dst")
+  }
+
+  test("TRUNCATE clears COPY load history so files reload") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_trunc").toString
+    Files.writeString(java.nio.file.Paths.get(stageDir, "t.csv"), "1\n2\n")
+    s.sql(s"CREATE STAGE tr_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE tr_hist (id INT)")
+    s.sql("COPY INTO tr_hist FROM @tr_stage/t.csv")
+    assert(s.sql("SELECT count(*) AS n FROM tr_hist").collect()(0).getLong(0) == 2)
+    s.sql("TRUNCATE TABLE tr_hist")
+    // Snowflake deletes load metadata on TRUNCATE: same file loads again
+    s.sql("COPY INTO tr_hist FROM @tr_stage/t.csv")
+    assert(s.sql("SELECT count(*) AS n FROM tr_hist").collect()(0).getLong(0) == 2)
+    // DROP + re-CREATE under the same name also starts fresh
+    s.sql("DROP TABLE tr_hist")
+    s.sql("CREATE TABLE tr_hist (id INT)")
+    s.sql("COPY INTO tr_hist FROM @tr_stage/t.csv")
+    assert(s.sql("SELECT count(*) AS n FROM tr_hist").collect()(0).getLong(0) == 2)
+  }
+
+  test("COPY INTO: SIZE_LIMIT <= 0 still loads the first file") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_lim0").toString
+    Files.writeString(java.nio.file.Paths.get(stageDir, "a.csv"), "1\n2\n")
+    Files.writeString(java.nio.file.Paths.get(stageDir, "b.csv"), "3\n4\n")
+    s.sql(s"CREATE STAGE lim0_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE lim0_t (id INT)")
+    s.sql("COPY INTO lim0_t FROM @lim0_stage SIZE_LIMIT = 0")
+    assert(s.sql("SELECT count(*) AS n FROM lim0_t").collect()(0).getLong(0) == 2)
+  }
+
   test("ALTER TABLE: rename, add/drop/rename column on COW snapshots") {
     val s = newSession()
     s.sql("CREATE OR REPLACE TABLE t_alt AS SELECT r_regionkey, r_name FROM region")
