@@ -85,11 +85,13 @@ final class GraftSession(
         .getParent.getParent.toString + s"__v${snapshotSeq.incrementAndGet()}"
       val newMeta = graft.sources.IcebergLite.write(spark, next, dir)
       registry.register(ref.copy(path = Some(newMeta)))
+      recordVersion(f, ref.copy(path = Some(newMeta)))
       graft.sources.IcebergLite.scan(spark, newMeta).count()
     } else {
       val newPath = s"${ref.path.get.replaceAll("__v\\d+$", "")}__v${snapshotSeq.incrementAndGet()}"
       next.write.mode("overwrite").parquet(newPath)
       registry.register(ref.copy(path = Some(newPath)))
+      recordVersion(f, ref.copy(path = Some(newPath)))
       spark.read.parquet(newPath).count()
     }
   }
@@ -106,8 +108,119 @@ final class GraftSession(
   def sql(batch: String): DataFrame = {
     val stmts = SqlTokens.splitStatements(batch)
     require(stmts.nonEmpty, "empty batch")
-    stmts.map(executeOne).last
+    stmts.map { st =>
+      currentSeq = stmtSeqGen.incrementAndGet()
+      val res = executeOne(substituteLastQueryId(st))
+      queryLog += ((currentSeq, f"01-graft-$sessionId%04d-$currentSeq%06d"))
+      res
+    }.last
   }
+
+  // ── time travel (Snowflake AT/BEFORE clauses) ──────────────────────────
+  /** Statement sequence of the statement currently executing; qids are
+    * recorded in [[queryLog]] as statements complete, so LAST_QUERY_ID()
+    * inside a statement sees only its predecessors (Snowflake semantics). */
+  private var currentSeq: Long = 0L
+  private val stmtSeqGen = new java.util.concurrent.atomic.AtomicLong(0)
+  private val queryLog = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+  /** Per-table version history: (creating statement seq, wall-clock ms,
+    * ref). Every ref change that PRESERVES the prior snapshot (CTAS,
+    * copy-on-write DML, Iceberg append) appends here; in-place parquet
+    * appends (INSERT/COPY into a plain lake dir) invalidate older
+    * versions, so they reset the history to the post-change state and
+    * travel past them fails loudly. */
+  private val tableHistory = scala.collection.concurrent.TrieMap
+    .empty[FQN, Vector[(Long, Long, TableRef)]]
+
+  private[engine] def recordVersion(f: FQN, ref: TableRef): Unit =
+    tableHistory.updateWith(f)(h => Some(h.getOrElse(Vector.empty) :+
+      ((currentSeq, System.currentTimeMillis(), ref))))
+
+  private def resetHistory(f: FQN, ref: TableRef): Unit =
+    tableHistory.put(f, Vector((currentSeq, System.currentTimeMillis(), ref)))
+
+  /** LAST_QUERY_ID([n]) → the qid string literal, resolved against this
+    * session's statement log (token-level: occurrences inside string
+    * literals survive). Snowflake indexing: default/−1 = most recent,
+    * −2 = one earlier, positive n = n-th statement of the session. */
+  private def substituteLastQueryId(sql: String): String = {
+    if (!sql.toUpperCase.contains("LAST_QUERY_ID")) return sql
+    import SqlTokens._
+    val toks = lex(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Ident(w) if w.equalsIgnoreCase("LAST_QUERY_ID") =>
+          var j = i + 1
+          while (j < toks.length && (toks(j).isInstanceOf[Ws] ||
+                 toks(j).isInstanceOf[Comment])) j += 1
+          if (j < toks.length && toks(j) == Op("(")) {
+            val close = matchParenTok(toks, j)
+            val argText = render(toks.slice(j + 1, close)).trim
+            val n = if (argText.isEmpty) -1 else argText.toInt
+            val idx = if (n > 0) n - 1 else queryLog.length + n
+            require(idx >= 0 && idx < queryLog.length,
+              s"LAST_QUERY_ID($argText): no such statement in this session")
+            out += Str("'" + queryLog(idx)._2 + "'")
+            i = close + 1
+          } else { out += toks(i); i += 1 }
+        case t => out += t; i += 1
+      }
+    }
+    render(out.toSeq)
+  }
+
+  /** Resolve `table AT|BEFORE (OFFSET|TIMESTAMP|STATEMENT => v)` to the
+    * historical snapshot ref. */
+  private[engine] def resolveAsOf(f: FQN, kind: String, spec: String): TableRef = {
+    val specRe = "(?is)^\\s*(OFFSET|TIMESTAMP|STATEMENT)\\s*=>\\s*(.+?)\\s*$".r
+    val hist = tableHistory.getOrElse(f, Vector.empty)
+    require(hist.nonEmpty,
+      s"time travel data is not available for $f (no recorded versions)")
+    val chosen: Option[(Long, Long, TableRef)] = spec.trim match {
+      case specRe(which, rawV) =>
+        val v = rawV.trim
+        which.toUpperCase match {
+          case "STATEMENT" =>
+            val qid = v.stripPrefix("'").stripSuffix("'")
+            val seq = queryLog.find(_._2 == qid).map(_._1).getOrElse(
+              throw new IllegalArgumentException(s"unknown statement id $qid"))
+            // AT = state once that statement completed; BEFORE = just prior
+            if (kind == "BEFORE") hist.filter(_._1 < seq).lastOption
+            else hist.filter(_._1 <= seq).lastOption
+          case "TIMESTAMP" =>
+            val lit = v.stripPrefix("'").takeWhile(_ != '\'')
+            val fmt = java.time.format.DateTimeFormatter.ofPattern(
+              "yyyy-MM-dd HH:mm:ss[.SSS]")
+            val ms = java.time.LocalDateTime.parse(lit, fmt)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            if (kind == "BEFORE") hist.filter(_._2 < ms).lastOption
+            else hist.filter(_._2 <= ms).lastOption
+          case "OFFSET" =>
+            val ms = System.currentTimeMillis() + (v.toDouble * 1000).toLong
+            hist.filter(_._2 <= ms).lastOption
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported time-travel spec: $other")
+    }
+    chosen.map(_._3).getOrElse(throw new IllegalArgumentException(
+      s"time travel data is not available for $f at $kind($spec) — the " +
+      "requested point precedes the oldest retained version (in-place " +
+      "INSERT/COPY loads invalidate earlier versions)"))
+  }
+
+  /** Used by [[TableResolver]] for `t AT(…)` / `t BEFORE(…)`: register the
+    * historical snapshot as a temp view, return its flat name. */
+  private[engine] def ensureAsOfView(f: FQN, kind: String,
+      spec: String): Option[String] =
+    registry.resolve(f).map { _ =>
+      val ref = resolveAsOf(f, kind.toUpperCase, spec)
+      val vn = viewName(f) + "_asof" + java.lang.Integer.toHexString(
+        (kind + spec).hashCode)
+      registry.load(ref).createOrReplaceTempView(vn)
+      vn
+    }
 
   private val createRe =
     ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(TEMP\\s+|TEMPORARY\\s+)?(ICEBERG\\s+)?" +
@@ -410,13 +523,16 @@ final class GraftSession(
           throw new IllegalArgumentException(s"clone source $src does not exist"))
         require(srcRef.kind == TableKind.Lake && srcRef.path.isDefined,
           s"cannot CLONE non-lake object $src")
-        if (srcRef.format == "iceberg")
-          registry.register(TableRef(f, TableKind.Lake, srcRef.path, "iceberg"))
-        else {
-          val dest = s"${tablePath(f, temp)}__clone${snapshotSeq.incrementAndGet()}"
-          linkTree(srcRef.path.get, dest)
-          registry.register(TableRef(f, TableKind.Lake, Some(dest), srcRef.format))
-        }
+        val cloneRef =
+          if (srcRef.format == "iceberg")
+            TableRef(f, TableKind.Lake, srcRef.path, "iceberg")
+          else {
+            val dest = s"${tablePath(f, temp)}__clone${snapshotSeq.incrementAndGet()}"
+            linkTree(srcRef.path.get, dest)
+            TableRef(f, TableKind.Lake, Some(dest), srcRef.format)
+          }
+        registry.register(cloneRef)
+        resetHistory(f, cloneRef)
         status(s"Table ${f.table} successfully created.")
       case asIdx(select) if isView =>
         val rewritten = TableResolver.resolveAndSubstitute(
@@ -427,15 +543,17 @@ final class GraftSession(
       case asIdx(select) =>
         val df = runQuery(select)
         val path = tablePath(f, temp)
-        if (iceberg) {
-          // CREATE ICEBERG TABLE AS (A9): real spec-layout Iceberg commit
-          val metadataPath = graft.sources.IcebergLite.write(spark, df, path)
-          registry.register(
-            TableRef(f, TableKind.Lake, Some(metadataPath), format = "iceberg"))
-        } else {
-          df.write.mode("overwrite").parquet(path)
-          registry.register(TableRef(f, TableKind.Lake, Some(path)))
-        }
+        val newRef =
+          if (iceberg) {
+            // CREATE ICEBERG TABLE AS (A9): real spec-layout Iceberg commit
+            val metadataPath = graft.sources.IcebergLite.write(spark, df, path)
+            TableRef(f, TableKind.Lake, Some(metadataPath), format = "iceberg")
+          } else {
+            df.write.mode("overwrite").parquet(path)
+            TableRef(f, TableKind.Lake, Some(path))
+          }
+        registry.register(newRef)
+        resetHistory(f, newRef)
         status(s"Table ${f.table} successfully created.")
       case colDefs if colDefs.startsWith("(") =>
         // CREATE TABLE t (col type, …): empty table with translated schema
@@ -447,6 +565,7 @@ final class GraftSession(
           spark.sparkContext.emptyRDD[Row], schema)
           .write.mode("overwrite").parquet(path)
         registry.register(TableRef(f, TableKind.Lake, Some(path)))
+        resetHistory(f, TableRef(f, TableKind.Lake, Some(path)))
         val _ = ddl
         status(s"Table ${f.table} successfully created.")
       case other =>
@@ -550,6 +669,8 @@ final class GraftSession(
         require(registry.resolve(nf).isEmpty, s"object $nf already exists")
         registry.register(TableRef(nf, ref.kind, ref.path, ref.format))
         registry.drop(f)
+        tableHistory.remove(f).foreach(h => tableHistory.put(nf,
+          h.map { case (q, t, r) => (q, t, r.copy(fqn = nf)) }))
         status(s"Statement executed successfully.")
       case addColRe(colName, typeSql) =>
         val name = Identifiers.normalizePart(colName)
@@ -614,6 +735,7 @@ final class GraftSession(
       throw new IllegalArgumentException(s"object $f does not exist")
     // a re-created table under the same FQN starts with fresh load history
     loadHistory.remove(f)
+    tableHistory.remove(f)
     status(s"${f.table} successfully dropped.")
   }
 
@@ -660,9 +782,14 @@ final class GraftSession(
               System.nanoTime())
         else graft.sources.IcebergLite.append(spark, aligned, ref.path.get)
       registry.register(ref.copy(path = Some(newMeta)))
-    } else
+      // Iceberg metadata chains are immutable → older versions stay
+      // time-travelable; in-place parquet loads invalidate them
+      recordVersion(f, ref.copy(path = Some(newMeta)))
+    } else {
       aligned.write.mode(if (overwrite) "overwrite" else "append")
         .parquet(ref.path.get)
+      resetHistory(f, ref)
+    }
     status(s"inserted rows into ${f.table}")
   }
 
@@ -794,6 +921,7 @@ final class GraftSession(
         }.toIndexedSeq: _*)
       }
     aligned.write.mode("append").parquet(ref.path.get)
+    resetHistory(f, ref)
     loadHistory.update(f, already ++ paths)
     if (mapped.purge) {
       val conf = spark.sparkContext.hadoopConfiguration

@@ -542,6 +542,34 @@ object SnowflakeRewriter {
                 case _: Ident | _: QIdent => true; case _ => false }))
                 exprStart = found - 1
               else exprStart = found
+              // ordered-set aggregate: fn(args) WITHIN GROUP (ORDER BY …)::t
+              // — the popped group is the WITHIN GROUP clause; extend the
+              // operand back through the aggregate call
+              var b = exprStart - 1
+              while (b >= 0 && out(b).isInstanceOf[Ws]) b -= 1
+              if (b >= 1 && out(b).text.equalsIgnoreCase("GROUP")) {
+                var b2 = b - 1
+                while (b2 >= 0 && out(b2).isInstanceOf[Ws]) b2 -= 1
+                if (b2 >= 0 && out(b2).text.equalsIgnoreCase("WITHIN")) {
+                  var b3 = b2 - 1
+                  while (b3 >= 0 && out(b3).isInstanceOf[Ws]) b3 -= 1
+                  if (b3 >= 0 && out(b3) == Op(")")) {
+                    var depth2 = 0; var k2 = b3; var f2 = -1
+                    while (k2 >= 0 && f2 < 0) {
+                      out(k2) match {
+                        case Op(")") => depth2 += 1
+                        case Op("(") => depth2 -= 1; if (depth2 == 0) f2 = k2
+                        case _ =>
+                      }
+                      k2 -= 1
+                    }
+                    if (f2 > 0 && (out(f2 - 1) match {
+                      case _: Ident | _: QIdent => true; case _ => false }))
+                      exprStart = f2 - 1
+                    else if (f2 >= 0) exprStart = f2
+                  }
+                }
+              }
             case _: Ident | _: QIdent =>
               var k = exprStart
               while (k - 2 >= 0 && out(k - 1) == Op(".") &&

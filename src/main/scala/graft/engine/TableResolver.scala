@@ -57,17 +57,57 @@ object TableResolver {
                   val bare = chain.length == 1 && !cteAliases.contains(
                     Identifiers.normalizePart(name))
                   val qualified = chain.length > 1
+                  // time-travel clause directly after the table name:
+                  // AT | BEFORE ( OFFSET|TIMESTAMP|STATEMENT => … )
+                  val travel: Option[(String, String, Int)] = {
+                    var a = k + 1
+                    while (a < toks.length && (toks(a).isInstanceOf[Ws] ||
+                           toks(a).isInstanceOf[Comment])) a += 1
+                    toks.lift(a) match {
+                      case Some(Ident(w))
+                          if w.equalsIgnoreCase("AT") ||
+                             w.equalsIgnoreCase("BEFORE") =>
+                        var p = a + 1
+                        while (p < toks.length && (toks(p).isInstanceOf[Ws] ||
+                               toks(p).isInstanceOf[Comment])) p += 1
+                        if (p < toks.length && toks(p) == Op("(")) {
+                          var depth = 0; var q = p; var close = -1
+                          while (q < toks.length && close < 0) {
+                            toks(q) match {
+                              case Op("(") => depth += 1
+                              case Op(")") =>
+                                depth -= 1; if (depth == 0) close = q
+                              case _ =>
+                            }
+                            q += 1
+                          }
+                          if (close > p)
+                            Some((w.toUpperCase,
+                              render(toks.slice(p + 1, close)), close))
+                          else None
+                        } else None
+                      case _ => None
+                    }
+                  }
                   var substituted = false
                   if (bare || qualified) {
                     val f = Identifiers.fullQualifier(name,
                       session.currentDatabase, session.currentSchema)
-                    session.ensureView(f) match {
+                    val resolved = travel match {
+                      case Some((kind, spec, _)) =>
+                        session.ensureAsOfView(f, kind, spec)
+                      case None => session.ensureView(f)
+                    }
+                    resolved match {
                       case Some(flat) =>
                         out += Ident(flat); substituted = true
                       case None => out ++= chain
                     }
                   } else out ++= chain
-                  j = k + 1
+                  j = travel match {
+                    case Some((_, _, close)) if substituted => close + 1
+                    case _ => k + 1
+                  }
                   // skip optional alias: [AS] ident
                   var j2 = j
                   while (j2 < toks.length && toks(j2).isInstanceOf[Ws]) j2 += 1

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the clustering step every
+  * near-duplicate pipeline needs between "candidate pairs" (Jaccard /
+  * MinHash / SimHash / embedding-cosine) and "keep one document per
+  * duplicate cluster". Components are labeled by their minimum member id,
+  * so the canonical survivor is deterministic.
+  *
+  * Algorithm: iterated min-label propagation in pure DataFrame ops —
+  * each round every vertex takes the min label over itself and its
+  * neighbors, until no label changes (the standard Pregel-style CC,
+  * expressed as join+groupBy so Catalyst/Tungsten run it). Rounds needed
+  * = graph diameter; duplicate clusters are near-cliques (diameter ≤ ~3),
+  * so this converges in 2-4 rounds on real dedup workloads.
+  *
+  * Scale notes (100 TB):
+  *   - each round is one shuffle-join (labels × edges, both keyed on
+  *     vertex id) + one shuffle-agg (min per vertex) — no driver-side
+  *     graph state, edges never move to the driver;
+  *   - labels are `localCheckpoint`ed every round, cutting the lineage so
+  *     round N's plan doesn't replay rounds 1..N-1;
+  *   - convergence is checked with a count of changed labels (one cheap
+  *     agg per round), capped by `maxIter` as a runaway guard;
+  *   - for web-scale graphs with long chains, swap the propagation body
+  *     for the large-star/small-star rule (Kiveris et al.) — same
+  *     join+agg primitives, O(log n) rounds; not the default because
+  *     dedup graphs are clique-like and pay the extra shuffles for
+  *     nothing.
+  */
+object Components {
+
+  /** `edges`: two id columns (undirected). Returns (id, component) for
+    * every vertex appearing in any edge; component = min id reachable. */
+  def connected(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    // symmetrize once; (a,b) with a<b plus reverse covers both directions
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = e.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // neighbor labels: for each edge (a,b), b proposes its comp to a
+      val proposals = e.join(labels.withColumnRenamed("id", "b"), "b")
+        .select(col("a").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(proposals)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup decision over candidate pairs: every doc in a duplicate
+    * cluster maps to its canonical (minimum-id) representative; `keep`
+    * marks the survivor. Docs in no pair are implicitly kept. */
+  def dedupClusters(pairs: DataFrame, d1: String = "d1",
+      d2: String = "d2"): DataFrame =
+    connected(pairs, d1, d2)
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        (col("id") === col("comp")).as("keep"))
+}

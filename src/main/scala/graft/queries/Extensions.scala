@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryPack, Tables}
-import graft.operators.{Bucketing, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Bucketing, Components, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -325,6 +325,61 @@ object Extensions extends QueryPack {
         .join(losers.withColumn("lost", lit(true)), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(!col("lost"), lit(true)).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Connected components over near-dup candidate pairs: the clustering
+    // step between "pairs found" and "keep one doc per duplicate cluster".
+    // Spark side: iterated min-label propagation (join+agg per round, no
+    // driver graph state); oracle: recursive transitive closure — two
+    // entirely different algorithms, same fixpoint.
+    GQuery("x21_dedup_components", Some("""
+      WITH RECURSIVE pairs AS (
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh0 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+                FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i) g),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+        p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT d1, d2
+        FROM p0 JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+      e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a WHERE e2.b <> r.a),
+      comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+               FROM reach GROUP BY a)
+      SELECT doc_id, component, doc_id = component AS keep
+      FROM comp ORDER BY doc_id""")) { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.5)
+      Components.dedupClusters(pairs).orderBy("doc_id")
+    },
+
+    // As-of join: latest at-or-before 'view' for every 'purchase' by the
+    // same user — single-shuffle union+window, no join operator at all.
+    // DuckDB's native ASOF JOIN is the oracle.
+    GQuery("x22_asof_join", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, v.view_id
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""")) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsOfJoin.asOf(p, v, "user_id", "ts", "ts", Seq("view_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("r_view_id").as("view_id"))
+        .orderBy("event_id")
     },
 
     // Deterministic hash-ranked stratified sample: k docs per source,

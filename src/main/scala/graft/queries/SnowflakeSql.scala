@@ -362,6 +362,64 @@ object SnowflakeSql extends QueryPack {
         SELECT l_returnflag AS flag,
           sum(disc_price(l_extendedprice, l_discount))::double AS rev
         FROM lineitem GROUP BY 1 ORDER BY flag;""")
+    },
+
+    // Time travel: CTAS → COW DELETE → read both the current state and the
+    // pre-DELETE snapshot via BEFORE(STATEMENT => LAST_QUERY_ID()). The
+    // oracle recomputes both counts from the base table.
+    GQuery("snow22_time_travel", Some("""
+      SELECT (SELECT count(*) FROM region WHERE r_regionkey < 2) AS now_n,
+             (SELECT count(*) FROM region) AS then_n""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE tt_region AS SELECT * FROM region;
+        DELETE FROM tt_region WHERE r_regionkey >= 2;
+        SELECT (SELECT count(*) FROM tt_region) AS now_n,
+               (SELECT count(*) FROM tt_region
+                BEFORE(STATEMENT => LAST_QUERY_ID())) AS then_n;""")
+    },
+
+    // Ordered-set aggregates: MEDIAN and PERCENTILE_CONT WITHIN GROUP —
+    // both engines use linear interpolation, so exact values compare.
+    GQuery("snow23_percentiles", Some("""
+      SELECT l_returnflag AS flag,
+        round(CAST(median(l_quantity) AS DOUBLE), 6) AS med_qty,
+        round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)
+          AS DOUBLE), 6) AS p25_qty,
+        round(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+          AS DOUBLE), 6) AS p90_price
+      FROM lineitem GROUP BY 1 ORDER BY flag""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT l_returnflag AS flag,
+          round(MEDIAN(l_quantity)::double, 6) AS med_qty,
+          round(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity)::double, 6)
+            AS p25_qty,
+          round(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice)::double, 6)
+            AS p90_price
+        FROM lineitem GROUP BY 1 ORDER BY flag""")
+    },
+
+    // UNPIVOT: wide aggregate → (key, metric, value) long form; the oracle
+    // recreates the fold with UNION ALL.
+    GQuery("snow24_unpivot", Some("""
+      WITH agg AS (
+        SELECT o_orderpriority AS pri,
+          CAST(count(*) AS DOUBLE) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1)
+      SELECT pri, metric, val FROM (
+        SELECT pri, 'n_orders' AS metric, n_orders AS val FROM agg
+        UNION ALL
+        SELECT pri, 'total' AS metric, total AS val FROM agg)
+      ORDER BY pri, metric""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH agg AS (
+          SELECT o_orderpriority AS pri,
+            count(*)::double AS n_orders,
+            sum(o_totalprice::number(12,2))::double AS total
+          FROM orders GROUP BY 1)
+        SELECT pri, lower(metric) AS metric, val
+        FROM agg UNPIVOT (val FOR metric IN (n_orders, total))
+        ORDER BY pri, metric""")
     }
   )
 }

@@ -126,6 +126,22 @@ object Streaming extends QueryPack {
           }
           .toDF("user_id", "n_events", "sum_value")
       }.orderBy("user_id")
+    },
+
+    // Streaming deduplication: emit each (user_id, event_type) key once —
+    // the streaming twin of exact dedup (x01). `dropDuplicates` keeps
+    // per-key state across micro-batches; at production scale the same
+    // query uses `withWatermark` + `dropDuplicatesWithinWatermark` so
+    // state is evicted once the dedup horizon passes instead of growing
+    // unboundedly. Only the key columns are emitted, so the result is
+    // deterministic regardless of which physical row survived.
+    GQuery("stream04_dedup", Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""")) { (s, dir) =>
+      runStream(s, dir, outputMode = "append") { src =>
+        src.select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+      }.orderBy("user_id", "event_type")
     }
   )
 }

@@ -213,6 +213,12 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT POSITION('x' IN s) FROM t")
   }
 
+  test(":: cast binds the whole ordered-set aggregate, not its GROUP clause") {
+    assert(rw(
+      "SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY q)::double FROM t") ==
+      "SELECT CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY q) AS DOUBLE) FROM t")
+  }
+
   test("REGEXP_COUNT, ARRAY_SLICE, DAYOFWEEKISO") {
     assert(rw("SELECT REGEXP_COUNT(s, '[0-9]+') FROM t").replaceAll("\\s+", "") ==
       "SELECTsize(regexp_extract_all(s,'[0-9]+',0))FROMt")

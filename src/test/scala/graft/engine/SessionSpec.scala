@@ -295,6 +295,52 @@ class SessionSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) AS n FROM lim0_t").collect()(0).getLong(0) == 2)
   }
 
+  test("time travel: BEFORE(STATEMENT => LAST_QUERY_ID()) sees pre-DML state") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE tt1 AS SELECT * FROM region")
+    s.sql("DELETE FROM tt1 WHERE r_regionkey >= 2")
+    val r = s.sql("""SELECT (SELECT count(*) FROM tt1) AS now_n,
+      (SELECT count(*) FROM tt1 BEFORE(STATEMENT => LAST_QUERY_ID())) AS then_n""")
+      .collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 5)
+    // AT(STATEMENT => …) includes the statement's own change
+    val r2 = s.sql("""SELECT count(*) AS n
+      FROM tt1 AT(STATEMENT => LAST_QUERY_ID(-2))""").collect()(0)
+    assert(r2.getLong(0) == 2) // state right after the DELETE
+  }
+
+  test("time travel: AT(TIMESTAMP) and AT(OFFSET) pick the right version") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE tt2 AS SELECT * FROM region")
+    Thread.sleep(30)
+    val mid = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(30)
+    s.sql("DELETE FROM tt2 WHERE r_regionkey <> 0")
+    assert(s.sql(s"SELECT count(*) AS n FROM tt2 AT(TIMESTAMP => '$mid')")
+      .collect()(0).getLong(0) == 5)
+    assert(s.sql("SELECT count(*) AS n FROM tt2 AT(OFFSET => 0)")
+      .collect()(0).getLong(0) == 1)
+    // travel before the table existed fails loudly
+    intercept[Exception] {
+      s.sql("SELECT * FROM tt2 AT(TIMESTAMP => '2000-01-01 00:00:00')").collect()
+    }
+  }
+
+  test("time travel: in-place COPY/INSERT append invalidates older versions") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE tt3 AS SELECT * FROM region")
+    s.sql("INSERT INTO tt3 SELECT * FROM region WHERE r_regionkey = 0")
+    // the append mutated the snapshot dir: travel to pre-append must fail
+    intercept[Exception] {
+      s.sql("SELECT count(*) FROM tt3 BEFORE(STATEMENT => LAST_QUERY_ID())")
+        .collect()
+    }
+    // but the current state still reads fine
+    assert(s.sql("SELECT count(*) AS n FROM tt3").collect()(0).getLong(0) == 6)
+  }
+
   test("ALTER TABLE: rename, add/drop/rename column on COW snapshots") {
     val s = newSession()
     s.sql("CREATE OR REPLACE TABLE t_alt AS SELECT r_regionkey, r_name FROM region")

@@ -162,6 +162,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.size == exact.size)
   }
 
+  test("as-of join: latest at-or-before match per key, ties inclusive") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val trades = Seq((1L, "A", ts(10)), (2L, "A", ts(20)), (3L, "B", ts(5)))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", ts(8), 1.0), ("A", ts(10), 2.0), ("A", ts(15), 3.0),
+        ("B", ts(9), 9.0))
+      .toDF("sym", "t", "px")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "t", "t", Seq("px"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("r_px"))).toMap
+    assert(out(1L) == Some(2.0))  // tie at t=10 matches (inclusive)
+    assert(out(2L) == Some(3.0))  // latest of the three
+    assert(out(3L) == None)       // no quote at-or-before t=5
+  }
+
+  test("as-of join with tolerance nulls stale matches") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = Seq((1L, "A", ts(100)), (2L, "A", ts(1000))).toDF("id", "k", "t")
+    val r = Seq(("A", ts(90), 7.0)).toDF("k", "t", "px")
+    val out = AsOfJoin.asOfWithin(l, r, "k", "t", "t", Seq("px"),
+        expr("INTERVAL 30 SECONDS"))
+      .collect().map(x => x.getAs[Long]("id") ->
+        Option(x.getAs[Any]("r_px"))).toMap
+    assert(out(1L) == Some(7.0))  // 10 s back, within tolerance
+    assert(out(2L) == None)       // 910 s back, stale
+  }
+
+  test("connected components: chain, clique, and singleton-pair graphs") {
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val comp = Components.connected(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    val dec = Components.dedupClusters(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(dec(1L) && !dec(2L) && !dec(4L) && dec(10L) && !dec(12L))
+  }
+
   test("multimodal plumbing: binary in, typed features out") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val feat = Multimodal.extractFeatures(
