@@ -111,7 +111,12 @@ final class GraftSession(
     stmts.map { st =>
       currentSeq = stmtSeqGen.incrementAndGet()
       val res = executeOne(substituteLastQueryId(st))
-      queryLog += ((currentSeq, f"01-graft-$sessionId%04d-$currentSeq%06d"))
+      val qid = f"01-graft-$sessionId%04d-$currentSeq%06d"
+      queryLog += ((currentSeq, qid))
+      resultCache.synchronized {
+        resultCache.put(qid, res)
+        while (resultCache.size > 32) resultCache.remove(resultCache.head._1)
+      }
       res
     }.last
   }
@@ -227,6 +232,7 @@ final class GraftSession(
      "(TABLE|VIEW)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w$\".]+)\\s*(.*)$").r
   private val useRe   = "(?is)^USE\\s+(?:(DATABASE|SCHEMA|WAREHOUSE|ROLE)\\s+)?([\\w$\".]+)\\s*$".r
   private val dropRe  = "(?is)^DROP\\s+(?:TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
+  private val undropRe = "(?is)^UNDROP\\s+TABLE\\s+([\\w$\".]+)\\s*$".r
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
   private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|FILE\\s+FORMATS)\\b.*$".r
@@ -299,6 +305,7 @@ final class GraftSession(
       doCreate(orReplace != null, temp != null, kind.equalsIgnoreCase("VIEW"),
         ifNotExists != null, name, rest, iceberg != null)
     case dropRe(ifExists, name) => doDrop(ifExists != null, name)
+    case undropRe(name) => doUndrop(name)
     case truncateRe(name) => doTruncate(name)
     case alterRe(name, action) => doAlter(name, action.trim)
     case listRe(src) if src.startsWith("@") => doList(src)
@@ -311,9 +318,76 @@ final class GraftSession(
     case q => runQuery(q)
   }
 
+  /** Results of completed statements by qid, for RESULT_SCAN (bounded,
+    * insertion-ordered eviction). DataFrames are analyzed lazy plans over
+    * immutable COW snapshots, so re-reading them replays the original
+    * result; only an in-place INSERT/COPY load can perturb a cached scan. */
+  private val resultCache =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** [TABLE(]RESULT_SCAN('qid')[)] → temp view over the cached result.
+    * LAST_QUERY_ID() has already been substituted to a literal by the
+    * statement driver. Token-level, so string literals elsewhere survive. */
+  private def substituteResultScan(sql: String): String = {
+    if (!sql.toUpperCase.contains("RESULT_SCAN")) return sql
+    import SqlTokens._
+    val toks = lex(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    def sigIdx(from: Int): Int = {
+      var j = from
+      while (j < toks.length && (toks(j).isInstanceOf[Ws] ||
+             toks(j).isInstanceOf[Comment])) j += 1
+      j
+    }
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Ident(w) if w.equalsIgnoreCase("TABLE") && {
+            val p = sigIdx(i + 1)
+            p < toks.length && toks(p) == Op("(") && {
+              val r = sigIdx(p + 1)
+              r < toks.length && toks(r).text.equalsIgnoreCase("RESULT_SCAN")
+            }
+          } =>
+          // TABLE( RESULT_SCAN('qid') ) — consume the whole wrapper
+          val open = sigIdx(i + 1)
+          val close = matchParenTok(toks, open)
+          out += Ident(resultScanView(render(toks.slice(open + 1, close))))
+          i = close + 1
+        case Ident(w) if w.equalsIgnoreCase("RESULT_SCAN") && {
+            val p = sigIdx(i + 1)
+            p < toks.length && toks(p) == Op("(")
+          } =>
+          val open = sigIdx(i + 1)
+          val close = matchParenTok(toks, open)
+          out += Ident(resultScanView(render(toks.slice(i, close + 1))))
+          i = close + 1
+        case t => out += t; i += 1
+      }
+    }
+    render(out.toSeq)
+  }
+
+  /** `RESULT_SCAN('qid')` (rendered text) → registered temp-view name. */
+  private def resultScanView(call: String): String = {
+    val m = "(?is).*RESULT_SCAN\\s*\\(\\s*'([^']+)'\\s*\\).*".r
+    val qid = call.trim match {
+      case m(q) => q
+      case other => throw new IllegalArgumentException(
+        s"RESULT_SCAN expects a query id literal, got: $other")
+    }
+    val df = resultCache.synchronized { resultCache.get(qid) }.getOrElse(
+      throw new IllegalArgumentException(
+        s"result for statement $qid is no longer available"))
+    val vn = "result_scan_s" + sessionId + "_" + qid.replaceAll("[^0-9a-zA-Z]", "_")
+    df.createOrReplaceTempView(vn)
+    vn
+  }
+
   // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
   def runQuery(snowflakeSql: String): DataFrame = {
-    val rewritten = SnowflakeRewriter.rewrite(expandSqlFunctions(snowflakeSql))
+    val rewritten = SnowflakeRewriter.rewrite(
+      expandSqlFunctions(substituteResultScan(snowflakeSql)))
     // session-context functions resolve against THIS session (a shared
     // SparkSession can't carry per-session UDF state); token-level so the
     // function name inside a string literal survives untouched
@@ -730,6 +804,9 @@ final class GraftSession(
   // ── DROP (A13) ─────────────────────────────────────────────────────────
   private def doDrop(ifExists: Boolean, rawName: String): DataFrame = {
     val f = fqn(rawName)
+    // snapshots are COW-immutable, so UNDROP is a registry re-point —
+    // stash the dropped ref (latest drop wins, Snowflake semantics)
+    registry.resolve(f).foreach(r => droppedTables.put(f, r))
     val existed = registry.drop(f)
     if (!existed && !ifExists)
       throw new IllegalArgumentException(s"object $f does not exist")
@@ -737,6 +814,24 @@ final class GraftSession(
     loadHistory.remove(f)
     tableHistory.remove(f)
     status(s"${f.table} successfully dropped.")
+  }
+
+  /** UNDROP TABLE: restore the most recently dropped version under this
+    * FQN — free because snapshots are immutable (the drop only removed
+    * the registry pointer). Fails if the name has been re-created. */
+  private val droppedTables =
+    scala.collection.concurrent.TrieMap.empty[FQN, TableRef]
+
+  private def doUndrop(rawName: String): DataFrame = {
+    val f = fqn(rawName)
+    val ref = droppedTables.getOrElse(f, throw new IllegalArgumentException(
+      s"no dropped table $f to UNDROP"))
+    require(registry.resolve(f).isEmpty,
+      s"object $f already exists; rename it before UNDROP")
+    registry.register(ref)
+    droppedTables.remove(f)
+    resetHistory(f, ref)
+    status(s"Table ${f.table} successfully restored.")
   }
 
   // ── INSERT (A12) ───────────────────────────────────────────────────────

@@ -44,9 +44,15 @@ object Components {
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(eager = true)
+    // labels only ever decrease, so the fixpoint is reached exactly when
+    // the label sum stops changing — one scan per round, no compare-join
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       // neighbor labels: for each edge (a,b), b proposes its comp to a
       val proposals = e.join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("comp"))
@@ -54,8 +60,9 @@ object Components {
         .union(proposals)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -435,6 +435,34 @@ object Relational extends QueryPack {
                  coalesce(col("l_linestatus"), lit("~")))
     },
 
+    // Distribution window functions: percent_rank / cume_dist / nth_value
+    // (explicit full frame — both engines default nth_value to the
+    // running frame otherwise).
+    GQuery("q33_window_distribution", Some("""
+      SELECT o_orderpriority, o_orderkey,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd,
+        nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+      FROM orders
+      WHERE o_totalprice > 300000
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey""")) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
     // ───── expressions: case / strings / dates / math ────────────────────
     GQuery("q08_case_buckets", Some(s"""
       SELECT CASE WHEN l_quantity < 10 THEN 'small'

@@ -420,6 +420,89 @@ object SnowflakeSql extends QueryPack {
         SELECT pri, lower(metric) AS metric, val
         FROM agg UNPIVOT (val FOR metric IN (n_orders, total))
         ORDER BY pri, metric""")
+    },
+
+    // RESULT_SCAN(LAST_QUERY_ID()): a later statement re-reads an earlier
+    // statement's result from the session result cache.
+    GQuery("snow25_result_scan", Some("""
+      SELECT o_orderpriority AS pri, count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY pri""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderpriority AS pri, count(*) AS n FROM orders GROUP BY 1;
+        SELECT pri, n FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))
+        ORDER BY pri;""")
+    },
+
+    // DROP → UNDROP: the COW snapshot outlives the registry pointer, so
+    // restore is a metadata-only re-point (Snowflake semantics).
+    GQuery("snow26_undrop", Some("""
+      SELECT count(*) AS n FROM nation""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE und_n AS SELECT * FROM nation;
+        DROP TABLE und_n;
+        UNDROP TABLE und_n;
+        SELECT count(*) AS n FROM und_n;""")
+    },
+
+    // Recursive CTE (Snowflake WITH RECURSIVE): walk the region → nation
+    // → customer hierarchy, counting members per root and level. Spark 4
+    // executes the recursion natively (UnionLoop); DuckDB runs the same
+    // ANSI text.
+    GQuery("snow27_recursive_cte", Some("""
+      WITH RECURSIVE nodes AS (
+        SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS id,
+               CAST(NULL AS VARCHAR) AS parent FROM region
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+               'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'C' || CAST(c_custkey AS VARCHAR),
+               'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+        WHERE c_custkey <= 300),
+      walk AS (
+        SELECT id, id AS root, 1 AS lvl FROM nodes WHERE parent IS NULL
+        UNION ALL
+        SELECT n.id, w.root, w.lvl + 1
+        FROM nodes n JOIN walk w ON n.parent = w.id)
+      SELECT root, lvl, count(*) AS n
+      FROM walk GROUP BY root, lvl ORDER BY root, lvl""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH RECURSIVE nodes AS (
+          SELECT 'R' || r_regionkey::varchar AS id,
+                 NULL::varchar AS parent FROM region
+          UNION ALL
+          SELECT 'N' || n_nationkey::varchar,
+                 'R' || n_regionkey::varchar FROM nation
+          UNION ALL
+          SELECT 'C' || c_custkey::varchar,
+                 'N' || c_nationkey::varchar FROM customer
+          WHERE c_custkey <= 300),
+        walk AS (
+          SELECT id, id AS root, 1 AS lvl FROM nodes WHERE parent IS NULL
+          UNION ALL
+          SELECT n.id, w.root, w.lvl + 1
+          FROM nodes n JOIN walk w ON n.parent = w.id)
+        SELECT root, lvl, count(*) AS n
+        FROM walk GROUP BY root, lvl ORDER BY root, lvl""")
+    },
+
+    // Explicit GROUPING SETS (q19/q32 cover ROLLUP/CUBE).
+    GQuery("snow28_grouping_sets", Some("""
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        CAST(grouping(o_orderpriority)*2 + grouping(o_orderstatus) AS INT) AS gid,
+        count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                              (o_orderstatus), ())
+      ORDER BY gid, COALESCE(pri,'~'), COALESCE(st,'~')""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+          (grouping(o_orderpriority)*2 + grouping(o_orderstatus))::int AS gid,
+          count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        ORDER BY gid, COALESCE(pri,'~'), COALESCE(st,'~')""")
     }
   )
 }

@@ -341,6 +341,37 @@ class SessionSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) AS n FROM tt3").collect()(0).getLong(0) == 6)
   }
 
+  test("UNDROP TABLE restores the dropped snapshot; blocked if re-created") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE und AS SELECT * FROM region")
+    s.sql("DROP TABLE und")
+    intercept[Exception] { s.sql("SELECT count(*) FROM und").collect() }
+    s.sql("UNDROP TABLE und")
+    assert(s.sql("SELECT count(*) AS n FROM und").collect()(0).getLong(0) == 5)
+    // re-created name blocks UNDROP like Snowflake
+    s.sql("DROP TABLE und")
+    s.sql("CREATE TABLE und AS SELECT * FROM region WHERE r_regionkey = 0")
+    intercept[Exception] { s.sql("UNDROP TABLE und") }
+  }
+
+  test("RESULT_SCAN(LAST_QUERY_ID()) re-reads a previous statement's result") {
+    val s = newSession()
+    s.sql("SELECT r_regionkey AS k, r_name FROM region WHERE r_regionkey < 3")
+    val r = s.sql(
+      "SELECT count(*) AS n FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))")
+      .collect()(0)
+    assert(r.getLong(0) == 3)
+    // bare form (no TABLE wrapper) and column projection over the result
+    s.sql("SELECT 41 + 1 AS answer")
+    val r2 = s.sql("SELECT answer FROM RESULT_SCAN(LAST_QUERY_ID())")
+      .collect()(0)
+    assert(r2.getInt(0) == 42)
+    // unknown qid fails loudly
+    intercept[Exception] {
+      s.sql("SELECT * FROM TABLE(RESULT_SCAN('01-bogus-000001'))").collect()
+    }
+  }
+
   test("ALTER TABLE: rename, add/drop/rename column on COW snapshots") {
     val s = newSession()
     s.sql("CREATE OR REPLACE TABLE t_alt AS SELECT r_regionkey, r_name FROM region")
