@@ -79,4 +79,43 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(trim(regexp_replace(
       regexp_replace(lower(textCol), "[\\p{Punct}]", ""), "\\s+", " ")))
+
+  /** Within-document repetition features (the RefinedWeb/Gopher
+    * "duplicate n-gram fraction" filter): per doc, the fraction of its
+    * word n-grams that are repeats. Pure per-row array expressions —
+    * no explode, no shuffle — so the filter pipelines inside the scan
+    * at any corpus size. Short docs (< n words) count as one shingle,
+    * mirroring [[Dedup.shingles]]. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, maxDupFraction: Double = 0.2): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val shs = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(ws, " ")))
+    val total = size(shs)
+    val distinctN = size(array_distinct(shs))
+    df.select(
+      col(idCol),
+      total.as("n_ngrams"),
+      distinctN.as("n_distinct"),
+      round(lit(1.0) - distinctN.cast(DoubleType) / total.cast(DoubleType), 6)
+        .as("dup_fraction"),
+      (lit(1.0) - distinctN.cast(DoubleType) / total.cast(DoubleType) <=
+        maxDupFraction).as("keep"))
+  }
+
+  /** Corpus vocabulary: top-`k` tokens by document frequency — the
+    * tokenizer-training / stopword-derivation step. One explode + one
+    * hash-shuffle count (map-side partial agg bounds the shuffle by
+    * vocabulary size per partition, not token count); the Zipf-head skew
+    * lives in the COUNT, not a join, so no salting is needed. Ties break
+    * lexicographically for determinism. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(split(col(textCol), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(k)
 }

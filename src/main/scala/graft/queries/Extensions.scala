@@ -382,6 +382,33 @@ object Extensions extends QueryPack {
         .orderBy("event_id")
     },
 
+    // Within-document repetition filter (RefinedWeb/Gopher duplicate
+    // n-gram fraction): pure per-row array expressions, no shuffle.
+    GQuery("x23_repetition_filter", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+              FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i) g)
+      SELECT doc_id, CAST(count(*) AS INT) AS n_ngrams,
+        CAST(count(DISTINCT s) AS INT) AS n_distinct,
+        round(1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6)
+          AS dup_fraction,
+        (1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*)) <= 0.2 AS keep
+      FROM sh0 GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      TextAnalysis.repetitionFeatures(docs(s, dir), "doc_id", "text",
+        n = 5, maxDupFraction = 0.2).orderBy("doc_id")
+    },
+
+    // Corpus vocabulary: top-k tokens by document frequency (tokenizer
+    // training / stopword derivation). Zipf-head skew lands in a COUNT,
+    // not a join, so partial aggregation absorbs it.
+    GQuery("x24_vocabulary", Some("""
+      WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents)
+      SELECT token, count(*) AS doc_freq FROM tok GROUP BY token
+      ORDER BY doc_freq DESC, token LIMIT 100""")) { (s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", k = 100)
+    },
+
     // Deterministic hash-ranked stratified sample: k docs per source,
     // reproducible across engines (rank = md5(id), no RNG) — rerunning
     // corpus curation at 100 TB must select the SAME sample.

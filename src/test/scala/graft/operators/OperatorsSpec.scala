@@ -205,6 +205,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec(1L) && !dec(2L) && !dec(4L) && dec(10L) && !dec(12L))
   }
 
+  test("repetition features flag high duplicate-ngram docs") {
+    val rep = ("w1 w2 w3 w4 w5 " * 10).trim            // 46 shingles, 5 distinct
+    val uniq = (1 to 20).map("u" + _).mkString(" ")    // all shingles distinct
+    val df = Seq((1L, rep), (2L, uniq), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_fraction"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L)._1 > 0.8 && !out(1L)._2)
+    assert(out(2L)._1 == 0.0 && out(2L)._2)
+    assert(out(3L)._1 == 0.0 && out(3L)._2) // short doc = one shingle
+  }
+
+  test("vocabulary ranks tokens by document frequency with stable ties") {
+    val df = Seq((1L, "a b c a"), (2L, "a b"), (3L, "a z")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v(0) == ("a", 3L))  // in all 3 docs; within-doc repeat not counted
+    assert(v(1) == ("b", 2L))
+    assert(v(2) == ("c", 1L))  // tie with z broken lexicographically
+  }
+
   test("multimodal plumbing: binary in, typed features out") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val feat = Multimodal.extractFeatures(
