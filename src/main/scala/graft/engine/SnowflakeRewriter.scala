@@ -64,6 +64,10 @@ object SnowflakeRewriter {
     "SYSDATE" -> "CURRENT_TIMESTAMP",
     "ARRAYAGG" -> "ARRAY_AGG",
     "ARRAY_CAT" -> "CONCAT",
+    // Snowflake ARRAY_INTERSECTION keeps multiset semantics; Spark's
+    // array_intersect dedups — equivalent on distinct-element arrays
+    "ARRAY_INTERSECTION" -> "ARRAY_INTERSECT",
+    "ARRAY_FLATTEN" -> "FLATTEN",
     "VARIANCE_POP" -> "VAR_POP",
     "VARIANCE_SAMP" -> "VAR_SAMP",
     "BOOLOR_AGG" -> "BOOL_OR",
@@ -858,6 +862,19 @@ object SnowflakeRewriter {
             out ++= rewriteFunctions(toks.slice(argRanges(1)._1, argRanges(1)._2))
             out ++= lex(", 0))")
             i = close + 1
+          } else if (up == "ARRAY_POSITION") {
+            // Snowflake ARRAY_POSITION(elem, array): 0-based, NULL when
+            // absent; Spark array_position(array, elem): 1-based, 0 when
+            // absent — swap args, shift, map 0 → NULL
+            val argRanges = splitArgs(toks, open, close)
+            if (argRanges.length == 2) {
+              out ++= lex("(nullif(array_position(")
+              out ++= rewriteFunctions(toks.slice(argRanges(1)._1, argRanges(1)._2))
+              out += Op(",")
+              out ++= rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
+              out ++= lex("), 0) - 1)")
+              i = close + 1
+            } else { out += toks(i); i += 1 }
           } else if (up == "ARRAY_SLICE") {
             // Snowflake ARRAY_SLICE(arr, from, to): 0-based, to-exclusive;
             // Spark slice(arr, start, length): 1-based start

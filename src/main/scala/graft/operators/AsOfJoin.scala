@@ -24,11 +24,10 @@ import org.apache.spark.sql.functions._
   *   - the window sort is per key-partition (Spark sorts each partition
   *     once for the whole frame family), cost O(n log n/p) per executor;
   *   - a pathologically hot key serializes into one task; the fix at
-  *     scale is range-bucketing time into the key (`bucketTs`), which
-  *     bounds any task to one key×time-slice — carry-in rows are the
-  *     per-bucket latest right row, broadcast-joined back. The plain
-  *     variant is the default because real key spaces (user, symbol)
-  *     are wide.
+  *     scale is [[asOfBucketed]], which range-buckets time into the
+  *     partition key so no task holds more than one key × bucket of
+  *     rows. The plain variant is the default because real key spaces
+  *     (user, symbol) are wide.
   */
 object AsOfJoin {
 
@@ -58,6 +57,77 @@ object AsOfJoin {
           last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"r_$c")): _*)
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"r_$c")): _*)
+  }
+
+  /** Skew-proof variant for pathologically hot keys: partitions on
+    * (key, time-bucket) instead of key alone, so no single task ever
+    * holds more than one key × `bucketSeconds` of rows.
+    *
+    * Two-level structure:
+    *   1. within-bucket: the same union+window carry, partitioned by
+    *      (key, bucket) — the hot key's timeline is split across buckets;
+    *   2. cross-bucket: a per-(key, bucket) "latest right row" table
+    *      (one row per key-bucket, tiny) gets a cumulative carry window
+    *      over buckets; left rows whose bucket holds no earlier right row
+    *      take the carry from the latest previous bucket.
+    *
+    * Same result as [[asOf]] (asserted in OperatorsSpec); use it when one
+    * key dominates the stream (a bot user, a hardcoded symbol). */
+  def asOfBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def bucket(ts: Column): Column =
+      floor(unix_micros(ts.cast("timestamp")) / lit(bucketSeconds * 1000000L))
+    // 1. within-bucket carry — identical window, finer partitioning
+    val taggedL = left
+      .withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+      .withColumn("_b", bucket(col(leftTs)))
+      .select(Seq(col(key).as("_k"), col("_b"), col("_ts"), col("_side")) ++
+        leftCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val taggedR = right
+      .withColumn("_ts", col(rightTs)).withColumn("_side", lit(0))
+      .withColumn("_b", bucket(col(rightTs)))
+      .select(Seq(col(key).as("_k"), col("_b"), col("_ts"), col("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+    val wInB = Window.partitionBy("_k", "_b").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = taggedL.unionByName(taggedR)
+      .select(col("*") +:
+        rightCols.map(c =>
+          last(col(s"_r_$c"), ignoreNulls = true).over(wInB).as(s"in_$c")): _*)
+      .filter(col("_side") === 1)
+    // 2. cross-bucket carry: latest right row per (key, bucket) — one row
+    // per key-bucket, so this side is orders of magnitude smaller
+    val perBucket = right
+      .withColumn("_b", bucket(col(rightTs)))
+      .groupBy(col(key).as("_k"), col("_b"))
+      .agg(max_by(struct(rightCols.map(col): _*), col(rightTs)).as("_last"))
+    val wCum = Window.partitionBy("_k").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = perBucket
+      .select(col("_k"), col("_b"), last(col("_last")).over(wCum).as("_carry"))
+    // a left row in bucket b needs the carry through the end of bucket
+    // b-1: shift the carry forward one bucket…
+    val prevCarry = carry.withColumn("_b", col("_b") + 1)
+      .withColumnRenamed("_carry", "_prev0")
+    // …then close the gaps (buckets with no right rows) by carrying the
+    // shifted value forward over the union of left-bucket keys
+    val leftBuckets = inBucket.select(col("_k"), col("_b")).distinct()
+    val wGap = Window.partitionBy("_k").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapClosed = leftBuckets.unionByName(
+        prevCarry.select(col("_k"), col("_b")), allowMissingColumns = false)
+      .distinct()
+      .join(prevCarry, Seq("_k", "_b"), "left_outer")
+      .select(col("_k"), col("_b"),
+        last(col("_prev0"), ignoreNulls = true).over(wGap).as("_prev"))
+    val joined = inBucket.join(gapClosed, Seq("_k", "_b"), "left_outer")
+    joined.select(leftCols.map(col) ++
+      rightCols.map(c => coalesce(col(s"in_$c"),
+        col("_prev").getField(c)).as(s"r_$c")): _*)
   }
 
   /** Tolerance variant: matches further back than `toleranceExpr`

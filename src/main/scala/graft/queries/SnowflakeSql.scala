@@ -503,6 +503,34 @@ object SnowflakeSql extends QueryPack {
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderstatus), ())
         ORDER BY gid, COALESCE(pri,'~'), COALESCE(st,'~')""")
+    },
+
+    // Array function family over real data: size / slice / 0-based
+    // position (NULL when absent) / contains / distinct+sort / max.
+    GQuery("snow29_array_fns", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE doc_id <= 50)
+      SELECT doc_id,
+        CAST(len(ws) AS INT) AS n,
+        array_to_string(list_slice(ws, 1, 3), ' ') AS first3,
+        CAST(nullif(list_position(ws, 'the'), 0) - 1 AS INT) AS the_pos,
+        list_contains(ws, 'the') AS has_the,
+        CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+        array_to_string(list_slice(list_sort(list_distinct(ws)), 1, 2), ',')
+          AS first2_sorted
+      FROM w ORDER BY doc_id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH w AS (SELECT doc_id, STRTOK_TO_ARRAY(text, ' ') AS ws
+                   FROM documents WHERE doc_id <= 50)
+        SELECT doc_id,
+          ARRAY_SIZE(ws)::int AS n,
+          ARRAY_TO_STRING(ARRAY_SLICE(ws, 0, 3), ' ') AS first3,
+          ARRAY_POSITION('the', ws)::int AS the_pos,
+          ARRAY_CONTAINS('the', ws) AS has_the,
+          ARRAY_SIZE(ARRAY_DISTINCT(ws))::int AS n_distinct,
+          ARRAY_TO_STRING(ARRAY_SLICE(ARRAY_SORT(ARRAY_DISTINCT(ws)), 0, 2), ',')
+            AS first2_sorted
+        FROM w ORDER BY doc_id""")
     }
   )
 }

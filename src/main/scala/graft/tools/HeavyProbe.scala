@@ -48,6 +48,11 @@ object HeavyProbe {
     time("h09_aqe_shj")(joinAgg().count())
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     time("h09_prefer_shj")(joinAgg().count())
+    for (p <- Seq(32, 64, 128)) {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      time(s"h09_shj_parts_$p")(joinAgg().count())
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
     val li = spark.read.parquet(s"$dir/lineitem")
     def h03() = li.groupBy("l_partkey")
       .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))

@@ -213,6 +213,13 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT POSITION('x' IN s) FROM t")
   }
 
+  test("ARRAY_POSITION swaps args and maps to 0-based NULL-absent") {
+    assert(rw("SELECT ARRAY_POSITION('x', arr) FROM t").replaceAll("\\s+", "") ==
+      "SELECT(nullif(array_position(arr,'x'),0)-1)FROMt")
+    assert(rw("SELECT ARRAY_INTERSECTION(a, b) FROM t") ==
+      "SELECT array_intersect(a, b) FROM t")
+  }
+
   test(":: cast binds the whole ordered-set aggregate, not its GROUP clause") {
     assert(rw(
       "SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY q)::double FROM t") ==

@@ -178,6 +178,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == None)       // no quote at-or-before t=5
   }
 
+  test("as-of join plans exactly one shuffle (union+window, no join)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = Seq((1L, "A", ts(10))).toDF("id", "k", "t")
+    val r = Seq(("A", ts(8), 1.0)).toDF("k", "t", "px")
+    val out = AsOfJoin.asOf(l, r, "k", "t", "t", Seq("px"))
+    out.collect()
+    // AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("repetition filter plans no shuffle (pure per-row expressions)") {
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(df, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition features must be shuffle-free:\n$plan")
+  }
+
+  test("bucketed as-of equals plain as-of across bucket boundaries and gaps") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // quotes at 5,95 (bucket 0), 150 (bucket 1), none in bucket 2,
+    // 460 (bucket 4); trades probe same-bucket, next-bucket, gap-spanning,
+    // tie, and before-any-quote cases (bucketSeconds = 100)
+    val trades = Seq(
+      (1L, "A", ts(3)),   // before any quote → null
+      (2L, "A", ts(50)),  // within bucket 0 → q@5
+      (3L, "A", ts(150)), // tie with q@150 → inclusive
+      (4L, "A", ts(210)), // bucket 2 empty → carry q@150
+      (5L, "A", ts(320)), // gap spanning bucket 3 → carry q@150
+      (6L, "A", ts(470)), // after q@460
+      (7L, "B", ts(100))  // other key → q@90
+    ).toDF("id", "k", "t")
+    val quotes = Seq(
+      ("A", ts(5), 1.0), ("A", ts(95), 2.0), ("A", ts(150), 3.0),
+      ("A", ts(460), 4.0), ("B", ts(90), 9.0)
+    ).toDF("k", "t", "px")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("r_px"))).toMap
+    val plain = res(AsOfJoin.asOf(trades, quotes, "k", "t", "t", Seq("px")))
+    val bucketed = res(AsOfJoin.asOfBucketed(trades, quotes, "k", "t", "t",
+      Seq("px"), bucketSeconds = 100))
+    assert(plain == bucketed)
+    assert(bucketed(1L) == None && bucketed(2L) == Some(1.0) &&
+      bucketed(3L) == Some(3.0) && bucketed(4L) == Some(3.0) &&
+      bucketed(5L) == Some(3.0) && bucketed(6L) == Some(4.0) &&
+      bucketed(7L) == Some(9.0))
+  }
+
   test("as-of join with tolerance nulls stale matches") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
