@@ -147,6 +147,7 @@ object SnowflakeRewriter {
   // ── entry point ────────────────────────────────────────────────────────
   def rewrite(sql: String): String = {
     var toks = lex(sql)
+    toks = rewriteConnectBy(toks)
     toks = unwrapTableFn(toks)
     toks = rewriteFlatten(toks)
     toks = rewriteJsonPaths(toks)
@@ -157,6 +158,108 @@ object SnowflakeRewriter {
     toks = rewriteQualify(toks)
     toks = rewriteTop(toks)
     render(toks)
+  }
+
+  // ── pass: CONNECT BY → WITH RECURSIVE ──────────────────────────────────
+  /** Snowflake hierarchical query
+    * `SELECT … FROM t START WITH <cond> CONNECT BY PRIOR a = b [tail]`
+    * (either clause order) → a recursive CTE Spark 4 executes natively:
+    * {{{
+    * WITH RECURSIVE __graft_cb AS (
+    *   SELECT *, 1 AS level FROM t WHERE <cond>
+    *   UNION ALL
+    *   SELECT t.*, __graft_cb.level + 1
+    *   FROM t JOIN __graft_cb ON t.b = __graft_cb.a)
+    * SELECT … FROM __graft_cb [tail]
+    * }}}
+    * The LEVEL pseudo-column maps to the generated `level`. Supported
+    * shape: single-table FROM, `PRIOR x = y` / `y = PRIOR x` condition;
+    * anything else fails loudly rather than mis-translating. */
+  private def rewriteConnectBy(toks: Vector[Tok]): Vector[Tok] = {
+    // top-depth keyword index search
+    def findKw(words: Seq[String], from: Int): Int = {
+      var depth = 0; var j = from
+      while (j < toks.length) {
+        toks(j) match {
+          case Op("(") => depth += 1
+          case Op(")") => depth -= 1
+          case Ident(w) if depth == 0 && w.equalsIgnoreCase(words.head) =>
+            // match the full word sequence (skipping ws/comments)
+            var k = j; var ok = true
+            for (target <- words.tail) {
+              k += 1
+              while (k < toks.length && (toks(k).isInstanceOf[Ws] ||
+                     toks(k).isInstanceOf[Comment])) k += 1
+              ok &&= k < toks.length && (toks(k) match {
+                case Ident(x) => x.equalsIgnoreCase(target); case _ => false })
+            }
+            if (ok) return j
+          case _ =>
+        }
+        j += 1
+      }
+      -1
+    }
+    val cbIdx = findKw(Seq("CONNECT", "BY"), 0)
+    if (cbIdx < 0) return toks
+    val swIdx = findKw(Seq("START", "WITH"), 0)
+    require(swIdx >= 0, "CONNECT BY requires a START WITH clause")
+    val fromIdx = findKw(Seq("FROM"), 0)
+    require(fromIdx >= 0 && fromIdx < math.min(cbIdx, swIdx),
+      "unsupported CONNECT BY shape (expected SELECT … FROM t …)")
+    // clause boundaries: the two clauses appear in either order after FROM
+    val firstClause = math.min(swIdx, cbIdx)
+    val secondClause = math.max(swIdx, cbIdx)
+    // the tail starts at the first top-level keyword after both clauses
+    val tailIdx = {
+      val candidates = Seq("ORDER", "QUALIFY", "LIMIT", "GROUP", "HAVING")
+        .map(k => findKw(Seq(k), secondClause)).filter(_ >= 0)
+      if (candidates.isEmpty) toks.length else candidates.min
+    }
+    def span(a: Int, b: Int): String = render(toks.slice(a, b)).trim
+    // index just past a matched n-word keyword sequence starting at `at`
+    def afterKw(at: Int, nWords: Int): Int = {
+      var j = at; var words = 1
+      while (words < nWords) {
+        j += 1
+        while (j < toks.length && (toks(j).isInstanceOf[Ws] ||
+               toks(j).isInstanceOf[Comment])) j += 1
+        words += 1
+      }
+      j + 1
+    }
+    val proj = span(nextAfterKeyword(toks, 0, "SELECT"), fromIdx)
+    val table = span(fromIdx + 1, firstClause)
+    require(!table.contains("(") && table.split("\\s+").length == 1,
+      s"CONNECT BY supports a single-table FROM, got: $table")
+    val (startCond, connectExpr) =
+      if (swIdx < cbIdx)
+        (span(afterKw(swIdx, 2), cbIdx), span(afterKw(cbIdx, 2), tailIdx))
+      else
+        (span(afterKw(swIdx, 2), tailIdx), span(afterKw(cbIdx, 2), swIdx))
+    val tail = span(tailIdx, toks.length)
+    // PRIOR a = b  |  b = PRIOR a  (parent column a, child column b)
+    val priorLeft = "(?is)^PRIOR\\s+([\\w$\"\\.]+)\\s*=\\s*([\\w$\"\\.]+)$".r
+    val priorRight = "(?is)^([\\w$\"\\.]+)\\s*=\\s*PRIOR\\s+([\\w$\"\\.]+)$".r
+    val (parentCol, childCol) = connectExpr.trim match {
+      case priorLeft(a, b) => (a, b)
+      case priorRight(b, a) => (a, b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported CONNECT BY condition (need PRIOR a = b): $other")
+    }
+    lex(s"""WITH RECURSIVE __graft_cb AS (
+      SELECT *, 1 AS level FROM $table WHERE $startCond
+      UNION ALL
+      SELECT t.*, __graft_cb.level + 1
+      FROM $table t JOIN __graft_cb ON t.$childCol = __graft_cb.$parentCol)
+    SELECT $proj FROM __graft_cb $tail""")
+  }
+
+  private def nextAfterKeyword(toks: Vector[Tok], from: Int, kw: String): Int = {
+    var j = from
+    while (j < toks.length && !(toks(j) match {
+      case Ident(w) => w.equalsIgnoreCase(kw); case _ => false })) j += 1
+    j + 1
   }
 
   // ── pass: SELECT TOP n <list> … → SELECT <list> … LIMIT n (per scope) ──

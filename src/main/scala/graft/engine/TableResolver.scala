@@ -160,9 +160,12 @@ object TableResolver {
     while (s < sig.length) {
       toks(sig(s)) match {
         case Ident(w) if w.equalsIgnoreCase("WITH") =>
-          // WITH a AS ( … ), b AS ( … )
+          // WITH [RECURSIVE] a AS ( … ), b AS ( … )
           var expectAlias = true
           var p = s + 1
+          if (p < sig.length && (toks(sig(p)) match {
+            case Ident(r) => r.equalsIgnoreCase("RECURSIVE"); case _ => false
+          })) p += 1
           while (expectAlias && p + 1 < sig.length) {
             (toks(sig(p)), toks(sig(p + 1))) match {
               case (Ident(alias), Ident(as)) if as.equalsIgnoreCase("AS") =>

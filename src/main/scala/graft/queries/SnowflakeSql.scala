@@ -531,6 +531,31 @@ object SnowflakeSql extends QueryPack {
           ARRAY_TO_STRING(ARRAY_SLICE(ARRAY_SORT(ARRAY_DISTINCT(ws)), 0, 2), ',')
             AS first2_sorted
         FROM w ORDER BY doc_id""")
+    },
+
+    // CONNECT BY hierarchical query → recursive CTE: a 5-chain forest
+    // derived from nation (parent = id - 5; roots 0..4, depth 5).
+    GQuery("snow30_connect_by", Some("""
+      WITH RECURSIVE emp AS (
+        SELECT n_nationkey AS id,
+          CASE WHEN n_nationkey < 5 THEN NULL
+               ELSE n_nationkey - 5 END AS parent_id
+        FROM nation),
+      walk AS (
+        SELECT id, parent_id, 1 AS lvl FROM emp WHERE parent_id IS NULL
+        UNION ALL
+        SELECT e.id, e.parent_id, w.lvl + 1
+        FROM emp e JOIN walk w ON e.parent_id = w.id)
+      SELECT id, CAST(lvl AS INT) AS lvl FROM walk ORDER BY id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TEMP TABLE cb_emp AS
+          SELECT n_nationkey AS id,
+            IFF(n_nationkey < 5, NULL, n_nationkey - 5) AS parent_id
+          FROM nation;
+        SELECT id, LEVEL::int AS lvl FROM cb_emp
+        START WITH parent_id IS NULL
+        CONNECT BY PRIOR id = parent_id
+        ORDER BY id;""")
     }
   )
 }

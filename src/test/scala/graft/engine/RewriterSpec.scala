@@ -213,6 +213,22 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT POSITION('x' IN s) FROM t")
   }
 
+  test("CONNECT BY becomes a recursive CTE (both clause orders)") {
+    val a = rw("""SELECT id, LEVEL FROM emp START WITH parent_id IS NULL
+      CONNECT BY PRIOR id = parent_id ORDER BY id""").replaceAll("\\s+", " ")
+    assert(a.contains("WITH RECURSIVE __graft_cb AS ("))
+    assert(a.contains("SELECT *, 1 AS level FROM emp WHERE parent_id IS NULL"))
+    assert(a.contains("JOIN __graft_cb ON t.parent_id = __graft_cb.id"))
+    assert(a.contains("SELECT id, LEVEL FROM __graft_cb ORDER BY id"))
+    // reversed clause order and flipped PRIOR side
+    val b = rw("""SELECT id FROM emp CONNECT BY parent_id = PRIOR id
+      START WITH parent_id IS NULL""").replaceAll("\\s+", " ")
+    assert(b.contains("JOIN __graft_cb ON t.parent_id = __graft_cb.id"))
+    // unsupported shapes fail loudly instead of mis-translating
+    intercept[Exception] { rw("SELECT 1 FROM a, b CONNECT BY PRIOR x = y START WITH 1=1") }
+    intercept[Exception] { rw("SELECT 1 FROM a START WITH 1=1 CONNECT BY x < y") }
+  }
+
   test("ARRAY_POSITION swaps args and maps to 0-based NULL-absent") {
     assert(rw("SELECT ARRAY_POSITION('x', arr) FROM t").replaceAll("\\s+", "") ==
       "SELECT(nullif(array_position(arr,'x'),0)-1)FROMt")
