@@ -82,6 +82,19 @@ object SnowflakeRewriter {
     // INSTR would silently swap subject and needle.
     "CHARINDEX" -> "LOCATE",
     "ARRAY_SIZE" -> "SIZE",
+    "SKEW" -> "SKEWNESS",
+    // (y, m, d [, h, mi, s]) arg orders line up with Spark's make_* family
+    "DATE_FROM_PARTS" -> "MAKE_DATE",
+    "DATEFROMPARTS" -> "MAKE_DATE",
+    "TIMESTAMP_FROM_PARTS" -> "MAKE_TIMESTAMP",
+    "TIMESTAMPFROMPARTS" -> "MAKE_TIMESTAMP",
+    "TIMESTAMP_NTZ_FROM_PARTS" -> "MAKE_TIMESTAMP_NTZ",
+    "BASE64_ENCODE" -> "BASE64",
+    "HEX_ENCODE" -> "HEX",
+    // Snowflake HASH is a proprietary (stable) 64-bit hash; xxhash64 is the
+    // engine's stable 64-bit stand-in — deterministic within this engine,
+    // not value-compatible with Snowflake (documented divergence)
+    "HASH" -> "XXHASH64",
     "CURRENT_TIMESTAMP" -> "CURRENT_TIMESTAMP")
 
   /** Functions whose call collapses to their (single) argument: VARIANT is
@@ -1087,6 +1100,114 @@ object SnowflakeRewriter {
               } else out ++= rewriteFunctions(argToks)
             }
             out += Op(")")
+            i = close + 1
+          } else if (up == "EQUAL_NULL") {
+            // EQUAL_NULL(a, b) → ((a) <=> (b)) — null-safe equality
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2, "EQUAL_NULL needs 2 arguments")
+            out ++= lex("((")
+            out ++= rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
+            out ++= lex(") <=> (")
+            out ++= rewriteFunctions(toks.slice(argRanges(1)._1, argRanges(1)._2))
+            out ++= lex("))")
+            i = close + 1
+          } else if (up == "BASE64_DECODE_STRING" || up == "TRY_BASE64_DECODE_STRING" ||
+              up == "HEX_DECODE_STRING" || up == "TRY_HEX_DECODE_STRING") {
+            // *_DECODE_STRING(s) → CAST(un{base64,hex}(s) AS STRING); Spark's
+            // decoders already yield NULL on malformed input, matching TRY_
+            val fn = if (up.contains("BASE64")) "unbase64" else "unhex"
+            out ++= lex(s"CAST($fn(")
+            out ++= rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex(") AS STRING)")
+            i = close + 1
+          } else if (up == "JSON_EXTRACT_PATH_TEXT" || up == "GET_PATH") {
+            // (variant, 'a.b') → get_json_object(variant, '$.a.b');
+            // VARIANT is JSON text in this engine (§1.2). Literal path only —
+            // the token layer has no type info for the general case.
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2, s"$up needs 2 arguments")
+            val pToks = toks.slice(argRanges(1)._1, argRanges(1)._2)
+            val pSig = significant(pToks)
+            pToks(pSig.head) match {
+              case s: Str if pSig.size == 1 =>
+                out ++= lex("get_json_object(")
+                out ++= rewriteFunctions(
+                  toks.slice(argRanges(0)._1, argRanges(0)._2))
+                out ++= lex(s", '$$.${s.value.replace("'", "''")}')")
+              case _ => throw new IllegalArgumentException(
+                s"$up requires a literal path string")
+            }
+            i = close + 1
+          } else if (up == "STRIP_NULL_VALUE") {
+            // JSON null → SQL NULL over JSON-text VARIANT
+            out ++= lex("nullif(")
+            out ++= rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex(", 'null')")
+            i = close + 1
+          } else if (up == "TYPEOF") {
+            // TYPEOF over JSON-text VARIANT: classify by JSON syntax. The
+            // engine stores VARIANT as JSON text (reference parity, §1.2),
+            // so the type IS the JSON surface form.
+            val v = render(rewriteFunctions(toks.slice(open + 1, close)))
+            out ++= lex(s"""CASE
+              WHEN ($v) IS NULL THEN NULL
+              WHEN ($v) = 'null' THEN 'NULL_VALUE'
+              WHEN left($v, 1) = '{' THEN 'OBJECT'
+              WHEN left($v, 1) = '[' THEN 'ARRAY'
+              WHEN left($v, 1) = '"' THEN 'VARCHAR'
+              WHEN lower($v) IN ('true', 'false') THEN 'BOOLEAN'
+              WHEN ($v) RLIKE '^-?[0-9]+$$' THEN 'INTEGER'
+              WHEN ($v) RLIKE '^-?[0-9]*\\\\.[0-9]+([eE][+-]?[0-9]+)?$$' THEN 'DECIMAL'
+              ELSE 'VARCHAR' END""")
+            i = close + 1
+          } else if (up == "OBJECT_AGG") {
+            // OBJECT_AGG(k, v) → JSON-text object with sorted keys (VARIANT
+            // is JSON text here; sorting makes the aggregate deterministic
+            // at any parallelism — Snowflake's own key order is undefined)
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2, "OBJECT_AGG needs 2 arguments")
+            val k = render(rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2)))
+            val v = render(rewriteFunctions(
+              toks.slice(argRanges(1)._1, argRanges(1)._2)))
+            out ++= lex(s"to_json(map_from_entries(array_sort(" +
+              s"collect_list(struct(($k) AS key, ($v) AS value)))))")
+            i = close + 1
+          } else if (up == "GREATEST" || up == "LEAST") {
+            // Snowflake GREATEST/LEAST return NULL when ANY argument is
+            // NULL; Spark's skip NULLs — wrap with an any-null guard
+            val argRanges = splitArgs(toks, open, close)
+            if (argRanges.length >= 2) {
+              val args = argRanges.map(r => render(rewriteFunctions(
+                toks.slice(r._1, r._2))).trim)
+              val guard = args.map(a => s"($a) IS NULL").mkString(" OR ")
+              out ++= lex(s"CASE WHEN $guard THEN NULL ELSE " +
+                s"${up.toLowerCase}(${args.mkString(", ")}) END")
+              i = close + 1
+            } else { out += toks(i); i += 1 }
+          } else if (up == "INSERT") {
+            // string INSERT(base, pos, len, repl) → overlay(base, repl, pos, len)
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 4, "INSERT needs 4 arguments")
+            val Seq(base, pos, len, repl) = argRanges.map(r =>
+              rewriteFunctions(toks.slice(r._1, r._2)))
+            out ++= lex("overlay(")
+            out ++= base; out += Op(",")
+            out ++= repl; out += Op(",")
+            out ++= pos; out += Op(",")
+            out ++= len
+            out += Op(")")
+            i = close + 1
+          } else if (up == "HAVERSINE") {
+            // HAVERSINE(lat1, lon1, lat2, lon2) → great-circle km formula
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 4, "HAVERSINE needs 4 arguments")
+            val Seq(lat1, lon1, lat2, lon2) = argRanges.map(r =>
+              render(rewriteFunctions(toks.slice(r._1, r._2))).trim)
+            out ++= lex(s"(2 * 6371 * asin(sqrt(" +
+              s"power(sin(radians(($lat2) - ($lat1)) / 2), 2) + " +
+              s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+              s"power(sin(radians(($lon2) - ($lon1)) / 2), 2))))")
             i = close + 1
           } else if (up == "POSITION" && {
               // top-level IN between the parens (not inside a nested call)

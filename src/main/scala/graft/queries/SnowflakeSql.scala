@@ -556,6 +556,77 @@ object SnowflakeSql extends QueryPack {
         START WITH parent_id IS NULL
         CONNECT BY PRIOR id = parent_id
         ORDER BY id;""")
+    },
+
+    // Scalar function batch 2: null-safe equality, encode/decode round
+    // trips, string INSERT/overlay, Snowflake GREATEST/LEAST null
+    // semantics, date constructors, haversine, TYPEOF/STRIP_NULL_VALUE/
+    // JSON_EXTRACT_PATH_TEXT over JSON-text VARIANT.
+    GQuery("snow31_fn_scalar2", Some("""
+      SELECT n_nationkey AS id,
+        (CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END
+          IS NOT DISTINCT FROM n_regionkey) AS eqn,
+        n_name AS b64_rt,
+        'TWFu' AS b64_lit,
+        n_name AS hex_rt,
+        '4142' AS hex_lit,
+        substr(n_name, 1, 1) || 'XX' || substr(n_name, 5) AS ins,
+        CASE WHEN n_regionkey = 2 THEN NULL
+             ELSE greatest(n_nationkey, n_regionkey * 7) END AS grt,
+        CASE WHEN n_regionkey = 2 THEN NULL
+             ELSE least(n_nationkey, n_regionkey * 7) END AS lst,
+        CAST(make_date(2020, 1 + n_regionkey,
+          1 + CAST(n_nationkey % 28 AS INT)) AS VARCHAR) AS dfp,
+        CAST(round(2 * 6371 * asin(sqrt(
+          pow(sin(radians(n_nationkey - 0) / 2), 2) +
+          cos(radians(0)) * cos(radians(CAST(n_nationkey AS DOUBLE))) *
+          pow(sin(radians(n_regionkey * 10 - 0) / 2), 2))), 4) AS DOUBLE) AS hav,
+        'OBJECT' AS t_obj, 'ARRAY' AS t_arr, 'INTEGER' AS t_int,
+        'DECIMAL' AS t_dec, 'BOOLEAN' AS t_bool,
+        CAST(NULL AS VARCHAR) AS snv,
+        json_extract_string('{"a":{"b":7}}', '$.a.b') AS jept
+      FROM nation ORDER BY id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT n_nationkey AS id,
+          EQUAL_NULL(NULLIF(n_regionkey, 2), n_regionkey) AS eqn,
+          BASE64_DECODE_STRING(BASE64_ENCODE(n_name)) AS b64_rt,
+          BASE64_ENCODE('Man') AS b64_lit,
+          HEX_DECODE_STRING(HEX_ENCODE(n_name)) AS hex_rt,
+          HEX_ENCODE('AB') AS hex_lit,
+          INSERT(n_name, 2, 3, 'XX') AS ins,
+          GREATEST(n_nationkey, NULLIF(n_regionkey, 2) * 7) AS grt,
+          LEAST(n_nationkey, NULLIF(n_regionkey, 2) * 7) AS lst,
+          DATE_FROM_PARTS(2020, 1 + n_regionkey, 1 + (n_nationkey % 28)::int)::varchar AS dfp,
+          ROUND(HAVERSINE(0, 0, n_nationkey, n_regionkey * 10), 4)::double AS hav,
+          TYPEOF(PARSE_JSON('{"a":1}')) AS t_obj,
+          TYPEOF(PARSE_JSON('[1,2]')) AS t_arr,
+          TYPEOF(PARSE_JSON('12')) AS t_int,
+          TYPEOF(PARSE_JSON('1.5')) AS t_dec,
+          TYPEOF(PARSE_JSON('true')) AS t_bool,
+          STRIP_NULL_VALUE(PARSE_JSON('null'))::varchar AS snv,
+          JSON_EXTRACT_PATH_TEXT('{"a":{"b":7}}', 'a.b') AS jept
+        FROM nation ORDER BY id""")
+    },
+
+    // Aggregate batch 2: OBJECT_AGG (JSON-text object, sorted keys),
+    // MIN_BY/MAX_BY, plus exact count — grouped through a dimension join.
+    GQuery("snow32_fn_agg2", Some("""
+      SELECT r.r_name AS region,
+        '{' || string_agg('"' || n.n_name || '":' || n.n_nationkey,
+          ',' ORDER BY n.n_name) || '}' AS nations,
+        arg_min(n.n_name, n.n_nationkey) AS first_nation,
+        arg_max(n.n_name, n.n_nationkey) AS last_nation,
+        count(*) AS n
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1 ORDER BY region""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT r.r_name AS region,
+          OBJECT_AGG(n.n_name, n.n_nationkey) AS nations,
+          MIN_BY(n.n_name, n.n_nationkey) AS first_nation,
+          MAX_BY(n.n_name, n.n_nationkey) AS last_nation,
+          count(*) AS n
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1 ORDER BY region""")
     }
   )
 }

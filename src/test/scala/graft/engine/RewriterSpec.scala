@@ -328,6 +328,77 @@ class RewriterSpec extends AnyFunSuite {
     val stmts = SqlTokens.splitStatements("SELECT 'a;b'; SELECT 2;")
     assert(stmts == Seq("SELECT 'a;b'", "SELECT 2"))
   }
+
+  test("EQUAL_NULL becomes null-safe equality") {
+    assert(rw("SELECT EQUAL_NULL(a, b) FROM t") ==
+      "SELECT ((a) <=> ( b)) FROM t")
+  }
+
+  test("base64/hex encode-decode family") {
+    assert(rw("SELECT BASE64_ENCODE(s) FROM t") == "SELECT base64(s) FROM t")
+    assert(rw("SELECT BASE64_DECODE_STRING(s) FROM t") ==
+      "SELECT CAST(unbase64(s) AS STRING) FROM t")
+    assert(rw("SELECT HEX_DECODE_STRING(s) FROM t") ==
+      "SELECT CAST(unhex(s) AS STRING) FROM t")
+    assert(rw("SELECT HEX_ENCODE(s) FROM t") == "SELECT hex(s) FROM t")
+  }
+
+  test("JSON_EXTRACT_PATH_TEXT and GET_PATH take literal paths") {
+    assert(rw("SELECT JSON_EXTRACT_PATH_TEXT(v, 'a.b') FROM t") ==
+      "SELECT get_json_object(v, '$.a.b') FROM t")
+    assert(rw("SELECT GET_PATH(v, 'k') FROM t") ==
+      "SELECT get_json_object(v, '$.k') FROM t")
+  }
+
+  test("STRIP_NULL_VALUE maps JSON null to SQL NULL") {
+    assert(rw("SELECT STRIP_NULL_VALUE(v) FROM t") ==
+      "SELECT nullif(v, 'null') FROM t")
+  }
+
+  test("GREATEST gets Snowflake any-null semantics") {
+    assert(rw("SELECT GREATEST(a, b) FROM t") ==
+      "SELECT CASE WHEN (a) IS NULL OR (b) IS NULL THEN NULL " +
+      "ELSE greatest(a, b) END FROM t")
+    // single-arg form left alone
+    assert(rw("SELECT GREATEST(a) FROM t") == "SELECT GREATEST(a) FROM t")
+  }
+
+  test("string INSERT becomes overlay with reordered args") {
+    assert(rw("SELECT INSERT(s, 2, 3, r) FROM t") ==
+      "SELECT overlay(s, r, 2, 3) FROM t")
+    // statement keyword INSERT untouched
+    assert(rw("INSERT INTO t (a, b) SELECT 1, 2") ==
+      "INSERT INTO t (a, b) SELECT 1, 2")
+  }
+
+  test("FROM_PARTS constructors map to make_* family") {
+    assert(rw("SELECT DATE_FROM_PARTS(2024, 2, 29)") ==
+      "SELECT make_date(2024, 2, 29)")
+    assert(rw("SELECT TIMESTAMP_NTZ_FROM_PARTS(2024, 1, 2, 3, 4, 5)") ==
+      "SELECT make_timestamp_ntz(2024, 1, 2, 3, 4, 5)")
+  }
+
+  test("OBJECT_AGG becomes sorted JSON map aggregate") {
+    assert(rw("SELECT OBJECT_AGG(k, v) FROM t") ==
+      "SELECT to_json(map_from_entries(array_sort(" +
+      "collect_list(struct((k) AS key, ( v) AS value))))) FROM t")
+  }
+
+  test("TYPEOF classifies JSON-text VARIANT") {
+    val out = rw("SELECT TYPEOF(v) FROM t")
+    assert(out.contains("'OBJECT'") && out.contains("'ARRAY'") &&
+      out.contains("'NULL_VALUE'") && out.contains("'BOOLEAN'"))
+  }
+
+  test("HAVERSINE expands to great-circle formula") {
+    val out = rw("SELECT HAVERSINE(a, b, c, d) FROM t")
+    assert(out.contains("6371") && out.contains("asin(sqrt("))
+  }
+
+  test("HASH and SKEW rename") {
+    assert(rw("SELECT HASH(a, b) FROM t") == "SELECT xxhash64(a, b) FROM t")
+    assert(rw("SELECT SKEW(x) FROM t") == "SELECT skewness(x) FROM t")
+  }
 }
 
 class IdentifiersSpec extends AnyFunSuite {
