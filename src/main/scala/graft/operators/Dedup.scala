@@ -97,24 +97,33 @@ object Dedup {
       threshold: Double, numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    val sh = shingles(df, idCol, textCol, n).cache()
 
-    // one aggregation computes all minhashes: hash each shingle string
-    // ONCE, then derive the k-th hash from the 8-byte base hash + seed —
-    // k× cheaper than re-hashing the string per seed, and partial agg
-    // keeps the shuffle tiny (one row per doc)
-    val hashed = sh.withColumn("h0", xxhash64(col("shingle")))
-    val mhCols = (0 until numHashes).map(k =>
-      min(xxhash64(col("h0"), lit(k))).as(s"mh$k"))
-    val sigs = hashed.groupBy(col("doc")).agg(mhCols.head, mhCols.tail: _*)
+    // Signature stage is entirely PER-ROW — no shingle explode, no
+    // signature shuffle: shingle the text, 64-bit-hash each distinct
+    // shingle, and compute all minhashes in one codegen'd pass
+    // (MinHashSig). Distinct-by-base-hash equals distinct-by-shingle up
+    // to 64-bit collisions (~|shingles|²/2⁶⁴ — negligible at any corpus
+    // size this engine targets, and 2⁻³² even at 100 B shingles).
+    val words = split(col(textCol), " ")
+    val shingleStrs =
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(words, " ")))
+    val docsH = df.select(col(idCol).as("doc"),
+        array_distinct(transform(shingleStrs, s => xxhash64(s))).as("h0s"))
+      .select(col("doc"), col("h0s"), size(col("h0s")).as("sz"),
+        graft.functions.MinHashSig.minhashSig(col("h0s"), numHashes).as("sig"))
+      .cache()
 
-    // band hash = xxhash64 of the band's minhash values
+    // band hash = xxhash64 of the band's minhash values; O(n·bands) rows
+    // shuffle into the candidate self-join — the LSH scale contract
     val bandCols = (0 until numBands).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"),
-        xxhash64(cols: _*).as("bh")).as(s"b$bnd")
+      val elems = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), bnd * rowsPerBand + r + 1))
+      struct(lit(bnd).as("band"), xxhash64(elems: _*).as("bh")).as(s"b$bnd")
     }
-    val banded = sigs.select(col("doc"), array(bandCols: _*).as("bands"))
+    val banded = docsH.select(col("doc"), array(bandCols: _*).as("bands"))
       .select(col("doc"), explode(col("bands")).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
 
@@ -124,14 +133,20 @@ object Dedup {
       .select(col("x.doc").as("d1"), col("y.doc").as("d2"))
       .distinct()
 
-    // exact verification restricted to candidates
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc").as("d1"), col("shingle").as("sh1"))
-    val b = sh.select(col("doc").as("d2b"), col("shingle").as("sh2"))
-    val inter = candidates.join(a, Seq("d1"))
-      .join(b, col("d2") === col("d2b") && col("sh1") === col("sh2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    jaccardFromIntersections(inter, sizes, threshold)
+    // exact verification per candidate pair: set intersection of the two
+    // base-hash arrays — a per-pair primitive op, vs re-exploding and
+    // re-joining every shingle of every candidate doc
+    val d1s = docsH.select(col("doc").as("d1"), col("h0s").as("h1s"),
+      col("sz").as("sz1"))
+    val d2s = docsH.select(col("doc").as("d2"), col("h0s").as("h2s"),
+      col("sz").as("sz2"))
+    candidates.join(d1s, Seq("d1")).join(d2s, Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("h1s"), col("h2s"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("sz1") + col("sz2") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash signatures per doc (see [[graft.functions.SimHash64]]):
