@@ -95,6 +95,12 @@ object SnowflakeRewriter {
     // engine's stable 64-bit stand-in — deterministic within this engine,
     // not value-compatible with Snowflake (documented divergence)
     "HASH" -> "XXHASH64",
+    // HLL sketch family → Spark's DataSketches-backed HLL functions; the
+    // serialized sketch bytes differ from Snowflake's (both opaque), the
+    // accumulate/combine/estimate contract is the same
+    "HLL_ACCUMULATE" -> "HLL_SKETCH_AGG",
+    "HLL_COMBINE" -> "HLL_UNION_AGG",
+    "HLL_ESTIMATE" -> "HLL_SKETCH_ESTIMATE",
     "CURRENT_TIMESTAMP" -> "CURRENT_TIMESTAMP")
 
   /** Functions whose call collapses to their (single) argument: VARIANT is
@@ -967,6 +973,94 @@ object SnowflakeRewriter {
             out ++= cc
             out += Op(")")
             i = close + 1
+          } else if ((up == "REGEXP_LIKE" || up == "RLIKE") && {
+              // infix `x RLIKE ('pat')` also looks like a 1-arg call —
+              // leave those untouched; only 2/3-arg calls are the function
+              splitArgs(toks, open, close).length >= 2
+            }) {
+            // Snowflake REGEXP_LIKE/RLIKE match the ENTIRE subject; Spark's
+            // rlike is a substring search → anchor with a non-capturing
+            // group. Optional 3rd parameter: regex flags (i/c/s/m).
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2 || argRanges.length == 3,
+              s"$up supports (subject, pattern[, parameters]); got ${argRanges.length}")
+            val subj = rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2))
+            val pat = rewriteFunctions(
+              toks.slice(argRanges(1)._1, argRanges(1)._2))
+            val flags =
+              if (argRanges.length < 3) ""
+              else {
+                val fToks = toks.slice(argRanges(2)._1, argRanges(2)._2)
+                val fSig = significant(fToks)
+                fToks(fSig.head) match {
+                  case s: Str if fSig.size == 1 =>
+                    val known = s.value.toLowerCase.filter("ism".contains(_))
+                    if (known.isEmpty) "" else s"(?$known)"
+                  case _ => throw new IllegalArgumentException(
+                    s"$up parameters must be a literal string")
+                }
+              }
+            out ++= lex("((")
+            out ++= subj
+            out ++= lex(s") RLIKE concat('$flags^(?:', ")
+            out ++= pat
+            out ++= lex(", ')$'))")
+            i = close + 1
+          } else if (up == "HLL") {
+            // HLL(x[, y…]) → approx_count_distinct at rsd 0.02 (Snowflake
+            // documents ~1.6% typical HLL error; Spark's default rsd of 5%
+            // is looser than the contract users rely on). Multi-column
+            // form hashes the tuple first.
+            val argRanges = splitArgs(toks, open, close)
+            out ++= lex("approx_count_distinct(")
+            if (argRanges.length == 1) {
+              out ++= rewriteFunctions(
+                toks.slice(argRanges(0)._1, argRanges(0)._2))
+            } else {
+              out ++= lex("xxhash64(")
+              argRanges.zipWithIndex.foreach { case ((a, b), k) =>
+                if (k > 0) out += Op(",")
+                out ++= rewriteFunctions(toks.slice(a, b))
+              }
+              out ++= lex(")")
+            }
+            out ++= lex(", 0.02)")
+            i = close + 1
+          } else if (up == "RTRIMMED_LENGTH") {
+            out ++= lex("length(rtrim(")
+            out ++= rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex("))")
+            i = close + 1
+          } else if (up == "ARRAY_COMPACT") {
+            // drop SQL NULL elements (JSON 'null' text is NOT dropped by
+            // Snowflake's ARRAY_COMPACT either — only SQL NULLs)
+            out ++= lex("filter(")
+            out ++= rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex(", _ac -> _ac IS NOT NULL)")
+            i = close + 1
+          } else if (up == "CONDITIONAL_TRUE_EVENT") {
+            // CONDITIONAL_TRUE_EVENT(cond) OVER (PARTITION BY … ORDER BY …)
+            // → running count of rows where cond held:
+            // SUM(IF(cond,1,0)) OVER (… ROWS UNBOUNDED PRECEDING..CURRENT).
+            // Snowflake forbids explicit frames on this function, so the
+            // injected frame never conflicts with user syntax.
+            val arg = rewriteFunctions(toks.slice(open + 1, close))
+            val overKw = nextSig(toks, close)
+            require(overKw.exists(j => toks(j) match {
+              case Ident(w) => w.equalsIgnoreCase("OVER"); case _ => false
+            }), "CONDITIONAL_TRUE_EVENT requires an OVER clause")
+            val afterOver = nextSig(toks, overKw.get).getOrElse(
+              throw new IllegalArgumentException("OVER needs a window"))
+            require(toks(afterOver) == Op("("),
+              "CONDITIONAL_TRUE_EVENT requires an inline OVER (…) window")
+            val overEnd = matchParen(toks, afterOver)
+            out ++= lex("sum(if((")
+            out ++= arg
+            out ++= lex("), 1, 0)) OVER (")
+            out ++= rewriteFunctions(toks.slice(afterOver + 1, overEnd))
+            out ++= lex(" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+            i = overEnd + 1
           } else if (up == "REGEXP_COUNT") {
             // REGEXP_COUNT(s, p) → size(regexp_extract_all(s, p, 0))
             val argRanges = splitArgs(toks, open, close)

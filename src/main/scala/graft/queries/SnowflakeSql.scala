@@ -627,6 +627,127 @@ object SnowflakeSql extends QueryPack {
           count(*) AS n
         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY 1 ORDER BY region""")
+    },
+
+    // Statistical aggregate surface: correlation/covariance, the REGR_*
+    // linear-regression family, population skew/kurtosis, MODE, stddev,
+    // WIDTH_BUCKET. Skew/kurtosis oracles recompute the POPULATION
+    // moments explicitly (DuckDB's builtins are sample-adjusted; this
+    // engine delegates to Spark's population definitions).
+    GQuery("snow33_fn_stats", Some("""
+      WITH x AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                        CAST(l_extendedprice AS DOUBLE) AS p,
+                        l_linenumber FROM lineitem),
+      s AS (SELECT avg(q) AS mx FROM x),
+      m AS (SELECT avg(pow(q - mx, 2)) AS m2, avg(pow(q - mx, 3)) AS m3,
+                   avg(pow(q - mx, 4)) AS m4 FROM x, s)
+      SELECT round(corr(q, p), 4) AS corr_qp,
+        round(covar_pop(q, p), 2) AS covp,
+        round(covar_samp(q, p), 2) AS covs,
+        round(regr_slope(p, q), 3) AS slope,
+        round(regr_intercept(p, q), 2) AS icept,
+        round(regr_r2(p, q), 4) AS r2,
+        regr_count(p, q) AS rn,
+        round(regr_avgx(p, q), 4) AS ax,
+        round(regr_avgy(p, q), 2) AS ay,
+        (SELECT round(m3 / pow(m2, 1.5), 4) FROM m) AS sk,
+        (SELECT round(m4 / pow(m2, 2) - 3, 4) FROM m) AS kt,
+        (SELECT mode(l_linenumber) FROM x) AS md,
+        round(stddev_pop(q), 4) AS sdp,
+        round(stddev_samp(q), 4) AS sds,
+        CAST(sum(CAST(floor(q / 5) + 1 AS BIGINT)) AS BIGINT) AS wbsum
+      FROM x""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+          round(covar_pop(l_quantity, l_extendedprice), 2) AS covp,
+          round(covar_samp(l_quantity, l_extendedprice), 2) AS covs,
+          round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+          round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+          round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+          regr_count(l_extendedprice, l_quantity) AS rn,
+          round(regr_avgx(l_extendedprice, l_quantity), 4) AS ax,
+          round(regr_avgy(l_extendedprice, l_quantity), 2) AS ay,
+          round(SKEW(l_quantity), 4) AS sk,
+          round(KURTOSIS(l_quantity), 4) AS kt,
+          MODE(l_linenumber) AS md,
+          round(STDDEV_POP(l_quantity), 4) AS sdp,
+          round(STDDEV_SAMP(l_quantity), 4) AS sds,
+          sum(WIDTH_BUCKET(l_quantity, 0, 55, 11)) AS wbsum
+        FROM lineitem""")
+    },
+
+    // String surface batch 2: STARTSWITH/ENDSWITH/CONTAINS/SPLIT_PART/
+    // TRANSLATE/INITCAP/REPEAT/REVERSE/LPAD/RPAD delegate to Spark
+    // builtins of the same shape; REGEXP_LIKE gets Snowflake's
+    // full-match anchoring; RTRIMMED_LENGTH expands.
+    GQuery("snow34_fn_string2", Some("""
+      SELECT p_partkey AS id,
+        starts_with(p_name, 'r') AS sw,
+        ends_with(p_name, 't') AS ew,
+        contains(p_name, 'an') AS ct,
+        split_part(p_name, ' ', 2) AS sp,
+        translate(p_name, 'aeiou', '12345') AS tr,
+        array_to_string(list_transform(string_split(p_name, ' '),
+          w -> upper(w[1]) || substr(w, 2)), ' ') AS ic,
+        repeat(substr(p_name, 1, 3), 2) AS rp,
+        reverse(substr(p_name, 1, 5)) AS rv,
+        lpad(substr(p_name, 1, 4), 8, '*') AS lp,
+        rpad(substr(p_name, 1, 4), 8, '*') AS rpd,
+        regexp_full_match(p_name, '[a-z]+ [a-z]+') AS rl,
+        length(rtrim(p_name || '   ')) AS rtl
+      FROM part ORDER BY id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT p_partkey AS id,
+          STARTSWITH(p_name, 'r') AS sw,
+          ENDSWITH(p_name, 't') AS ew,
+          CONTAINS(p_name, 'an') AS ct,
+          SPLIT_PART(p_name, ' ', 2) AS sp,
+          TRANSLATE(p_name, 'aeiou', '12345') AS tr,
+          INITCAP(p_name) AS ic,
+          REPEAT(substr(p_name, 1, 3), 2) AS rp,
+          REVERSE(substr(p_name, 1, 5)) AS rv,
+          LPAD(substr(p_name, 1, 4), 8, '*') AS lp,
+          RPAD(substr(p_name, 1, 4), 8, '*') AS rpd,
+          REGEXP_LIKE(p_name, '[a-z]+ [a-z]+') AS rl,
+          RTRIMMED_LENGTH(p_name || '   ') AS rtl
+        FROM part ORDER BY id""")
+    },
+
+    // HLL sketch family + APPROX_PERCENTILE as CONTRACT queries (sketches
+    // have no cross-engine value equality): the estimate must land within
+    // the documented error envelope of the exact answer, and the
+    // accumulate→combine→estimate pipeline must agree with one-shot HLL.
+    GQuery("snow35_approx_sketches", Some("""
+      SELECT true AS hll_ok, true AS hll2_ok, true AS pct_ok""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH ex AS (SELECT count(DISTINCT o_custkey) AS n FROM orders),
+        one AS (SELECT HLL(o_custkey) AS e FROM orders),
+        two AS (SELECT HLL_ESTIMATE(HLL_COMBINE(sk)) AS e FROM
+          (SELECT HLL_ACCUMULATE(o_custkey) AS sk FROM orders
+           GROUP BY o_orderpriority) parts),
+        med AS (SELECT APPROX_PERCENTILE(l_quantity::double, 0.5) AS p,
+                       MEDIAN(l_quantity::double) AS m FROM lineitem)
+        SELECT
+          (SELECT abs(one.e - ex.n) <= 0.05 * ex.n FROM one, ex) AS hll_ok,
+          (SELECT abs(two.e - ex.n) <= 0.05 * ex.n FROM two, ex) AS hll2_ok,
+          (SELECT abs(p - m) <= 1.0 FROM med) AS pct_ok""")
+    },
+
+    // CONDITIONAL_TRUE_EVENT: running count of rows satisfying the
+    // predicate within the window — Snowflake's sessionization primitive.
+    GQuery("snow36_cond_event", Some("""
+      SELECT user_id, event_id,
+        CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      FROM events WHERE user_id < 20
+      ORDER BY user_id, event_id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT user_id, event_id,
+          CONDITIONAL_TRUE_EVENT(value > 50) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        FROM events WHERE user_id < 20
+        ORDER BY user_id, event_id""")
     }
   )
 }

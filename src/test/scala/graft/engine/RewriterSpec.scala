@@ -399,6 +399,42 @@ class RewriterSpec extends AnyFunSuite {
     assert(rw("SELECT HASH(a, b) FROM t") == "SELECT xxhash64(a, b) FROM t")
     assert(rw("SELECT SKEW(x) FROM t") == "SELECT skewness(x) FROM t")
   }
+
+  test("HLL sketch family renames") {
+    assert(rw("SELECT HLL(x) FROM t") ==
+      "SELECT approx_count_distinct(x, 0.02) FROM t")
+    assert(rw("SELECT HLL(x, y) FROM t")
+      .contains("approx_count_distinct(xxhash64(x, y), 0.02)"))
+    assert(rw("SELECT HLL_ESTIMATE(HLL_COMBINE(s)) FROM t") ==
+      "SELECT hll_sketch_estimate(hll_union_agg(s)) FROM t")
+    assert(rw("SELECT HLL_ACCUMULATE(x) FROM t") ==
+      "SELECT hll_sketch_agg(x) FROM t")
+  }
+
+  test("REGEXP_LIKE anchors to a full match") {
+    val out = rw("SELECT REGEXP_LIKE(s, 'a.b') FROM t")
+    assert(out.contains("RLIKE concat('^(?:'") && out.contains("')$')"))
+    // case-insensitive flag becomes an inline (?i)
+    assert(rw("SELECT REGEXP_LIKE(s, 'a', 'i') FROM t")
+      .contains("concat('(?i)^(?:'"))
+    // infix RLIKE with a parenthesized pattern is untouched
+    assert(rw("SELECT x RLIKE ('^a$') FROM t") ==
+      "SELECT x RLIKE ('^a$') FROM t")
+  }
+
+  test("RTRIMMED_LENGTH and ARRAY_COMPACT expand") {
+    assert(rw("SELECT RTRIMMED_LENGTH(s) FROM t") ==
+      "SELECT length(rtrim(s)) FROM t")
+    assert(rw("SELECT ARRAY_COMPACT(a) FROM t") ==
+      "SELECT filter(a, _ac -> _ac IS NOT NULL) FROM t")
+  }
+
+  test("CONDITIONAL_TRUE_EVENT becomes a running sum with injected frame") {
+    val out = rw("SELECT CONDITIONAL_TRUE_EVENT(v > 5) OVER " +
+      "(PARTITION BY u ORDER BY ts) FROM t")
+    assert(out.contains("sum(if((v > 5), 1, 0)) OVER ("))
+    assert(out.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+  }
 }
 
 class IdentifiersSpec extends AnyFunSuite {
