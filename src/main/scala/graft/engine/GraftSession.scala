@@ -83,7 +83,9 @@ final class GraftSession(
     if (ref.format == "iceberg") {
       val dir = java.nio.file.Paths.get(ref.path.get)
         .getParent.getParent.toString + s"__v${snapshotSeq.incrementAndGet()}"
-      val newMeta = graft.sources.IcebergLite.write(spark, next, dir)
+      // the rewritten snapshot keeps the table's partition spec
+      val newMeta = graft.sources.IcebergLite.write(spark, next, dir,
+        graft.sources.IcebergLite.partitionColumn(ref.path.get))
       registry.register(ref.copy(path = Some(newMeta)))
       recordVersion(f, ref.copy(path = Some(newMeta)))
       graft.sources.IcebergLite.scan(spark, newMeta).count()
@@ -582,7 +584,16 @@ final class GraftSession(
     }
     val asIdx = "(?is)^(?:\\([^)]*\\)\\s*)?AS\\s+(.*)$".r
     val cloneRe = "(?is)^CLONE\\s+([\\w$\".]+)\\s*$".r
-    rest.trim match {
+    // CREATE ICEBERG TABLE t PARTITION BY (col) AS … — identity hidden
+    // partitioning (metadata-level file pruning on scan)
+    val partRe = "(?is)^PARTITION\\s+BY\\s*\\(\\s*([\\w$\".]+)\\s*\\)\\s*(.*)$".r
+    val (createPartitionBy, restNoPart) = rest.trim match {
+      case partRe(p, rem) =>
+        require(iceberg, "PARTITION BY is supported on ICEBERG tables")
+        (Some(Identifiers.normalizePart(p)), rem)
+      case _ => (None, rest)
+    }
+    restNoPart.trim match {
       case cloneRe(srcName) =>
         // Zero-copy clone (Snowflake CLONE semantics). Iceberg tables get
         // this for free: the metadata chain is immutable, and INSERT/DML
@@ -620,7 +631,8 @@ final class GraftSession(
         val newRef =
           if (iceberg) {
             // CREATE ICEBERG TABLE AS (A9): real spec-layout Iceberg commit
-            val metadataPath = graft.sources.IcebergLite.write(spark, df, path)
+            val metadataPath = graft.sources.IcebergLite.write(spark, df, path,
+              partitionBy = createPartitionBy)
             TableRef(f, TableKind.Lake, Some(metadataPath), format = "iceberg")
           } else {
             df.write.mode("overwrite").parquet(path)

@@ -733,6 +733,29 @@ object SnowflakeSql extends QueryPack {
           (SELECT abs(p - m) <= 1.0 FROM med) AS pct_ok""")
     },
 
+    // Partitioned Iceberg lifecycle: hidden identity partitioning at
+    // CREATE, manifest partition values recorded per data file (the
+    // metadata-level file-skipping path IcebergLiteSpec asserts), INSERT
+    // append preserving the spec, filtered read-back.
+    GQuery("snow37_iceberg_partitioned", Some("""
+      WITH u AS (SELECT * FROM orders
+                 UNION ALL
+                 SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT o_orderpriority AS pri, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM u WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE orders_ice
+          PARTITION BY (o_orderpriority) AS SELECT * FROM orders;
+        INSERT INTO orders_ice
+          SELECT * FROM orders WHERE o_orderpriority = '1-URGENT';
+        SELECT o_orderpriority AS pri, count(*) AS n,
+          sum(o_totalprice::decimal(12,2))::double AS total
+        FROM orders_ice WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1 ORDER BY 1;""")
+    },
+
     // CONDITIONAL_TRUE_EVENT: running count of rows satisfying the
     // predicate within the window — Snowflake's sessionization primitive.
     GQuery("snow36_cond_event", Some("""

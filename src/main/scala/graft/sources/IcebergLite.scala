@@ -43,15 +43,46 @@ object IcebergLite {
   /** Data-file entry status in manifests: 0=EXISTING 1=ADDED 2=DELETED. */
   private val StatusDeleted = 2
 
-  private final case class DataEntry(path: String, seq: Long)
+  private final case class DataEntry(path: String, seq: Long,
+      partition: Option[String] = None)
   /** content: 1 = position deletes, 2 = equality deletes. */
   private final case class DeleteEntry(path: String, content: Int, seq: Long)
 
-  def scan(spark: SparkSession, metadataPath: String): DataFrame = {
+  /** Partition column of a table (identity transform), if partitioned. */
+  def partitionColumn(metadataPath: String): Option[String] = {
+    val meta = mapper.readTree(
+      Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
+    val specs = meta.path("partition-specs")
+    if (specs.isMissingNode || !specs.elements().hasNext) None
+    else specs.elements().asScala.toSeq.headOption
+      .flatMap(s => s.path("fields").elements().asScala.toSeq.headOption)
+      .map(_.path("name").asText())
+      .filter(_.nonEmpty)
+  }
+
+  def scan(spark: SparkSession, metadataPath: String): DataFrame =
+    scan(spark, metadataPath, None)
+
+  /** Scan with metadata-level partition pruning: entries whose recorded
+    * partition value fails `partitionFilter` never reach the parquet
+    * reader — file skipping from manifest partition values, the mechanism
+    * that makes a 100 TB Iceberg table queryable (the reference inherits
+    * the same from `iceberg_scan`'s metadata). The filter sees the
+    * partition value's string form (Iceberg's `partition` struct value,
+    * stored here via the hive-style path segment). */
+  def scan(spark: SparkSession, metadataPath: String,
+      partitionFilter: Option[String => Boolean]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (dataEntries, deleteEntries) = planFiles(spark, metadataPath)
-    require(dataEntries.nonEmpty,
+    val (allData, deleteEntries) = planFiles(spark, metadataPath)
+    val dataEntries = partitionFilter match {
+      case Some(f) => allData.filter(_.partition.forall(f))
+      case None => allData
+    }
+    require(allData.nonEmpty,
       s"Iceberg table at $metadataPath has no data files")
+    if (dataEntries.isEmpty)
+      // fully pruned: preserve the schema via an always-false filter on one file
+      return spark.read.parquet(allData.head.path).filter(lit(false))
     if (deleteEntries.isEmpty)
       return spark.read.parquet(dataEntries.map(_.path): _*)
 
@@ -142,9 +173,14 @@ object IcebergLite {
           val dataFile = e.getAs[org.apache.spark.sql.Row]("data_file")
           val path = stripScheme(dataFile.getAs[String]("file_path"))
           val fileContent = intField(dataFile, "content").getOrElse(0)
+          val part =
+            if (dataFile.schema.fieldNames.contains("partition") &&
+                !dataFile.isNullAt(dataFile.fieldIndex("partition")))
+              Some(dataFile.getAs[String]("partition"))
+            else None
           if (isDeleteManifest || fileContent > 0)
             delOut += DeleteEntry(path, math.max(fileContent, 1), eSeq)
-          else dataOut += DataEntry(path, eSeq)
+          else dataOut += DataEntry(path, eSeq, part)
         }
       }
     }
@@ -160,42 +196,79 @@ object IcebergLite {
     * metadata.json path. Layout follows the spec: parquet data files under
     * data/, Avro manifest + manifest list under metadata/, versioned
     * vN.metadata.json (the reference's pyiceberg `create_table` +
-    * `overwrite` path, `universql/warehouse/duckdb.py:295-310`). */
-  def write(spark: SparkSession, df: DataFrame, tableDir: String): String =
-    commit(spark, df, tableDir, newVersion = 1, carryForward = Nil)
+    * `overwrite` path, `universql/warehouse/duckdb.py:295-310`).
+    *
+    * `partitionBy`: hidden identity partitioning. Data files land in
+    * per-value directories and every manifest entry records its
+    * partition value, so [[scan]] can skip files at the metadata level.
+    * The partition column STAYS in the data files (written via a
+    * duplicated shadow column), so reads need no hive-style partition
+    * inference and column types survive exactly. */
+  def write(spark: SparkSession, df: DataFrame, tableDir: String,
+      partitionBy: Option[String] = None): String =
+    commit(spark, df, tableDir, newVersion = 1, carryForward = Nil,
+      partitionBy = partitionBy)
 
   /** Append `df` as a new snapshot on an existing table; returns the new
     * metadata.json path (pyiceberg `table.append` analog,
-    * `universql/warehouse/duckdb.py:368`). */
+    * `universql/warehouse/duckdb.py:368`). The table's partition spec is
+    * read from the current metadata and applied to the appended files. */
   def append(spark: SparkSession, df: DataFrame, metadataPath: String): String = {
     val dir = Paths.get(stripScheme(metadataPath)).getParent.getParent.toString
     val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(metadataPath)
       .map(_.group(1).toInt).getOrElse(1)
     commit(spark, df, dir, version + 1,
-      carryForward = dataFiles(spark, metadataPath))
+      carryForward = planFiles(spark, metadataPath)._1
+        .map(e => e.path -> e.partition).distinct,
+      partitionBy = partitionColumn(metadataPath))
   }
 
   private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
-      newVersion: Int, carryForward: Seq[String]): String = {
+      newVersion: Int, carryForward: Seq[(String, Option[String])],
+      partitionBy: Option[String] = None): String = {
     import org.apache.spark.sql.functions._
     val snapId = newVersion.toLong
     val dataDir = s"$tableDir/data/s$snapId"
-    df.write.mode("overwrite").parquet(dataDir)
-    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
-      .map(_.toString).filter(p => p.endsWith(".parquet")).toSeq.sorted
+    // resolve the partition column against the frame case-insensitively
+    // (session identifiers are normalized uppercase, lake columns aren't)
+    val partCol = partitionBy.map(p => df.columns
+      .find(_.equalsIgnoreCase(p)).getOrElse(throw new IllegalArgumentException(
+        s"partition column $p not in ${df.columns.mkString(", ")}")))
+    partCol match {
+      case Some(p) =>
+        // shadow column keeps `p` itself inside the data files
+        df.withColumn("__part", col(p).cast("string"))
+          .write.mode("overwrite").partitionBy("__part").parquet(dataDir)
+      case None => df.write.mode("overwrite").parquet(dataDir)
+    }
+    val newFiles = Files.walk(Paths.get(dataDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    // Spark escapes partition-dir values as %XX sequences; decode only
+    // those (URLDecoder would also turn '+' into a space)
+    def partOf(path: String): Option[String] =
+      "__part=([^/]+)/".r.findFirstMatchIn(path).map(m =>
+        "%([0-9A-Fa-f]{2})".r.replaceAllIn(m.group(1), g =>
+          java.util.regex.Matcher.quoteReplacement(
+            Integer.parseInt(g.group(1), 16).toChar.toString)))
 
     import spark.implicits._
     val manifestDir = s"$tableDir/metadata/manifest-s$snapId"
-    (carryForward.map((0, _)) ++ newFiles.map((1, _)))  // 0=EXISTING 1=ADDED
-      .toDF("status", "file_path")
+    (carryForward.map { case (f, p) => (0, f, p.orNull) } ++
+        newFiles.map(f => (1, f, partOf(f).orNull)))  // 0=EXISTING 1=ADDED
+      .toDF("status", "file_path", "partition")
       .select(col("status"),
-        struct(col("file_path"), lit("PARQUET").as("file_format")).as("data_file"))
+        struct(col("file_path"), lit("PARQUET").as("file_format"),
+          col("partition")).as("data_file"))
       .coalesce(1).write.mode("overwrite").format(avroFmt).save(manifestDir)
 
     val listDir = s"$tableDir/metadata/manifest-list-s$snapId"
     Seq(manifestDir).toDF("manifest_path")
       .coalesce(1).write.mode("overwrite").format(avroFmt).save(listDir)
 
+    val specJson = partCol.map(p =>
+      s""", "partition-specs": [{"spec-id": 0, "fields": [
+         |   {"name": "$p", "transform": "identity", "field-id": 1000}]}]"""
+        .stripMargin).getOrElse("")
     val metadataPath = s"$tableDir/metadata/v$newVersion.metadata.json"
     val snapshotsJson = (1L to snapId).map(sid =>
       s"""{"snapshot-id": $sid, "manifest-list": "$tableDir/metadata/manifest-list-s$sid"}""")
@@ -205,7 +278,7 @@ object IcebergLite {
          | "table-uuid": "00000000-0000-0000-0000-${"%012d".format(snapId)}",
          | "location": "$tableDir",
          | "current-snapshot-id": $snapId,
-         | "snapshots": $snapshotsJson}""".stripMargin
+         | "snapshots": $snapshotsJson$specJson}""".stripMargin
     Files.createDirectories(Paths.get(metadataPath).getParent)
     Files.write(Paths.get(metadataPath), json.getBytes)
     metadataPath

@@ -164,6 +164,55 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.scan(spark, metaV1).count() == 25)
   }
 
+  test("partitioned write: manifest partition values drive file pruning") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_part").toString
+    val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+
+    val meta = IcebergLite.write(spark, nation, root,
+      partitionBy = Some("n_regionkey"))
+    assert(IcebergLite.partitionColumn(meta).contains("n_regionkey"))
+
+    // full scan sees everything, partition column type preserved
+    val full = IcebergLite.scan(spark, meta)
+    assert(full.count() == 25)
+    assert(full.schema("n_regionkey").dataType ==
+      nation.schema("n_regionkey").dataType)
+
+    // pruned scan reads ONLY the matching partition's files
+    val pruned = IcebergLite.scan(spark, meta, Some(_ == "2"))
+    assert(pruned.count() == 5)
+    assert(pruned.select("n_regionkey").distinct().collect()
+      .map(_.get(0).toString).toSeq == Seq("2"))
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.forall(_.contains("__part=2")))
+
+    // fully-pruned scan: empty result, schema intact
+    val none = IcebergLite.scan(spark, meta, Some(_ => false))
+    assert(none.count() == 0 && none.columns.sameElements(full.columns))
+
+    // append preserves the partition spec; new files are pruned too
+    val meta2 = IcebergLite.append(spark,
+      nation.filter(col("n_regionkey") === 2), meta)
+    val pruned2 = IcebergLite.scan(spark, meta2, Some(_ == "2"))
+    assert(pruned2.count() == 10)
+    assert(pruned2.inputFiles.forall(_.contains("__part=2")))
+    assert(IcebergLite.scan(spark, meta2).count() == 30)
+  }
+
+  test("session: CREATE ICEBERG TABLE PARTITION BY round-trips") {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE orders_part
+            | PARTITION BY (o_orderpriority)
+            | AS SELECT * FROM orders""".stripMargin)
+    val back = s.sql("SELECT o_orderpriority, count(*) AS n " +
+      "FROM orders_part GROUP BY 1 ORDER BY 1")
+    val direct = s.sql("SELECT o_orderpriority, count(*) AS n " +
+      "FROM orders GROUP BY 1 ORDER BY 1")
+    assert(back.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("registry seam: iceberg-format table queryable through the session") {
     val metadataPath = buildTable()
     val s = new GraftSession(spark)
