@@ -44,6 +44,8 @@ object TruncToFloor extends Rule[LogicalPlan] {
 /** `spark.sql.extensions` entry point registering the engine's Catalyst
   * rules (`--conf spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TruncToFloor)
+    ext.injectOptimizerRule(_ => PartitionFilterMirror)
+  }
 }

@@ -80,11 +80,16 @@ object IcebergLite {
     }
     require(allData.nonEmpty,
       s"Iceberg table at $metadataPath has no data files")
+    // the shadow partition column is plumbing, not user schema; the drop
+    // is a Project above the relation, so filters still push below it
+    // (and the mirror rule rewrites them onto the shadow column there)
+    def clean(df: DataFrame): DataFrame =
+      df.drop(df.columns.filter(_.startsWith("__part_")).toSeq: _*)
     if (dataEntries.isEmpty)
       // fully pruned: preserve the schema via an always-false filter on one file
-      return spark.read.parquet(allData.head.path).filter(lit(false))
+      return clean(readFiles(spark, Seq(allData.head.path))).filter(lit(false))
     if (deleteEntries.isEmpty)
-      return spark.read.parquet(dataEntries.map(_.path): _*)
+      return clean(readFiles(spark, dataEntries.map(_.path)))
 
     val posFiles = deleteEntries.filter(_.content == 1)
     val eqFiles = deleteEntries.filter(_.content == 2)
@@ -92,7 +97,7 @@ object IcebergLite {
       regexp_replace(c, "^file:/+", "/")
 
     def readGroup(paths: Seq[String]): DataFrame = {
-      val df = spark.read.parquet(paths: _*)
+      val df = readFiles(spark, paths)
       if (posFiles.isEmpty) df
       else {
         // pos deletes name explicit (file, row) targets → safe globally
@@ -110,7 +115,7 @@ object IcebergLite {
     }
 
     val groups = dataEntries.groupBy(_.seq).toSeq.sortBy(_._1)
-    groups.map { case (seq, entries) =>
+    val assembled = groups.map { case (seq, entries) =>
       var df = readGroup(entries.map(_.path))
       val applicable = eqFiles.filter(_.seq > seq)
       // one anti-join per distinct delete-column set (delete files carry
@@ -126,6 +131,37 @@ object IcebergLite {
       }
       df
     }.reduce(_ unionByName _)
+    clean(assembled)
+  }
+
+  /** Read a set of data files. Partitioned files (under a `__part_<col>=`
+    * directory) are read with `basePath` so the shadow partition column
+    * surfaces in the relation — that is what lets Spark's native partition
+    * pruning skip files when [[graft.plans.PartitionFilterMirror]] mirrors
+    * a query predicate onto it. The shadow column is typed STRING (type
+    * inference disabled for the read) so the directory string round-trips
+    * exactly; the REAL column still lives inside every data file, so the
+    * user-visible schema is unchanged apart from the trailing shadow
+    * column, which the session layer projects away. */
+  private[graft] def readFiles(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    val byBase = paths.groupBy(p => "(.*)/__part_[^=/]+=".r
+      .findFirstMatchIn(p).map(_.group(1)))
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      byBase.toSeq.sortBy(_._1.getOrElse("")).map {
+        case (None, fs) => spark.read.parquet(fs: _*)
+        case (Some(base), fs) =>
+          spark.read.option("basePath", base).parquet(fs: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None => spark.conf.unset(inferKey)
+      }
+    }
   }
 
   /** Resolve current data file paths from a metadata.json (delete files
@@ -236,9 +272,10 @@ object IcebergLite {
         s"partition column $p not in ${df.columns.mkString(", ")}")))
     partCol match {
       case Some(p) =>
-        // shadow column keeps `p` itself inside the data files
-        df.withColumn("__part", col(p).cast("string"))
-          .write.mode("overwrite").partitionBy("__part").parquet(dataDir)
+        // shadow column keeps `p` itself inside the data files; its name
+        // carries the source column so the filter-mirror rule can match
+        df.withColumn(s"__part_$p", col(p).cast("string"))
+          .write.mode("overwrite").partitionBy(s"__part_$p").parquet(dataDir)
       case None => df.write.mode("overwrite").parquet(dataDir)
     }
     val newFiles = Files.walk(Paths.get(dataDir)).iterator().asScala
@@ -246,7 +283,7 @@ object IcebergLite {
     // Spark escapes partition-dir values as %XX sequences; decode only
     // those (URLDecoder would also turn '+' into a space)
     def partOf(path: String): Option[String] =
-      "__part=([^/]+)/".r.findFirstMatchIn(path).map(m =>
+      "__part_[^=/]+=([^/]+)/".r.findFirstMatchIn(path).map(m =>
         "%([0-9A-Fa-f]{2})".r.replaceAllIn(m.group(1), g =>
           java.util.regex.Matcher.quoteReplacement(
             Integer.parseInt(g.group(1), 16).toChar.toString)))

@@ -11,13 +11,22 @@ import java.nio.file.Files
   * [[IcebergLite]] and through the session's registry seam. */
 class IcebergLiteSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // suites share one JVM-wide session where builder-time
+    // spark.sql.extensions is ignored — inject the rule per-session
+    if (!s.experimental.extraOptimizations.contains(
+        graft.plans.PartitionFilterMirror))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.PartitionFilterMirror
+    s
+  }
 
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
@@ -185,7 +194,7 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(pruned.select("n_regionkey").distinct().collect()
       .map(_.get(0).toString).toSeq == Seq("2"))
     assert(pruned.inputFiles.length < full.inputFiles.length)
-    assert(pruned.inputFiles.forall(_.contains("__part=2")))
+    assert(pruned.inputFiles.forall(_.contains("__part_n_regionkey=2")))
 
     // fully-pruned scan: empty result, schema intact
     val none = IcebergLite.scan(spark, meta, Some(_ => false))
@@ -196,8 +205,41 @@ class IcebergLiteSpec extends AnyFunSuite {
       nation.filter(col("n_regionkey") === 2), meta)
     val pruned2 = IcebergLite.scan(spark, meta2, Some(_ == "2"))
     assert(pruned2.count() == 10)
-    assert(pruned2.inputFiles.forall(_.contains("__part=2")))
+    assert(pruned2.inputFiles.forall(_.contains("__part_n_regionkey=2")))
     assert(IcebergLite.scan(spark, meta2).count() == 30)
+  }
+
+  test("filter-mirror rule prunes partitions for a plain WHERE clause") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_ice_mirror").toString
+    val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val meta = IcebergLite.write(spark, nation, root,
+      partitionBy = Some("n_regionkey"))
+
+    // the query filters the REAL column; nothing names the shadow column
+    val df = IcebergLite.scan(spark, meta)
+      .filter(col("n_regionkey") === 2)
+    assert(df.count() == 5)
+
+    val scanned = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
+    assert(scanned.nonEmpty, "expected a FileSourceScanExec")
+    assert(scanned.forall(_.contains("__part_n_regionkey=2")),
+      s"expected only the n_regionkey=2 partition, got: $scanned")
+
+    // IN-list filters mirror too
+    val df2 = IcebergLite.scan(spark, meta)
+      .filter(col("n_regionkey").isin(0, 3))
+    assert(df2.count() == 10)
+    val scanned2 = df2.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
+    assert(scanned2.nonEmpty && scanned2.forall(p =>
+      p.contains("__part_n_regionkey=0") || p.contains("__part_n_regionkey=3")))
   }
 
   test("session: CREATE ICEBERG TABLE PARTITION BY round-trips") {
