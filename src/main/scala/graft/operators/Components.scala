@@ -41,26 +41,28 @@ object Components {
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
       .localCheckpoint(eager = true)
-    var labels = e.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(eager = true)
     // labels only ever decrease, so the fixpoint is reached exactly when
-    // the label sum stops changing — one scan per round, no compare-join
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
+    // the label sum stops changing. The sum rides the checkpoint job as an
+    // Observation — convergence costs zero extra scans per round.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs,
+          sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint(eager = true)
+      (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      e.select(col("a").as("id")).distinct().withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // neighbor labels: for each edge (a,b), b proposes its comp to a
       val proposals = e.join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp"))
-        .union(proposals)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(eager = true)
-      val nextSum = labelSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        labels.select(col("id"), col("comp"))
+          .union(proposals)
+          .groupBy("id").agg(min("comp").as("comp")))
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
