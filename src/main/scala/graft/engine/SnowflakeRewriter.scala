@@ -1292,6 +1292,35 @@ object SnowflakeRewriter {
             out ++= len
             out += Op(")")
             i = close + 1
+          } else if (up == "PREVIOUS_DAY") {
+            // most recent <dow> strictly BEFORE d: next_day is strictly
+            // after, so next_day(d-1) is the first <dow> ≥ d; minus 7
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2, "PREVIOUS_DAY needs 2 arguments")
+            val d = rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2))
+            val dow = rewriteFunctions(
+              toks.slice(argRanges(1)._1, argRanges(1)._2))
+            out ++= lex("date_sub(next_day(date_sub(")
+            out ++= d
+            out ++= lex(", 1), ")
+            out ++= dow
+            out ++= lex("), 7)")
+            i = close + 1
+          } else if (up == "DAYOFWEEK") {
+            // Snowflake (WEEK_START 0 default): Sunday=0..Saturday=6;
+            // Spark: Sunday=1..Saturday=7
+            out ++= lex("(dayofweek(")
+            out ++= rewriteFunctions(toks.slice(open + 1, close))
+            out ++= lex(") - 1)")
+            i = close + 1
+          } else if (up == "YEAROFWEEKISO") {
+            // ISO week-year = calendar year of that ISO week's Thursday;
+            // weekday() is Monday=0, so d + (3 - weekday) lands on Thursday
+            val d = render(rewriteFunctions(toks.slice(open + 1, close)))
+            out ++= lex(
+              s"year(date_add(CAST(($d) AS DATE), 3 - weekday($d)))")
+            i = close + 1
           } else if (up == "HAVERSINE") {
             // HAVERSINE(lat1, lon1, lat2, lon2) → great-circle km formula
             val argRanges = splitArgs(toks, open, close)

@@ -733,6 +733,36 @@ object SnowflakeSql extends QueryPack {
           (SELECT abs(p - m) <= 1.0 FROM med) AS pct_ok""")
     },
 
+    // Date navigation surface: ADD_MONTHS/LAST_DAY/NEXT_DAY pass through,
+    // PREVIOUS_DAY expands via next_day arithmetic, DAYOFWEEK shifts to
+    // Snowflake's Sunday=0 base, YEAROFWEEKISO lands on the ISO week's
+    // Thursday, ILIKE is native both sides.
+    GQuery("snow38_fn_dates", Some("""
+      SELECT o_orderkey AS id,
+        CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS am,
+        14.0 AS mb,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS ld,
+        CAST(CAST(CAST(o_orderdate AS DATE)
+          + INTERVAL ((5 - isodow(o_orderdate) + 6) % 7 + 1) DAY AS DATE) AS VARCHAR) AS nd,
+        CAST(CAST(CAST(o_orderdate AS DATE)
+          - INTERVAL ((isodow(o_orderdate) - 5 + 6) % 7 + 1) DAY AS DATE) AS VARCHAR) AS pd,
+        dayofweek(o_orderdate) AS dw,
+        isoyear(o_orderdate) AS ywi,
+        CASE WHEN o_orderpriority ILIKE '%urgent%' THEN 1 ELSE 0 END AS il
+      FROM orders WHERE o_orderkey < 500 ORDER BY id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderkey AS id,
+          ADD_MONTHS(o_orderdate, 2)::varchar AS am,
+          MONTHS_BETWEEN(DATE '1998-03-15', DATE '1997-01-15') AS mb,
+          LAST_DAY(o_orderdate)::varchar AS ld,
+          NEXT_DAY(o_orderdate, 'FR')::varchar AS nd,
+          PREVIOUS_DAY(o_orderdate, 'FR')::varchar AS pd,
+          DAYOFWEEK(o_orderdate) AS dw,
+          YEAROFWEEKISO(o_orderdate) AS ywi,
+          IFF(o_orderpriority ILIKE '%urgent%', 1, 0) AS il
+        FROM orders WHERE o_orderkey < 500 ORDER BY id""")
+    },
+
     // Partitioned Iceberg lifecycle: hidden identity partitioning at
     // CREATE, manifest partition values recorded per data file (the
     // metadata-level file-skipping path IcebergLiteSpec asserts), INSERT

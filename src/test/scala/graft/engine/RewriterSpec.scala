@@ -429,6 +429,15 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT filter(a, _ac -> _ac IS NOT NULL) FROM t")
   }
 
+  test("date navigation rewrites") {
+    assert(rw("SELECT PREVIOUS_DAY(d, 'FR') FROM t") ==
+      "SELECT date_sub(next_day(date_sub(d, 1), 'FR'), 7) FROM t")
+    assert(rw("SELECT DAYOFWEEK(d) FROM t") ==
+      "SELECT (dayofweek(d) - 1) FROM t")
+    val ywi = rw("SELECT YEAROFWEEKISO(d) FROM t")
+    assert(ywi.contains("year(date_add(CAST((d) AS DATE), 3 - weekday(d)))"))
+  }
+
   test("CONDITIONAL_TRUE_EVENT becomes a running sum with injected frame") {
     val out = rw("SELECT CONDITIONAL_TRUE_EVENT(v > 5) OVER " +
       "(PARTITION BY u ORDER BY ts) FROM t")
