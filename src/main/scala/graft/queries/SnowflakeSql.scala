@@ -786,6 +786,20 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY 1;""")
     },
 
+    // APPROX_TOP_K (Snowflake's Space-Saving heavy hitters → Spark 4's
+    // native approx_top_k, same (expr, k, counters) signature). With
+    // counters ≥ distinct values the sketch is exact, so the oracle is
+    // the exact top-k — the same guarantee Snowflake documents.
+    GQuery("snow39_approx_topk", Some("""
+      SELECT event_type AS et, count(*) AS n FROM events
+      GROUP BY 1 ORDER BY n DESC, et LIMIT 3""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT x.item AS et, x.count AS n
+        FROM (SELECT explode(tk) AS x FROM
+          (SELECT APPROX_TOP_K(event_type, 3, 64) AS tk FROM events))
+        ORDER BY n DESC, et""")
+    },
+
     // CONDITIONAL_TRUE_EVENT: running count of rows satisfying the
     // predicate within the window — Snowflake's sessionization primitive.
     GQuery("snow36_cond_event", Some("""
