@@ -167,6 +167,7 @@ object SnowflakeRewriter {
   def rewrite(sql: String): String = {
     var toks = lex(sql)
     toks = rewriteConnectBy(toks)
+    toks = rewriteAsOfJoin(toks)
     toks = unwrapTableFn(toks)
     toks = rewriteFlatten(toks)
     toks = rewriteJsonPaths(toks)
@@ -177,6 +178,145 @@ object SnowflakeRewriter {
     toks = rewriteQualify(toks)
     toks = rewriteTop(toks)
     render(toks)
+  }
+
+  // ── pass: ASOF JOIN → correlated LATERAL (inner, reference parity) ─────
+  /** Snowflake `L ASOF JOIN R [alias] MATCH_CONDITION(l.t >= r.t) [ON eq]`
+    * → `L , LATERAL (SELECT * FROM R alias WHERE (eq) AND (mc)
+    *    ORDER BY <R-side of mc> DESC|ASC LIMIT 1) alias`.
+    *
+    * The reference executes ASOF JOIN on DuckDB, whose semantics are
+    * INNER (unmatched left rows drop) — matched here by the cross-apply
+    * shape. Spark plans the correlated limit-1 lateral as a window over a
+    * join, not a per-row loop; the DataFrame operator
+    * [[graft.operators.AsOfJoin.asOf]] remains the single-shuffle scale
+    * path for pipeline code. */
+  private def rewriteAsOfJoin(toks: Vector[Tok]): Vector[Tok] = {
+    val sig = significant(toks)
+    def tk(si: Int): Tok = toks(sig(si))
+    var k = -1
+    var i = 0
+    while (k < 0 && i < sig.length - 1) {
+      if (tk(i).text.equalsIgnoreCase("ASOF") &&
+          tk(i + 1).text.equalsIgnoreCase("JOIN")) k = i
+      i += 1
+    }
+    if (k < 0) return toks
+    val asofIdx = sig(k)
+
+    // right relation: parenthesized subquery or (qualified) table name
+    var p = k + 2
+    val rightStart = sig(p)
+    var rightEnd = -1
+    if (tk(p) == Op("(")) {
+      rightEnd = matchParen(toks, sig(p))
+      while (p < sig.length && sig(p) <= rightEnd) p += 1
+    } else {
+      rightEnd = sig(p); p += 1
+      while (p + 1 < sig.length && tk(p) == Op(".")) {
+        rightEnd = sig(p + 1); p += 2
+      }
+    }
+    // optional AS / alias before MATCH_CONDITION
+    var alias: Option[String] = None
+    if (tk(p).text.equalsIgnoreCase("AS")) p += 1
+    if (!tk(p).text.equalsIgnoreCase("MATCH_CONDITION")) {
+      tk(p) match {
+        case Ident(w) => alias = Some(w); p += 1
+        case other => throw new IllegalArgumentException(
+          s"unsupported ASOF JOIN right side near ${other.text}")
+      }
+    }
+    require(tk(p).text.equalsIgnoreCase("MATCH_CONDITION"),
+      "ASOF JOIN requires a MATCH_CONDITION clause")
+    val mcOpen = sig(p + 1)
+    require(toks(mcOpen) == Op("("), "MATCH_CONDITION needs (…)")
+    val mcClose = matchParen(toks, mcOpen)
+    val mcToks = toks.slice(mcOpen + 1, mcClose)
+
+    // optional ON <cond>: runs to the next top-level clause boundary
+    var q = p + 2
+    while (q < sig.length && sig(q) <= mcClose) q += 1
+    var onToks: Vector[Tok] = Vector.empty
+    var consumedEnd = mcClose
+    if (q < sig.length && tk(q).text.equalsIgnoreCase("ON")) {
+      val stops = Set("WHERE", "GROUP", "ORDER", "QUALIFY", "LIMIT",
+        "HAVING", "UNION", "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT",
+        "FULL", "INNER", "CROSS", "ASOF", "WINDOW", "SEMI", "ANTI")
+      var r = sig(q) + 1
+      var depth = 0
+      var end = toks.length
+      while (r < toks.length && end == toks.length) {
+        toks(r) match {
+          case Op("(") => depth += 1
+          case Op(")") => if (depth == 0) end = r else depth -= 1
+          case Op(",") | Op(";") if depth == 0 => end = r
+          case Ident(w) if depth == 0 && stops.contains(w.toUpperCase) => end = r
+          case _ =>
+        }
+        if (end == toks.length) r += 1
+      }
+      onToks = toks.slice(sig(q) + 1, end)
+      consumedEnd = end - 1
+    }
+
+    val rel = toks.slice(rightStart, rightEnd + 1)
+    val aName = alias.getOrElse(toks(rightEnd).text)
+
+    // MATCH_CONDITION must be a single top-level comparison; classify the
+    // operand that references the right alias to pick the sort direction
+    val mcSig = significant(mcToks)
+    var opAt = -1
+    var depth = 0
+    mcToks.indices.foreach { x =>
+      mcToks(x) match {
+        case Op("(") => depth += 1
+        case Op(")") => depth -= 1
+        case Op(o) if depth == 0 && Set(">=", "<=", ">", "<").contains(o) =>
+          require(opAt < 0, "MATCH_CONDITION supports one comparison")
+          opAt = x
+        case _ =>
+      }
+    }
+    require(opAt >= 0 && mcSig.nonEmpty,
+      "MATCH_CONDITION must be a comparison like l.ts >= r.ts")
+    val lhs = mcToks.slice(0, opAt)
+    val rhs = mcToks.slice(opAt + 1, mcToks.length)
+    val cmp = mcToks(opAt).text
+    def refsAlias(ts: Vector[Tok]): Boolean = ts.indices.exists { x =>
+      ts(x) match {
+        case Ident(w) if w.equalsIgnoreCase(aName) =>
+          (x + 1) < ts.length && ts.drop(x + 1)
+            .find(t => !t.isInstanceOf[Ws] && !t.isInstanceOf[Comment])
+            .contains(Op("."))
+        case _ => false
+      }
+    }
+    val (rightExpr, dir) = (refsAlias(lhs), refsAlias(rhs)) match {
+      case (false, true) => // t1 cmp t2
+        (rhs, if (cmp == ">=" || cmp == ">") "DESC" else "ASC")
+      case (true, false) => // t2 cmp t1
+        (lhs, if (cmp == "<=" || cmp == "<") "DESC" else "ASC")
+      case _ => throw new IllegalArgumentException(
+        "MATCH_CONDITION must compare the right table's column against " +
+        "the left's (exactly one side may reference the right alias)")
+    }
+
+    val out = Vector.newBuilder[Tok]
+    out ++= toks.take(asofIdx)
+    out ++= lex(", LATERAL (SELECT * FROM ")
+    out ++= rel
+    out ++= lex(s" $aName WHERE (")
+    if (onToks.nonEmpty) {
+      out ++= onToks
+      out ++= lex(") AND (")
+    }
+    out ++= mcToks
+    out ++= lex(") ORDER BY ")
+    out ++= rightExpr
+    out ++= lex(s" $dir LIMIT 1) $aName ")
+    out ++= toks.slice(consumedEnd + 1, toks.length)
+    rewriteAsOfJoin(out.result()) // handle any further ASOF joins
   }
 
   // ── pass: CONNECT BY → WITH RECURSIVE ──────────────────────────────────

@@ -786,6 +786,28 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY 1;""")
     },
 
+    // ASOF JOIN SQL surface (MATCH_CONDITION syntax) — rewritten to a
+    // correlated top-1 LATERAL; oracle is DuckDB's native ASOF JOIN
+    // (inner semantics, what the reference actually executes).
+    GQuery("snow40_asof_sql", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, v.view_id
+        FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts)
+          ON p.user_id = v.user_id
+        ORDER BY p.event_id""")
+    },
+
     // APPROX_TOP_K (Snowflake's Space-Saving heavy hitters → Spark 4's
     // native approx_top_k, same (expr, k, counters) signature). With
     // counters ≥ distinct values the sketch is exact, so the oracle is

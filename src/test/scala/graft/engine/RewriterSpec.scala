@@ -429,6 +429,27 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT filter(a, _ac -> _ac IS NOT NULL) FROM t")
   }
 
+  test("ASOF JOIN becomes a correlated top-1 LATERAL") {
+    val out = rw("SELECT * FROM a ASOF JOIN b " +
+      "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k ORDER BY 1")
+    assert(out.contains(", LATERAL (SELECT * FROM b b WHERE ("))
+    assert(out.contains("a.k = b.k") && out.contains("AND (a.ts >= b.ts)"))
+    assert(out.contains("ORDER BY b.ts DESC LIMIT 1) b"))
+    assert(out.endsWith("ORDER BY 1"))
+    // flipped operand order / direction
+    val asc = rw("SELECT * FROM a ASOF JOIN b " +
+      "MATCH_CONDITION(a.ts <= b.ts) ON a.k = b.k")
+    assert(asc.contains("ORDER BY b.ts ASC LIMIT 1) b"))
+    val flip = rw("SELECT * FROM a ASOF JOIN b " +
+      "MATCH_CONDITION(b.ts <= a.ts) ON a.k = b.k")
+    assert(flip.contains("ORDER BY b.ts DESC LIMIT 1) b"))
+    // explicit alias and no ON clause
+    val al = rw("SELECT * FROM a ASOF JOIN big_b r " +
+      "MATCH_CONDITION(a.ts > r.ts)")
+    assert(al.contains("FROM big_b r WHERE (a.ts > r.ts)") &&
+      al.contains("LIMIT 1) r"))
+  }
+
   test("date navigation rewrites") {
     assert(rw("SELECT PREVIOUS_DAY(d, 'FR') FROM t") ==
       "SELECT date_sub(next_day(date_sub(d, 1), 'FR'), 7) FROM t")
