@@ -786,6 +786,36 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY 1;""")
     },
 
+    // GROUP BY ALL (Snowflake ergonomic grouping — native in Spark 4 and
+    // DuckDB alike, gated to pin the pass-through).
+    GQuery("snow41_group_by_all", Some("""
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS yr, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ALL ORDER BY pri, yr""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderpriority AS pri, YEAR(o_orderdate) AS yr, count(*) AS n,
+          sum(o_totalprice::number(12,2))::double AS total
+        FROM orders GROUP BY ALL ORDER BY pri, yr""")
+    },
+
+    // Correlated LATERAL subquery (top-1 per outer row) — the general
+    // form behind Snowflake's LATERAL; inner (cross-apply) semantics.
+    GQuery("snow42_lateral_topn", Some("""
+      SELECT n.n_name AS nation, t.top_cust, t.acct
+      FROM nation n, LATERAL (
+        SELECT c_name AS top_cust, CAST(c_acctbal AS DOUBLE) AS acct
+        FROM customer WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 1) t
+      ORDER BY nation""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT n.n_name AS nation, t.top_cust, t.acct
+        FROM nation n, LATERAL (
+          SELECT c_name AS top_cust, c_acctbal::double AS acct
+          FROM customer WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 1) t
+        ORDER BY nation""")
+    },
+
     // ASOF JOIN SQL surface (MATCH_CONDITION syntax) — rewritten to a
     // correlated top-1 LATERAL; oracle is DuckDB's native ASOF JOIN
     // (inner semantics, what the reference actually executes).
