@@ -47,6 +47,15 @@ final class GraftSession(
     * no black-box UDF in the plan. */
   private val sqlFunctions = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[String], String)]
+  /** CREATE SEQUENCE registry: name → (start, increment, next window
+    * base). NEXTVAL draws are distributed: each textual occurrence
+    * reserves a disjoint value window driver-side, and rows inside the
+    * statement take `base + monotonically_increasing_id() * increment` —
+    * unique and step-aligned at any parallelism without coordination,
+    * the same unique-but-gappy contract Snowflake documents (sequence
+    * values are "not necessarily contiguous"). */
+  private val sequences = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long, java.util.concurrent.atomic.AtomicLong)]
   /** External (Iceberg-REST / Polaris-shape) catalogs consulted on a
     * registry miss, in attach order — the reference's `--universql-catalog`
     * seam (`universql/catalog/iceberg.py`). Resolutions are cached into
@@ -256,6 +265,10 @@ final class GraftSession(
      "(?:\\$\\$(.*)\\$\\$|'((?:[^']|'')*)')\\s*$").r
   private val dropFnRe =
     "(?is)^DROP\\s+FUNCTION\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*(?:\\([^)]*\\))?\\s*$".r
+  private val createSeqRe =
+    "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?SEQUENCE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w$\".]+)\\s*(.*)$".r
+  private val dropSeqRe =
+    "(?is)^DROP\\s+SEQUENCE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   /** Cloud-services / account statements a script carries but an offline
     * single-user engine has nothing to do for — accepted as successful
     * no-ops, the way Snowflake acks them without warehouse work. */
@@ -290,6 +303,19 @@ final class GraftSession(
       status(s"Function ${name.toUpperCase} successfully created.")
     case dropFnRe(name) =>
       sqlFunctions.remove(Identifiers.normalizePart(name))
+      status("Statement executed successfully.")
+    case createSeqRe(name, rest) =>
+      def opt(kw: String): Option[Long] =
+        s"(?is)\\b$kw\\s*(?:=|WITH|BY)?\\s*(-?\\d+)".r
+          .findFirstMatchIn(rest).map(_.group(1).toLong)
+      val start = opt("START").getOrElse(1L)
+      val inc = opt("INCREMENT").getOrElse(1L)
+      require(inc != 0, "INCREMENT must be non-zero")
+      sequences.put(Identifiers.normalizePart(name),
+        (start, inc, new java.util.concurrent.atomic.AtomicLong(start)))
+      status(s"Sequence ${name.toUpperCase} successfully created.")
+    case dropSeqRe(name) =>
+      sequences.remove(Identifiers.normalizePart(name))
       status("Statement executed successfully.")
     case noopRe(_) => status("Statement executed successfully.")
     case r if r.toUpperCase.startsWith("ROLLBACK") =>
@@ -389,7 +415,7 @@ final class GraftSession(
   // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
   def runQuery(snowflakeSql: String): DataFrame = {
     val rewritten = SnowflakeRewriter.rewrite(
-      expandSqlFunctions(substituteResultScan(snowflakeSql)))
+      expandSqlFunctions(substituteNextval(substituteResultScan(snowflakeSql))))
     // session-context functions resolve against THIS session (a shared
     // SparkSession can't carry per-session UDF state); token-level so the
     // function name inside a string literal survives untouched
@@ -474,6 +500,36 @@ final class GraftSession(
       j += 1
     }
     ranges.toSeq
+  }
+
+  /** `<seq>.NEXTVAL` → `(base + monotonically_increasing_id() * inc)`;
+    * each textual occurrence reserves a disjoint window via the driver
+    * counter (see [[sequences]]), so draws are unique across statements
+    * and step-aligned to the increment at any parallelism. Token-level,
+    * so NEXTVAL inside string literals survives. */
+  private def substituteNextval(sql: String): String = {
+    if (sequences.isEmpty || !sql.toUpperCase.contains("NEXTVAL")) return sql
+    import SqlTokens._
+    val toks = lex(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      val matched = toks(i) match {
+        case Ident(w) if sequences.contains(Identifiers.normalizePart(w)) &&
+            i + 2 < toks.length && toks(i + 1) == Op(".") &&
+            toks(i + 2).text.equalsIgnoreCase("NEXTVAL") =>
+          val (_, inc, ctr) = sequences(Identifiers.normalizePart(w))
+          // window sized for 2^11 partitions × 2^33 rows per partition
+          val base = ctr.getAndAdd((1L << 44) * math.abs(inc))
+          out += Ident(
+            s"($base + monotonically_increasing_id() * $inc)")
+          i += 3
+          true
+        case _ => false
+      }
+      if (!matched) { out += toks(i); i += 1 }
+    }
+    render(out.toSeq)
   }
 
   /** CURRENT_DATABASE() / CURRENT_SCHEMA() → session-value string literals,

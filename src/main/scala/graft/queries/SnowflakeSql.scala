@@ -786,6 +786,21 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY 1;""")
     },
 
+    // CREATE SEQUENCE + NEXTVAL: distributed draws (window reservation +
+    // monotonically_increasing_id) are unique and step-aligned but not
+    // contiguous — Snowflake's own documented contract — so the gate
+    // checks the properties, not the values.
+    GQuery("snow43_sequence", Some("""
+      SELECT count(*) AS n, count(*) AS nd, true AS minok, true AS stepok
+      FROM orders""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE SEQUENCE order_ids START = 100 INCREMENT = 2;
+        SELECT count(*) AS n, count(DISTINCT id) AS nd,
+          min(id) >= 100 AS minok,
+          BOOLAND_AGG((id - 100) % 2 = 0) AS stepok
+        FROM (SELECT ORDER_IDS.NEXTVAL AS id FROM orders);""")
+    },
+
     // GROUP BY ALL (Snowflake ergonomic grouping — native in Spark 4 and
     // DuckDB alike, gated to pin the pass-through).
     GQuery("snow41_group_by_all", Some("""
