@@ -187,10 +187,18 @@ object SnowflakeRewriter {
     *
     * The reference executes ASOF JOIN on DuckDB, whose semantics are
     * INNER (unmatched left rows drop) — matched here by the cross-apply
-    * shape. Spark plans the correlated limit-1 lateral as a window over a
-    * join, not a per-row loop; the DataFrame operator
-    * [[graft.operators.AsOfJoin.asOf]] remains the single-shuffle scale
-    * path for pipeline code. */
+    * shape.
+    *
+    * SCALE NOTE: Spark decorrelates the correlated INEQUALITY by joining
+    * the right side against the domain of distinct left-side time values
+    * (a nested-loop join) — acceptable for bounded/dimensional right
+    * sides, quadratic for fact-fact as-of joins. This rewrite is the SQL
+    * COMPATIBILITY surface; pipeline code at scale uses
+    * [[graft.operators.AsOfJoin.asOf]], the single-shuffle union+window
+    * formulation (gate x22, plan-asserted to one exchange). A schema-free
+    * token rewrite cannot emit that form (it needs both column lists);
+    * doing it would require session-level schema resolution of the join
+    * inputs — a documented future seam. */
   private def rewriteAsOfJoin(toks: Vector[Tok]): Vector[Tok] = {
     val sig = significant(toks)
     def tk(si: Int): Tok = toks(sig(si))

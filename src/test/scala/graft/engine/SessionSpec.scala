@@ -628,6 +628,25 @@ class SessionSpec extends AnyFunSuite {
     assert(pct > 0 && pct < 1500)
   }
 
+  test("CREATE SEQUENCE: NEXTVAL draws unique step-aligned values") {
+    val s = newSession()
+    s.sql("CREATE SEQUENCE ids START = 10 INCREMENT = 3")
+    val a = s.sql("SELECT IDS.NEXTVAL AS v FROM nation")
+      .collect().map(_.getLong(0))
+    val b = s.sql("SELECT ids.nextval AS v FROM nation")
+      .collect().map(_.getLong(0))
+    val all = a ++ b
+    assert(all.length == 50 && all.distinct.length == 50,
+      "values must be unique across statements")
+    assert(all.forall(v => v >= 10 && (v - 10) % 3 == 0),
+      "values must be step-aligned to the increment from START")
+    // NEXTVAL inside a string literal is untouched
+    val lit = s.sql("SELECT 'ids.nextval' AS t").collect()(0).getString(0)
+    assert(lit == "ids.nextval")
+    s.sql("DROP SEQUENCE ids")
+    intercept[Exception] { s.sql("SELECT ids.nextval FROM nation").collect() }
+  }
+
   test("result wire typing: rowtype + complex-to-json") {
     val s = newSession()
     val df = s.sql("SELECT ARRAY_CONSTRUCT(1,2,3) AS arr, 1::int AS n")
