@@ -34,6 +34,11 @@ object Bench {
       // at any scale — unlike blanket preferSortMergeJoin=false);
       // h09's 60M×15M join drops ~20% by skipping both sorts
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "512m")
+      // single-machine bench: shuffle bytes ride the local filesystem, so
+      // the codec is pure CPU overhead — a real multi-node cluster keeps
+      // compression ON because network bytes dominate there
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
