@@ -105,6 +105,72 @@ object TextAnalysis {
         maxDupFraction).as("keep"))
   }
 
+  /** Context-window chunking: split each document into token windows of
+    * `maxTokens` advancing by `maxTokens - overlap` (the RAG / long-doc
+    * preprocessing step). Pure per-row transform + posexplode — no
+    * shuffle, pipelines inside the scan at any corpus size. The final
+    * window is the remainder (possibly shorter); every token appears in
+    * at least one chunk. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    val ws = split(col(textCol), " ")
+    val nChunks = greatest(lit(1),
+      ceil((size(ws) - lit(overlap)).cast(DoubleType) / step).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * step + 1, lit(maxTokens)), " "))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
+  /** Sequence packing: greedy first-fit of documents into fixed-capacity
+    * training contexts (the pretraining batch-prep step that turns a
+    * ragged corpus into dense `maxTokens` windows).
+    *
+    * Scale design: documents are hash-bucketed into `numBins` independent
+    * groups (deterministic, data-parallel — each bin packs on one task),
+    * sorted (tokens desc, id) inside the bin, then packed first-fit-
+    * decreasing in a single pass. No driver state, no global sort: the
+    * shuffle is one hash-partition by bin. Oversized docs (> capacity)
+    * get singleton packs (callers chunk first via [[chunk]]).
+    * Output: (doc, bin, pack, pack_tokens) — every doc exactly once. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Int, numBins: Int = 64): DataFrame = {
+    val binned = df.select(col(idCol).as("doc"),
+        col(tokensCol).cast("long").as("tokens"),
+        pmod(xxhash64(col(idCol)), lit(numBins)).as("bin"))
+      .repartition(col("bin"))
+      .sortWithinPartitions(col("bin"), col("tokens").desc, col("doc"))
+    import binned.sparkSession.implicits._
+    binned.select("doc", "tokens", "bin").as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        // one partition may hold several bins after hash-partitioning;
+        // packs are per-bin so results are partitioning-independent
+        val open = scala.collection.mutable.Map.empty[Long,
+          scala.collection.mutable.ArrayBuffer[(Long, Long)]] // bin → packs
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        rows.foreach { case (doc, tokens, bin) =>
+          val packs = open.getOrElseUpdate(bin,
+            scala.collection.mutable.ArrayBuffer.empty)
+          // first-fit over open packs of this bin
+          val fit = packs.indexWhere(_._2 + tokens <= capacity)
+          val packId =
+            if (tokens >= capacity) { // singleton (incl. oversized)
+              packs += ((packs.length.toLong, capacity.toLong)); packs.length - 1
+            } else if (fit >= 0) {
+              packs(fit) = (packs(fit)._1, packs(fit)._2 + tokens); fit
+            } else {
+              packs += ((packs.length.toLong, tokens)); packs.length - 1
+            }
+          out += ((doc, bin, packId.toLong, tokens))
+        }
+        out.iterator
+      }
+      .toDF("doc", "bin", "pack", "tokens")
+  }
+
   /** Corpus vocabulary: top-`k` tokens by document frequency — the
     * tokenizer-training / stopword-derivation step. One explode + one
     * hash-shuffle count (map-side partial agg bounds the shuffle by

@@ -409,6 +409,50 @@ object Extensions extends QueryPack {
       TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", k = 100)
     },
 
+    // Context-window chunking (RAG / long-doc preprocessing): 64-token
+    // windows advancing by 48 (16-token overlap). Per-row transform +
+    // posexplode, shuffle-free; exact DuckDB oracle.
+    GQuery("x25_chunking", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              array_to_string(list_slice(ws, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+            FROM w, LATERAL (SELECT unnest(generate_series(0,
+              greatest(CAST(ceil((len(ws) - 16) / 48.0) AS INT), 1) - 1)) AS i) g)
+      SELECT doc_id, chunk_idx, chunk_text,
+        CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+        maxTokens = 64, overlap = 16).orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing (pretraining batch prep): greedy first-fit-
+    // decreasing into 512-token contexts, hash-bucketed into independent
+    // bins so packing is data-parallel with no global sort. The exact
+    // pack assignment is engine-internal, so the gate checks the
+    // contract: every doc exactly once, token mass preserved, and no
+    // multi-document pack over capacity.
+    GQuery("x26_sequence_packing", Some("""
+      SELECT count(*) AS n_docs, count(*) AS nd,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        true AS cap_ok
+      FROM documents""")) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val counts = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tok"))
+      val packed = TextAnalysis.packSequences(counts, "doc_id", "tok",
+        capacity = 512, numBins = 16)
+      val packSums = packed.groupBy("bin", "pack")
+        .agg(sum("tokens").as("pt"), count(lit(1)).as("members"))
+      packed.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc")).as("nd"),
+          sum(col("tokens")).as("total_tokens"))
+        .crossJoin(packSums.agg(
+          coalesce(min(when(col("members") === 1, lit(true))
+            .otherwise(col("pt") <= 512)), lit(true)).as("cap_ok")))
+        .select(col("n_docs"), col("nd"), col("total_tokens"), col("cap_ok"))
+    },
+
     // Deterministic hash-ranked stratified sample: k docs per source,
     // reproducible across engines (rank = md5(id), no RNG) — rerunning
     // corpus curation at 100 TB must select the SAME sample.

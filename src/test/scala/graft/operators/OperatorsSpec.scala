@@ -292,4 +292,39 @@ class OperatorsSpec extends AnyFunSuite {
       "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
     assert(feat.getAs[Int]("fake_width") == 3)
   }
+
+  test("chunk: overlap windows cover every token; short docs = one chunk") {
+    val text = (1 to 25).map("w" + _).mkString(" ")
+    val df = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", 10, 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // 25 tokens, window 10, step 8 → ceil((25-2)/8) = 3 chunks
+    assert(d1.length == 3)
+    assert(d1(0).getAs[String]("chunk_text").startsWith("w1 ") &&
+      d1(0).getAs[Int]("n_tokens") == 10)
+    assert(d1(1).getAs[String]("chunk_text").startsWith("w9 "))
+    assert(d1(2).getAs[String]("chunk_text").endsWith(" w25"))
+    // consecutive chunks overlap by 2 tokens
+    assert(d1(0).getAs[String]("chunk_text").split(" ").takeRight(2).toSeq ==
+      d1(1).getAs[String]("chunk_text").split(" ").take(2).toSeq)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Int]("n_tokens") == 2)
+  }
+
+  test("packSequences: exact partition, capacity respected, oversized singleton") {
+    val docs = ((1L to 40L).map(i => (i, 100L + i)) :+ (99L, 900L))
+      .toDF("doc_id", "tok")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "tok",
+      capacity = 512, numBins = 4).collect()
+    assert(packed.length == 41)
+    assert(packed.map(_.getLong(0)).distinct.length == 41)
+    // no multi-doc pack over capacity; the 900-token doc packs alone
+    val byPack = packed.groupBy(r => (r.getLong(1), r.getLong(2)))
+    byPack.values.foreach { rows =>
+      if (rows.length > 1) assert(rows.map(_.getLong(3)).sum <= 512)
+    }
+    val big = packed.find(_.getLong(0) == 99L).get
+    assert(byPack((big.getLong(1), big.getLong(2))).length == 1)
+  }
 }
