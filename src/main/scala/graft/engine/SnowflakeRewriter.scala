@@ -1440,6 +1440,81 @@ object SnowflakeRewriter {
             out ++= len
             out += Op(")")
             i = close + 1
+          } else if ((up == "ARRAY_AGG" || up == "ARRAYAGG") && {
+              // only the ordered-set form: ARRAY_AGG(…) WITHIN GROUP (…)
+              nextSig(toks, close).exists(j => toks(j) match {
+                case Ident(w) => w.equalsIgnoreCase("WITHIN"); case _ => false })
+            }) {
+            // ARRAY_AGG(x) WITHIN GROUP (ORDER BY k1 [, k2…] [ASC|DESC])
+            // → transform(array_sort(collect_list(struct(k…, x))), s -> s.v)
+            // (+ reverse for DESC) — Spark's collect_list has no WITHIN
+            // GROUP; struct ordering compares fields left-to-right, so
+            // sorting the (keys…, value) struct reproduces the ordered
+            // aggregate deterministically at any parallelism.
+            val withinIdx = nextSig(toks, close).get
+            val groupKw = nextSig(toks, withinIdx).getOrElse(
+              throw new IllegalArgumentException("WITHIN needs GROUP"))
+            require(toks(groupKw).text.equalsIgnoreCase("GROUP"),
+              "WITHIN must be followed by GROUP")
+            val wgOpen = nextSig(toks, groupKw).getOrElse(
+              throw new IllegalArgumentException("WITHIN GROUP needs (…)"))
+            require(toks(wgOpen) == Op("("), "WITHIN GROUP needs (…)")
+            val wgClose = matchParen(toks, wgOpen)
+            val wgInner = toks.slice(wgOpen + 1, wgClose)
+            val wgSig = significant(wgInner)
+            require(wgSig.length >= 3 &&
+              wgInner(wgSig(0)).text.equalsIgnoreCase("ORDER") &&
+              wgInner(wgSig(1)).text.equalsIgnoreCase("BY"),
+              "WITHIN GROUP supports (ORDER BY …)")
+            var keyToks = wgInner.slice(wgSig(1) + 1, wgInner.length)
+            // trailing ASC/DESC (single direction for the whole key list)
+            var desc = false
+            val kSig = significant(keyToks)
+            if (kSig.nonEmpty) keyToks(kSig.last) match {
+              case Ident(w) if w.equalsIgnoreCase("DESC") =>
+                desc = true; keyToks = keyToks.take(kSig.last)
+              case Ident(w) if w.equalsIgnoreCase("ASC") =>
+                keyToks = keyToks.take(kSig.last)
+              case _ =>
+            }
+            val keys = {
+              // split key list on top-level commas
+              val parts = Seq.newBuilder[Vector[Tok]]
+              var depth = 0; var st = 0
+              keyToks.indices.foreach { x =>
+                keyToks(x) match {
+                  case Op("(") => depth += 1
+                  case Op(")") => depth -= 1
+                  case Op(",") if depth == 0 =>
+                    parts += keyToks.slice(st, x); st = x + 1
+                  case _ =>
+                }
+              }
+              parts += keyToks.slice(st, keyToks.length)
+              parts.result().map(p => render(rewriteFunctions(p)).trim)
+            }
+            val argToks = toks.slice(open + 1, close)
+            val argSig = significant(argToks)
+            val isDistinct = argSig.nonEmpty && (argToks(argSig.head) match {
+              case Ident(w) => w.equalsIgnoreCase("DISTINCT"); case _ => false })
+            if (isDistinct) {
+              val expr = render(rewriteFunctions(
+                argToks.drop(argSig.head + 1))).trim
+              require(keys == Seq(expr),
+                "ARRAY_AGG(DISTINCT x) WITHIN GROUP supports ORDER BY x only")
+              val sorted = s"array_sort(collect_set(($expr)))"
+              out ++= lex(if (desc) s"reverse($sorted)" else sorted)
+            } else {
+              val expr = render(rewriteFunctions(argToks)).trim
+              val fields = keys.zipWithIndex
+                .map { case (k, x) => s"($k) AS __o$x" }
+                .mkString(", ")
+              val sorted = s"array_sort(collect_list(" +
+                s"struct($fields, ($expr) AS __v)))"
+              val picked = s"transform($sorted, __s -> __s.__v)"
+              out ++= lex(if (desc) s"reverse($picked)" else picked)
+            }
+            i = wgClose + 1
           } else if (up == "PREVIOUS_DAY") {
             // most recent <dow> strictly BEFORE d: next_day is strictly
             // after, so next_day(d-1) is the first <dow> ≥ d; minus 7

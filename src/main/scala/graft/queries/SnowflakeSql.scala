@@ -801,6 +801,27 @@ object SnowflakeSql extends QueryPack {
         FROM (SELECT ORDER_IDS.NEXTVAL AS id FROM orders);""")
     },
 
+    // Ordered-set ARRAY_AGG: WITHIN GROUP (ORDER BY …) via struct-sorted
+    // collect (Spark's array_agg has no WITHIN GROUP); DISTINCT variant
+    // via sorted collect_set. Arrays cross the gate as joined strings.
+    GQuery("snow44_array_agg_ordered", Some("""
+      SELECT r.r_name AS region,
+        string_agg(n.n_name, ',' ORDER BY n.n_nationkey DESC) AS names_desc,
+        string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS names_dist,
+        count(*) AS n
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1 ORDER BY region""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT r.r_name AS region,
+          ARRAY_TO_STRING(ARRAY_AGG(n.n_name)
+            WITHIN GROUP (ORDER BY n.n_nationkey DESC), ',') AS names_desc,
+          ARRAY_TO_STRING(ARRAY_AGG(DISTINCT n.n_name)
+            WITHIN GROUP (ORDER BY n.n_name), ',') AS names_dist,
+          count(*) AS n
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1 ORDER BY region""")
+    },
+
     // GROUP BY ALL (Snowflake ergonomic grouping — native in Spark 4 and
     // DuckDB alike, gated to pin the pass-through).
     GQuery("snow41_group_by_all", Some("""

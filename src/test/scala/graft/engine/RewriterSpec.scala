@@ -429,6 +429,22 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT filter(a, _ac -> _ac IS NOT NULL) FROM t")
   }
 
+  test("ARRAY_AGG WITHIN GROUP becomes a struct-sorted collect") {
+    val asc = rw("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY k) FROM t")
+    assert(asc.contains(
+      "transform(array_sort(collect_list(struct((k) AS __o0, (x) AS __v))), __s -> __s.__v)"))
+    val desc = rw("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY k DESC) FROM t")
+    assert(desc.startsWith("SELECT reverse(transform(array_sort("))
+    val dist = rw("SELECT ARRAY_AGG(DISTINCT x) WITHIN GROUP (ORDER BY x) FROM t")
+    assert(dist.contains("array_sort(collect_set((x)))"))
+    // two sort keys
+    val two = rw("SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY a, b) FROM t")
+    assert(two.contains("(a) AS __o0, (b) AS __o1, (v) AS __v"))
+    // plain ARRAY_AGG stays native (Spark has array_agg)
+    assert(rw("SELECT ARRAY_AGG(x) FROM t").toLowerCase
+      .contains("array_agg(x)"))
+  }
+
   test("ASOF JOIN becomes a correlated top-1 LATERAL") {
     val out = rw("SELECT * FROM a ASOF JOIN b " +
       "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k ORDER BY 1")
