@@ -94,7 +94,7 @@ final class GraftSession(
         .getParent.getParent.toString + s"__v${snapshotSeq.incrementAndGet()}"
       // the rewritten snapshot keeps the table's partition spec
       val newMeta = graft.sources.IcebergLite.write(spark, next, dir,
-        graft.sources.IcebergLite.partitionColumn(ref.path.get))
+        graft.sources.IcebergLite.partitionColumns(ref.path.get))
       registry.register(ref.copy(path = Some(newMeta)))
       recordVersion(f, ref.copy(path = Some(newMeta)))
       graft.sources.IcebergLite.scan(spark, newMeta).count()
@@ -640,14 +640,15 @@ final class GraftSession(
     }
     val asIdx = "(?is)^(?:\\([^)]*\\)\\s*)?AS\\s+(.*)$".r
     val cloneRe = "(?is)^CLONE\\s+([\\w$\".]+)\\s*$".r
-    // CREATE ICEBERG TABLE t PARTITION BY (col) AS … — identity hidden
-    // partitioning (metadata-level file pruning on scan)
-    val partRe = "(?is)^PARTITION\\s+BY\\s*\\(\\s*([\\w$\".]+)\\s*\\)\\s*(.*)$".r
+    // CREATE ICEBERG TABLE t PARTITION BY (col[, col…]) AS … — identity
+    // hidden partitioning (metadata-level file pruning on scan)
+    val partRe =
+      "(?is)^PARTITION\\s+BY\\s*\\(\\s*([\\w$\".]+(?:\\s*,\\s*[\\w$\".]+)*)\\s*\\)\\s*(.*)$".r
     val (createPartitionBy, restNoPart) = rest.trim match {
-      case partRe(p, rem) =>
+      case partRe(ps, rem) =>
         require(iceberg, "PARTITION BY is supported on ICEBERG tables")
-        (Some(Identifiers.normalizePart(p)), rem)
-      case _ => (None, rest)
+        (ps.split(",").toSeq.map(p => Identifiers.normalizePart(p.trim)), rem)
+      case _ => (Seq.empty[String], rest)
     }
     restNoPart.trim match {
       case cloneRe(srcName) =>

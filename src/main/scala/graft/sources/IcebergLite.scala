@@ -48,14 +48,15 @@ object IcebergLite {
   /** content: 1 = position deletes, 2 = equality deletes. */
   private final case class DeleteEntry(path: String, content: Int, seq: Long)
 
-  /** Partition column of a table (identity transform), if partitioned. */
-  def partitionColumn(metadataPath: String): Option[String] = {
+  /** Partition columns of a table (identity transforms), in spec order;
+    * empty when unpartitioned. */
+  def partitionColumns(metadataPath: String): Seq[String] = {
     val meta = mapper.readTree(
       Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
     val specs = meta.path("partition-specs")
-    if (specs.isMissingNode || !specs.elements().hasNext) None
-    else specs.elements().asScala.toSeq.headOption
-      .flatMap(s => s.path("fields").elements().asScala.toSeq.headOption)
+    if (specs.isMissingNode || !specs.elements().hasNext) Nil
+    else specs.elements().asScala.toSeq.headOption.toSeq
+      .flatMap(_.path("fields").elements().asScala.toSeq)
       .map(_.path("name").asText())
       .filter(_.nonEmpty)
   }
@@ -234,14 +235,15 @@ object IcebergLite {
     * vN.metadata.json (the reference's pyiceberg `create_table` +
     * `overwrite` path, `universql/warehouse/duckdb.py:295-310`).
     *
-    * `partitionBy`: hidden identity partitioning. Data files land in
-    * per-value directories and every manifest entry records its
-    * partition value, so [[scan]] can skip files at the metadata level.
-    * The partition column STAYS in the data files (written via a
-    * duplicated shadow column), so reads need no hive-style partition
+    * `partitionBy`: hidden identity partitioning (one or more columns).
+    * Data files land in per-value directories and every manifest entry
+    * records its partition values ("/"-joined in spec order for
+    * multi-column specs), so [[scan]] can skip files at the metadata
+    * level. The partition columns STAY in the data files (written via
+    * duplicated shadow columns), so reads need no hive-style partition
     * inference and column types survive exactly. */
   def write(spark: SparkSession, df: DataFrame, tableDir: String,
-      partitionBy: Option[String] = None): String =
+      partitionBy: Seq[String] = Nil): String =
     commit(spark, df, tableDir, newVersion = 1, carryForward = Nil,
       partitionBy = partitionBy)
 
@@ -256,37 +258,42 @@ object IcebergLite {
     commit(spark, df, dir, version + 1,
       carryForward = planFiles(spark, metadataPath)._1
         .map(e => e.path -> e.partition).distinct,
-      partitionBy = partitionColumn(metadataPath))
+      partitionBy = partitionColumns(metadataPath))
   }
 
   private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
       newVersion: Int, carryForward: Seq[(String, Option[String])],
-      partitionBy: Option[String] = None): String = {
+      partitionBy: Seq[String] = Nil): String = {
     import org.apache.spark.sql.functions._
     val snapId = newVersion.toLong
     val dataDir = s"$tableDir/data/s$snapId"
-    // resolve the partition column against the frame case-insensitively
+    // resolve partition columns against the frame case-insensitively
     // (session identifiers are normalized uppercase, lake columns aren't)
-    val partCol = partitionBy.map(p => df.columns
+    val partCols = partitionBy.map(p => df.columns
       .find(_.equalsIgnoreCase(p)).getOrElse(throw new IllegalArgumentException(
         s"partition column $p not in ${df.columns.mkString(", ")}")))
-    partCol match {
-      case Some(p) =>
-        // shadow column keeps `p` itself inside the data files; its name
-        // carries the source column so the filter-mirror rule can match
-        df.withColumn(s"__part_$p", col(p).cast("string"))
-          .write.mode("overwrite").partitionBy(s"__part_$p").parquet(dataDir)
-      case None => df.write.mode("overwrite").parquet(dataDir)
-    }
+    if (partCols.nonEmpty) {
+      // shadow columns keep the originals inside the data files; names
+      // carry the source column so the filter-mirror rule can match
+      partCols.foldLeft(df)((d, p) =>
+          d.withColumn(s"__part_$p", col(p).cast("string")))
+        .write.mode("overwrite")
+        .partitionBy(partCols.map(p => s"__part_$p"): _*).parquet(dataDir)
+    } else df.write.mode("overwrite").parquet(dataDir)
     val newFiles = Files.walk(Paths.get(dataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
     // Spark escapes partition-dir values as %XX sequences; decode only
-    // those (URLDecoder would also turn '+' into a space)
-    def partOf(path: String): Option[String] =
-      "__part_[^=/]+=([^/]+)/".r.findFirstMatchIn(path).map(m =>
-        "%([0-9A-Fa-f]{2})".r.replaceAllIn(m.group(1), g =>
-          java.util.regex.Matcher.quoteReplacement(
-            Integer.parseInt(g.group(1), 16).toChar.toString)))
+    // those (URLDecoder would also turn '+' into a space). Multi-column
+    // values join with "/" in spec order.
+    def decode(v: String): String =
+      "%([0-9A-Fa-f]{2})".r.replaceAllIn(v, g =>
+        java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(g.group(1), 16).toChar.toString))
+    def partOf(path: String): Option[String] = {
+      val vals = "__part_[^=/]+=([^/]+)/".r.findAllMatchIn(path)
+        .map(m => decode(m.group(1))).toSeq
+      if (vals.isEmpty) None else Some(vals.mkString("/"))
+    }
 
     import spark.implicits._
     val manifestDir = s"$tableDir/metadata/manifest-s$snapId"
@@ -302,10 +309,14 @@ object IcebergLite {
     Seq(manifestDir).toDF("manifest_path")
       .coalesce(1).write.mode("overwrite").format(avroFmt).save(listDir)
 
-    val specJson = partCol.map(p =>
-      s""", "partition-specs": [{"spec-id": 0, "fields": [
-         |   {"name": "$p", "transform": "identity", "field-id": 1000}]}]"""
-        .stripMargin).getOrElse("")
+    val specJson =
+      if (partCols.isEmpty) ""
+      else {
+        val fields = partCols.zipWithIndex.map { case (p, x) =>
+          s"""{"name": "$p", "transform": "identity", "field-id": ${1000 + x}}"""
+        }.mkString(", ")
+        s""", "partition-specs": [{"spec-id": 0, "fields": [$fields]}]"""
+      }
     val metadataPath = s"$tableDir/metadata/v$newVersion.metadata.json"
     val snapshotsJson = (1L to snapId).map(sid =>
       s"""{"snapshot-id": $sid, "manifest-list": "$tableDir/metadata/manifest-list-s$sid"}""")

@@ -179,8 +179,8 @@ class IcebergLiteSpec extends AnyFunSuite {
     val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
 
     val meta = IcebergLite.write(spark, nation, root,
-      partitionBy = Some("n_regionkey"))
-    assert(IcebergLite.partitionColumn(meta).contains("n_regionkey"))
+      partitionBy = Seq("n_regionkey"))
+    assert(IcebergLite.partitionColumns(meta) == Seq("n_regionkey"))
 
     // full scan sees everything, partition column type preserved
     val full = IcebergLite.scan(spark, meta)
@@ -215,7 +215,7 @@ class IcebergLiteSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_ice_mirror").toString
     val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
     val meta = IcebergLite.write(spark, nation, root,
-      partitionBy = Some("n_regionkey"))
+      partitionBy = Seq("n_regionkey"))
 
     // the query filters the REAL column; nothing names the shadow column
     val df = IcebergLite.scan(spark, meta)
@@ -240,6 +240,32 @@ class IcebergLiteSpec extends AnyFunSuite {
       .map(_.filePath.toString)
     assert(scanned2.nonEmpty && scanned2.forall(p =>
       p.contains("__part_n_regionkey=0") || p.contains("__part_n_regionkey=3")))
+  }
+
+  test("multi-column partition spec: combined manifest values, per-column mirror") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_ice_multi").toString
+    val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val meta = IcebergLite.write(spark, nation, root,
+      partitionBy = Seq("n_regionkey", "n_name"))
+    assert(IcebergLite.partitionColumns(meta) == Seq("n_regionkey", "n_name"))
+    assert(IcebergLite.scan(spark, meta).count() == 25)
+
+    // manifest-level filter sees "/"-joined values in spec order
+    val pruned = IcebergLite.scan(spark, meta, Some(_ == "1/NATION_1"))
+    assert(pruned.count() == 1)
+
+    // mirror rule prunes on BOTH columns from a plain WHERE
+    val df = IcebergLite.scan(spark, meta)
+      .filter(col("n_regionkey") === 1 && col("n_name") === "NATION_1")
+    assert(df.count() == 1)
+    val scanned = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
+    assert(scanned.nonEmpty && scanned.forall(p =>
+      p.contains("__part_n_regionkey=1") && p.contains("__part_n_name=NATION_1")))
   }
 
   test("session: CREATE ICEBERG TABLE PARTITION BY round-trips") {
