@@ -246,7 +246,7 @@ final class GraftSession(
   private val undropRe = "(?is)^UNDROP\\s+TABLE\\s+([\\w$\".]+)\\s*$".r
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
-  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|FILE\\s+FORMATS)\\b.*$".r
+  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|SEQUENCES|FILE\\s+FORMATS)\\b.*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   private val alterRe = "(?is)^ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s+(.*)$".r
   private val listRe = "(?is)^(?:LIST|LS)\\s+(\\S+)\\s*$".r
@@ -1237,6 +1237,11 @@ final class GraftSession(
         val rows = sqlFunctions.toSeq.sortBy(_._1).map { case (n, (ps, _)) =>
           Row(n, currentDatabase, currentSchema,
             s"FUNCTION(${ps.mkString(", ")})")
+        }
+        spark.createDataFrame(rows.asJava, schemaOf)
+      case "SEQUENCES" =>
+        val rows = sequences.toSeq.sortBy(_._1).map { case (n, (st, inc, _)) =>
+          Row(n, currentDatabase, currentSchema, s"START $st INCREMENT $inc")
         }
         spark.createDataFrame(rows.asJava, schemaOf)
       case "FILE FORMATS" =>

@@ -1515,6 +1515,54 @@ object SnowflakeRewriter {
               out ++= lex(if (desc) s"reverse($picked)" else picked)
             }
             i = wgClose + 1
+          } else if (up == "MINHASH") {
+            // MINHASH(k, x): aggregate MinHash state — k min-aggregations
+            // over per-seed hashes derived from x's 64-bit base hash (the
+            // same derivation MinHashSig uses per-row). State is
+            // array<bigint>; Snowflake's opaque VARIANT state is not
+            // value-compatible (documented divergence), the
+            // combine/estimate contract is.
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2, "MINHASH needs (k, expr)")
+            val kToks = toks.slice(argRanges(0)._1, argRanges(0)._2)
+            val kSig = significant(kToks)
+            val k = kToks(kSig.head) match {
+              case Num(n) if kSig.size == 1 && n.matches("\\d+") &&
+                  n.toInt >= 2 && n.toInt <= 1024 => n.toInt
+              case _ => throw new IllegalArgumentException(
+                "MINHASH k must be a literal integer in [2, 1024]")
+            }
+            val x = render(rewriteFunctions(
+              toks.slice(argRanges(1)._1, argRanges(1)._2))).trim
+            val mins = (0 until k)
+              .map(s => s"min(xxhash64(($x), $s))").mkString(", ")
+            out ++= lex(s"array($mins)")
+            i = close + 1
+          } else if (up == "MINHASH_COMBINE") {
+            // elementwise min across MinHash states (k-agnostic fold)
+            val mh = render(rewriteFunctions(toks.slice(open + 1, close))).trim
+            out ++= lex(
+              s"REDUCE(collect_list(($mh)), CAST(NULL AS ARRAY<BIGINT>), " +
+              s"(__mc, __mx) -> CASE WHEN __mc IS NULL THEN __mx ELSE " +
+              s"zip_with(__mc, __mx, (__ma, __mb) -> least(__ma, __mb)) END)")
+            i = close + 1
+          } else if (up == "APPROXIMATE_JACCARD_INDEX" ||
+              up == "APPROXIMATE_SIMILARITY") {
+            // estimated Jaccard across the group's MinHash states:
+            // fraction of positions where every state agrees — positions
+            // where the elementwise min equals the elementwise max
+            val mh = render(rewriteFunctions(toks.slice(open + 1, close))).trim
+            def fold(f: String, a: String, b: String, acc: String, x: String) =
+              s"REDUCE(collect_list(($mh)), CAST(NULL AS ARRAY<BIGINT>), " +
+              s"($acc, $x) -> CASE WHEN $acc IS NULL THEN $x ELSE " +
+              s"zip_with($acc, $x, ($a, $b) -> $f($a, $b)) END)"
+            val mins = fold("least", "__ia", "__ib", "__ic", "__ix")
+            val maxs = fold("greatest", "__xa", "__xb", "__xc", "__xx")
+            out ++= lex(
+              s"(size(filter(zip_with($mins, $maxs, " +
+              s"(__ea, __eb) -> __ea = __eb), __ep -> __ep)) / " +
+              s"CAST(size($mins) AS DOUBLE))")
+            i = close + 1
           } else if (up == "PREVIOUS_DAY") {
             // most recent <dow> strictly BEFORE d: next_day is strictly
             // after, so next_day(d-1) is the first <dow> ≥ d; minus 7

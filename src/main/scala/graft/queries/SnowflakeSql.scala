@@ -801,6 +801,39 @@ object SnowflakeSql extends QueryPack {
         FROM (SELECT ORDER_IDS.NEXTVAL AS id FROM orders);""")
     },
 
+    // Snowflake-native MinHash SQL surface: MINHASH(k, x) aggregate state,
+    // MINHASH_COMBINE fold, APPROXIMATE_JACCARD_INDEX estimate. States are
+    // engine-internal, so the gate is a CONTRACT: identical sets estimate
+    // exactly 1, ~80%-overlap sets estimate within ±0.15 of true Jaccard
+    // (k=128 → σ≈0.035), disjoint sets estimate ≤ 0.15, and combining
+    // per-part states equals one-shot hashing.
+    GQuery("snow45_minhash_sql", Some("""
+      SELECT true AS same_ok, true AS overlap_ok, true AS disjoint_ok,
+        true AS combine_ok""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH a AS (SELECT n_name AS w FROM nation),
+        b AS (SELECT n_name AS w FROM nation WHERE n_nationkey < 20),
+        c AS (SELECT r_name AS w FROM region),
+        same_est AS (SELECT APPROXIMATE_JACCARD_INDEX(mh) AS e FROM (
+          SELECT MINHASH(128, w) AS mh FROM a
+          UNION ALL SELECT MINHASH(128, w) FROM a)),
+        ovl_est AS (SELECT APPROXIMATE_SIMILARITY(mh) AS e FROM (
+          SELECT MINHASH(128, w) AS mh FROM a
+          UNION ALL SELECT MINHASH(128, w) FROM b)),
+        dis_est AS (SELECT APPROXIMATE_JACCARD_INDEX(mh) AS e FROM (
+          SELECT MINHASH(128, w) AS mh FROM a
+          UNION ALL SELECT MINHASH(128, w) FROM c)),
+        one_shot AS (SELECT MINHASH(128, w) AS mh FROM a),
+        combined AS (SELECT MINHASH_COMBINE(mh) AS mh FROM (
+          SELECT MINHASH(128, w) AS mh FROM a WHERE length(w) % 2 = 0
+          UNION ALL SELECT MINHASH(128, w) FROM a WHERE length(w) % 2 = 1))
+        SELECT
+          (SELECT e = 1.0 FROM same_est) AS same_ok,
+          (SELECT abs(e - 0.8) <= 0.15 FROM ovl_est) AS overlap_ok,
+          (SELECT e <= 0.15 FROM dis_est) AS disjoint_ok,
+          (SELECT o.mh = cmb.mh FROM one_shot o, combined cmb) AS combine_ok""")
+    },
+
     // Ordered-set ARRAY_AGG: WITHIN GROUP (ORDER BY …) via struct-sorted
     // collect (Spark's array_agg has no WITHIN GROUP); DISTINCT variant
     // via sorted collect_set. Arrays cross the gate as joined strings.

@@ -429,6 +429,22 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT filter(a, _ac -> _ac IS NOT NULL) FROM t")
   }
 
+  test("MINHASH family expands to min-agg arrays and folds") {
+    val mh = rw("SELECT MINHASH(4, x) FROM t")
+    assert(mh == "SELECT array(min(xxhash64((x), 0)), min(xxhash64((x), 1)), " +
+      "min(xxhash64((x), 2)), min(xxhash64((x), 3))) FROM t")
+    val comb = rw("SELECT MINHASH_COMBINE(mh) FROM t")
+    assert(comb.contains("REDUCE(collect_list((mh))") &&
+      comb.contains("least(__ma, __mb)"))
+    val sim = rw("SELECT APPROXIMATE_JACCARD_INDEX(mh) FROM t")
+    assert(sim.contains("least(__ia, __ib)") &&
+      sim.contains("greatest(__xa, __xb)") &&
+      sim.contains("CAST(size(") && sim.contains("AS DOUBLE)"))
+    intercept[IllegalArgumentException] {
+      rw("SELECT MINHASH(k, x) FROM t")
+    }
+  }
+
   test("ARRAY_AGG WITHIN GROUP becomes a struct-sorted collect") {
     val asc = rw("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY k) FROM t")
     assert(asc.contains(

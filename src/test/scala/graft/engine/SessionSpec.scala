@@ -643,6 +643,9 @@ class SessionSpec extends AnyFunSuite {
     // NEXTVAL inside a string literal is untouched
     val lit = s.sql("SELECT 'ids.nextval' AS t").collect()(0).getString(0)
     assert(lit == "ids.nextval")
+    val shown = s.sql("SHOW SEQUENCES").collect()
+    assert(shown.exists(r => r.getString(0) == "IDS" &&
+      r.getString(3) == "START 10 INCREMENT 3"))
     s.sql("DROP SEQUENCE ids")
     intercept[Exception] { s.sql("SELECT ids.nextval FROM nation").collect() }
   }
