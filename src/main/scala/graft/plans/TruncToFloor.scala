@@ -47,5 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TruncToFloor)
     ext.injectOptimizerRule(_ => PartitionFilterMirror)
+    ext.injectOptimizerRule(_ => EagerAggregation)
   }
 }
