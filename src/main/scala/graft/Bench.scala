@@ -43,6 +43,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm pass (untimed)
     queries.foreach { case (_, fn) =>
@@ -68,7 +69,8 @@ object Bench {
     // Full-precision detail: printed FIRST (survives in full logs) and
     // written to bench_detail.json — NOT the last line, because the
     // harness that collects this output keeps only a bounded tail.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$heavyJson}"""
+    val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":${loadavg()}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$heavyJson$loadJson}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
@@ -85,7 +87,7 @@ object Bench {
     val compactAll = results.map { case (k, v) => s"""\"${short(k)}\":${fmt(v)}""" }
     def line(entries: Seq[String], truncated: Boolean): String = {
       val extra = if (truncated) s""","queries_truncated":true""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"$heavyJson$extra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"$heavyJson$loadJson$extra}"""
     }
     val full = line(compactAll, truncated = false)
     val out =
@@ -154,12 +156,20 @@ object Bench {
     heavy.foreach { case (_, fn, _) =>
       try { val _ = fn().count() } catch { case _: Throwable => } // warm
     }
-    // a failed query must surface as a failure, not a (fast) fake time
+    // min of 3 timed reps per query: a single rep is hostage to whatever
+    // else the machine is doing (round-3's recorded heavy numbers were
+    // 10-14× off a quiet re-run); the min is the least-contended sample.
+    // A failed query must surface as a failure, not a (fast) fake time.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "3").toInt
     val timed = heavy.map { case (name, fn, rows) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn().count(); true } catch { case e: Throwable =>
-        System.err.println(s"heavy $name FAILED: $e"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn().count(); true } catch { case e: Throwable =>
+          System.err.println(s"heavy $name FAILED: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = samples.forall(_._2)
+      val sec = samples.map(_._1).min
       (name, sec, rows / sec / 1e6, ok)
     }
     val hq = timed.map { case (k, v, _, ok) =>
@@ -171,9 +181,18 @@ object Bench {
     val hTotal = timed.filter(_._4).map(_._2).sum
     val failedJson =
       if (failed.isEmpty) "" else s""","heavy_failed":[${failed.mkString(",")}]"""
-    s""","heavy":$hq,"heavy_total":$hTotal,"heavy_lineitem_rows":$liRows,""" +
+    s""","heavy":$hq,"heavy_total":$hTotal,"heavy_reps":$reps,""" +
+      s""""heavy_lineitem_rows":$liRows,""" +
       s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr$failedJson"""
   }
+
+  /** 1/5/15-min load averages — recorded so a contaminated run (another
+    * process saturating the box) is visible in the artifact instead of
+    * masquerading as a regression. */
+  private def loadavg(): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+").take(3).mkString("[", ",", "]")
+    catch { case _: Throwable => "[]" }
 
   /** Replicate lineitem/events `repl`× into a cached /tmp dir (content
     * keyed by source dir + factor; reused across bench runs and rounds).

@@ -412,10 +412,23 @@ final class GraftSession(
     vn
   }
 
+  /** CTE-scope-aware schema probe for the ASOF JOIN union+window emitter:
+    * ANALYZES (never executes) `WITH … SELECT * FROM rel WHERE 1=0` through
+    * the normal rewrite→resolve pipeline; None on any failure, which makes
+    * the rewriter fall back to the correlated-LATERAL form. */
+  private lazy val asOfSchemaResolver: SnowflakeRewriter.SchemaResolver =
+    (withPrefix, rel) => try {
+      val probe = s"$withPrefix SELECT * FROM $rel AS _ga_probe WHERE 1=0"
+      val substituted = TableResolver.resolveAndSubstitute(
+        substituteSessionContext(SnowflakeRewriter.rewrite(probe)), this)
+      Some(spark.sql(substituted).schema.fieldNames.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
   def runQuery(snowflakeSql: String): DataFrame = {
     val rewritten = SnowflakeRewriter.rewrite(
-      expandSqlFunctions(substituteNextval(substituteResultScan(snowflakeSql))))
+      expandSqlFunctions(substituteNextval(substituteResultScan(snowflakeSql))),
+      asOfSchemaResolver)
     // session-context functions resolve against THIS session (a shared
     // SparkSession can't carry per-session UDF state); token-level so the
     // function name inside a string literal survives untouched

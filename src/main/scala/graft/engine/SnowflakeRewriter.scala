@@ -163,11 +163,17 @@ object SnowflakeRewriter {
   private val fmtArgFns = Set("TO_TIMESTAMP", "TO_DATE", "TO_TIME",
     "TO_CHAR", "TO_VARCHAR", "TRY_TO_TIMESTAMP", "TRY_TO_DATE")
 
+  /** `(withPrefixSql, relationSql)` → column names of the relation in that
+    * CTE scope, or None when resolution fails. Supplied by the session
+    * (needs catalog + temp-view context); null ⇒ schema-free rewriting
+    * only (ASOF JOIN falls back to the correlated-LATERAL form). */
+  type SchemaResolver = (String, String) => Option[Seq[String]]
+
   // ── entry point ────────────────────────────────────────────────────────
-  def rewrite(sql: String): String = {
+  def rewrite(sql: String, resolver: SchemaResolver = null): String = {
     var toks = lex(sql)
     toks = rewriteConnectBy(toks)
-    toks = rewriteAsOfJoin(toks)
+    toks = rewriteAsOfJoin(toks, resolver)
     toks = unwrapTableFn(toks)
     toks = rewriteFlatten(toks)
     toks = rewriteJsonPaths(toks)
@@ -180,26 +186,34 @@ object SnowflakeRewriter {
     render(toks)
   }
 
-  // ── pass: ASOF JOIN → correlated LATERAL (inner, reference parity) ─────
-  /** Snowflake `L ASOF JOIN R [alias] MATCH_CONDITION(l.t >= r.t) [ON eq]`
-    * → `L , LATERAL (SELECT * FROM R alias WHERE (eq) AND (mc)
-    *    ORDER BY <R-side of mc> DESC|ASC LIMIT 1) alias`.
+  // ── pass: ASOF JOIN → union+window (scale path) or LATERAL (fallback) ──
+  /** Snowflake `L ASOF JOIN R [alias] MATCH_CONDITION(l.t >= r.t) [ON eq]`.
     *
     * The reference executes ASOF JOIN on DuckDB, whose semantics are
-    * INNER (unmatched left rows drop) — matched here by the cross-apply
-    * shape.
+    * INNER (unmatched left rows drop).
     *
-    * SCALE NOTE: Spark decorrelates the correlated INEQUALITY by joining
-    * the right side against the domain of distinct left-side time values
-    * (a nested-loop join) — acceptable for bounded/dimensional right
-    * sides, quadratic for fact-fact as-of joins. This rewrite is the SQL
-    * COMPATIBILITY surface; pipeline code at scale uses
-    * [[graft.operators.AsOfJoin.asOf]], the single-shuffle union+window
-    * formulation (gate x22, plan-asserted to one exchange). A schema-free
-    * token rewrite cannot emit that form (it needs both column lists);
-    * doing it would require session-level schema resolution of the join
-    * inputs — a documented future seam. */
-  private def rewriteAsOfJoin(toks: Vector[Tok]): Vector[Tok] = {
+    * PRIMARY path (resolver supplied, common shape): the same
+    * single-shuffle union+window formulation as
+    * [[graft.operators.AsOfJoin.asOf]] — both sides union into one stream
+    * tagged by side, hash-shuffled ONCE on the ON-equality keys, and each
+    * right payload column is carried forward with
+    * `last(col, true) OVER (PARTITION BY keys ORDER BY ts, side ROWS
+    * UNBOUNDED PRECEDING)`; left rows then read the most recent right
+    * payload at-or-before their timestamp. No join at all, so Spark's
+    * nested-loop decorrelation of correlated inequalities never enters
+    * the plan and the shape survives fact-fact inputs at 100 TB. Needs
+    * both column lists, hence the session-supplied [[SchemaResolver]]
+    * (CTE-scope aware: the probe is analyzed, never executed).
+    *
+    * FALLBACK path (no resolver, or a shape the emitter doesn't cover:
+    * forward-looking match, non-equi ON, subquery left side, `r.*`
+    * expansion, exotic identifiers):
+    * `L , LATERAL (SELECT * FROM R alias WHERE (eq) AND (mc)
+    *    ORDER BY <R-side of mc> DESC|ASC LIMIT 1) alias` — correct but
+    * decorrelates into a nested-loop join against the distinct left-time
+    * domain; acceptable for bounded/dimensional right sides only. */
+  private def rewriteAsOfJoin(toks: Vector[Tok],
+      resolver: SchemaResolver = null): Vector[Tok] = {
     val sig = significant(toks)
     def tk(si: Int): Tok = toks(sig(si))
     var k = -1
@@ -310,6 +324,25 @@ object SnowflakeRewriter {
         "the left's (exactly one side may reference the right alias)")
     }
 
+    // backward-looking orientation ("most recent right at-or-before the
+    // left row") — the only shape the union+window emitter covers
+    val backward: Option[(Vector[Tok], Vector[Tok], Boolean)] =
+      (refsAlias(lhs), refsAlias(rhs), cmp) match {
+        case (false, true, ">=") => Some((lhs, rhs, false))
+        case (false, true, ">") => Some((lhs, rhs, true))
+        case (true, false, "<=") => Some((rhs, lhs, false))
+        case (true, false, "<") => Some((rhs, lhs, true))
+        case _ => None
+      }
+    if (resolver != null && backward.isDefined) {
+      val (lt, rt, strict) = backward.get
+      emitAsOfUnionWindow(toks, asofIdx, rel, aName, lt, rt, strict,
+        onToks, consumedEnd, resolver) match {
+        case Some(newToks) => return rewriteAsOfJoin(newToks, resolver)
+        case None => // unsupported shape → LATERAL fallback below
+      }
+    }
+
     val out = Vector.newBuilder[Tok]
     out ++= toks.take(asofIdx)
     out ++= lex(", LATERAL (SELECT * FROM ")
@@ -324,7 +357,221 @@ object SnowflakeRewriter {
     out ++= rightExpr
     out ++= lex(s" $dir LIMIT 1) $aName ")
     out ++= toks.slice(consumedEnd + 1, toks.length)
-    rewriteAsOfJoin(out.result()) // handle any further ASOF joins
+    rewriteAsOfJoin(out.result(), resolver) // handle any further ASOF joins
+  }
+
+  /** Spans of a leading top-level WITH clause: (end index exclusive,
+    * per-CTE body paren spans). (0, empty) when no leading WITH or an
+    * unrecognized shape. */
+  private def withPrefixSpans(toks: Vector[Tok]): (Int, Vector[(Int, Int)]) = {
+    val sig = significant(toks)
+    if (sig.isEmpty || !toks(sig(0)).text.equalsIgnoreCase("WITH"))
+      return (0, Vector.empty)
+    var p = 1
+    if (p < sig.length && toks(sig(p)).text.equalsIgnoreCase("RECURSIVE")) p += 1
+    val bodies = Vector.newBuilder[(Int, Int)]
+    var end = 0
+    var done = false
+    while (!done) {
+      if (p >= sig.length || !(toks(sig(p)).isInstanceOf[Ident] ||
+          toks(sig(p)).isInstanceOf[QIdent])) return (0, Vector.empty)
+      p += 1
+      if (p < sig.length && toks(sig(p)) == Op("(")) { // optional col list
+        val close = matchParen(toks, sig(p))
+        while (p < sig.length && sig(p) <= close) p += 1
+      }
+      if (p >= sig.length || !toks(sig(p)).text.equalsIgnoreCase("AS"))
+        return (0, Vector.empty)
+      p += 1
+      if (p >= sig.length || toks(sig(p)) != Op("(")) return (0, Vector.empty)
+      val open = sig(p)
+      val close = matchParen(toks, open)
+      bodies += ((open, close))
+      while (p < sig.length && sig(p) <= close) p += 1
+      end = close + 1
+      if (p < sig.length && toks(sig(p)) == Op(",")) p += 1 else done = true
+    }
+    (end, bodies.result())
+  }
+
+  private val plainIdent = "^[A-Za-z_][A-Za-z0-9_$]*$".r
+
+  /** The union+window ASOF emitter (see [[rewriteAsOfJoin]] scaladoc).
+    * Returns None for any shape it cannot prove it handles — the caller
+    * then falls back to the correlated-LATERAL form. */
+  private def emitAsOfUnionWindow(
+      toks: Vector[Tok], asofIdx: Int, rel: Vector[Tok], aName: String,
+      leftTime: Vector[Tok], rightTime: Vector[Tok], strict: Boolean,
+      onToks: Vector[Tok], consumedEnd: Int,
+      resolver: SchemaResolver): Option[Vector[Tok]] = {
+    val sig = significant(toks)
+
+    // ── left relation: walk back from ASOF to FROM/comma; accept only
+    //    `name(.name)* [AS] [alias]` (subquery/join-chain lefts fall back)
+    val kSig = sig.indexWhere(_ == asofIdx)
+    var s = kSig - 1
+    val collected = Vector.newBuilder[Int]
+    var hitFrom = false
+    var steps = 0
+    while (!hitFrom && s >= 0 && steps < 8) {
+      val t = toks(sig(s))
+      if (t.text.equalsIgnoreCase("FROM") || t == Op(",")) hitFrom = true
+      else { collected += sig(s); s -= 1; steps += 1 }
+    }
+    if (!hitFrom) return None
+    val leftToks = collected.result().reverse
+    if (leftToks.isEmpty) return None
+    // forward parse: name chain, then optional [AS] alias
+    var q = 0
+    def isIdent(i: Int) = toks(leftToks(i)).isInstanceOf[Ident]
+    if (!isIdent(0)) return None
+    var nameEnd = 0
+    q = 1
+    while (q + 1 < leftToks.length && toks(leftToks(q)) == Op(".") &&
+        isIdent(q + 1)) { nameEnd = q + 1; q += 2 }
+    var laAlias = toks(leftToks(nameEnd)).text
+    if (q < leftToks.length && toks(leftToks(q)).text.equalsIgnoreCase("AS")) q += 1
+    if (q < leftToks.length) {
+      if (!isIdent(q) || q != leftToks.length - 1) return None
+      laAlias = toks(leftToks(q)).text
+      q += 1
+    }
+    val leftStart = leftToks.head
+    val leftRelSql = render(toks.slice(leftToks.head, leftToks(nameEnd) + 1))
+    if (laAlias.equalsIgnoreCase(aName)) return None
+
+    // ── ON: pure equi conjunction `la.c = ra.c AND …` (or absent)
+    val onSig = significant(onToks)
+    var keyPairs = Vector.empty[(String, String)]
+    if (onSig.nonEmpty) {
+      // split on top-level AND
+      val conjuncts = Vector.newBuilder[Vector[Int]]
+      var cur = Vector.newBuilder[Int]
+      var depth = 0
+      onSig.foreach { i =>
+        onToks(i) match {
+          case Op("(") => depth += 1; cur += i
+          case Op(")") => depth -= 1; cur += i
+          case Ident(w) if depth == 0 && w.equalsIgnoreCase("AND") =>
+            conjuncts += cur.result(); cur = Vector.newBuilder[Int]
+          case _ => cur += i
+        }
+      }
+      conjuncts += cur.result()
+      val pairs = conjuncts.result().map { c =>
+        if (c.length != 7) None
+        else (onToks(c(0)), onToks(c(1)), onToks(c(2)), onToks(c(3)),
+            onToks(c(4)), onToks(c(5)), onToks(c(6))) match {
+          case (Ident(q1), Op("."), Ident(c1), Op("="),
+              Ident(q2), Op("."), Ident(c2)) =>
+            if (q1.equalsIgnoreCase(laAlias) && q2.equalsIgnoreCase(aName))
+              Some((c1, c2))
+            else if (q2.equalsIgnoreCase(laAlias) && q1.equalsIgnoreCase(aName))
+              Some((c2, c1))
+            else None
+          case _ => None
+        }
+      }
+      if (pairs.exists(_.isEmpty)) return None
+      keyPairs = pairs.flatten
+    }
+
+    // ── schemas (CTE-scope aware; probes are analyzed, never executed)
+    val (prefixEnd, bodies) = withPrefixSpans(toks)
+    val containing = bodies.zipWithIndex.find { case ((o, c), _) =>
+      o < asofIdx && asofIdx < c }
+    val (withPrefixSql, scopeStart, scopeEnd) = containing match {
+      case Some(((o, c), i)) =>
+        val pre =
+          if (i == 0) ""
+          else render(toks.slice(0, bodies(i - 1)._2 + 1))
+        (pre, o + 1, c)
+      case None => (render(toks.take(prefixEnd)), prefixEnd, toks.length)
+    }
+    val rightRelSql = render(rel)
+    val leftCols = resolver(withPrefixSql, leftRelSql).getOrElse(return None)
+    val rightCols = resolver(withPrefixSql, rightRelSql).getOrElse(return None)
+    if ((leftCols ++ rightCols).exists(c => plainIdent.findFirstIn(c).isEmpty))
+      return None
+
+    // ── exposure: left cols keep their names (derived table is aliased as
+    //    the LEFT alias); right cols keep theirs unless colliding, in
+    //    which case they surface as `<rightAlias>_<col>`
+    val leftSet = leftCols.map(_.toLowerCase).toSet
+    val exposed = rightCols.map { c =>
+      if (leftSet.contains(c.toLowerCase)) s"${aName}_$c" else c }
+    val allOut = leftCols.map(_.toLowerCase) ++ exposed.map(_.toLowerCase)
+    if (allOut.distinct.length != allOut.length) return None
+    val exposedOf: Map[String, String] =
+      rightCols.map(_.toLowerCase).zip(exposed).toMap
+
+    // ── rewrite `ra.c` references in the enclosing query block to
+    //    `la.<exposed>`; bail on `ra.*` (would need positional expansion)
+    def inScope(i: Int): Boolean =
+      i >= scopeStart && i < scopeEnd && (i < leftStart || i > consumedEnd)
+    val arr = toks.toArray
+    var i = 0
+    while (i < arr.length) {
+      arr(i) match {
+        case Ident(w) if w.equalsIgnoreCase(aName) && inScope(i) =>
+          var j = i + 1
+          while (j < arr.length && (arr(j).isInstanceOf[Ws] ||
+              arr(j).isInstanceOf[Comment])) j += 1
+          if (j < arr.length && arr(j) == Op(".")) {
+            var c = j + 1
+            while (c < arr.length && (arr(c).isInstanceOf[Ws] ||
+                arr(c).isInstanceOf[Comment])) c += 1
+            if (c < arr.length) arr(c) match {
+              case Ident(cn) if exposedOf.contains(cn.toLowerCase) =>
+                arr(i) = Ident(laAlias)
+                arr(c) = Ident(exposedOf(cn.toLowerCase))
+                i = c
+              case Op("*") => return None
+              case Ident(_) => // not a right column (e.g. map key) — leave
+              case _ => return None // quoted/odd member access — fall back
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+
+    // ── emit the derived table (aliased as the left alias)
+    val ltSql = render(leftTime)
+    val rtSql = render(rightTime)
+    val rightTag = if (strict) 2 else 0 // ties: right first (>=) or last (>)
+    val partition =
+      if (keyPairs.isEmpty) ""
+      else s"PARTITION BY ${keyPairs.indices.map(i => s"_ga_k$i").mkString(", ")} "
+    val over = s"OVER (${partition}ORDER BY _ga_ts, _ga_side " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val lKeys = keyPairs.zipWithIndex.map { case ((lc, _), i) =>
+      s"$laAlias.$lc AS _ga_k$i" }
+    val rKeys = keyPairs.zipWithIndex.map { case ((_, rc), _) =>
+      s"$aName.$rc" }
+    val lBranch = (lKeys ++ Seq(s"$ltSql AS _ga_ts", "1 AS _ga_side") ++
+      leftCols.map(c => s"$laAlias.$c AS $c") ++
+      rightCols.indices.map(i => s"NULL AS _ga_r_$i") ++
+      Seq("NULL AS _ga_mk")).mkString(", ")
+    val rBranch = (rKeys ++ Seq(rtSql, s"$rightTag") ++
+      leftCols.map(_ => "NULL") ++
+      rightCols.map(c => s"$aName.$c") ++ Seq("1")).mkString(", ")
+    val carries = rightCols.indices.map(i =>
+      s"last(_ga_r_$i, true) $over AS _ga_m_$i") :+
+      s"last(_ga_mk, true) $over AS _ga_m"
+    val outCols = leftCols ++
+      exposed.zipWithIndex.map { case (e, i) => s"_ga_m_$i AS $e" }
+    val derived =
+      s"""(SELECT ${outCols.mkString(", ")}
+         | FROM (SELECT *, ${carries.mkString(", ")}
+         |   FROM (SELECT $lBranch FROM $leftRelSql AS $laAlias
+         |         UNION ALL
+         |         SELECT $rBranch FROM $rightRelSql AS $aName) _ga_u) _ga_w
+         | WHERE _ga_side = 1 AND _ga_m IS NOT NULL) AS $laAlias """
+        .stripMargin
+    val rewritten = arr.toVector
+    Some(rewritten.take(leftStart) ++ lex(derived) ++
+      rewritten.slice(consumedEnd + 1, rewritten.length))
   }
 
   // ── pass: CONNECT BY → WITH RECURSIVE ──────────────────────────────────

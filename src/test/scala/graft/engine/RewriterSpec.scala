@@ -482,6 +482,51 @@ class RewriterSpec extends AnyFunSuite {
       al.contains("LIMIT 1) r"))
   }
 
+  test("ASOF JOIN with a schema resolver emits the union+window form") {
+    val resolver: SnowflakeRewriter.SchemaResolver = (_, rel) =>
+      rel.trim.toLowerCase match {
+        case "a" => Some(Seq("k", "ts", "x"))
+        case "b" => Some(Seq("k", "ts", "y"))
+        case _ => None
+      }
+    val out = SnowflakeRewriter.rewrite(
+      "SELECT a.x, b.y, b.ts FROM a ASOF JOIN b " +
+        "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k ORDER BY a.x", resolver)
+    assert(!out.toUpperCase.contains("LATERAL"), out)
+    assert(out.contains("UNION ALL"))
+    assert(out.contains("PARTITION BY _ga_k0"))
+    assert(out.contains("_ga_m IS NOT NULL"))
+    // non-colliding right col y surfaces as y; colliding ts as b_ts; the
+    // outer b.* references re-qualify through the derived alias a
+    assert(out.contains("a.y") && out.contains("a.b_ts"))
+    // inclusive match: right rows tag 0 (sort before left on tie)
+    assert(out.contains("UNION ALL"))
+    assert(out.replaceAll("\\s+", " ").contains("0, NULL, NULL, NULL, b.k, b.ts, b.y, 1"))
+
+    // strict (>) tags right rows 2 — ties must not match
+    val strict = SnowflakeRewriter.rewrite(
+      "SELECT a.x FROM a ASOF JOIN b " +
+        "MATCH_CONDITION(a.ts > b.ts) ON a.k = b.k", resolver)
+    assert(strict.replaceAll("\\s+", " ").contains("2, NULL, NULL, NULL, b.k, b.ts, b.y, 1"))
+
+    // shapes the emitter must refuse (falls back to LATERAL):
+    // unresolvable schema
+    val unres = SnowflakeRewriter.rewrite(
+      "SELECT a.x FROM a ASOF JOIN mystery m " +
+        "MATCH_CONDITION(a.ts >= m.ts) ON a.k = m.k", resolver)
+    assert(unres.toUpperCase.contains("LATERAL"))
+    // forward-looking match condition
+    val fwd = SnowflakeRewriter.rewrite(
+      "SELECT a.x FROM a ASOF JOIN b MATCH_CONDITION(a.ts <= b.ts) ON a.k = b.k",
+      resolver)
+    assert(fwd.toUpperCase.contains("LATERAL"))
+    // right-star expansion
+    val star = SnowflakeRewriter.rewrite(
+      "SELECT a.x, b.* FROM a ASOF JOIN b " +
+        "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k", resolver)
+    assert(star.toUpperCase.contains("LATERAL"))
+  }
+
   test("date navigation rewrites") {
     assert(rw("SELECT PREVIOUS_DAY(d, 'FR') FROM t") ==
       "SELECT date_sub(next_day(date_sub(d, 1), 'FR'), 7) FROM t")
