@@ -382,6 +382,55 @@ object Extensions extends QueryPack {
         .orderBy("event_id")
     },
 
+    // As-of join with tolerance: matches further back than 1 hour are
+    // nulled out (pandas/kdb `tolerance` semantics) — same single-shuffle
+    // union+window plan. Oracle: DuckDB native ASOF LEFT JOIN with the
+    // staleness test as a post-CASE.
+    GQuery("x27_asof_within", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id,
+        CASE WHEN p.ts - v.ts <= INTERVAL 1 HOUR THEN v.view_id END AS view_id
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""")) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsOfJoin.asOfWithin(p, v, "user_id", "ts", "ts", Seq("view_id"),
+          expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"),
+          col("r_view_id").as("view_id"))
+        .orderBy("event_id")
+    },
+
+    // Skew-proof as-of join: partitions on (key, time-bucket) so a
+    // pathologically hot key can't serialize into one task; result is
+    // identical to the plain variant (also asserted in OperatorsSpec),
+    // and the oracle is again DuckDB's native ASOF JOIN.
+    GQuery("x28_asof_bucketed", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""")) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsOfJoin.asOfBucketed(p, v, "user_id", "ts", "ts", Seq("view_id"),
+          bucketSeconds = 6 * 3600)
+        .select(col("event_id"), col("user_id"),
+          col("r_view_id").as("view_id"))
+        .orderBy("event_id")
+    },
+
     // Within-document repetition filter (RefinedWeb/Gopher duplicate
     // n-gram fraction): pure per-row array expressions, no shuffle.
     GQuery("x23_repetition_filter", Some("""

@@ -885,27 +885,25 @@ object SnowflakeSql extends QueryPack {
         ORDER BY nation""")
     },
 
-    // ASOF JOIN SQL surface (MATCH_CONDITION syntax) — rewritten to a
-    // correlated top-1 LATERAL; oracle is DuckDB's native ASOF JOIN
-    // (inner semantics, what the reference actually executes). Spark
-    // decorrelates the correlated inequality through a time-domain
-    // nested-loop join, so this SQL path is the COMPATIBILITY surface for
-    // bounded inputs; large fact-fact as-of joins go through
-    // `AsOfJoin.asOf` (single-shuffle union+window, gated as x22). The
-    // gate input is bounded accordingly.
+    // ASOF JOIN SQL surface (MATCH_CONDITION syntax) — the session
+    // resolves both input schemas and emits the same single-shuffle
+    // union+window form as `AsOfJoin.asOf` (no join operator in the plan;
+    // asserted in SessionSpec), so the fact-fact input needs no bound.
+    // Oracle is DuckDB's native ASOF JOIN (inner semantics, what the
+    // reference actually executes).
     GQuery("snow40_asof_sql", Some("""
       WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
-                 WHERE event_type = 'purchase' AND user_id < 60),
+                 WHERE event_type = 'purchase'),
            v AS (SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS ts
-                 FROM events WHERE event_type = 'view' AND user_id < 60)
+                 FROM events WHERE event_type = 'view')
       SELECT p.event_id, p.user_id, v.view_id
       FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY p.event_id""")) { (s, dir) =>
       session(s, dir).sql("""
         WITH p AS (SELECT event_id, user_id, ts FROM events
-                   WHERE event_type = 'purchase' AND user_id < 60),
+                   WHERE event_type = 'purchase'),
              v AS (SELECT event_id AS view_id, user_id, ts FROM events
-                   WHERE event_type = 'view' AND user_id < 60)
+                   WHERE event_type = 'view')
         SELECT p.event_id, p.user_id, v.view_id
         FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts)
           ON p.user_id = v.user_id

@@ -50,6 +50,57 @@ class SessionSpec extends AnyFunSuite {
     assert(Set("hi", "lo").contains(rows(0).getAs[String]("tier")))
   }
 
+  test("ASOF JOIN SQL takes the union+window plan: no join, one hash shuffle") {
+    val s = newSession()
+    val df = s.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                 WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts)
+        ON p.user_id = v.user_id
+      ORDER BY p.event_id""")
+    // the whole point of the union+window emission: ZERO join operators,
+    // so Spark's nested-loop decorrelation can never enter the plan
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"expected no joins:\n${df.queryExecution.optimizedPlan}")
+    // one hash exchange for the window partition + one range for ORDER BY
+    val physical = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = physical.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
+    // and the result matches the correlated-LATERAL fallback (the
+    // schema-free rewrite, still what unsupported shapes run through)
+    val lateralSql = SnowflakeRewriter.rewrite("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase' AND user_id < 40),
+           v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                 WHERE event_type = 'view' AND user_id < 40)
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts)
+        ON p.user_id = v.user_id
+      ORDER BY p.event_id""")
+    assert(lateralSql.toUpperCase.contains("LATERAL"))
+    val bounded = s.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase' AND user_id < 40),
+           v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                 WHERE event_type = 'view' AND user_id < 40)
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts)
+        ON p.user_id = v.user_id
+      ORDER BY p.event_id""").collect().toSeq
+    val viaLateral = graft.engine.TableResolver
+      .resolveAndSubstitute(lateralSql, s)
+    assert(spark.sql(viaLateral).collect().toSeq == bounded)
+  }
+
   test("USE DATABASE / SCHEMA change resolution") {
     val s = newSession()
     s.attachLake("/root/testdata/sf0.001", database = "OTHERDB", schema = "S2",
