@@ -121,7 +121,10 @@ final class GraftSession(
     require(stmts.nonEmpty, "empty batch")
     stmts.map { st =>
       currentSeq = stmtSeqGen.incrementAndGet()
+      val t0 = System.nanoTime()
       val res = executeOne(substituteLastQueryId(st))
+      lastQueryLog =
+        s"Run locally on Spark: ${GraftSession.costEstimate((System.nanoTime() - t0) / 1e9)}"
       val qid = f"01-graft-$sessionId%04d-$currentSeq%06d"
       queryLog += ((currentSeq, qid))
       resultCache.synchronized {
@@ -131,6 +134,13 @@ final class GraftSession(
       res
     }.last
   }
+
+  /** Reference-parity per-statement cost line (`universql/util.py:375-406`
+    * via `warehouse/duckdb.py:147-154`): electricity + hardware
+    * depreciation for the statement's wall time, e.g.
+    * `Run locally on Spark: ~ $0.000004`. Statement PLANNING time only for
+    * lazy results — like the reference, which logs around its execute call. */
+  @volatile var lastQueryLog: String = ""
 
   // ── time travel (Snowflake AT/BEFORE clauses) ──────────────────────────
   /** Statement sequence of the statement currently executing; qids are
@@ -1296,4 +1306,22 @@ final class GraftSession(
 
 object GraftSession {
   private val idSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Cost model mirrored from the reference (`universql/util.py:375-406`):
+    * hardware = ($50/core + $5/GB) depreciated over 5 years; power =
+    * (25 W/core + 0.3 W/GB) at 50% utilization, $0.15/kWh. */
+  def costEstimate(durationSec: Double,
+      electricityRate: Double = 0.15, pcLifetimeYears: Double = 5): String = {
+    val hours = durationSec / 3600.0
+    val cores = Runtime.getRuntime.availableProcessors().toDouble
+    val memoryGb = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getTotalMemorySize / (1024.0 * 1024.0 * 1024.0)
+      case _ => Runtime.getRuntime.maxMemory() / (1024.0 * 1024.0 * 1024.0)
+    }
+    val hardwareCost =
+      (cores * 50 + memoryGb * 5) / (pcLifetimeYears * 365 * 24) * hours
+    val powerKwh = (cores * 25 + memoryGb * 0.3) * 0.5 * hours / 1000
+    f"~ $$${powerKwh * electricityRate + hardwareCost}%.6f"
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -27,6 +27,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * cannot contain matches. The original predicate always remains. Types
   * whose string form is ambiguous (floating point, decimals, timestamps)
   * are not mirrored.
+  *
+  * RANGE predicates (`>=`/`>`/`<`/`<=`, and BETWEEN, which Catalyst has
+  * already split into two conjuncts) are mirrored for DateType only: ISO
+  * `yyyy-MM-dd` strings are fixed-width zero-padded, so lexicographic
+  * order equals date order — the dominant pruning shape at 100 TB
+  * (`WHERE o_orderdate >= '1995-01-01'` touches only in-range partition
+  * directories, no footer reads). Integer types are deliberately NOT
+  * range-mirrored: their string forms ("9" > "10") don't sort
+  * numerically. Guard rails: literals outside years 0-9999 are skipped
+  * (ISO adds a sign prefix there and ordering breaks); data values with
+  * negative years still compare below any in-range literal, matching
+  * date order, while year-10000+ data under a range predicate is the one
+  * unsupported corner (documented, beyond Iceberg practice).
   */
 object PartitionFilterMirror extends Rule[LogicalPlan] {
 
@@ -62,6 +75,18 @@ object PartitionFilterMirror extends Rule[LogicalPlan] {
       def shadowOf(a: AttributeReference) =
         if (mirrorable(a.dataType)) shadows.get(Prefix + a.name) else None
 
+      // date ranges: ISO strings sort like dates within years 0-9999
+      def range(a: AttributeReference, l: Literal,
+          mk: (Expression, Expression) => Expression): Option[Expression] =
+        if (a.dataType != DateType || l.dataType != DateType ||
+            l.value == null) None
+        else {
+          val year = java.time.LocalDate
+            .ofEpochDay(l.value.asInstanceOf[Int].toLong).getYear
+          if (year < 0 || year > 9999) None
+          else for (s <- shadowOf(a); sl <- stringForm(l)) yield mk(s, sl)
+        }
+
       val mirrors = conjuncts.flatMap {
         case EqualTo(a: AttributeReference, l: Literal) =>
           for (s <- shadowOf(a); sl <- stringForm(l)) yield EqualTo(s, sl)
@@ -72,6 +97,22 @@ object PartitionFilterMirror extends Rule[LogicalPlan] {
           val sls = ls.map(l => stringForm(l.asInstanceOf[Literal]))
           for (s <- shadowOf(a); if sls.forall(_.isDefined))
             yield In(s, sls.flatten)
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          range(a, l, GreaterThan)
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          range(a, l, (s, v) => LessThan(s, v))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          range(a, l, GreaterThanOrEqual)
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          range(a, l, (s, v) => LessThanOrEqual(s, v))
+        case LessThan(a: AttributeReference, l: Literal) =>
+          range(a, l, LessThan)
+        case LessThan(l: Literal, a: AttributeReference) =>
+          range(a, l, (s, v) => GreaterThan(s, v))
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          range(a, l, LessThanOrEqual)
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          range(a, l, (s, v) => GreaterThanOrEqual(s, v))
         case _ => None
       }
       val fresh = mirrors.filterNot(m => conjuncts.exists(_.semanticEquals(m)))

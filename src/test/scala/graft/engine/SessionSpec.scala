@@ -30,6 +30,13 @@ class SessionSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("per-statement cost line has the reference's shape") {
+    val s = newSession()
+    s.sql("SELECT count(*) AS n FROM orders").collect()
+    assert(s.lastQueryLog.matches(
+      raw"Run locally on Spark: ~ \$$\d+\.\d{6}"), s.lastQueryLog)
+  }
+
   test("identifier case-insensitivity: upper/lower/qualified variants") {
     val s = newSession()
     for (name <- Seq("ORDERS", "orders", "Orders", "graft.public.orders",

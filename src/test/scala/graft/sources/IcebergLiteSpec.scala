@@ -242,6 +242,36 @@ class IcebergLiteSpec extends AnyFunSuite {
       p.contains("__part_n_regionkey=0") || p.contains("__part_n_regionkey=3")))
   }
 
+  test("filter-mirror rule prunes a date-RANGE WHERE on a date partition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_ice_daterange").toString
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), trunc(col("o_orderdate"), "MM").as("omonth"),
+        col("o_totalprice"))
+    val meta = IcebergLite.write(spark, orders, root,
+      partitionBy = Seq("omonth"))
+
+    val lo = lit("1995-01-01").cast("date")
+    val hi = lit("1996-01-01").cast("date")
+    val df = IcebergLite.scan(spark, meta)
+      .filter(col("omonth") >= lo && col("omonth") < hi)
+    val expected = orders.filter(col("omonth") >= lo && col("omonth") < hi).count()
+    assert(expected > 0 && df.count() == expected)
+
+    val scanned = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
+    assert(scanned.nonEmpty, "expected a FileSourceScanExec")
+    assert(scanned.forall { p =>
+      val v = p.split("__part_omonth=")(1).takeWhile(_ != '/')
+      v >= "1995-01-01" && v < "1996-01-01"
+    }, s"out-of-range partition scanned: $scanned")
+    assert(scanned.length <
+      IcebergLite.scan(spark, meta).inputFiles.length)
+  }
+
   test("multi-column partition spec: combined manifest values, per-column mirror") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
