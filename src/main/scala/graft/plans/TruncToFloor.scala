@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TruncToFloor)
     ext.injectOptimizerRule(_ => PartitionFilterMirror)
+    ext.injectOptimizerRule(_ => EagerProjection)
     ext.injectOptimizerRule(_ => EagerAggregation)
   }
 }
