@@ -104,6 +104,10 @@ object Bench {
   // ── heavy phase ─────────────────────────────────────────────────────────
 
   private def heavyPhase(spark: SparkSession, sfDir: String): String = {
+    // the pack leaves sf0.1 tables cached (Tables.load); heavy measures
+    // scan+agg+join over its own replicated parquet and must not compete
+    // with stale cached blocks for executor memory
+    spark.catalog.clearCache()
     val repl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
     val dir = ensureHeavyData(spark, sfDir, repl)
     val li = spark.read.parquet(s"$dir/lineitem")

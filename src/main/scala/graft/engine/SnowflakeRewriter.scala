@@ -190,7 +190,10 @@ object SnowflakeRewriter {
   /** Snowflake `L ASOF JOIN R [alias] MATCH_CONDITION(l.t >= r.t) [ON eq]`.
     *
     * The reference executes ASOF JOIN on DuckDB, whose semantics are
-    * INNER (unmatched left rows drop).
+    * INNER (unmatched left rows drop). `ASOF LEFT JOIN` (DuckDB syntax;
+    * also Snowflake's documented keep-unmatched behavior) is accepted as
+    * the left-outer variant: unmatched left rows survive with NULL right
+    * columns.
     *
     * PRIMARY path (resolver supplied, common shape): the same
     * single-shuffle union+window formulation as
@@ -216,18 +219,25 @@ object SnowflakeRewriter {
       resolver: SchemaResolver = null): Vector[Tok] = {
     val sig = significant(toks)
     def tk(si: Int): Tok = toks(sig(si))
+    // `ASOF JOIN` (inner, DuckDB/reference semantics) or `ASOF LEFT JOIN`
+    // (left-outer: unmatched left rows keep NULL right columns)
     var k = -1
+    var outer = false
     var i = 0
     while (k < 0 && i < sig.length - 1) {
-      if (tk(i).text.equalsIgnoreCase("ASOF") &&
-          tk(i + 1).text.equalsIgnoreCase("JOIN")) k = i
+      if (tk(i).text.equalsIgnoreCase("ASOF")) {
+        if (tk(i + 1).text.equalsIgnoreCase("JOIN")) { k = i; outer = false }
+        else if (i + 2 < sig.length &&
+            tk(i + 1).text.equalsIgnoreCase("LEFT") &&
+            tk(i + 2).text.equalsIgnoreCase("JOIN")) { k = i; outer = true }
+      }
       i += 1
     }
     if (k < 0) return toks
     val asofIdx = sig(k)
 
     // right relation: parenthesized subquery or (qualified) table name
-    var p = k + 2
+    var p = if (outer) k + 3 else k + 2
     val rightStart = sig(p)
     var rightEnd = -1
     if (tk(p) == Op("(")) {
@@ -337,7 +347,7 @@ object SnowflakeRewriter {
     if (resolver != null && backward.isDefined) {
       val (lt, rt, strict) = backward.get
       emitAsOfUnionWindow(toks, asofIdx, rel, aName, lt, rt, strict,
-        onToks, consumedEnd, resolver) match {
+        onToks, consumedEnd, outer, resolver) match {
         case Some(newToks) => return rewriteAsOfJoin(newToks, resolver)
         case None => // unsupported shape → LATERAL fallback below
       }
@@ -345,7 +355,11 @@ object SnowflakeRewriter {
 
     val out = Vector.newBuilder[Tok]
     out ++= toks.take(asofIdx)
-    out ++= lex(", LATERAL (SELECT * FROM ")
+    // inner: comma cross-apply (row drops when the subquery is empty);
+    // outer: LEFT JOIN LATERAL keeps the left row with NULL right columns
+    out ++= lex(
+      if (outer) " LEFT JOIN LATERAL (SELECT * FROM "
+      else ", LATERAL (SELECT * FROM ")
     out ++= rel
     out ++= lex(s" $aName WHERE (")
     if (onToks.nonEmpty) {
@@ -356,6 +370,7 @@ object SnowflakeRewriter {
     out ++= lex(") ORDER BY ")
     out ++= rightExpr
     out ++= lex(s" $dir LIMIT 1) $aName ")
+    if (outer) out ++= lex("ON TRUE ")
     out ++= toks.slice(consumedEnd + 1, toks.length)
     rewriteAsOfJoin(out.result(), resolver) // handle any further ASOF joins
   }
@@ -402,7 +417,7 @@ object SnowflakeRewriter {
   private def emitAsOfUnionWindow(
       toks: Vector[Tok], asofIdx: Int, rel: Vector[Tok], aName: String,
       leftTime: Vector[Tok], rightTime: Vector[Tok], strict: Boolean,
-      onToks: Vector[Tok], consumedEnd: Int,
+      onToks: Vector[Tok], consumedEnd: Int, outer: Boolean,
       resolver: SchemaResolver): Option[Vector[Tok]] = {
     val sig = significant(toks)
 
@@ -561,13 +576,16 @@ object SnowflakeRewriter {
       s"last(_ga_mk, true) $over AS _ga_m"
     val outCols = leftCols ++
       exposed.zipWithIndex.map { case (e, i) => s"_ga_m_$i AS $e" }
+    // inner drops matchless left rows (`_ga_m IS NOT NULL`); outer keeps
+    // them — their carried right columns are already NULL
+    val matchFilter = if (outer) "" else " AND _ga_m IS NOT NULL"
     val derived =
       s"""(SELECT ${outCols.mkString(", ")}
          | FROM (SELECT *, ${carries.mkString(", ")}
          |   FROM (SELECT $lBranch FROM $leftRelSql AS $laAlias
          |         UNION ALL
          |         SELECT $rBranch FROM $rightRelSql AS $aName) _ga_u) _ga_w
-         | WHERE _ga_side = 1 AND _ga_m IS NOT NULL) AS $laAlias """
+         | WHERE _ga_side = 1$matchFilter) AS $laAlias """
         .stripMargin
     val rewritten = arr.toVector
     Some(rewritten.take(leftStart) ++ lex(derived) ++

@@ -22,12 +22,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (key, price, disc) to (key, product) — 1/3 narrower), and the
   * post-join stage stops re-evaluating the arithmetic per joined row.
   * MEASURED (single-node local[32], tools/EpProbe, h09 at 60 M rows):
-  * neutral within run noise — mins 2.9-3.5 s with the rule on or off —
-  * because a local shuffle rides the filesystem page cache and the join
-  * is probe-CPU-bound there. The rule's payoff is the multi-node case
-  * this repo designs for, where the exchange is network-bound and
-  * shuffled bytes are the cost: h09's fact exchange narrows from
-  * (key, price, disc) 24 B/row to (key, product) 16 B/row. Unlike eager
+  * a consistent 10-20% LOSS locally (mins 3.6-4.0 s on vs 3.3 s off,
+  * and worse inside a long-lived bench JVM) — a local shuffle rides the
+  * filesystem page cache, so the bytes saved are nearly free while the
+  * early projection disturbs the scan stage's codegen pipeline. The
+  * rule therefore defaults OFF (`spark.graft.eagerProjection=true` to
+  * enable) and exists for the multi-node case this repo designs for,
+  * where the exchange is network-bound and shuffled bytes are the cost:
+  * h09's fact exchange narrows from (key, price, disc) 24 B/row to
+  * (key, product) 16 B/row — a 1/3 cut in network volume that no local
+  * benchmark can price. Same discipline as [[EagerAggregation]]'s
+  * stats gate: Catalyst's default plan is the proven baseline, and an
+  * unproven rewrite must be opt-in. Unlike eager
   * AGGREGATION (which trades shuffle volume for a keyed hash-aggregate
   * pass and needs a stats gate, [[EagerAggregation]]), eager projection
   * is pure projection algebra over an unchanged row multiset — same
@@ -43,7 +49,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object EagerProjection extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
-    try conf.getConfString("spark.graft.eagerProjection", "true").trim.toBoolean
+    try conf.getConfString("spark.graft.eagerProjection", "false").trim.toBoolean
     catch { case _: IllegalArgumentException => false }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

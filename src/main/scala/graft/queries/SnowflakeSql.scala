@@ -910,6 +910,29 @@ object SnowflakeSql extends QueryPack {
         ORDER BY p.event_id""")
     },
 
+    // ASOF LEFT JOIN: unmatched left rows survive with NULL right columns
+    // (DuckDB's ASOF LEFT JOIN; Snowflake documents the same
+    // keep-unmatched behavior). Same union+window lowering minus the
+    // match filter.
+    GQuery("snow46_asof_left", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, v.view_id
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, v.view_id
+        FROM p ASOF LEFT JOIN v MATCH_CONDITION(p.ts >= v.ts)
+          ON p.user_id = v.user_id
+        ORDER BY p.event_id""")
+    },
+
     // APPROX_TOP_K (Snowflake's Space-Saving heavy hitters → Spark 4's
     // native approx_top_k, same (expr, k, counters) signature). With
     // counters ≥ distinct values the sketch is exact, so the oracle is

@@ -480,6 +480,11 @@ class RewriterSpec extends AnyFunSuite {
       "MATCH_CONDITION(a.ts > r.ts)")
     assert(al.contains("FROM big_b r WHERE (a.ts > r.ts)") &&
       al.contains("LIMIT 1) r"))
+    // ASOF LEFT JOIN: outer lateral keeps matchless left rows
+    val left = rw("SELECT * FROM a ASOF LEFT JOIN b " +
+      "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k")
+    assert(left.contains("LEFT JOIN LATERAL (SELECT * FROM b b WHERE ("))
+    assert(left.contains("LIMIT 1) b ON TRUE"))
   }
 
   test("ASOF JOIN with a schema resolver emits the union+window form") {

@@ -22,6 +22,66 @@ class RobustnessSpec extends AnyFunSuite {
     s
   }
 
+  test("ASOF union+window emission ≡ correlated LATERAL on random data") {
+    // Randomized differential test of the two ASOF JOIN lowerings: the
+    // schema-resolved union+window form (what sessions run) against the
+    // schema-free correlated-LATERAL fallback, over data with timestamp
+    // ties, matchless left rows, and right rows nobody matches. Right
+    // timestamps are unique per key so tie-breaking between equal right
+    // rows can't differ between the forms (both would be free to pick
+    // either).
+    val s = newSession()
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      def ts(sec: Int) = f"TIMESTAMP '2024-03-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d'"
+      val leftVals = (1 to 120).map { id =>
+        s"($id, ${rnd.nextInt(5)}, ${rnd.nextInt(3)}, ${ts(rnd.nextInt(600))})"
+      }.mkString(", ")
+      // globally unique right seconds: the keyless (global) shape must
+      // also be tie-free between right rows
+      val used = scala.collection.mutable.Set.empty[Int]
+      val rightVals = (1 to 90).map { rid =>
+        val k1 = rnd.nextInt(5); val k2 = rnd.nextInt(3)
+        val sec = Iterator.continually(rnd.nextInt(600))
+          .find(t => !used(t)).get
+        used += sec
+        s"($rid, $k1, $k2, ${ts(sec)})"
+      }.mkString(", ")
+      s.sql(s"CREATE OR REPLACE TEMP TABLE asof_l AS SELECT * FROM (VALUES $leftVals) AS t(id, k1, k2, ts)")
+      s.sql(s"CREATE OR REPLACE TEMP TABLE asof_r AS SELECT * FROM (VALUES $rightVals) AS t(rid, k1, k2, ts)")
+
+      val shapes = Seq(
+        // single key, inclusive
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts >= r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        // single key, strict (ties must NOT match)
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts > r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        // two keys
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts >= r.ts) ON l.k1 = r.k1 AND l.k2 = r.k2 " +
+          "ORDER BY l.id",
+        // keyless (global as-of)
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts >= r.ts) ORDER BY l.id, r.rid",
+        // left-outer: matchless left rows survive with NULL rid
+        "SELECT l.id, r.rid FROM asof_l l ASOF LEFT JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts >= r.ts) ON l.k1 = r.k1 ORDER BY l.id")
+      for (q <- shapes) {
+        val viaUnionWindow = s.sql(q)
+        assert(viaUnionWindow.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty, s"emitter did not engage for: $q")
+        val lateral = SnowflakeRewriter.rewrite(q) // no resolver → LATERAL
+        assert(lateral.toUpperCase.contains("LATERAL"))
+        val viaLateral = spark.sql(
+          TableResolver.resolveAndSubstitute(lateral, s))
+        assert(viaUnionWindow.collect().toSeq == viaLateral.collect().toSeq,
+          s"seed=$seed shape=$q")
+      }
+    }
+  }
+
   test("keywords and cast syntax inside string literals stay literal") {
     val s = newSession()
     val r = s.sql(

@@ -9,6 +9,8 @@ Usage: python tools/bench_duckdb.py [heavy_dir] [threads]
   `runMain graft.Bench`).
 """
 import glob
+import json
+import os
 import sys
 import time
 
@@ -67,9 +69,8 @@ def main():
     out = {}
     for name, sql in QUERIES.items():
         con.execute(sql).fetchall()          # warm
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        dt = time.time() - t0
+        # min of 3: same contamination armor as graft.Bench's heavy phase
+        dt = min(timed_run(con, sql) for _ in range(3))
         total += dt
         if name.startswith("h07") or name.startswith("h08"):
             rows = ev_rows
@@ -81,6 +82,17 @@ def main():
         print(f"{name}: {dt:.3f}s  {rows / dt / 1e6:.1f} Mrows/s")
     print(f"duckdb_total: {total:.2f}s  (threads={threads}, "
           f"lineitem={li_rows}, events={ev_rows})")
+    with open("bench_duckdb.json", "w") as f:
+        json.dump({"queries": out, "total": total, "threads": threads,
+                   "reps": 3, "lineitem_rows": li_rows,
+                   "events_rows": ev_rows,
+                   "loadavg": list(os.getloadavg())}, f, indent=1)
+
+
+def timed_run(con, sql):
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    return time.time() - t0
 
 
 if __name__ == "__main__":
