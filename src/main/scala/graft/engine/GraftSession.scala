@@ -663,14 +663,21 @@ final class GraftSession(
     }
     val asIdx = "(?is)^(?:\\([^)]*\\)\\s*)?AS\\s+(.*)$".r
     val cloneRe = "(?is)^CLONE\\s+([\\w$\".]+)\\s*$".r
-    // CREATE ICEBERG TABLE t PARTITION BY (col[, col…]) AS … — identity
-    // hidden partitioning (metadata-level file pruning on scan)
+    // CREATE ICEBERG TABLE t PARTITION BY (col | day(col)[, …]) AS … —
+    // hidden partitioning, identity or Iceberg temporal transforms
+    // (year/month/day/hour), with metadata-level file pruning on scan
+    val partEntry = "[\\w$\".]+(?:\\s*\\(\\s*[\\w$\".]+\\s*\\))?"
     val partRe =
-      "(?is)^PARTITION\\s+BY\\s*\\(\\s*([\\w$\".]+(?:\\s*,\\s*[\\w$\".]+)*)\\s*\\)\\s*(.*)$".r
+      s"(?is)^PARTITION\\s+BY\\s*\\(\\s*($partEntry(?:\\s*,\\s*$partEntry)*)\\s*\\)\\s*(.*)$$".r
+    val tfRe = "(?i)^(year|month|day|hour)\\s*\\(\\s*([\\w$\".]+)\\s*\\)$".r
     val (createPartitionBy, restNoPart) = rest.trim match {
       case partRe(ps, rem) =>
         require(iceberg, "PARTITION BY is supported on ICEBERG tables")
-        (ps.split(",").toSeq.map(p => Identifiers.normalizePart(p.trim)), rem)
+        (ps.split(",").toSeq.map(_.trim).map {
+          case tfRe(tf, c) =>
+            s"${tf.toLowerCase}(${Identifiers.normalizePart(c)})"
+          case p => Identifiers.normalizePart(p)
+        }, rem)
       case _ => (Seq.empty[String], rest)
     }
     restNoPart.trim match {

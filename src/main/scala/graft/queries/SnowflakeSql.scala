@@ -933,6 +933,29 @@ object SnowflakeSql extends QueryPack {
         ORDER BY p.event_id""")
     },
 
+    // Iceberg hidden time partitioning: day(ts) transform through the
+    // session DDL, queried back with a range on the REAL ts column (the
+    // mirror rule prunes to in-range day directories — asserted at the
+    // file level in IcebergLiteSpec; this gate proves values round-trip).
+    GQuery("snow47_iceberg_day_transform", Some("""
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1 ORDER BY d""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE events_daily
+          PARTITION BY (day(ts))
+          AS SELECT event_id, user_id, ts, value FROM events;
+        SELECT ts::date::varchar AS d, count(*) AS n,
+          sum(value::number(12,2))::double AS total
+        FROM events_daily
+        WHERE ts >= '2024-01-10 00:00:00'::timestamp
+          AND ts < '2024-01-15 00:00:00'::timestamp
+        GROUP BY 1 ORDER BY d;""")
+    },
+
     // APPROX_TOP_K (Snowflake's Space-Saving heavy hitters → Spark 4's
     // native approx_top_k, same (expr, k, counters) signature). With
     // counters ≥ distinct values the sketch is exact, so the oracle is

@@ -48,8 +48,26 @@ object IcebergLite {
   /** content: 1 = position deletes, 2 = equality deletes. */
   private final case class DeleteEntry(path: String, content: Int, seq: Long)
 
-  /** Partition columns of a table (identity transforms), in spec order;
-    * empty when unpartitioned. */
+  /** A partition-spec entry: identity (`"col"`) or an Iceberg temporal
+    * transform (`"day(col)"`, also year/month/hour) — hidden partitioning:
+    * the user queries `col`, files are laid out by the transform value. */
+  private[graft] final case class PartField(transform: String, column: String) {
+    def spec: String =
+      if (transform == "identity") column else s"$transform($column)"
+    /** Shadow column name; the double underscore separates transform from
+      * source so [[graft.plans.PartitionFilterMirror]] can parse it back. */
+    def shadowName: String =
+      if (transform == "identity") s"__part_$column"
+      else s"__part_${transform}__$column"
+  }
+  private val transformRe = "(?i)^(year|month|day|hour)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
+  private[graft] def parsePartField(s: String): PartField = s.trim match {
+    case transformRe(tf, c) => PartField(tf.toLowerCase, c)
+    case c => PartField("identity", c)
+  }
+
+  /** Partition-spec entries of a table in spec order (`"col"`,
+    * `"day(col)"`, …); empty when unpartitioned. */
   def partitionColumns(metadataPath: String): Seq[String] = {
     val meta = mapper.readTree(
       Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
@@ -57,7 +75,11 @@ object IcebergLite {
     if (specs.isMissingNode || !specs.elements().hasNext) Nil
     else specs.elements().asScala.toSeq.headOption.toSeq
       .flatMap(_.path("fields").elements().asScala.toSeq)
-      .map(_.path("name").asText())
+      .map { f =>
+        val tf = f.path("transform").asText("identity")
+        val name = f.path("name").asText()
+        if (tf == "identity" || tf.isEmpty) name else s"$tf($name)"
+      }
       .filter(_.nonEmpty)
   }
 
@@ -269,16 +291,32 @@ object IcebergLite {
     val dataDir = s"$tableDir/data/s$snapId"
     // resolve partition columns against the frame case-insensitively
     // (session identifiers are normalized uppercase, lake columns aren't)
-    val partCols = partitionBy.map(p => df.columns
-      .find(_.equalsIgnoreCase(p)).getOrElse(throw new IllegalArgumentException(
-        s"partition column $p not in ${df.columns.mkString(", ")}")))
-    if (partCols.nonEmpty) {
+    val partFields = partitionBy.map(parsePartField).map { pf =>
+      val resolved = df.columns.find(_.equalsIgnoreCase(pf.column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column ${pf.column} not in ${df.columns.mkString(", ")}"))
+      pf.copy(column = resolved)
+    }
+    // Transform values use zero-padded UTC-wallclock formats whose
+    // lexicographic order equals chronological order — what the mirror
+    // rule's range mapping relies on. Engine sessions pin UTC, so
+    // date_format agrees with the mirror's literal rendering for
+    // DATE/TIMESTAMP_NTZ always and for TIMESTAMP under the pinned zone.
+    def shadowExpr(pf: PartField) = pf.transform match {
+      case "identity" => col(pf.column).cast("string")
+      case "year" => date_format(col(pf.column), "yyyy")
+      case "month" => date_format(col(pf.column), "yyyy-MM")
+      case "day" => date_format(col(pf.column), "yyyy-MM-dd")
+      case "hour" => date_format(col(pf.column), "yyyy-MM-dd-HH")
+    }
+    if (partFields.nonEmpty) {
       // shadow columns keep the originals inside the data files; names
-      // carry the source column so the filter-mirror rule can match
-      partCols.foldLeft(df)((d, p) =>
-          d.withColumn(s"__part_$p", col(p).cast("string")))
+      // carry the transform + source column so the filter-mirror rule
+      // can match
+      partFields.foldLeft(df)((d, pf) =>
+          d.withColumn(pf.shadowName, shadowExpr(pf)))
         .write.mode("overwrite")
-        .partitionBy(partCols.map(p => s"__part_$p"): _*).parquet(dataDir)
+        .partitionBy(partFields.map(_.shadowName): _*).parquet(dataDir)
     } else df.write.mode("overwrite").parquet(dataDir)
     val newFiles = Files.walk(Paths.get(dataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
@@ -310,10 +348,10 @@ object IcebergLite {
       .coalesce(1).write.mode("overwrite").format(avroFmt).save(listDir)
 
     val specJson =
-      if (partCols.isEmpty) ""
+      if (partFields.isEmpty) ""
       else {
-        val fields = partCols.zipWithIndex.map { case (p, x) =>
-          s"""{"name": "$p", "transform": "identity", "field-id": ${1000 + x}}"""
+        val fields = partFields.zipWithIndex.map { case (pf, x) =>
+          s"""{"name": "${pf.column}", "transform": "${pf.transform}", "field-id": ${1000 + x}}"""
         }.mkString(", ")
         s""", "partition-specs": [{"spec-id": 0, "fields": [$fields]}]"""
       }

@@ -272,6 +272,54 @@ class IcebergLiteSpec extends AnyFunSuite {
       IcebergLite.scan(spark, meta).inputFiles.length)
   }
 
+  test("day() transform: hidden time partitioning, range prune on the real ts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_ice_day").toString
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts", "value")
+    val meta = IcebergLite.write(spark, ev, root, partitionBy = Seq("day(ts)"))
+    assert(IcebergLite.partitionColumns(meta) == Seq("day(ts)"))
+
+    val full = IcebergLite.scan(spark, meta)
+    assert(full.count() == ev.count())
+    assert(!full.columns.exists(_.startsWith("__part_")))
+    // ts column survives exactly (hidden partitioning: user never sees
+    // the transform)
+    assert(full.schema("ts").dataType == ev.schema("ts").dataType)
+
+    // range filter on the REAL timestamp column; nothing names the shadow
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+    val hi = lit("2024-01-14 23:59:59").cast("timestamp_ntz")
+    val df = IcebergLite.scan(spark, meta)
+      .filter(col("ts") >= lo && col("ts") <= hi)
+    val expected = ev.filter(col("ts") >= lo && col("ts") <= hi).count()
+    assert(expected > 0 && df.count() == expected)
+    val scanned = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
+    assert(scanned.nonEmpty, "expected a FileSourceScanExec")
+    assert(scanned.forall { p =>
+      val v = p.split("__part_day__ts=")(1).takeWhile(_ != '/')
+      v >= "2024-01-10" && v <= "2024-01-14"
+    }, s"out-of-range day partition scanned: $scanned")
+    assert(scanned.length <
+      IcebergLite.scan(spark, meta).inputFiles.length)
+
+    // append preserves the transform spec; new files pruned the same way
+    val meta2 = IcebergLite.append(spark,
+      ev.filter(col("ts") >= lit("2024-01-12").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-13").cast("timestamp_ntz")), meta)
+    assert(IcebergLite.partitionColumns(meta2) == Seq("day(ts)"))
+    val jan12 = IcebergLite.scan(spark, meta2)
+      .filter(col("ts") >= lit("2024-01-12").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-13").cast("timestamp_ntz"))
+    val expected12 = 2 * ev.filter(col("ts") >= lit("2024-01-12").cast("timestamp_ntz") &&
+      col("ts") < lit("2024-01-13").cast("timestamp_ntz")).count()
+    assert(jan12.count() == expected12)
+  }
+
   test("multi-column partition spec: combined manifest values, per-column mirror") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
