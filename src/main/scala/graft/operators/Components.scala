@@ -71,6 +71,90 @@ object Components {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the long-chain escape hatch [[connected]]'s scaladoc names: rounds
+    * grow with log(n), NOT graph diameter, so a 10^9-vertex path costs
+    * ~30 rounds where min-propagation would need 10^9.
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star(u): every neighbor v ≤ u (plus u itself) re-attaches
+    *     to the same m.
+    *
+    * Both steps are one shuffle-agg (per-vertex min) + one shuffle-join
+    * (re-attach) over the edge list — the same primitives as
+    * [[connected]], no driver-side graph state. Edges only ever swap a
+    * partner for a strictly smaller one or merge duplicates, so the
+    * (count, keyed-sum) observation pair is stationary exactly at the
+    * fixpoint, where the edge set is a star per component centered on
+    * its minimum id. `localCheckpoint` cuts lineage each round.
+    *
+    * Same output contract as [[connected]]: (id, comp) for every vertex
+    * in the input, comp = min reachable id. Use for long-path graphs
+    * (citation chains, link graphs); clique-like dedup graphs converge
+    * faster under plain [[connected]].
+    */
+  def connectedAlternating(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 50): DataFrame = {
+    val vertices = edges.select(col(src).as("id"))
+      .union(edges.select(col(dst).as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    // directed representation: (hi, lo) with lo < hi; self-edges drop
+    var e = edges.select(
+        greatest(col(src), col(dst)).as("hi"),
+        least(col(src), col(dst)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(eager = true)
+
+    def observed(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(lit(1)).as("n"),
+          sum((col("hi") * lit(1000003L) + col("lo"))
+            .cast("decimal(38,0)")).as("s"))
+        .localCheckpoint(eager = true)
+      (out, (obs.get("n").asInstanceOf[Long],
+        obs.get("s").asInstanceOf[java.math.BigDecimal]))
+    }
+
+    var sig: (Long, java.math.BigDecimal) = (-1L, null)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric view: m = min(Γ(u) ∪ {u}); each
+      // strictly-larger neighbor v re-attaches as (v, m)
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star over the downward edges: m = min of u's smaller
+      // neighborhood (all lo < hi here); every lo re-attaches to m, and
+      // hi itself attaches to m
+      val minsDown = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val smallNext = large.join(minsDown, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(minsDown.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+      val (next, nextSig) = observed(smallNext)
+      converged = sig._2 != null && nextSig._1 == sig._1 &&
+        nextSig._2.compareTo(sig._2) == 0
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    // fixpoint edge set is a star per component: label = min over incident
+    // los (the root), or the vertex itself for singletons
+    val labels = e.select(col("hi").as("id"), col("lo"))
+      .union(e.select(col("lo").as("id"), col("lo")))
+      .groupBy("id").agg(min("lo").as("comp"))
+    vertices.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Dedup decision over candidate pairs: every doc in a duplicate
     * cluster maps to its canonical (minimum-id) representative; `keep`
     * marks the survivor. Docs in no pair are implicitly kept. */

@@ -382,6 +382,33 @@ object Extensions extends QueryPack {
         .orderBy("event_id")
     },
 
+    // Long-chain connected components via alternating large-star /
+    // small-star: the consecutive-doc-id chain has diameter ≈ corpus
+    // size, the worst case for min-propagation and exactly the shape the
+    // O(log n)-round algorithm exists for. Oracle: recursive transitive
+    // closure (different algorithm, same fixpoint — like x21).
+    GQuery("x29_components_longchain", Some("""
+      WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        WHERE doc_id + 1 IN (SELECT doc_id FROM documents)),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      reach AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        WHERE e2.b <> r.a),
+      comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+               FROM reach GROUP BY a)
+      SELECT doc_id, component FROM comp ORDER BY doc_id""")) { (s, dir) =>
+      val ids = docs(s, dir).select("doc_id")
+      val chain = ids
+        .select(col("doc_id").as("d1"), (col("doc_id") + 1).as("d2"))
+        .join(ids.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      Components.connectedAlternating(chain, "d1", "d2")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
+
     // As-of join with tolerance: matches further back than 1 hour are
     // nulled out (pandas/kdb `tolerance` semantics) — same single-shuffle
     // union+window plan. Oracle: DuckDB native ASOF LEFT JOIN with the

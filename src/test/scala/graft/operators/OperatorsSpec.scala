@@ -248,6 +248,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) == None)       // 910 s back, stale
   }
 
+  test("alternating large-star/small-star: long chain in O(log n) rounds") {
+    // a 1000-vertex path has diameter 999: min-propagation needs ~999
+    // rounds, the alternating algorithm must finish inside maxIter=20
+    // (≈2·log2 n) or the labels come out wrong and these asserts fail
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = Components.connectedAlternating(chain, "d1", "d2", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 1000)
+    assert(comp.values.forall(_ == 1L))
+
+    // same answers as the propagation variant on a mixed graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L),
+      (33L, 34L), (34L, 35L)).toDF("d1", "d2")
+    val alt = Components.connectedAlternating(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Components.connected(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == prop)
+  }
+
   test("connected components: chain, clique, and singleton-pair graphs") {
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
