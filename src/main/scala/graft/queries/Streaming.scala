@@ -142,6 +142,27 @@ object Streaming extends QueryPack {
         src.select("user_id", "event_type")
           .dropDuplicates("user_id", "event_type")
       }.orderBy("user_id", "event_type")
+    },
+
+    // Stream-static enrichment: every micro-batch joins against a static
+    // dimension (broadcast, so the stream side never shuffles for the
+    // join — the shape a 100 TB event stream uses to attach entity
+    // attributes; the static side re-reads per batch, picking up dim
+    // updates for free).
+    GQuery("stream05_static_join", Some("""
+      SELECT c.c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+      GROUP BY 1 ORDER BY seg""")) { (s, dir) =>
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
+      runStream(s, dir) { src =>
+        src.join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
+                 .as("sum_value"))
+      }.orderBy("seg")
     }
   )
 }

@@ -320,6 +320,25 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(jan12.count() == expected12)
   }
 
+  test("DML on a day-partitioned iceberg table preserves the transform spec") {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE ev_day
+            | PARTITION BY (day(ts))
+            | AS SELECT event_id, user_id, ts, value FROM events""".stripMargin)
+    val before = s.sql("SELECT count(*) AS n FROM ev_day").collect()(0).getLong(0)
+    s.sql("UPDATE ev_day SET value = value + 1 WHERE user_id < 5")
+    s.sql("DELETE FROM ev_day WHERE user_id >= 12")
+    val kept = s.sql("SELECT count(*) AS n FROM ev_day").collect()(0).getLong(0)
+    assert(kept < before && kept > 0)
+    // the rewritten snapshot kept day(ts): its data paths still carry the
+    // transform shadow directories
+    val files = s.sql("SELECT * FROM ev_day WHERE ts >= '2024-01-10'::timestamp")
+      .inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("__part_day__")),
+      s"transform spec lost after DML: ${files.take(3).mkString(", ")}")
+  }
+
   test("multi-column partition spec: combined manifest values, per-column mirror") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
