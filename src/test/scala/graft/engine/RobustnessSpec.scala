@@ -82,6 +82,28 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("ASOF JOIN inside a CTE body: scoped schema probe and rewrite") {
+    // the ASOF sits in CTE `j`, whose inputs are EARLIER CTEs — the
+    // emitter must probe schemas against only the prefix before `j`, and
+    // must not rewrite `v.`-qualified text outside j's body
+    val s = newSession()
+    val df = s.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                 WHERE event_type = 'view'),
+           j AS (SELECT p.event_id AS eid, v.view_id AS vid
+                 FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts)
+                   ON p.user_id = v.user_id)
+      SELECT count(*) AS n, count(vid) AS matched FROM j""")
+    val row = df.collect()(0)
+    assert(row.getLong(0) > 0 && row.getLong(1) == row.getLong(0),
+      "inner ASOF inside CTE must keep only matched rows")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "union+window emitter should engage inside the CTE")
+  }
+
   test("keywords and cast syntax inside string literals stay literal") {
     val s = newSession()
     val r = s.sql(

