@@ -157,10 +157,13 @@ object Components {
 
   /** Dedup decision over candidate pairs: every doc in a duplicate
     * cluster maps to its canonical (minimum-id) representative; `keep`
-    * marks the survivor. Docs in no pair are implicitly kept. */
+    * marks the survivor. Docs in no pair are implicitly kept.
+    * `alternating = true` switches to [[connectedAlternating]] for
+    * long-diameter pair graphs. */
   def dedupClusters(pairs: DataFrame, d1: String = "d1",
-      d2: String = "d2"): DataFrame =
-    connected(pairs, d1, d2)
+      d2: String = "d2", alternating: Boolean = false): DataFrame =
+    (if (alternating) connectedAlternating(pairs, d1, d2)
+     else connected(pairs, d1, d2))
       .select(col("id").as("doc_id"), col("comp").as("component"),
         (col("id") === col("comp")).as("keep"))
 }

@@ -104,6 +104,41 @@ class RobustnessSpec extends AnyFunSuite {
     }.isEmpty, "union+window emitter should engage inside the CTE")
   }
 
+  test("ASOF JOIN with a subquery right side still takes the emitter") {
+    val s = newSession()
+    val df = s.sql("""
+      SELECT p.event_id, v.view_id
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT event_id AS view_id, user_id, ts FROM events
+                   WHERE event_type = 'view') v
+        MATCH_CONDITION(p.ts >= v.ts) ON p.user_id = v.user_id
+      ORDER BY p.event_id""")
+    // subquery LEFT side falls back to LATERAL (documented); subquery
+    // RIGHT side resolves through the probe — but a parenthesized left
+    // here means the emitter must refuse and the LATERAL still answer
+    assert(df.count() > 0)
+    // right-subquery with a plain left table engages the emitter
+    val df2 = s.sql("""
+      SELECT e.event_id, v.view_id
+      FROM events e
+        ASOF JOIN (SELECT event_id AS view_id, user_id, ts AS vts FROM events
+                   WHERE event_type = 'view') v
+        MATCH_CONDITION(e.ts >= v.vts) ON e.user_id = v.user_id
+      ORDER BY e.event_id LIMIT 50""")
+    assert(df2.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "emitter should engage for table-left/subquery-right")
+    assert(df2.count() == 50)
+  }
+
+  test("EXPLAIN passes through with resolved tables") {
+    val s = newSession()
+    val rows = s.sql("EXPLAIN SELECT count(*) FROM orders WHERE o_orderkey < 10")
+      .collect()
+    assert(rows.nonEmpty && rows(0).getString(0).contains("Physical Plan"))
+  }
+
   test("keywords and cast syntax inside string literals stay literal") {
     val s = newSession()
     val r = s.sql(
