@@ -34,11 +34,13 @@ object Bench {
       // at any scale — unlike blanket preferSortMergeJoin=false);
       // h09's 60M×15M join drops ~20% by skipping both sorts
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "512m")
-      // single-machine bench: shuffle bytes ride the local filesystem, so
-      // the codec is pure CPU overhead — a real multi-node cluster keeps
-      // compression ON because network bytes dominate there
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // shuffle compression ON (the default, and what a real cluster
+      // runs): re-measured round 4 with a two-JVM A/B on the h09 join —
+      // lz4 wins ~12% here (min 3.10 vs 3.47/3.58 s both orders; the
+      // 2.8 GB uncompressed exchange costs more in page-cache writes
+      // than lz4 costs in CPU at 32 threads). tools/ShufCompProbe.
+      .config("spark.shuffle.compress", "true")
+      .config("spark.shuffle.spill.compress", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
