@@ -320,6 +320,42 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(jan12.count() == expected12)
   }
 
+  test("randomized: day-partition pruning never changes results") {
+    // false pruning is silent data loss — fuzz random range/equality
+    // predicates against the unpartitioned frame on identical data
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_fuzz").toString
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "value")
+    val meta = IcebergLite.write(spark, ev, root, partitionBy = Seq("day(ts)"))
+    val part = IcebergLite.scan(spark, meta)
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 12) {
+      val d1 = 1 + rnd.nextInt(30)
+      val d2 = 1 + rnd.nextInt(30)
+      val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+      val hms = f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+      val loTs = lit(f"2024-01-$lo%02d $hms").cast("timestamp_ntz")
+      val hiTs = lit(f"2024-01-$hi%02d $hms").cast("timestamp_ntz")
+      val shape = rnd.nextInt(4) match {
+        case 0 => (d: org.apache.spark.sql.DataFrame) =>
+          d.filter(col("ts") >= loTs && col("ts") < hiTs)
+        case 1 => (d: org.apache.spark.sql.DataFrame) =>
+          d.filter(col("ts") > loTs && col("ts") <= hiTs)
+        case 2 => (d: org.apache.spark.sql.DataFrame) =>
+          d.filter(col("ts") <= loTs)
+        case _ => (d: org.apache.spark.sql.DataFrame) =>
+          d.filter(col("ts") > hiTs)
+      }
+      // decimal sum: double addition order differs with partition layout
+      val got = shape(part)
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,6)"))).collect()(0)
+      val want = shape(ev)
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,6)"))).collect()(0)
+      assert(got == want, s"pruning changed results for lo=$lo hi=$hi $hms")
+    }
+  }
+
   test("DML on a day-partitioned iceberg table preserves the transform spec") {
     val s = new GraftSession(spark)
     s.attachLake("/root/testdata/sf0.001")
