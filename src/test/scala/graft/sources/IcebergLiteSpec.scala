@@ -329,8 +329,13 @@ class IcebergLiteSpec extends AnyFunSuite {
       .select("event_id", "ts", "value")
     val meta = IcebergLite.write(spark, ev, root, partitionBy = Seq("day(ts)"))
     val part = IcebergLite.scan(spark, meta)
+    // hour() shares the transform machinery; one partitioned clone proves
+    // the finer grain end to end
+    val rootH = Files.createTempDirectory("graft_ice_fuzz_h").toString
+    val metaH = IcebergLite.write(spark, ev, rootH, partitionBy = Seq("hour(ts)"))
+    val partH = IcebergLite.scan(spark, metaH)
     val rnd = new scala.util.Random(99)
-    for (_ <- 1 to 12) {
+    for (i <- 1 to 12) {
       val d1 = 1 + rnd.nextInt(30)
       val d2 = 1 + rnd.nextInt(30)
       val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
@@ -348,7 +353,8 @@ class IcebergLiteSpec extends AnyFunSuite {
           d.filter(col("ts") > hiTs)
       }
       // decimal sum: double addition order differs with partition layout
-      val got = shape(part)
+      val src = if (i % 3 == 0) partH else part
+      val got = shape(src)
         .agg(count(lit(1)), sum(col("value").cast("decimal(18,6)"))).collect()(0)
       val want = shape(ev)
         .agg(count(lit(1)), sum(col("value").cast("decimal(18,6)"))).collect()(0)
@@ -367,6 +373,12 @@ class IcebergLiteSpec extends AnyFunSuite {
     s.sql("DELETE FROM ev_day WHERE user_id >= 12")
     val kept = s.sql("SELECT count(*) AS n FROM ev_day").collect()(0).getLong(0)
     assert(kept < before && kept > 0)
+    // INSERT appends a new snapshot that keeps day(ts) too
+    s.sql("""INSERT INTO ev_day
+            | SELECT event_id + 1000000, user_id, ts, value
+            | FROM events WHERE user_id < 2""".stripMargin)
+    val after = s.sql("SELECT count(*) AS n FROM ev_day").collect()(0).getLong(0)
+    assert(after > kept)
     // the rewritten snapshot kept day(ts): its data paths still carry the
     // transform shadow directories
     val files = s.sql("SELECT * FROM ev_day WHERE ts >= '2024-01-10'::timestamp")
