@@ -503,6 +503,49 @@ object SnowflakeRewriter {
         (pre, o + 1, c)
       case None => (render(toks.take(prefixEnd)), prefixEnd, toks.length)
     }
+    // narrow the qualifier-rewrite scope to the ASOF's own query block:
+    // backward to the owning SELECT (or this block's opening paren),
+    // forward to the next same-depth set-operation keyword (or this
+    // block's closing paren) — sibling UNION branches may bind the same
+    // alias to something else entirely
+    val setOps = Set("UNION", "INTERSECT", "EXCEPT", "MINUS")
+    val blockStart = {
+      var d = 0
+      var i = asofIdx
+      var found = -1
+      while (i > scopeStart && found < 0) {
+        i -= 1
+        toks(i) match {
+          case Op(")") => d += 1
+          case Op("(") =>
+            d -= 1
+            if (d < 0) found = i
+          case Ident(w) if d == 0 &&
+              (w.equalsIgnoreCase("SELECT") || setOps(w.toUpperCase)) =>
+            found = i
+          case _ =>
+        }
+      }
+      if (found >= 0) found else scopeStart
+    }
+    val blockEnd = {
+      var d = 0
+      var i = consumedEnd + 1
+      var found = -1
+      while (i < scopeEnd && found < 0) {
+        toks(i) match {
+          case Op("(") => d += 1
+          case Op(")") =>
+            d -= 1
+            if (d < 0) found = i
+          case Ident(w) if d == 0 && setOps(w.toUpperCase) => found = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (found >= 0) found else scopeEnd
+    }
+
     val rightRelSql = render(rel)
     val leftCols = resolver(withPrefixSql, leftRelSql).getOrElse(return None)
     val rightCols = resolver(withPrefixSql, rightRelSql).getOrElse(return None)
@@ -523,7 +566,7 @@ object SnowflakeRewriter {
     // ── rewrite `ra.c` references in the enclosing query block to
     //    `la.<exposed>`; bail on `ra.*` (would need positional expansion)
     def inScope(i: Int): Boolean =
-      i >= scopeStart && i < scopeEnd && (i < leftStart || i > consumedEnd)
+      i >= blockStart && i < blockEnd && (i < leftStart || i > consumedEnd)
     val arr = toks.toArray
     var i = 0
     while (i < arr.length) {

@@ -104,6 +104,23 @@ class RobustnessSpec extends AnyFunSuite {
     }.isEmpty, "union+window emitter should engage inside the CTE")
   }
 
+  test("ASOF qualifier rewrite stops at set-operation boundaries") {
+    // the second UNION branch binds the SAME alias v (the CTE) in an
+    // ordinary join — its v.view_id must NOT be rewritten to p.view_id
+    val s = newSession()
+    val df = s.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                 WHERE event_type = 'view')
+      SELECT p.event_id AS eid, v.view_id AS vid
+      FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts) ON p.user_id = v.user_id
+      UNION ALL
+      SELECT e.event_id AS eid, v.view_id AS vid
+      FROM events e JOIN v ON e.event_id = v.view_id""")
+    assert(df.count() > 0)
+  }
+
   test("ASOF JOIN with a subquery right side still takes the emitter") {
     val s = newSession()
     val df = s.sql("""
