@@ -208,9 +208,15 @@ object SnowflakeRewriter {
     * both column lists, hence the session-supplied [[SchemaResolver]]
     * (CTE-scope aware: the probe is analyzed, never executed).
     *
+    * Both orientations lower through the emitter: backward
+    * (`l.ts >= r.ts`, most recent right at-or-before) via an ASC carry,
+    * forward (`l.ts <= r.ts`, first right at-or-after) via a DESC carry.
+    * Subquery left sides and `r.*` expansion resolve through the same
+    * schema probe.
+    *
     * FALLBACK path (no resolver, or a shape the emitter doesn't cover:
-    * forward-looking match, non-equi ON, subquery left side, `r.*`
-    * expansion, exotic identifiers):
+    * non-equi ON, join-chain left side, an alias re-bound inside the
+    * block, exotic identifiers):
     * `L , LATERAL (SELECT * FROM R alias WHERE (eq) AND (mc)
     *    ORDER BY <R-side of mc> DESC|ASC LIMIT 1) alias` — correct but
     * decorrelates into a nested-loop join against the distinct left-time
@@ -334,19 +340,26 @@ object SnowflakeRewriter {
         "the left's (exactly one side may reference the right alias)")
     }
 
-    // backward-looking orientation ("most recent right at-or-before the
-    // left row") — the only shape the union+window emitter covers
-    val backward: Option[(Vector[Tok], Vector[Tok], Boolean)] =
+    // orientation: backward = "most recent right at-or-BEFORE the left
+    // row" (l.ts >= r.ts, DuckDB's default), forward = "first right
+    // at-or-AFTER" (l.ts <= r.ts). Both lower through the union+window
+    // emitter — only the window sort direction differs (ASC vs DESC
+    // carry); tuple = (leftTime, rightTime, strict, forward)
+    val oriented: Option[(Vector[Tok], Vector[Tok], Boolean, Boolean)] =
       (refsAlias(lhs), refsAlias(rhs), cmp) match {
-        case (false, true, ">=") => Some((lhs, rhs, false))
-        case (false, true, ">") => Some((lhs, rhs, true))
-        case (true, false, "<=") => Some((rhs, lhs, false))
-        case (true, false, "<") => Some((rhs, lhs, true))
+        case (false, true, ">=") => Some((lhs, rhs, false, false))
+        case (false, true, ">") => Some((lhs, rhs, true, false))
+        case (false, true, "<=") => Some((lhs, rhs, false, true))
+        case (false, true, "<") => Some((lhs, rhs, true, true))
+        case (true, false, "<=") => Some((rhs, lhs, false, false))
+        case (true, false, "<") => Some((rhs, lhs, true, false))
+        case (true, false, ">=") => Some((rhs, lhs, false, true))
+        case (true, false, ">") => Some((rhs, lhs, true, true))
         case _ => None
       }
-    if (resolver != null && backward.isDefined) {
-      val (lt, rt, strict) = backward.get
-      emitAsOfUnionWindow(toks, asofIdx, rel, aName, lt, rt, strict,
+    if (resolver != null && oriented.isDefined) {
+      val (lt, rt, strict, forward) = oriented.get
+      emitAsOfUnionWindow(toks, asofIdx, rel, aName, lt, rt, strict, forward,
         onToks, consumedEnd, outer, resolver) match {
         case Some(newToks) => return rewriteAsOfJoin(newToks, resolver)
         case None => // unsupported shape → LATERAL fallback below
@@ -413,46 +426,101 @@ object SnowflakeRewriter {
 
   /** The union+window ASOF emitter (see [[rewriteAsOfJoin]] scaladoc).
     * Returns None for any shape it cannot prove it handles — the caller
-    * then falls back to the correlated-LATERAL form. */
+    * then falls back to the correlated-LATERAL form.
+    *
+    * NULL semantics match the LATERAL form (and DuckDB/Snowflake): right
+    * rows with a NULL equi-key or NULL timestamp can never match (SQL
+    * comparisons are never true against NULL) and are excluded from the
+    * carried stream; left rows with a NULL key or timestamp stay
+    * unmatched (dropped for inner, NULL-extended for outer). The right
+    * payload is carried as ONE struct per row, so a matched right row
+    * with NULLs in some columns surfaces those NULLs — never a torn mix
+    * of columns from different right rows. */
   private def emitAsOfUnionWindow(
       toks: Vector[Tok], asofIdx: Int, rel: Vector[Tok], aName: String,
       leftTime: Vector[Tok], rightTime: Vector[Tok], strict: Boolean,
-      onToks: Vector[Tok], consumedEnd: Int, outer: Boolean,
-      resolver: SchemaResolver): Option[Vector[Tok]] = {
+      forward: Boolean, onToks: Vector[Tok], consumedEnd: Int,
+      outer: Boolean, resolver: SchemaResolver): Option[Vector[Tok]] = {
     val sig = significant(toks)
 
-    // ── left relation: walk back from ASOF to FROM/comma; accept only
-    //    `name(.name)* [AS] [alias]` (subquery/join-chain lefts fall back)
+    // ── left relation: walk back from ASOF to FROM/comma. Accepts
+    //    `name(.name)* [AS] [alias]` or `( subquery ) [AS] alias`
+    //    (join-chain lefts fall back)
     val kSig = sig.indexWhere(_ == asofIdx)
-    var s = kSig - 1
-    val collected = Vector.newBuilder[Int]
-    var hitFrom = false
-    var steps = 0
-    while (!hitFrom && s >= 0 && steps < 8) {
-      val t = toks(sig(s))
-      if (t.text.equalsIgnoreCase("FROM") || t == Op(",")) hitFrom = true
-      else { collected += sig(s); s -= 1; steps += 1 }
+    // parenthesized subquery left: alias required, tokens backwards from
+    // ASOF are `alias [AS] )…(`; the paren before must follow FROM/comma
+    val parenLeft: Option[(Int, String, String)] = {
+      def closeAt(si: Int): Option[Int] =
+        if (si >= 0 && toks(sig(si)) == Op(")")) Some(sig(si)) else None
+      val aliasTok =
+        if (kSig - 1 >= 0) toks(sig(kSig - 1)) match {
+          case Ident(w) => Some(w)
+          case _ => None
+        } else None
+      val close = aliasTok.flatMap { _ =>
+        if (kSig - 2 >= 0 && toks(sig(kSig - 2)).text.equalsIgnoreCase("AS"))
+          closeAt(kSig - 3)
+        else closeAt(kSig - 2)
+      }
+      close.flatMap { c =>
+        var d = 0
+        var j = c
+        var open = -1
+        while (j >= 0 && open < 0) {
+          toks(j) match {
+            case Op(")") => d += 1
+            case Op("(") => d -= 1; if (d == 0) open = j
+            case _ =>
+          }
+          j -= 1
+        }
+        val beforeSig = sig.lastIndexWhere(_ < open)
+        val precededOk = open >= 0 && beforeSig >= 0 && {
+          val t = toks(sig(beforeSig))
+          t.text.equalsIgnoreCase("FROM") || t == Op(",")
+        }
+        if (precededOk)
+          Some((open, render(toks.slice(open, c + 1)), aliasTok.get))
+        else None
+      }
     }
-    if (!hitFrom) return None
-    val leftToks = collected.result().reverse
-    if (leftToks.isEmpty) return None
-    // forward parse: name chain, then optional [AS] alias
-    var q = 0
-    def isIdent(i: Int) = toks(leftToks(i)).isInstanceOf[Ident]
-    if (!isIdent(0)) return None
-    var nameEnd = 0
-    q = 1
-    while (q + 1 < leftToks.length && toks(leftToks(q)) == Op(".") &&
-        isIdent(q + 1)) { nameEnd = q + 1; q += 2 }
-    var laAlias = toks(leftToks(nameEnd)).text
-    if (q < leftToks.length && toks(leftToks(q)).text.equalsIgnoreCase("AS")) q += 1
-    if (q < leftToks.length) {
-      if (!isIdent(q) || q != leftToks.length - 1) return None
-      laAlias = toks(leftToks(q)).text
-      q += 1
+    val nameLeft: Option[(Int, String, String)] = {
+      var s = kSig - 1
+      val collected = Vector.newBuilder[Int]
+      var hitFrom = false
+      var steps = 0
+      while (!hitFrom && s >= 0 && steps < 8) {
+        val t = toks(sig(s))
+        if (t.text.equalsIgnoreCase("FROM") || t == Op(",")) hitFrom = true
+        else { collected += sig(s); s -= 1; steps += 1 }
+      }
+      val leftToks = collected.result().reverse
+      if (!hitFrom || leftToks.isEmpty) None
+      else {
+        // forward parse: name chain, then optional [AS] alias
+        def isIdent(i: Int) = toks(leftToks(i)).isInstanceOf[Ident]
+        if (!isIdent(0)) None
+        else {
+          var nameEnd = 0
+          var q = 1
+          while (q + 1 < leftToks.length && toks(leftToks(q)) == Op(".") &&
+              isIdent(q + 1)) { nameEnd = q + 1; q += 2 }
+          var la = toks(leftToks(nameEnd)).text
+          if (q < leftToks.length &&
+              toks(leftToks(q)).text.equalsIgnoreCase("AS")) q += 1
+          var ok = true
+          if (q < leftToks.length) {
+            if (!isIdent(q) || q != leftToks.length - 1) ok = false
+            else { la = toks(leftToks(q)).text; q += 1 }
+          }
+          if (!ok) None
+          else Some((leftToks.head,
+            render(toks.slice(leftToks.head, leftToks(nameEnd) + 1)), la))
+        }
+      }
     }
-    val leftStart = leftToks.head
-    val leftRelSql = render(toks.slice(leftToks.head, leftToks(nameEnd) + 1))
+    val (leftStart, leftRelSql, laAlias) =
+      parenLeft.orElse(nameLeft).getOrElse(return None)
     if (laAlias.equalsIgnoreCase(aName)) return None
 
     // ── ON: pure equi conjunction `la.c = ra.c AND …` (or absent)
@@ -564,18 +632,28 @@ object SnowflakeRewriter {
       rightCols.map(_.toLowerCase).zip(exposed).toMap
 
     // ── rewrite `ra.c` references in the enclosing query block to
-    //    `la.<exposed>`; bail on `ra.*` (would need positional expansion)
+    //    `la.<exposed>`; expand `ra.*` to the exposed right columns. If
+    //    either alias appears in scope NOT as a `alias.` qualifier it may
+    //    be re-bound to a different relation (e.g. a scalar subquery
+    //    `(SELECT max(x) FROM other v)` inside the block) — rewriting
+    //    through a shadowing binding would redirect those references, so
+    //    bail to the (correct) LATERAL fallback.
     def inScope(i: Int): Boolean =
       i >= blockStart && i < blockEnd && (i < leftStart || i > consumedEnd)
     val arr = toks.toArray
+    // index → replacement tokens (star expansion / deleted `.` `*`)
+    val splices = scala.collection.mutable.Map.empty[Int, Vector[Tok]]
     var i = 0
     while (i < arr.length) {
       arr(i) match {
-        case Ident(w) if w.equalsIgnoreCase(aName) && inScope(i) =>
+        case Ident(w) if inScope(i) && (w.equalsIgnoreCase(aName) ||
+            w.equalsIgnoreCase(laAlias)) =>
+          val isRight = w.equalsIgnoreCase(aName)
           var j = i + 1
           while (j < arr.length && (arr(j).isInstanceOf[Ws] ||
               arr(j).isInstanceOf[Comment])) j += 1
-          if (j < arr.length && arr(j) == Op(".")) {
+          if (j >= arr.length || arr(j) != Op(".")) return None // re-bound?
+          if (isRight) {
             var c = j + 1
             while (c < arr.length && (arr(c).isInstanceOf[Ws] ||
                 arr(c).isInstanceOf[Comment])) c += 1
@@ -584,55 +662,83 @@ object SnowflakeRewriter {
                 arr(i) = Ident(laAlias)
                 arr(c) = Ident(exposedOf(cn.toLowerCase))
                 i = c
-              case Op("*") => return None
-              case Ident(_) => // not a right column (e.g. map key) — leave
+              case Op("*") => // ra.* → the exposed right columns via la
+                splices(i) = lex(
+                  exposed.map(e => s"$laAlias.$e").mkString(", "))
+                splices(j) = Vector.empty
+                splices(c) = Vector.empty
+                i = c
+              case Ident(_) => i = c // not a right column (map key) — leave
               case _ => return None // quoted/odd member access — fall back
             }
+          } else {
+            // left alias as qualifier: skip the member (it may share the
+            // alias's name); `la.*` would re-expand over the derived
+            // table's right columns too — fall back
+            var c = j + 1
+            while (c < arr.length && (arr(c).isInstanceOf[Ws] ||
+                arr(c).isInstanceOf[Comment])) c += 1
+            if (c < arr.length && arr(c) == Op("*")) return None
+            if (c < arr.length && arr(c).isInstanceOf[Ident]) i = c
+            else i = j
           }
         case _ =>
       }
       i += 1
     }
 
-    // ── emit the derived table (aliased as the left alias)
+    // ── emit the derived table (aliased as the left alias). The right
+    //    payload travels as ONE named_struct carried with a single
+    //    last(…, true) window — row-atomic, so a matched right row's own
+    //    NULLs surface instead of stale values torn from older rows; the
+    //    struct doubles as the match marker. Right rows whose equi-key or
+    //    timestamp is NULL can never match and are filtered out; NULL
+    //    left timestamps sort NULLS FIRST (both directions), before any
+    //    carry accumulates, so they stay unmatched.
     val ltSql = render(leftTime)
     val rtSql = render(rightTime)
-    val rightTag = if (strict) 2 else 0 // ties: right first (>=) or last (>)
+    val rightTag = if (strict) 2 else 0 // ties: right first (incl) or last
     val partition =
       if (keyPairs.isEmpty) ""
       else s"PARTITION BY ${keyPairs.indices.map(i => s"_ga_k$i").mkString(", ")} "
-    val over = s"OVER (${partition}ORDER BY _ga_ts, _ga_side " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    // backward: carry the most recent right row at-or-before (ASC);
+    // forward: the first right row at-or-after (DESC) — same tags
+    val dir = if (forward) "DESC" else "ASC"
+    val over = s"OVER (${partition}ORDER BY _ga_ts $dir NULLS FIRST, " +
+      "_ga_side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     val lKeys = keyPairs.zipWithIndex.map { case ((lc, _), i) =>
       s"$laAlias.$lc AS _ga_k$i" }
     val rKeys = keyPairs.zipWithIndex.map { case ((_, rc), _) =>
       s"$aName.$rc" }
+    val rStruct = "named_struct(" +
+      rightCols.map(c => s"'$c', $aName.$c").mkString(", ") + ")"
+    val rGuards = (keyPairs.map { case (_, rc) =>
+      s"$aName.$rc IS NOT NULL" } :+ s"($rtSql) IS NOT NULL").mkString(" AND ")
     val lBranch = (lKeys ++ Seq(s"$ltSql AS _ga_ts", "1 AS _ga_side") ++
       leftCols.map(c => s"$laAlias.$c AS $c") ++
-      rightCols.indices.map(i => s"NULL AS _ga_r_$i") ++
-      Seq("NULL AS _ga_mk")).mkString(", ")
+      Seq("NULL AS _ga_r")).mkString(", ")
     val rBranch = (rKeys ++ Seq(rtSql, s"$rightTag") ++
-      leftCols.map(_ => "NULL") ++
-      rightCols.map(c => s"$aName.$c") ++ Seq("1")).mkString(", ")
-    val carries = rightCols.indices.map(i =>
-      s"last(_ga_r_$i, true) $over AS _ga_m_$i") :+
-      s"last(_ga_mk, true) $over AS _ga_m"
+      leftCols.map(_ => "NULL") ++ Seq(rStruct)).mkString(", ")
     val outCols = leftCols ++
-      exposed.zipWithIndex.map { case (e, i) => s"_ga_m_$i AS $e" }
+      exposed.zip(rightCols).map { case (e, c) => s"_ga_m.$c AS $e" }
     // inner drops matchless left rows (`_ga_m IS NOT NULL`); outer keeps
-    // them — their carried right columns are already NULL
+    // them — their carried right columns surface as NULL
     val matchFilter = if (outer) "" else " AND _ga_m IS NOT NULL"
     val derived =
       s"""(SELECT ${outCols.mkString(", ")}
-         | FROM (SELECT *, ${carries.mkString(", ")}
+         | FROM (SELECT *, last(_ga_r, true) $over AS _ga_m
          |   FROM (SELECT $lBranch FROM $leftRelSql AS $laAlias
          |         UNION ALL
-         |         SELECT $rBranch FROM $rightRelSql AS $aName) _ga_u) _ga_w
+         |         SELECT $rBranch FROM $rightRelSql AS $aName
+         |         WHERE $rGuards) _ga_u) _ga_w
          | WHERE _ga_side = 1$matchFilter) AS $laAlias """
         .stripMargin
-    val rewritten = arr.toVector
-    Some(rewritten.take(leftStart) ++ lex(derived) ++
-      rewritten.slice(consumedEnd + 1, rewritten.length))
+    // reassemble with the splices (star expansions) applied; splice
+    // per-range so the original leftStart/consumedEnd indexes stay valid
+    def flat(lo: Int, hi: Int): Vector[Tok] =
+      (lo until hi).iterator.flatMap(ix =>
+        splices.getOrElse(ix, Vector(arr(ix)))).toVector
+    Some(flat(0, leftStart) ++ lex(derived) ++ flat(consumedEnd + 1, arr.length))
   }
 
   // ── pass: CONNECT BY → WITH RECURSIVE ──────────────────────────────────

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (temporal) join: for every left row, attach the single right row
   * with the greatest `rightTs <= leftTs` for the same key — the
@@ -32,31 +33,41 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Left rows keep their columns; each `rightCols` c arrives as `r_c`
-    * (null when no right row is at-or-before the left row). */
+    * (null when no right row is at-or-before the left row).
+    *
+    * NULL semantics match SQL joins: right rows with a NULL key or NULL
+    * timestamp can never match (comparisons are never true against NULL)
+    * and are excluded up front; left rows with a NULL key or timestamp
+    * stay unmatched. The right payload is carried as ONE struct, so a
+    * matched right row's own NULLs surface as NULLs — never a torn mix
+    * of columns from different right rows. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rType = StructType(rightCols.map(c =>
+      StructField(c, right.schema(c).dataType)))
     val taggedL = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select(Seq(col(key).as("_k"), col("_ts"), col("_side")) ++
-        leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.map(col) :+
+        lit(null).cast(rType).as("_r"): _*)
     val taggedR = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select(Seq(col(key).as("_k"), col("_ts"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"_r_$c")): _*)
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("_r"): _*)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts").asc_nulls_first, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedL.unionByName(taggedR)
-      .select(col("*") +:
-        rightCols.map(c =>
-          last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"r_$c")): _*)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"r_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("_m").getField(c).as(s"r_$c")): _*)
   }
 
   /** Skew-proof variant for pathologically hot keys: partitions on
@@ -77,31 +88,36 @@ object AsOfJoin {
       leftTs: String, rightTs: String, rightCols: Seq[String],
       bucketSeconds: Long): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rType = StructType(rightCols.map(c =>
+      StructField(c, right.schema(c).dataType)))
+    // NULL-keyed / NULL-ts right rows can never match — drop them before
+    // either carry (same contract as [[asOf]])
+    val rightOk = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
     def bucket(ts: Column): Column =
       floor(unix_micros(ts.cast("timestamp")) / lit(bucketSeconds * 1000000L))
-    // 1. within-bucket carry — identical window, finer partitioning
+    // 1. within-bucket carry — identical window, finer partitioning; the
+    // payload travels as one struct so columns stay row-atomic
     val taggedL = left
       .withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
       .withColumn("_b", bucket(col(leftTs)))
       .select(Seq(col(key).as("_k"), col("_b"), col("_ts"), col("_side")) ++
-        leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
-    val taggedR = right
+        leftCols.map(col) :+
+        lit(null).cast(rType).as("_r"): _*)
+    val taggedR = rightOk
       .withColumn("_ts", col(rightTs)).withColumn("_side", lit(0))
       .withColumn("_b", bucket(col(rightTs)))
       .select(Seq(col(key).as("_k"), col("_b"), col("_ts"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"_r_$c")): _*)
-    val wInB = Window.partitionBy("_k", "_b").orderBy(col("_ts"), col("_side"))
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("_r"): _*)
+    val wInB = Window.partitionBy("_k", "_b")
+      .orderBy(col("_ts").asc_nulls_first, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = taggedL.unionByName(taggedR)
-      .select(col("*") +:
-        rightCols.map(c =>
-          last(col(s"_r_$c"), ignoreNulls = true).over(wInB).as(s"in_$c")): _*)
+      .withColumn("_in", last(col("_r"), ignoreNulls = true).over(wInB))
       .filter(col("_side") === 1)
     // 2. cross-bucket carry: latest right row per (key, bucket) — one row
     // per key-bucket, so this side is orders of magnitude smaller
-    val perBucket = right
+    val perBucket = rightOk
       .withColumn("_b", bucket(col(rightTs)))
       .groupBy(col(key).as("_k"), col("_b"))
       .agg(max_by(struct(rightCols.map(col): _*), col(rightTs)).as("_last"))
@@ -125,9 +141,11 @@ object AsOfJoin {
       .select(col("_k"), col("_b"),
         last(col("_prev0"), ignoreNulls = true).over(wGap).as("_prev"))
     val joined = inBucket.join(gapClosed, Seq("_k", "_b"), "left_outer")
+    // coalesce the two STRUCTS (not per-column) — the fallback to the
+    // previous bucket's carry must also be row-atomic
     joined.select(leftCols.map(col) ++
-      rightCols.map(c => coalesce(col(s"in_$c"),
-        col("_prev").getField(c)).as(s"r_$c")): _*)
+      rightCols.map(c => coalesce(col("_in"), col("_prev"))
+        .getField(c).as(s"r_$c")): _*)
   }
 
   /** Tolerance variant: matches further back than `toleranceExpr`

@@ -933,6 +933,32 @@ object SnowflakeSql extends QueryPack {
         ORDER BY p.event_id""")
     },
 
+    // Forward ASOF JOIN: first right row at-or-AFTER each left row —
+    // MATCH_CONDITION(p.ts <= v.ts) lowers through the same union+window
+    // emitter with a DESC carry (plan-asserted no-join in SessionSpec).
+    // The matched right timestamp is selected (unique even when several
+    // right rows tie on ts), so the oracle can be the tie-insensitive
+    // ANSI join+min aggregation DuckDB runs exactly.
+    GQuery("snow48_asof_forward", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, min(v.ts) AS vts
+      FROM p JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, v.ts AS vts
+        FROM p ASOF JOIN v MATCH_CONDITION(p.ts <= v.ts)
+          ON p.user_id = v.user_id
+        ORDER BY p.event_id""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -504,15 +504,44 @@ class RewriterSpec extends AnyFunSuite {
     // non-colliding right col y surfaces as y; colliding ts as b_ts; the
     // outer b.* references re-qualify through the derived alias a
     assert(out.contains("a.y") && out.contains("a.b_ts"))
-    // inclusive match: right rows tag 0 (sort before left on tie)
+    // inclusive match: right rows tag 0 (sort before left on tie); the
+    // right payload travels as ONE struct (row-atomic carry), and right
+    // rows with NULL key/timestamp are excluded up front
     assert(out.contains("UNION ALL"))
-    assert(out.replaceAll("\\s+", " ").contains("0, NULL, NULL, NULL, b.k, b.ts, b.y, 1"))
+    assert(out.replaceAll("\\s+", " ").contains(
+      "b.k, b.ts, 0, NULL, NULL, NULL, named_struct('k', b.k, 'ts', b.ts, 'y', b.y)"))
+    assert(out.replaceAll("\\s+", "")
+      .contains("b.kISNOTNULLAND(b.ts)ISNOTNULL"))
+    assert(out.contains("last(_ga_r, true)"))
+    assert(out.contains("ASC NULLS FIRST"))
 
     // strict (>) tags right rows 2 — ties must not match
     val strict = SnowflakeRewriter.rewrite(
       "SELECT a.x FROM a ASOF JOIN b " +
         "MATCH_CONDITION(a.ts > b.ts) ON a.k = b.k", resolver)
-    assert(strict.replaceAll("\\s+", " ").contains("2, NULL, NULL, NULL, b.k, b.ts, b.y, 1"))
+    assert(strict.replaceAll("\\s+", " ").contains("b.k, b.ts, 2, NULL"))
+
+    // forward orientation ("first right at-or-after") lowers through the
+    // same emitter with a DESC carry
+    val fwd = SnowflakeRewriter.rewrite(
+      "SELECT a.x FROM a ASOF JOIN b MATCH_CONDITION(a.ts <= b.ts) ON a.k = b.k",
+      resolver)
+    assert(!fwd.toUpperCase.contains("LATERAL"), fwd)
+    assert(fwd.contains("DESC NULLS FIRST"))
+    // strict forward: right rows tag 2 (equal-ts right must not match)
+    val fwdStrict = SnowflakeRewriter.rewrite(
+      "SELECT a.x FROM a ASOF JOIN b MATCH_CONDITION(a.ts < b.ts) ON a.k = b.k",
+      resolver)
+    assert(fwdStrict.contains("DESC NULLS FIRST") &&
+      fwdStrict.replaceAll("\\s+", " ").contains("b.k, b.ts, 2, NULL"))
+
+    // right-star expands to the exposed right columns via the left alias
+    val star = SnowflakeRewriter.rewrite(
+      "SELECT a.x, b.* FROM a ASOF JOIN b " +
+        "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k", resolver)
+    assert(!star.toUpperCase.contains("LATERAL"), star)
+    assert(star.replaceAll("\\s+", " ").contains(
+      "SELECT a.x, a.b_k, a.b_ts, a.y FROM"))
 
     // shapes the emitter must refuse (falls back to LATERAL):
     // unresolvable schema
@@ -520,16 +549,23 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT a.x FROM a ASOF JOIN mystery m " +
         "MATCH_CONDITION(a.ts >= m.ts) ON a.k = m.k", resolver)
     assert(unres.toUpperCase.contains("LATERAL"))
-    // forward-looking match condition
-    val fwd = SnowflakeRewriter.rewrite(
-      "SELECT a.x FROM a ASOF JOIN b MATCH_CONDITION(a.ts <= b.ts) ON a.k = b.k",
-      resolver)
-    assert(fwd.toUpperCase.contains("LATERAL"))
-    // right-star expansion
-    val star = SnowflakeRewriter.rewrite(
-      "SELECT a.x, b.* FROM a ASOF JOIN b " +
+    // right alias re-bound inside the block (a scalar subquery binding b
+    // to another relation) — rewriting through it would redirect the
+    // shadowed references, so the emitter bails
+    val rebound = SnowflakeRewriter.rewrite(
+      "SELECT a.x, (SELECT max(q) FROM other b) AS m FROM a ASOF JOIN b " +
         "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k", resolver)
-    assert(star.toUpperCase.contains("LATERAL"))
+    assert(rebound.toUpperCase.contains("LATERAL"))
+    // subquery LEFT side resolves through the schema probe
+    val subLeft = SnowflakeRewriter.rewrite(
+      "SELECT p.x, b.y FROM (SELECT k, ts, x FROM a) p ASOF JOIN b " +
+        "MATCH_CONDITION(p.ts >= b.ts) ON p.k = b.k",
+      (pre: String, rel: String) =>
+        if (rel.trim.toLowerCase == "b") Some(Seq("k", "ts", "y"))
+        else if (rel.trim.startsWith("(")) Some(Seq("k", "ts", "x"))
+        else None)
+    assert(!subLeft.toUpperCase.contains("LATERAL"), subLeft)
+    assert(subLeft.contains("FROM (SELECT k, ts, x FROM a) AS p"))
   }
 
   test("date navigation rewrites") {

@@ -66,7 +66,18 @@ class RobustnessSpec extends AnyFunSuite {
           "MATCH_CONDITION(l.ts >= r.ts) ORDER BY l.id, r.rid",
         // left-outer: matchless left rows survive with NULL rid
         "SELECT l.id, r.rid FROM asof_l l ASOF LEFT JOIN asof_r r " +
-          "MATCH_CONDITION(l.ts >= r.ts) ON l.k1 = r.k1 ORDER BY l.id")
+          "MATCH_CONDITION(l.ts >= r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        // forward: first right at-or-AFTER the left row (DESC carry)
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts <= r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        // forward strict: equal-ts right rows must NOT match
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts < r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        // forward keyless + left-outer
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts <= r.ts) ORDER BY l.id, r.rid",
+        "SELECT l.id, r.rid FROM asof_l l ASOF LEFT JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts <= r.ts) ON l.k1 = r.k1 ORDER BY l.id")
       for (q <- shapes) {
         val viaUnionWindow = s.sql(q)
         assert(viaUnionWindow.queryExecution.optimizedPlan.collect {
@@ -74,6 +85,64 @@ class RobustnessSpec extends AnyFunSuite {
         }.isEmpty, s"emitter did not engage for: $q")
         val lateral = SnowflakeRewriter.rewrite(q) // no resolver → LATERAL
         assert(lateral.toUpperCase.contains("LATERAL"))
+        val viaLateral = spark.sql(
+          TableResolver.resolveAndSubstitute(lateral, s))
+        assert(viaUnionWindow.collect().toSeq == viaLateral.collect().toSeq,
+          s"seed=$seed shape=$q")
+      }
+    }
+  }
+
+  test("ASOF emission matches LATERAL semantics on NULL keys/timestamps") {
+    // SQL comparisons never match NULLs: NULL-keyed or NULL-ts rows on
+    // either side must stay unmatched (dropped for inner, NULL-extended
+    // for outer), and a matched right row's own NULL payload columns
+    // must surface as NULL — not as stale values torn from older rows.
+    // The correlated-LATERAL lowering inherits these semantics from
+    // ordinary SQL, so it is the oracle.
+    val s = newSession()
+    for (seed <- Seq(3, 99)) {
+      val rnd = new scala.util.Random(seed)
+      def ts(sec: Int) = f"TIMESTAMP '2024-03-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d'"
+      val leftVals = (1 to 80).map { id =>
+        val k = if (rnd.nextInt(10) == 0) "NULL" else s"${rnd.nextInt(4)}"
+        val t = if (rnd.nextInt(10) == 0) "NULL" else ts(rnd.nextInt(400))
+        s"($id, $k, $t)"
+      }.mkString(", ")
+      val used = scala.collection.mutable.Set.empty[Int]
+      val rightVals = (1 to 60).map { rid =>
+        val k = if (rnd.nextInt(10) == 0) "NULL" else s"${rnd.nextInt(4)}"
+        val t =
+          if (rnd.nextInt(10) == 0) "NULL"
+          else {
+            val sec = Iterator.continually(rnd.nextInt(400))
+              .find(x => !used(x)).get
+            used += sec
+            ts(sec)
+          }
+        // payload column v is NULL on a third of the rows — the torn-
+        // carry detector: a stale non-NULL v from an older right row
+        // would diverge from LATERAL
+        val v = if (rnd.nextInt(3) == 0) "NULL" else s"${rid * 100}"
+        s"($rid, $k, $t, $v)"
+      }.mkString(", ")
+      s.sql(s"CREATE OR REPLACE TEMP TABLE asofn_l AS SELECT * FROM (VALUES $leftVals) AS t(id, k1, ts)")
+      s.sql(s"CREATE OR REPLACE TEMP TABLE asofn_r AS SELECT * FROM (VALUES $rightVals) AS t(rid, k1, ts, v)")
+      val shapes = Seq(
+        "SELECT l.id, r.rid, r.v FROM asofn_l l ASOF JOIN asofn_r r " +
+          "MATCH_CONDITION(l.ts >= r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        "SELECT l.id, r.rid, r.v FROM asofn_l l ASOF LEFT JOIN asofn_r r " +
+          "MATCH_CONDITION(l.ts >= r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        "SELECT l.id, r.rid, r.v FROM asofn_l l ASOF JOIN asofn_r r " +
+          "MATCH_CONDITION(l.ts <= r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        "SELECT l.id, r.rid, r.v FROM asofn_l l ASOF JOIN asofn_r r " +
+          "MATCH_CONDITION(l.ts > r.ts) ORDER BY l.id")
+      for (q <- shapes) {
+        val viaUnionWindow = s.sql(q)
+        assert(viaUnionWindow.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty, s"emitter did not engage for: $q")
+        val lateral = SnowflakeRewriter.rewrite(q)
         val viaLateral = spark.sql(
           TableResolver.resolveAndSubstitute(lateral, s))
         assert(viaUnionWindow.collect().toSeq == viaLateral.collect().toSeq,
@@ -131,9 +200,11 @@ class RobustnessSpec extends AnyFunSuite {
                    WHERE event_type = 'view') v
         MATCH_CONDITION(p.ts >= v.ts) ON p.user_id = v.user_id
       ORDER BY p.event_id""")
-    // subquery LEFT side falls back to LATERAL (documented); subquery
-    // RIGHT side resolves through the probe — but a parenthesized left
-    // here means the emitter must refuse and the LATERAL still answer
+    // subquery LEFT side resolves through the schema probe too (round 5)
+    // — both parenthesized sides take the union+window emitter
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "emitter should engage for subquery-left/subquery-right")
     assert(df.count() > 0)
     // right-subquery with a plain left table engages the emitter
     val df2 = s.sql("""
@@ -147,6 +218,48 @@ class RobustnessSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.isEmpty, "emitter should engage for table-left/subquery-right")
     assert(df2.count() == 50)
+  }
+
+  test("ASOF right-star expands through the emitter, values ≡ LATERAL") {
+    val s = newSession()
+    val q = """
+      SELECT e.event_id, v.*
+      FROM events e
+        ASOF JOIN (SELECT event_id AS view_id, user_id AS vuid, ts AS vts
+                   FROM events WHERE event_type = 'view') v
+        MATCH_CONDITION(e.ts >= v.vts) ON e.user_id = v.vuid
+      ORDER BY e.event_id"""
+    val df = s.sql(q)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "emitter should engage for v.* expansion")
+    assert(df.columns.toSeq == Seq("event_id", "view_id", "vuid", "vts"))
+    val lateral = spark.sql(
+      TableResolver.resolveAndSubstitute(SnowflakeRewriter.rewrite(q), s))
+    assert(df.collect().map(_.toSeq).toSeq ==
+      lateral.collect().map(_.toSeq).toSeq)
+  }
+
+  test("ASOF bails to LATERAL when the right alias is re-bound in scope") {
+    // a scalar subquery inside the block re-binds `v` as a relation —
+    // the emitter must not rewrite through the shadowing binding
+    val s = newSession()
+    val df = s.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                 WHERE event_type = 'view')
+      SELECT p.event_id, v.view_id, (SELECT count(*) FROM v) AS all_views
+      FROM p ASOF JOIN v MATCH_CONDITION(p.ts >= v.ts)
+        ON p.user_id = v.user_id
+      ORDER BY p.event_id""")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val expectedViews = s.sql(
+      "SELECT count(*) FROM events WHERE event_type = 'view'")
+      .collect()(0).getLong(0)
+    assert(rows.forall(_.getLong(2) == expectedViews),
+      "shadowed (SELECT count(*) FROM v) must count the CTE, not the ASOF exposure")
   }
 
   test("EXPLAIN passes through with resolved tables") {

@@ -108,6 +108,31 @@ class SessionSpec extends AnyFunSuite {
     assert(spark.sql(viaLateral).collect().toSeq == bounded)
   }
 
+  test("forward ASOF JOIN (first right at-or-after) also takes the union+window plan") {
+    val s = newSession()
+    val df = s.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                 WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, v.ts AS vts
+      FROM p ASOF JOIN v MATCH_CONDITION(p.ts <= v.ts)
+        ON p.user_id = v.user_id
+      ORDER BY p.event_id""")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"expected no joins:\n${df.queryExecution.optimizedPlan}")
+    val physical = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = physical.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
+    assert(df.count() > 0)
+  }
+
   test("USE DATABASE / SCHEMA change resolution") {
     val s = newSession()
     s.attachLake("/root/testdata/sf0.001", database = "OTHERDB", schema = "S2",
