@@ -84,11 +84,12 @@ object Components {
     *
     * Both steps are one shuffle-agg (per-vertex min) + one shuffle-join
     * (re-attach) over the edge list — the same primitives as
-    * [[connected]], no driver-side graph state. Edges only ever swap a
-    * partner for a strictly smaller one or merge duplicates, so the
-    * (count, keyed-sum) observation pair is stationary exactly at the
-    * fixpoint, where the edge set is a star per component centered on
-    * its minimum id. `localCheckpoint` cuts lineage each round.
+    * [[connected]], no driver-side graph state. Convergence = the edge
+    * set reaching its fixpoint (a star per component centered on its
+    * minimum id): a (count, keyed-sum) observation pair screens for
+    * stationarity each round for free, and a candidate fixpoint is then
+    * CONFIRMED with an exact multiset-difference check (the sum alone
+    * is collision-prone). `localCheckpoint` cuts lineage each round.
     *
     * Same output contract as [[connected]]: (id, comp) for every vertex
     * in the input, comp = min reachable id. Use for long-path graphs
@@ -140,8 +141,16 @@ object Components {
         .union(minsDown.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
       val (next, nextSig) = observed(smallNext)
-      converged = sig._2 != null && nextSig._1 == sig._1 &&
+      // the (count, keyed-sum) pair is a cheap screen, not a proof —
+      // distinct edge sets can collide (e.g. {(4,1),(2,3)} vs
+      // {(4,3),(2,1)} share count and sum), so confirm the fixpoint
+      // exactly before stopping: equal counts + empty multiset
+      // difference ⇔ equal sets. Both frames are checkpointed, so the
+      // exact check costs one small job and only runs when the screen
+      // passes (typically once, at the true fixpoint).
+      val sigStable = sig._2 != null && nextSig._1 == sig._1 &&
         nextSig._2.compareTo(sig._2) == 0
+      converged = sigStable && next.exceptAll(e).isEmpty
       sig = nextSig
       e = next
       iter += 1

@@ -41,9 +41,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * structural: it must make the side's projection strictly narrower (by
   * `defaultSize` accounting); otherwise the plan is left alone.
   *
-  * Fired only for deterministic, non-trivial (not attribute/literal)
-  * expressions without subqueries. Sound for every aggregate function:
-  * the join's row multiset is untouched, each row just arrives with `e`
+  * Fired only for INNER joins (an outer join null-extends a side, so a
+  * pushed non-null-propagating expression like coalesce/CASE would be
+  * evaluated before the null-extension instead of over it) and only for
+  * deterministic, non-trivial (not attribute/literal) expressions
+  * without subqueries. Sound for every aggregate function: the join's
+  * row multiset is untouched, each row just arrives with `e`
   * pre-computed.
   */
 object EagerProjection extends Rule[LogicalPlan] with PredicateHelper {
@@ -101,6 +104,13 @@ object EagerProjection extends Rule[LogicalPlan] with PredicateHelper {
       !SubqueryExpression.hasSubquery(e)
 
   private def tryRewrite(agg: Aggregate, join: Join): Option[LogicalPlan] = {
+    // Inner joins only: an outer join null-extends one side, and a
+    // pushed non-null-propagating expression (coalesce, CASE, IS NULL)
+    // would be computed before the null-extension instead of over it —
+    // e.g. coalesce(r.x, 0) is 0 on an unmatched row in the original
+    // plan but NULL once pushed below the extended side.
+    if (join.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+      return None
     // expressions evaluated once per pre-join row: aggregate-function
     // inputs and grouping expressions
     val inputs: Seq[Expression] =

@@ -122,4 +122,21 @@ class EagerProjectionSpec extends AnyFunSuite {
       assert(pushedProject(even).isEmpty)
     }
   }
+
+  test("outer joins never rewrite: null-extended rows keep original semantics") {
+    withRule(on = true) {
+      // coalesce(price*disc, 99) over a LEFT join from dim: unmatched dim
+      // rows are null-extended, and the original plan evaluates the
+      // coalesce AFTER extension (→ 99); a push below fact would freeze
+      // NULL. The rule must leave outer joins alone.
+      def outer() = dim.join(fact, dim("k") === fact("k"), "left")
+        .groupBy("g")
+        .agg(sum(coalesce($"price" * $"disc", lit(99.0))).as("s"))
+        .orderBy("g")
+      val on = outer()
+      assert(pushedProject(on).isEmpty)
+      val got = on.collect().toSeq
+      withRule(on = false) { assert(outer().collect().toSeq == got) }
+    }
+  }
 }
