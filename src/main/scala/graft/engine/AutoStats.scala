@@ -1,0 +1,156 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Automatic column statistics, making [[graft.plans.EagerAggregation]]'s
+  * profitability gate live in plain sessions — the reference plans on
+  * DuckDB, whose optimizer always has table stats; a session user here
+  * never runs `ANALYZE TABLE … FOR COLUMNS`, so without this the stats
+  * gate can never fire and the eager-aggregation win is unreachable.
+  *
+  * Shape: a JVM-wide store of (scan root path → CatalogStatistics),
+  * filled LAZILY the first time a session materializes a lake table view
+  * (one aggregate pass: rowCount + approx ndv + null count per atomic
+  * column), and an optimizer rule ([[AutoStats.AttachStats]]) that
+  * decorates bare `LogicalRelation` leaves with a synthetic
+  * [[CatalogTable]] carrying those stats — exactly what `ANALYZE TABLE`
+  * would have produced, minus min/max. `sizeInBytes` is copied from the
+  * relation itself so join-strategy (broadcast) decisions are unchanged;
+  * only rowCount/ndv — the inputs the eager-aggregation gate needs —
+  * are added. Stats flow to plans only when CBO is on
+  * (`spark.sql.cbo.enabled`, set by [[GraftSession]] when auto-stats is
+  * enabled).
+  *
+  * Scale notes (100 TB): the collection pass is one scan with a 2-agg
+  * column budget (ndv sketch + null count), capped by
+  * `spark.graft.autoStats.maxBytes` (default 1 GiB) — at warehouse scale
+  * you fold the same aggregates into the WRITE job (`Dataset.observe`
+  * rides the write for free) rather than re-scanning at attach; the
+  * store/attach mechanics here are identical either way. Writes through
+  * the session (INSERT/COPY/CREATE) invalidate the written path, and the
+  * next reference re-collects.
+  */
+object AutoStats {
+
+  private val store =
+    scala.collection.concurrent.TrieMap.empty[String, CatalogStatistics]
+  /** Paths that failed or were skipped (too big): don't retry per query. */
+  private val skipped =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  def enabled(spark: SparkSession): Boolean =
+    try spark.conf.get("spark.graft.autoStats", "true").trim.toBoolean
+    catch { case _: IllegalArgumentException => false }
+
+  private def maxBytes(spark: SparkSession): Long =
+    try spark.conf.get("spark.graft.autoStats.maxBytes",
+      (1L << 30).toString).trim.toLong
+    catch { case _: NumberFormatException => 1L << 30 }
+
+  /** Root-path key of the plan's single LogicalRelation leaf (None when
+    * the plan has zero or several scans — Iceberg delete-merge plans and
+    * the like stay stats-free rather than mis-keyed). */
+  private def keyOf(plan: LogicalPlan): Option[(String, LogicalRelation)] =
+    plan.collect { case lr: LogicalRelation => lr } match {
+      case Seq(lr) => lr.relation match {
+        case h: HadoopFsRelation =>
+          Some((h.location.rootPaths.map(_.toString).sorted.mkString(","), lr))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Types FilterEstimation can handle a ColumnStat for. TimestampNTZ is
+    * deliberately absent: Spark 4.1's FilterEstimation.evaluateBinary
+    * MatchErrors on TimestampNTZType (CBO predates the type), so a stat
+    * on such a column crashes optimization of any filter over it. Join
+    * keys — all the eager-aggregation gate reads — are int/string. */
+  private def eligible(f: StructField): Boolean = f.dataType match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType => true
+    case _ => false
+  }
+
+  /** Collect rowCount + per-column (approx ndv, null count) for `df`'s
+    * scan, once per path per JVM. No-op when disabled, already
+    * collected, keyless, or over the size cap. */
+  def maybeCollect(spark: SparkSession, df: DataFrame): Unit = {
+    if (!enabled(spark)) return
+    val (key, lr) = keyOf(df.queryExecution.analyzed) match {
+      case Some(kl) => kl
+      case None => return
+    }
+    if (store.contains(key) || skipped.contains(key)) return
+    if (lr.relation.sizeInBytes > maxBytes(spark)) {
+      skipped.put(key, ()); return
+    }
+    try {
+      val cols = df.schema.fields.filter(eligible).take(32)
+        .filter(f => !f.name.contains("`"))
+      val aggs = count(lit(1L)).as("_gs_n") +: cols.flatMap(f => Seq(
+        approx_count_distinct(col(s"`${f.name}`")),
+        count(col(s"`${f.name}`"))))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val rows = BigInt(row.getLong(0))
+      val colStats = cols.zipWithIndex.map { case (f, i) =>
+        val ndv = BigInt(row.getLong(1 + 2 * i))
+        val nonNull = BigInt(row.getLong(2 + 2 * i))
+        f.name -> CatalogColumnStat(
+          distinctCount = Some(ndv.max(1)),
+          nullCount = Some((rows - nonNull).max(0)))
+      }.toMap
+      store.put(key, CatalogStatistics(
+        sizeInBytes = lr.relation.sizeInBytes,
+        rowCount = Some(rows),
+        colStats = colStats))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => skipped.put(key, ()); () }
+  }
+
+  /** Drop stats for any path containing `pathFragment` (called after
+    * in-place writes; the next reference re-collects). */
+  def invalidate(pathFragment: String): Unit = {
+    store.keys.filter(_.contains(pathFragment)).foreach(store.remove)
+    skipped.keys.filter(_.contains(pathFragment)).foreach(skipped.remove)
+  }
+
+  /** Test/tooling escape hatch. */
+  def clear(): Unit = { store.clear(); skipped.clear() }
+
+  /** Optimizer rule: decorate bare LogicalRelation leaves whose root path
+    * has collected stats with a synthetic CatalogTable — the vehicle
+    * Spark's stats visitor already understands. Runs before
+    * [[graft.plans.EagerAggregation]] in the same batch (registration
+    * order in GraftExtensions), idempotent via the catalogTable guard. */
+  object AttachStats extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (store.isEmpty) plan
+      else plan.transform {
+        case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+          val key = lr.relation match {
+            case h: HadoopFsRelation =>
+              Some(h.location.rootPaths.map(_.toString).sorted.mkString(","))
+            case _ => None
+          }
+          key.flatMap(store.get) match {
+            case Some(cs) =>
+              lr.copy(catalogTable = Some(CatalogTable(
+                identifier = TableIdentifier(
+                  "graft_stats_" + Integer.toHexString(key.get.hashCode)),
+                tableType = CatalogTableType.EXTERNAL,
+                storage = CatalogStorageFormat.empty,
+                schema = lr.schema,
+                provider = Some("parquet"),
+                stats = Some(cs))))
+            case None => lr
+          }
+      }
+  }
+}

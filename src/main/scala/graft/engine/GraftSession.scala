@@ -73,6 +73,12 @@ final class GraftSession(
 
   spark.udf.register("current_warehouse", () => "x-spark")
 
+  // auto-collected table stats (AutoStats) reach plans only through the
+  // CBO stats visitor; sizeInBytes is preserved by the synthetic stats,
+  // so join-strategy decisions are unchanged — plans gain rowCount/ndv
+  if (AutoStats.enabled(spark))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+
   def attachLake(dir: String, database: String = "GRAFT",
       schema: String = "PUBLIC",
       names: Seq[String] = graft.Tables.names): Unit =
@@ -596,8 +602,13 @@ final class GraftSession(
         df.createOrReplaceTempView(viewName(f)); viewName(f)
       }
     } else registry.resolve(f).orElse(resolveExternal(f)).map { ref =>
-      if (ref.kind == TableKind.Lake)
-        registry.load(ref).createOrReplaceTempView(viewName(f))
+      if (ref.kind == TableKind.Lake) {
+        val df = registry.load(ref)
+        // lazy auto-stats (rowCount + ndv, once per path per JVM) so the
+        // EagerAggregation profitability gate can evaluate in sessions
+        AutoStats.maybeCollect(spark, df)
+        df.createOrReplaceTempView(viewName(f))
+      }
       viewName(f)
     }
 
@@ -723,6 +734,7 @@ final class GraftSession(
             TableRef(f, TableKind.Lake, Some(metadataPath), format = "iceberg")
           } else {
             df.write.mode("overwrite").parquet(path)
+            AutoStats.invalidate(path)
             TableRef(f, TableKind.Lake, Some(path))
           }
         registry.register(newRef)
@@ -982,6 +994,7 @@ final class GraftSession(
     } else {
       aligned.write.mode(if (overwrite) "overwrite" else "append")
         .parquet(ref.path.get)
+      AutoStats.invalidate(ref.path.get)
       resetHistory(f, ref)
     }
     status(s"inserted rows into ${f.table}")
@@ -1115,6 +1128,7 @@ final class GraftSession(
         }.toIndexedSeq: _*)
       }
     aligned.write.mode("append").parquet(ref.path.get)
+    AutoStats.invalidate(ref.path.get)
     resetHistory(f, ref)
     loadHistory.update(f, already ++ paths)
     if (mapped.purge) {

@@ -45,6 +45,9 @@ object TruncToFloor extends Rule[LogicalPlan] {
   * rules (`--conf spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // AttachStats first: it feeds the stats the EagerAggregation gate
+    // reads within the same operator-optimization batch
+    ext.injectOptimizerRule(_ => graft.engine.AutoStats.AttachStats)
     ext.injectOptimizerRule(_ => TruncToFloor)
     ext.injectOptimizerRule(_ => PartitionFilterMirror)
     ext.injectOptimizerRule(_ => EagerProjection)

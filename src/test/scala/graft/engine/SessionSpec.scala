@@ -108,6 +108,55 @@ class SessionSpec extends AnyFunSuite {
     assert(spark.sql(viaLateral).collect().toSeq == bounded)
   }
 
+  test("EagerAggregation fires through a plain session: auto stats, no ANALYZE") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+    // inject the rules GraftExtensions would register (specs share one
+    // JVM session where spark.sql.extensions is ignored); AttachStats
+    // must precede EagerAggregation in the batch
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.EagerAggregation))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++
+          Seq(graft.engine.AutoStats.AttachStats, graft.plans.EagerAggregation)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // plain session: no ANALYZE anywhere — ensureView's lazy AutoStats
+      // pass provides rowCount+ndv, and events has ~66 rows per user_id
+      // at sf0.001 (≥ the gate's 16×)
+      val s = newSession()
+      val df = s.sql("""
+        SELECT c.c_name, sum(e.value::double) AS total
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_name ORDER BY c.c_name""")
+      def isPreAgg(p: LogicalPlan): Boolean = p match {
+        case _: Aggregate => true
+        case Project(_, _: Aggregate) => true
+        case _ => false
+      }
+      val fired = df.queryExecution.optimizedPlan.collect {
+        case j: Join if isPreAgg(j.left) || isPreAgg(j.right) => j
+      }
+      assert(fired.nonEmpty,
+        s"eager aggregation did not fire:\n${df.queryExecution.optimizedPlan}")
+      // and the result matches the unrewritten plan
+      val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      spark.conf.set("spark.graft.eagerAggregation", "false")
+      val base = s.sql("""
+        SELECT c.c_name, sum(e.value::double) AS total
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_name ORDER BY c.c_name""")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == base.map(_._1))
+      got.zip(base).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-6 * math.max(1.0, math.abs(b))) }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.unset("spark.graft.eagerAggregation")
+      spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("forward ASOF JOIN (first right at-or-after) also takes the union+window plan") {
     val s = newSession()
     val df = s.sql("""
