@@ -157,7 +157,22 @@ object Bench {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-        .orderBy(col("rev").desc), liRows + ordRows))
+        .orderBy(col("rev").desc), liRows + ordRows),
+      // the same join over bucketed storage (CLUSTER BY … INTO n BUCKETS
+      // through the session, x16/snow49): both sides pre-hashed on the
+      // key, so the join itself needs NO exchange — h09's residual
+      // materialized exchange, amortized into the one-time write. The
+      // bucketed copies are built once and cached next to the heavy dir.
+      ("h09b_join_agg_bucketed", () => {
+        ensureHeavyBucketed(spark, dir)
+        spark.table("graft_h09b_li")
+          .join(spark.table("graft_h09b_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc)
+      }, liRows + ordRows))
 
     heavy.foreach { case (_, fn, _) =>
       try { val _ = fn().count() } catch { case _: Throwable => } // warm
@@ -191,6 +206,33 @@ object Bench {
       s""""heavy_lineitem_rows":$liRows,""" +
       s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr$failedJson"""
   }
+
+  /** Bucketed copies of the heavy join inputs (32 buckets on the join
+    * key), written ONCE next to the heavy data dir and re-exposed as
+    * external tables per JVM — the in-memory catalog forgets metadata
+    * between JVMs while the bucket files persist, so later runs pay only
+    * a CREATE TABLE. Build cost is outside the timed reps (the warm pass
+    * triggers it). */
+  private def ensureHeavyBucketed(spark: SparkSession, dir: String): Unit =
+    if (!spark.catalog.tableExists("graft_h09b_li")) {
+      val buckets = 32
+      def build(table: String, src: String, cols: Seq[String],
+          key: String): Unit = {
+        val loc = s"$dir/bucketed_$table"
+        val df = spark.read.parquet(s"$dir/$src")
+          .select(cols.map(col): _*)
+        if (new java.io.File(s"$loc/_SUCCESS").exists())
+          graft.operators.Bucketing.registerExternalBucketed(
+            spark, table, df.schema.toDDL, Seq(key), buckets, loc)
+        else
+          graft.operators.Bucketing.writeBucketedMulti(
+            df, table, Seq(key), buckets, Some(loc))
+      }
+      build("graft_h09b_li", "lineitem",
+        Seq("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
+      build("graft_h09b_ord", "orders",
+        Seq("o_orderkey", "o_orderpriority"), "o_orderkey")
+    }
 
   /** 1/5/15-min load averages — recorded so a contaminated run (another
     * process saturating the box) is visible in the artifact instead of

@@ -87,6 +87,7 @@ object AutoStats {
       case Some(kl) => kl
       case None => return
     }
+    if (lr.catalogTable.isDefined) return // catalog tables bring their own
     if (store.contains(key) || skipped.contains(key)) return
     if (lr.relation.sizeInBytes > maxBytes(spark)) {
       skipped.put(key, ()); return

@@ -105,10 +105,18 @@ final class GraftSession(
       recordVersion(f, ref.copy(path = Some(newMeta)))
       graft.sources.IcebergLite.scan(spark, newMeta).count()
     } else {
-      val newPath = s"${ref.path.get.replaceAll("__v\\d+$", "")}__v${snapshotSeq.incrementAndGet()}"
+      // COW snapshots are plain parquet; a bucketed table's rewritten
+      // snapshot downgrades to parquet (its catalog path is not a
+      // filesystem path) — re-CLUSTER with CTAS to restore bucketing
+      val base =
+        if (ref.format == "bucketed")
+          new java.io.File(warehouseDir, f.flat.toLowerCase).toString
+        else ref.path.get.replaceAll("__v\\d+$", "")
+      val newRef = ref.copy(path = None, format = "parquet")
+      val newPath = s"${base}__v${snapshotSeq.incrementAndGet()}"
       next.write.mode("overwrite").parquet(newPath)
-      registry.register(ref.copy(path = Some(newPath)))
-      recordVersion(f, ref.copy(path = Some(newPath)))
+      registry.register(newRef.copy(path = Some(newPath)))
+      recordVersion(f, newRef.copy(path = Some(newPath)))
       spark.read.parquet(newPath).count()
     }
   }
@@ -691,7 +699,27 @@ final class GraftSession(
         }, rem)
       case _ => (Seq.empty[String], rest)
     }
-    restNoPart.trim match {
+    // CREATE TABLE t CLUSTER BY (k[, …]) [INTO n BUCKETS] AS … —
+    // Snowflake's CLUSTER BY mapped to Spark bucketed+sorted storage:
+    // the scan reports hash partitioning on the keys, so every later
+    // join/aggregate on them plans with ZERO exchanges (x16's amortizer,
+    // now reachable from SQL). Default 16 buckets.
+    val clusterRe =
+      ("(?is)^CLUSTER\\s+BY\\s*\\(\\s*([\\w$\".]+(?:\\s*,\\s*[\\w$\".]+)*)" +
+       "\\s*\\)\\s*(?:INTO\\s+(\\d+)\\s+BUCKETS\\s*)?(.*)$").r
+    val (clusterBy, restNoCluster) = restNoPart.trim match {
+      case clusterRe(cols, n, rem) =>
+        require(!iceberg && !isView,
+          "CLUSTER BY bucketing applies to plain tables")
+        (Some((cols.split(",").toSeq.map(c => Identifiers.normalizePart(c.trim)),
+          Option(n).map(_.toInt).getOrElse(16))), rem)
+      case _ => (None, restNoPart)
+    }
+    if (clusterBy.isDefined &&
+        !asIdx.pattern.matcher(restNoCluster.trim).matches())
+      throw new IllegalArgumentException(
+        "CLUSTER BY is supported on CREATE TABLE … AS SELECT")
+    restNoCluster.trim match {
       case cloneRe(srcName) =>
         // Zero-copy clone (Snowflake CLONE semantics). Iceberg tables get
         // this for free: the metadata chain is immutable, and INSERT/DML
@@ -706,6 +734,8 @@ final class GraftSession(
           throw new IllegalArgumentException(s"clone source $src does not exist"))
         require(srcRef.kind == TableKind.Lake && srcRef.path.isDefined,
           s"cannot CLONE non-lake object $src")
+        require(srcRef.format != "bucketed",
+          s"CLONE of a bucketed table is not supported; use CREATE TABLE … CLUSTER BY … AS SELECT")
         val cloneRef =
           if (srcRef.format == "iceberg")
             TableRef(f, TableKind.Lake, srcRef.path, "iceberg")
@@ -732,6 +762,20 @@ final class GraftSession(
             val metadataPath = graft.sources.IcebergLite.write(spark, df, path,
               partitionBy = createPartitionBy)
             TableRef(f, TableKind.Lake, Some(metadataPath), format = "iceberg")
+          } else if (clusterBy.isDefined) {
+            // bucketed CTAS: the bucket spec lives in the Spark catalog,
+            // so the table is written via saveAsTable under a mangled
+            // catalog name; the registry records format "bucketed" with
+            // the catalog name as the path
+            val (keys, buckets) = clusterBy.get
+            val byUpper = df.columns.map(c => c.toUpperCase -> c).toMap
+            val actual = keys.map(k => byUpper.getOrElse(k.toUpperCase,
+              throw new IllegalArgumentException(
+                s"CLUSTER BY column $k not in SELECT output")))
+            val catName = ("graft_bkt_" + viewName(f)).toLowerCase
+            graft.operators.Bucketing.writeBucketedMulti(
+              df, catName, actual, buckets)
+            TableRef(f, TableKind.Lake, Some(catName), format = "bucketed")
           } else {
             df.write.mode("overwrite").parquet(path)
             AutoStats.invalidate(path)
@@ -918,6 +962,9 @@ final class GraftSession(
     // snapshots are COW-immutable, so UNDROP is a registry re-point —
     // stash the dropped ref (latest drop wins, Snowflake semantics)
     registry.resolve(f).foreach(r => droppedTables.put(f, r))
+    // NOTE: a bucketed table's Spark-catalog metadata survives the drop
+    // on purpose — UNDROP restores the registry pointer and the catalog
+    // entry must still resolve; re-CREATE under the same name rewrites it
     val existed = registry.drop(f)
     if (!existed && !ifExists)
       throw new IllegalArgumentException(s"object $f does not exist")
@@ -991,6 +1038,21 @@ final class GraftSession(
       // Iceberg metadata chains are immutable → older versions stay
       // time-travelable; in-place parquet loads invalidate them
       recordVersion(f, ref.copy(path = Some(newMeta)))
+    } else if (ref.format == "bucketed") {
+      // append through saveAsTable replays the catalog's bucket spec, so
+      // new files land bucket-aligned and the exchange-free join survives
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(ref.path.get))
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+        s"bucketed table ${f.table} lost its bucket spec"))
+      val w = aligned.write.mode(if (overwrite) "overwrite" else "append")
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      val ws =
+        if (spec.sortColumnNames.isEmpty) w
+        else w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      ws.format("parquet").saveAsTable(ref.path.get)
+      resetHistory(f, ref)
     } else {
       aligned.write.mode(if (overwrite) "overwrite" else "append")
         .parquet(ref.path.get)

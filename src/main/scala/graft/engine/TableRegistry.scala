@@ -67,6 +67,10 @@ final class TableRegistry(spark: SparkSession,
       val df =
         if (ref.format == "iceberg")
           graft.sources.IcebergLite.scan(spark, ref.path.get)
+        else if (ref.format == "bucketed")
+          // path = Spark catalog name; reading via the catalog keeps the
+          // bucket spec, so joins on the keys plan exchange-free
+          spark.table(ref.path.get)
         else spark.read.format(ref.format).load(ref.path.get)
       // events carries INT64-nanos timestamps; normalize like Tables.load
       if (ref.fqn.table == "EVENTS" && df.schema.fieldNames.contains("ts") &&

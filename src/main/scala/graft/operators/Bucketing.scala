@@ -18,20 +18,45 @@ object Bucketing {
     * catalog forgets tables between JVMs while their warehouse dirs
     * persist, so clear both before writing. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets)
+
+  /** Multi-key variant (the session's `CREATE TABLE … CLUSTER BY (…)
+    * INTO n BUCKETS` lands here); buckets and sorts on all `keys`.
+    * `location` = external-table path (None → managed warehouse dir). */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, location: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val leftover = java.nio.file.Paths.get(warehouse, table.toLowerCase)
+    val dir = location.getOrElse(new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase).toString)
+    val leftover = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(leftover)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(leftover).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+    location.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Re-expose an existing bucketed data directory as an external table
+    * (the in-memory catalog forgets metadata between JVMs; the data
+    * files persist). Schema/bucket DDL must match how it was written. */
+  def registerExternalBucketed(spark: SparkSession, table: String,
+      schemaDdl: String, keys: Seq[String], buckets: Int,
+      location: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl) USING parquet
+         |CLUSTERED BY (${keys.mkString(", ")})
+         |SORTED BY (${keys.mkString(", ")})
+         |INTO $buckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
   }
 
   /** Join two bucketed tables on their bucket key — plans with zero

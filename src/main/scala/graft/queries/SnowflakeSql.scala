@@ -959,6 +959,34 @@ object SnowflakeSql extends QueryPack {
         ORDER BY p.event_id""")
     },
 
+    // Bucketed storage from SQL: CREATE TABLE … CLUSTER BY (k) INTO n
+    // BUCKETS maps Snowflake's CLUSTER BY onto Spark bucketed+sorted
+    // tables — the repeated-join amortizer (x16) reachable without Scala.
+    // Both sides bucket on the join key, so the join plans with ZERO
+    // shuffle exchanges (asserted through GraftSession.sql in
+    // SessionSpec); this gate proves values round-trip the bucketed
+    // write+read against DuckDB on the raw tables.
+    GQuery("snow49_bucketed_join", Some("""
+      SELECT o.o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE li_bkt CLUSTER BY (l_orderkey) INTO 8 BUCKETS
+          AS SELECT l_orderkey, l_extendedprice::number(12,2) AS price,
+                    l_discount::number(4,2) AS disc
+          FROM lineitem;
+        CREATE OR REPLACE TABLE ord_bkt CLUSTER BY (o_orderkey) INTO 8 BUCKETS
+          AS SELECT o_orderkey, o_orderpriority FROM orders;
+        SELECT o.o_orderpriority, count(*) AS n,
+          sum(l.price * (1 - l.disc))::double AS rev
+        FROM li_bkt l JOIN ord_bkt o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

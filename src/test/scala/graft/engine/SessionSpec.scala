@@ -157,6 +157,36 @@ class SessionSpec extends AnyFunSuite {
     }
   }
 
+  test("CLUSTER BY bucketed tables: SQL join plans with zero exchanges") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = newSession()
+      s.sql("""CREATE OR REPLACE TABLE ob CLUSTER BY (custkey) INTO 4 BUCKETS
+        AS SELECT o_orderkey, o_custkey AS custkey, o_totalprice FROM orders""")
+      s.sql("""CREATE OR REPLACE TABLE cb CLUSTER BY (custkey) INTO 4 BUCKETS
+        AS SELECT c_custkey AS custkey, c_mktsegment FROM customer""")
+      val df = s.sql(
+        "SELECT ob.o_orderkey, cb.c_mktsegment FROM ob JOIN cb ON ob.custkey = cb.custkey")
+      val expected = s.sql(
+        """SELECT count(*) FROM orders o JOIN customer c
+           ON o.o_custkey = c.c_custkey""").collect()(0).getLong(0)
+      assert(df.count() == expected)
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed SQL join should not shuffle:\n$plan")
+      // INSERT keeps the bucket alignment (spec replayed from the catalog)
+      s.sql("INSERT INTO cb SELECT c_custkey + 100000, 'EXTRA' FROM customer")
+      val df2 = s.sql(
+        "SELECT ob.o_orderkey, cb.c_mktsegment FROM ob JOIN cb ON ob.custkey = cb.custkey")
+      df2.collect()
+      assert(!df2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "post-INSERT bucketed join should still be exchange-free")
+      s.sql("DROP TABLE ob"); s.sql("DROP TABLE cb")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("forward ASOF JOIN (first right at-or-after) also takes the union+window plan") {
     val s = newSession()
     val df = s.sql("""
