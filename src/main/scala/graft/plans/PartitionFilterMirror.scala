@@ -24,7 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * so `=`/`IN` mirror for unambiguous string types, and `>=`/`>`/`<`/
   * `<=` (and BETWEEN, already split into conjuncts) mirror for DateType
   * only — ISO `yyyy-MM-dd` is fixed-width zero-padded, so lexicographic
-  * order equals date order. Integer ranges stay unmirrored ("9" > "10").
+  * order equals date order. INTEGRAL identity partitions are written
+  * with the `zi` encoding instead (`__part_zi__<col>` = value + 2^63,
+  * zero-padded to 20 digits — an order-isomorphism from signed 64-bit
+  * to string order), so `=`/`IN` AND all range predicates mirror with
+  * exact strictness; the naive rendering's "9" > "10" trap is gone.
   *
   * Temporal-transform mirrors (the 100 TB time-partitioned-fact shape):
   * the shadow is a zero-padded UTC-wallclock prefix string of the value
@@ -47,7 +51,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object PartitionFilterMirror extends Rule[LogicalPlan] {
 
   private val Prefix = "__part_"
-  private val ShadowName = "__part_(?:(year|month|day|hour)__)?(.+)".r
+  private val ShadowName = "__part_(?:(year|month|day|hour|zi)__)?(.+)".r
 
   private def identityMirrorable(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType |
@@ -62,6 +66,26 @@ object PartitionFilterMirror extends Rule[LogicalPlan] {
         java.time.LocalDate.ofEpochDay(d.toLong).toString
       case v => v.toString
     }), StringType))
+
+  /** The `zi` encoding's rendering of an integral literal: value biased
+    * by 2^63, zero-padded to 20 digits — the write side's exact string,
+    * an order-isomorphism from signed 64-bit to lexicographic order, so
+    * range mirrors keep their strictness. */
+  private def ziString(l: Literal): Option[Literal] = {
+    val bi: Option[BigInt] = (l.dataType, l.value) match {
+      case (_, null) => None
+      case (ByteType, b: Byte) => Some(BigInt(b.toLong))
+      case (ShortType, s: Short) => Some(BigInt(s.toLong))
+      case (IntegerType, i: Int) => Some(BigInt(i.toLong))
+      case (LongType, lo: Long) => Some(BigInt(lo))
+      case _ => None
+    }
+    bi.map { v =>
+      val digits = (v + BigInt(2).pow(63)).toString
+      Literal(UTF8String.fromString(
+        "0" * (20 - digits.length) + digits), StringType)
+    }
+  }
 
   private def utcSession: Boolean = {
     val z = conf.sessionLocalTimeZone
@@ -124,12 +148,16 @@ object PartitionFilterMirror extends Rule[LogicalPlan] {
         infoOf(a).flatMap {
           case ("identity", s) if identityMirrorable(a.dataType) =>
             stringForm(l).map(EqualTo(s, _))
+          case ("zi", s) => ziString(l).map(EqualTo(s, _))
           case (tf, s) => temporalString(tf, l).map(EqualTo(s, _))
         }
       def inMirror(a: AttributeReference, ls: Seq[Expression]): Option[Expression] =
         infoOf(a).flatMap {
           case ("identity", s) if identityMirrorable(a.dataType) =>
             val sls = ls.map(l => stringForm(l.asInstanceOf[Literal]))
+            if (sls.forall(_.isDefined)) Some(In(s, sls.flatten)) else None
+          case ("zi", s) =>
+            val sls = ls.map(l => ziString(l.asInstanceOf[Literal]))
             if (sls.forall(_.isDefined)) Some(In(s, sls.flatten)) else None
           case (tf, s) =>
             val sls = ls.map(l => temporalString(tf, l.asInstanceOf[Literal]))
@@ -156,6 +184,14 @@ object PartitionFilterMirror extends Rule[LogicalPlan] {
                 case (false, false) => LessThanOrEqual(s, sl)
               })
             }
+          // zi is an exact order-isomorphism (like ISO dates), so the
+          // boundary partition is skippable under strict bounds too
+          case ("zi", s) => ziString(l).map(sl => (lower, strict) match {
+            case (true, true) => GreaterThan(s, sl)
+            case (true, false) => GreaterThanOrEqual(s, sl)
+            case (false, true) => LessThan(s, sl)
+            case (false, false) => LessThanOrEqual(s, sl)
+          })
           case (tf, s) => temporalString(tf, l).map(sl =>
             if (lower) GreaterThanOrEqual(s, sl) else LessThanOrEqual(s, sl))
         }

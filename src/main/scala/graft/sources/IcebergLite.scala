@@ -2,6 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -55,7 +56,10 @@ object IcebergLite {
     def spec: String =
       if (transform == "identity") column else s"$transform($column)"
     /** Shadow column name; the double underscore separates transform from
-      * source so [[graft.plans.PartitionFilterMirror]] can parse it back. */
+      * source so [[graft.plans.PartitionFilterMirror]] can parse it back.
+      * (Integral identity columns get `__part_zi__<col>` instead — the
+      * zero-padded range-prunable encoding — decided at commit time where
+      * the schema is known; see `shadowNameOf` in `commit`.) */
     def shadowName: String =
       if (transform == "identity") s"__part_$column"
       else s"__part_${transform}__$column"
@@ -302,7 +306,40 @@ object IcebergLite {
     // rule's range mapping relies on. Engine sessions pin UTC, so
     // date_format agrees with the mirror's literal rendering for
     // DATE/TIMESTAMP_NTZ always and for TIMESTAMP under the pinned zone.
+    //
+    // Integral identity partitions get the same treatment: the shadow is
+    // the value biased by 2^63 and zero-padded to 20 digits (`zi`
+    // encoding, marked in the shadow name), a total order-isomorphism
+    // from signed 64-bit to string order — so WHERE k BETWEEN … prunes
+    // at the file level instead of scanning every partition ("9" > "10"
+    // broke the naive rendering). The metadata spec stays standard
+    // Iceberg "identity"; `zi` is re-derived from the column type on
+    // every commit (INSERT round-trips preserve it).
+    def isIntegral(c: String): Boolean =
+      df.schema(df.schema.fieldIndex(c)).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    def shadowNameOf(pf: PartField): String =
+      if (pf.transform == "identity" && isIntegral(pf.column))
+        s"__part_zi__${pf.column}"
+      else pf.shadowName
+    partFields.foreach { pf =>
+      // an identity column named like a transform prefix would make the
+      // shadow name ambiguous for the mirror parser — reject at write
+      require(pf.transform != "identity" ||
+        !pf.column.matches("(?i)(?:year|month|day|hour|zi)__.*"),
+        s"identity partition column '${pf.column}' collides with the " +
+        "shadow transform encoding (<transform>__ prefix); rename it")
+    }
     def shadowExpr(pf: PartField) = pf.transform match {
+      case "identity" if isIntegral(pf.column) =>
+        lpad((col(pf.column).cast(DecimalType(21, 0)) +
+            lit(BigDecimal("9223372036854775808")))
+          .cast(DecimalType(20, 0)).cast("string"), 20, "0")
       case "identity" => col(pf.column).cast("string")
       case "year" => date_format(col(pf.column), "yyyy")
       case "month" => date_format(col(pf.column), "yyyy-MM")
@@ -314,9 +351,9 @@ object IcebergLite {
       // carry the transform + source column so the filter-mirror rule
       // can match
       partFields.foldLeft(df)((d, pf) =>
-          d.withColumn(pf.shadowName, shadowExpr(pf)))
+          d.withColumn(shadowNameOf(pf), shadowExpr(pf)))
         .write.mode("overwrite")
-        .partitionBy(partFields.map(_.shadowName): _*).parquet(dataDir)
+        .partitionBy(partFields.map(shadowNameOf): _*).parquet(dataDir)
     } else df.write.mode("overwrite").parquet(dataDir)
     val newFiles = Files.walk(Paths.get(dataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted

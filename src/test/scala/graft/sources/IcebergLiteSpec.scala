@@ -188,13 +188,14 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(full.schema("n_regionkey").dataType ==
       nation.schema("n_regionkey").dataType)
 
-    // pruned scan reads ONLY the matching partition's files
-    val pruned = IcebergLite.scan(spark, meta, Some(_ == "2"))
+    // pruned scan reads ONLY the matching partition's files (manifest
+    // partition values carry the zi encoding for integral columns)
+    val pruned = IcebergLite.scan(spark, meta, Some(_ == zi(2)))
     assert(pruned.count() == 5)
     assert(pruned.select("n_regionkey").distinct().collect()
       .map(_.get(0).toString).toSeq == Seq("2"))
     assert(pruned.inputFiles.length < full.inputFiles.length)
-    assert(pruned.inputFiles.forall(_.contains("__part_n_regionkey=2")))
+    assert(pruned.inputFiles.forall(_.contains(s"__part_zi__n_regionkey=${zi(2)}")))
 
     // fully-pruned scan: empty result, schema intact
     val none = IcebergLite.scan(spark, meta, Some(_ => false))
@@ -203,9 +204,9 @@ class IcebergLiteSpec extends AnyFunSuite {
     // append preserves the partition spec; new files are pruned too
     val meta2 = IcebergLite.append(spark,
       nation.filter(col("n_regionkey") === 2), meta)
-    val pruned2 = IcebergLite.scan(spark, meta2, Some(_ == "2"))
+    val pruned2 = IcebergLite.scan(spark, meta2, Some(_ == zi(2)))
     assert(pruned2.count() == 10)
-    assert(pruned2.inputFiles.forall(_.contains("__part_n_regionkey=2")))
+    assert(pruned2.inputFiles.forall(_.contains(s"__part_zi__n_regionkey=${zi(2)}")))
     assert(IcebergLite.scan(spark, meta2).count() == 30)
   }
 
@@ -217,7 +218,9 @@ class IcebergLiteSpec extends AnyFunSuite {
     val meta = IcebergLite.write(spark, nation, root,
       partitionBy = Seq("n_regionkey"))
 
-    // the query filters the REAL column; nothing names the shadow column
+    // the query filters the REAL column; nothing names the shadow column.
+    // n_regionkey is integral, so the shadow carries the zi (biased,
+    // zero-padded) encoding
     val df = IcebergLite.scan(spark, meta)
       .filter(col("n_regionkey") === 2)
     assert(df.count() == 5)
@@ -227,7 +230,7 @@ class IcebergLiteSpec extends AnyFunSuite {
     }.flatMap(_.selectedPartitions.toPartitionArray)
       .map(_.filePath.toString)
     assert(scanned.nonEmpty, "expected a FileSourceScanExec")
-    assert(scanned.forall(_.contains("__part_n_regionkey=2")),
+    assert(scanned.forall(_.contains(s"__part_zi__n_regionkey=${zi(2)}")),
       s"expected only the n_regionkey=2 partition, got: $scanned")
 
     // IN-list filters mirror too
@@ -239,7 +242,57 @@ class IcebergLiteSpec extends AnyFunSuite {
     }.flatMap(_.selectedPartitions.toPartitionArray)
       .map(_.filePath.toString)
     assert(scanned2.nonEmpty && scanned2.forall(p =>
-      p.contains("__part_n_regionkey=0") || p.contains("__part_n_regionkey=3")))
+      p.contains(s"__part_zi__n_regionkey=${zi(0)}") ||
+      p.contains(s"__part_zi__n_regionkey=${zi(3)}")))
+  }
+
+  /** The write side's zi rendering: value + 2^63, zero-padded to 20. */
+  private def zi(v: Long): String = {
+    val digits = (BigInt(v) + BigInt(2).pow(63)).toString
+    "0" * (20 - digits.length) + digits
+  }
+
+  test("zi encoding: integral identity partitions range-prune, negatives included") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_ice_zi").toString
+    // k spans negative..positive — the biased encoding must order across
+    // the sign boundary where naive rendering breaks twice over
+    val base = spark.range(0, 1000).select(
+      (col("id") % 21 - 10).cast("int").as("k"), col("id").as("v"))
+    val meta = IcebergLite.write(spark, base, root, partitionBy = Seq("k"))
+    val part = IcebergLite.scan(spark, meta)
+
+    // file-level skip: a range on the real column reads only in-range dirs
+    val df = part.filter(col("k") >= 3 && col("k") < 7)
+    val scanned = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
+    assert(scanned.nonEmpty, "expected a FileSourceScanExec")
+    assert(scanned.forall { p =>
+      val enc = p.split("__part_zi__k=")(1).takeWhile(_ != '/')
+      enc >= zi(3) && enc < zi(7)
+    }, s"out-of-range partition scanned: $scanned")
+    assert(scanned.length < part.inputFiles.length)
+
+    // fuzz: random =, IN, range, BETWEEN shapes vs the unpartitioned frame
+    val rnd = new scala.util.Random(7)
+    for (i <- 1 to 12) {
+      val a = rnd.nextInt(27) - 13
+      val b = rnd.nextInt(27) - 13
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val shape = rnd.nextInt(5) match {
+        case 0 => (d: org.apache.spark.sql.DataFrame) => d.filter(col("k") === a)
+        case 1 => (d: org.apache.spark.sql.DataFrame) => d.filter(col("k").isin(a, b))
+        case 2 => (d: org.apache.spark.sql.DataFrame) => d.filter(col("k") >= lo && col("k") < hi)
+        case 3 => (d: org.apache.spark.sql.DataFrame) => d.filter(col("k").between(lo, hi))
+        case _ => (d: org.apache.spark.sql.DataFrame) => d.filter(col("k") <= lo)
+      }
+      val got = shape(part).agg(count(lit(1)), sum(col("v"))).collect()(0)
+      val want = shape(base).agg(count(lit(1)), sum(col("v"))).collect()(0)
+      assert(got == want, s"zi pruning changed results for i=$i a=$a b=$b")
+    }
   }
 
   test("filter-mirror rule prunes a date-RANGE WHERE on a date partition") {
@@ -397,8 +450,9 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.partitionColumns(meta) == Seq("n_regionkey", "n_name"))
     assert(IcebergLite.scan(spark, meta).count() == 25)
 
-    // manifest-level filter sees "/"-joined values in spec order
-    val pruned = IcebergLite.scan(spark, meta, Some(_ == "1/NATION_1"))
+    // manifest-level filter sees "/"-joined values in spec order (the
+    // integral column carries its zi encoding)
+    val pruned = IcebergLite.scan(spark, meta, Some(_ == s"${zi(1)}/NATION_1"))
     assert(pruned.count() == 1)
 
     // mirror rule prunes on BOTH columns from a plain WHERE
@@ -410,7 +464,8 @@ class IcebergLiteSpec extends AnyFunSuite {
     }.flatMap(_.selectedPartitions.toPartitionArray)
       .map(_.filePath.toString)
     assert(scanned.nonEmpty && scanned.forall(p =>
-      p.contains("__part_n_regionkey=1") && p.contains("__part_n_name=NATION_1")))
+      p.contains(s"__part_zi__n_regionkey=${zi(1)}") &&
+      p.contains("__part_n_name=NATION_1")))
   }
 
   test("session: CREATE ICEBERG TABLE PARTITION BY round-trips") {
