@@ -1,19 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal (binary) column plumbing.
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Multimodal (binary) column handling: opaque `binary` payloads with
+  * typed metadata flow through a `mapPartitions` batch stage (the Scala
+  * analog of a `mapInPandas` batch UDF: one iterator per partition,
+  * amortized per-partition setup, output schema declared up front).
+  * Partitioning stays whatever the upstream scan chose; nothing here
+  * shuffles.
   *
-  * Media decode/resample libraries are not available in this environment,
-  * so the decode step is a clearly-marked deterministic stub — but the
-  * Spark-side contract is real: opaque `binary` payloads with typed
-  * metadata flow through a `mapPartitions` batch stage (the Scala analog of
-  * a `mapInPandas` batch UDF: one iterator per partition, amortized setup
-  * per partition, output schema declared up front). Partitioning stays
-  * whatever the upstream scan chose; nothing here shuffles.
+  * The decode step is REAL: container sniffing by magic bytes
+  * (png/jpeg/gif/bmp) and a javax.imageio decode for width / height /
+  * channel count — the JDK's own codecs, present on any executor.
+  * Payloads that are not images (or fail to decode) keep their byte
+  * length + digest with NULL image fields, the soft-failure contract a
+  * 100 TB media crawl needs (a corrupt file must not kill the stage).
+  * Audio/video containers would slot into the same sniff→decode seam
+  * with external codec libraries; only image decoding ships because the
+  * JDK carries it natively.
   */
 object Multimodal {
 
@@ -21,38 +32,92 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("content_digest", StringType, nullable = false),
-    StructField("fake_width", IntegerType, nullable = false),
-    StructField("fake_height", IntegerType, nullable = false)))
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
 
-  /** STUB decode: a real implementation would parse the media container
-    * and decode frames/samples here (per-partition codec setup, batch
-    * decode). The stub derives deterministic pseudo-metadata from the raw
-    * bytes so the pipeline shape — binary in, typed features out — is
-    * fully exercised and oracle-checkable. */
-  private def decodeStub(id: Long, payload: Array[Byte]): Row = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  /** Magic-byte container sniff — cheap rejection before any decode. */
+  private def sniff(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte)
+      Some("jpeg")
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8') Some("gif")
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else None
+
+  private def decode(id: Long, payload: Array[Byte],
+      md: java.security.MessageDigest): Row = {
+    md.reset()
     val digest = md.digest(payload).map("%02x".format(_)).mkString
-    Row(id, payload.length.toLong, digest,
-      (payload.length % 640).toInt, (payload.length % 480).toInt)
+    val n = payload.length.toLong
+    sniff(payload) match {
+      case Some(fmt) =>
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(id, n, digest, fmt, null, null, null)
+        else Row(id, n, digest, fmt, img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents)
+      case None => Row(id, n, digest, null, null, null, null)
+    }
   }
 
-  /** Batch feature extraction over a binary column: mapPartitions with a
-    * per-partition "codec" (here the MD5 instance) — the shape a real
-    * image/audio decode stage takes. */
+  /** Batch feature extraction over a binary column: mapPartitions with
+    * per-partition codec setup (digest instance, ImageIO memory-cache
+    * mode) — the shape any real media decode stage takes. */
   def extractFeatures(binDf: DataFrame, idCol: String = "doc_id",
       binCol: String = "payload"): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
     binDf.select(col(idCol).cast(LongType), col(binCol))
       .mapPartitions { rows =>
         // per-partition setup happens once (real codecs are expensive)
-        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+        ImageIO.setUseCache(false) // no temp-file spooling on executors
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map(r => decode(r.getLong(0), r.getAs[Array[Byte]](1), md))
       }(enc)
   }
 
-  /** Build a binary-payload table from text (the testdata carries no real
-    * media; encoding text to UTF-8 bytes gives a faithful opaque-binary
-    * column for plumbing tests). */
+  /** Build a binary-payload table from text (an opaque-binary column for
+    * the non-image path: sniff misses, byte metadata still flows). */
   def binaryFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload"))
+
+  private val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic real-PNG fixture: for each id, renders a
+    * `(8 + id % 32) × (8 + id*7 % 32)` RGB image with id-derived pixels
+    * and encodes it through the JDK PNG codec. The decode oracle is then
+    * pure arithmetic on the id — DuckDB can check the stored dimensions
+    * without any image library. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(payloadSchema))
+    df.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + Math.floorMod(id, 32L)).toInt
+          val h = (8 + Math.floorMod(id * 7, 32L)).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((id + x * 31 + y * 17) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          Row(id, out.toByteArray)
+        }
+      }(enc)
+  }
 }

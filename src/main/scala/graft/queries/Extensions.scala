@@ -260,16 +260,23 @@ object Extensions extends QueryPack {
         .orderBy("fp")
     },
 
-    // ───── multimodal binary plumbing ────────────────────────────────────
+    // ───── multimodal: REAL image decode ─────────────────────────────────
+    // Each doc_id becomes a real PNG (JDK codec) whose dimensions derive
+    // from the id; the pipeline sniffs the container and DECODES it back
+    // through javax.imageio in the mapPartitions batch stage. The oracle
+    // is pure arithmetic on the id, so DuckDB verifies the decoded
+    // dimensions with no image library — a genuine encode→decode
+    // round-trip check, not plumbing-only.
     GQuery("x12_multimodal_features", Some("""
       SELECT doc_id,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        md5(text) AS content_digest,
-        CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-        CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+        'png' AS format,
+        CAST(8 + doc_id % 32 AS INT) AS width,
+        CAST(8 + (doc_id * 7) % 32 AS INT) AS height,
+        CAST(3 AS INT) AS channels
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.binaryFromText(docs(s, dir), "doc_id", "text"))
+        Multimodal.syntheticImages(docs(s, dir), "doc_id"))
+        .select("doc_id", "format", "width", "height", "channels")
         .orderBy("doc_id")
     },
 

@@ -304,14 +304,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(v(2) == ("c", 1L))  // tie with z broken lexicographically
   }
 
-  test("multimodal plumbing: binary in, typed features out") {
+  test("multimodal: non-image payloads keep byte metadata, NULL image fields") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val feat = Multimodal.extractFeatures(
       Multimodal.binaryFromText(df, "doc_id", "text")).collect()(0)
     assert(feat.getAs[Long]("n_bytes") == 3L)
     assert(feat.getAs[String]("content_digest") ==
       "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
-    assert(feat.getAs[Int]("fake_width") == 3)
+    assert(feat.isNullAt(feat.fieldIndex("format")))
+    assert(feat.isNullAt(feat.fieldIndex("width")))
+  }
+
+  test("multimodal: real PNG payloads decode to their true dimensions") {
+    val ids = Seq(0L, 5L, 31L, 40L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticImages(ids, "doc_id"))
+      .orderBy("doc_id").collect()
+    feats.foreach { f =>
+      val id = f.getAs[Long]("doc_id")
+      assert(f.getAs[String]("format") == "png")
+      assert(f.getAs[Int]("width") == (8 + id % 32).toInt)
+      assert(f.getAs[Int]("height") == (8 + (id * 7) % 32).toInt)
+      assert(f.getAs[Int]("channels") == 3)
+      assert(f.getAs[Long]("n_bytes") > 0)
+    }
+    // a corrupt payload must soft-fail, not kill the stage: PNG magic
+    // with garbage body decodes to NULL dims but keeps byte metadata
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val corrupt = spark.createDataFrame(
+      java.util.Arrays.asList(Row(99L,
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val cf = Multimodal.extractFeatures(corrupt).collect()(0)
+    assert(cf.getAs[String]("format") == "png" &&
+      cf.isNullAt(cf.fieldIndex("width")) && cf.getAs[Long]("n_bytes") == 11L)
   }
 
   test("chunk: overlap windows cover every token; short docs = one chunk") {
