@@ -37,7 +37,13 @@ object Bucketing {
       java.nio.file.Files.walk(leftover).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    val w = df.write.mode("overwrite")
+    // one writer task per bucket → ONE file per bucket: Spark only
+    // trusts bucket files as pre-sorted (skipping the join's sort) when
+    // a bucket is a single file. repartition uses the same Murmur3 hash
+    // as the bucket spec, so each task holds exactly its bucket's rows.
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
