@@ -115,6 +115,61 @@ object AutoStats {
     } catch { case scala.util.control.NonFatal(_) => skipped.put(key, ()); () }
   }
 
+  /** The canonical store key for a filesystem path — the same qualified
+    * URI rendering `HadoopFsRelation.location.rootPaths` uses, so
+    * write-time recording and read-time attachment agree. */
+  private def qualifiedKey(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+  }
+
+  /** The 100 TB collection path: instrument `df` so the WRITE job itself
+    * produces the stats (`Dataset.observe` — the metrics ride the write
+    * for free, no second scan), and return a thunk to store them once
+    * the write action completes. Usage:
+    * {{{
+    *   val (instrumented, record) = AutoStats.observedForWrite(spark, df, path)
+    *   instrumented.write.mode("overwrite").parquet(path)
+    *   record()
+    * }}} */
+  def observedForWrite(spark: SparkSession, df: DataFrame,
+      path: String): (DataFrame, () => Unit) = {
+    if (!enabled(spark)) return (df, () => ())
+    val cols = df.schema.fields.filter(eligible).take(32)
+      .filter(f => !f.name.contains("`"))
+    if (cols.isEmpty) return (df, () => ())
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1L)).as("_gs_n") +: cols.zipWithIndex.flatMap {
+      case (f, i) => Seq(
+        approx_count_distinct(col(s"`${f.name}`")).as(s"_gs_d$i"),
+        count(col(s"`${f.name}`")).as(s"_gs_c$i"))
+    }
+    val instrumented = df.observe(obs, aggs.head, aggs.tail: _*)
+    val record = () => try {
+      val m = obs.get
+      val rows = BigInt(m("_gs_n").asInstanceOf[Long])
+      val colStats = cols.zipWithIndex.map { case (f, i) =>
+        f.name -> CatalogColumnStat(
+          distinctCount = Some(BigInt(m(s"_gs_d$i").asInstanceOf[Long]).max(1)),
+          nullCount = Some(
+            (rows - BigInt(m(s"_gs_c$i").asInstanceOf[Long])).max(0)))
+      }.toMap
+      val key = qualifiedKey(spark, path)
+      val size = try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => rows.toLong.max(1L) }
+      skipped.remove(key)
+      store.put(key, CatalogStatistics(
+        sizeInBytes = BigInt(size), rowCount = Some(rows),
+        colStats = colStats))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    (instrumented, record)
+  }
+
   /** Drop stats for any path containing `pathFragment` (called after
     * in-place writes; the next reference re-collects). */
   def invalidate(pathFragment: String): Unit = {

@@ -114,7 +114,10 @@ final class GraftSession(
         else ref.path.get.replaceAll("__v\\d+$", "")
       val newRef = ref.copy(path = None, format = "parquet")
       val newPath = s"${base}__v${snapshotSeq.incrementAndGet()}"
-      next.write.mode("overwrite").parquet(newPath)
+      val (instrumented, record) =
+        AutoStats.observedForWrite(spark, next, newPath)
+      instrumented.write.mode("overwrite").parquet(newPath)
+      record()
       registry.register(newRef.copy(path = Some(newPath)))
       recordVersion(f, newRef.copy(path = Some(newPath)))
       spark.read.parquet(newPath).count()
@@ -777,8 +780,12 @@ final class GraftSession(
               df, catName, actual, buckets)
             TableRef(f, TableKind.Lake, Some(catName), format = "bucketed")
           } else {
-            df.write.mode("overwrite").parquet(path)
+            // stats ride the write job itself (observe) — no extra scan
+            val (instrumented, record) =
+              AutoStats.observedForWrite(spark, df, path)
             AutoStats.invalidate(path)
+            instrumented.write.mode("overwrite").parquet(path)
+            record()
             TableRef(f, TableKind.Lake, Some(path))
           }
         registry.register(newRef)

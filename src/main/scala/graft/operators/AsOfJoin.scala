@@ -33,7 +33,10 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object AsOfJoin {
 
   /** Left rows keep their columns; each `rightCols` c arrives as `r_c`
-    * (null when no right row is at-or-before the left row).
+    * (null when no right row is at-or-before the left row —
+    * at-or-AFTER with `forward = true`, which flips the carry to a
+    * DESC window: the first right row ≥ the left timestamp, DuckDB's
+    * `l.ts <= r.ts` orientation).
     *
     * NULL semantics match SQL joins: right rows with a NULL key or NULL
     * timestamp can never match (comparisons are never true against NULL)
@@ -43,7 +46,7 @@ object AsOfJoin {
     * of columns from different right rows. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val rType = StructType(rightCols.map(c =>
       StructField(c, right.schema(c).dataType)))
@@ -61,7 +64,9 @@ object AsOfJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("_r"): _*)
     val w = Window.partitionBy("_k")
-      .orderBy(col("_ts").asc_nulls_first, col("_side"))
+      .orderBy(
+        if (forward) col("_ts").desc_nulls_first else col("_ts").asc_nulls_first,
+        col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedL.unionByName(taggedR)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))

@@ -389,6 +389,29 @@ object Extensions extends QueryPack {
         .orderBy("event_id")
     },
 
+    // Forward as-of at the operator level: FIRST right row at-or-after
+    // each left row (the same DESC-carry lowering snow48 takes in SQL).
+    // The matched right timestamp is selected — unique even when right
+    // rows tie — so the oracle is the tie-insensitive LEFT JOIN + min.
+    GQuery("x30_asof_forward_op", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, ts::TIMESTAMP AS vts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, min(v.vts) AS r_vts
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.vts >= p.ts
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id""")) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"))
+      AsOfJoin.asOf(p, v, "user_id", "ts", "vts", Seq("vts"), forward = true)
+        .select(col("event_id"), col("user_id"), col("r_vts"))
+        .orderBy("event_id")
+    },
+
     // Long-chain connected components via alternating large-star /
     // small-star: the consecutive-doc-id chain has diameter ≈ corpus
     // size, the worst case for min-propagation and exactly the shape the

@@ -1010,6 +1010,27 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY d;""")
     },
 
+    // Integral identity partitioning through the session: user_id
+    // partitions write the zi (order-preserving zero-padded) shadow
+    // encoding, so the BETWEEN range on the REAL column file-prunes
+    // (file-level skip asserted in IcebergLiteSpec; this gate proves
+    // values round-trip the partitioned write + pruned read).
+    GQuery("snow50_iceberg_int_partition", Some("""
+      SELECT user_id, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE user_id BETWEEN 40 AND 80
+      GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE events_by_user
+          PARTITION BY (user_id)
+          AS SELECT event_id, user_id, value FROM events;
+        SELECT user_id, count(*) AS n, sum(value::number(12,2))::double AS total
+        FROM events_by_user
+        WHERE user_id BETWEEN 40 AND 80
+        GROUP BY user_id ORDER BY user_id;""")
+    },
+
     // APPROX_TOP_K (Snowflake's Space-Saving heavy hitters → Spark 4's
     // native approx_top_k, same (expr, k, counters) signature). With
     // counters ≥ distinct values the sketch is exact, so the oracle is

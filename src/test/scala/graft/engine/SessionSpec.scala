@@ -157,6 +157,22 @@ class SessionSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS records stats during the write job; plans see rowCount") {
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.EagerAggregation))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++
+          Seq(graft.engine.AutoStats.AttachStats, graft.plans.EagerAggregation)
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE obs_t AS SELECT o_orderkey, o_custkey FROM orders")
+    // the write's Observation produced the stats — no ANALYZE, no
+    // second scan; CBO (enabled by the session) carries them to plans
+    val df = s.sql("SELECT * FROM obs_t")
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(1500)),
+      s"expected write-time rowCount, got ${stats.rowCount}")
+  }
+
   test("CLUSTER BY bucketed tables: SQL join plans with zero exchanges") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -178,6 +178,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == None)       // no quote at-or-before t=5
   }
 
+  test("forward as-of: FIRST at-or-after match per key, ties inclusive") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val trades = Seq((1L, "A", ts(10)), (2L, "A", ts(16)), (3L, "B", ts(50)))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", ts(8), 1.0), ("A", ts(10), 2.0), ("A", ts(15), 3.0),
+        ("B", ts(9), 9.0))
+      .toDF("sym", "t", "px")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "t", "t", Seq("px"),
+        forward = true)
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("r_px"))).toMap
+    assert(out(1L) == Some(2.0))  // tie at t=10 matches (inclusive)
+    assert(out(2L) == None)       // nothing at-or-after t=16 for A
+    assert(out(3L) == None)       // B's only quote is before t=50
+  }
+
   test("as-of join plans exactly one shuffle (union+window, no join)") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
