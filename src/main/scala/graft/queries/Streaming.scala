@@ -163,6 +163,40 @@ object Streaming extends QueryPack {
                sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
                  .as("sum_value"))
       }.orderBy("seg")
+    },
+
+    // Stream-STREAM join with watermarks + a time-range condition: every
+    // purchase pairs with the same user's views from the preceding hour.
+    // Both sides carry watermarks, so at production scale the join state
+    // is EVICTED once an event ages past (watermark − range) — the only
+    // way a fact-fact stream join survives an unbounded stream. Inner
+    // join in append mode emits each match exactly once, so the drained
+    // batch is deterministic and the DuckDB oracle is the plain
+    // range-joined pair list.
+    GQuery("stream06_stream_join", Some("""
+      SELECT p.event_id AS p_id, v.event_id AS v_id
+      FROM events p JOIN events v
+        ON p.user_id = v.user_id
+        AND p.event_type = 'purchase' AND v.event_type = 'view'
+        AND v.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 1 HOUR
+                                AND p.ts::TIMESTAMP
+      ORDER BY p_id, v_id""")) { (s, dir) =>
+      runStream(s, dir, outputMode = "append") { src =>
+        // watermarks require an instant (TIMESTAMP) column; the session
+        // pins UTC, so the NTZ→instant cast is exact
+        val p = src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+            col("ts").cast("timestamp").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val v = src.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
+            col("ts").cast("timestamp").as("v_ts"))
+          .withWatermark("v_ts", "2 hours")
+        p.join(v, col("p_uid") === col("v_uid") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"))
+          .select(col("p_id"), col("v_id"))
+      }.orderBy("p_id", "v_id")
     }
   )
 }

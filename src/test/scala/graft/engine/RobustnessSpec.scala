@@ -77,7 +77,16 @@ class RobustnessSpec extends AnyFunSuite {
         "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
           "MATCH_CONDITION(l.ts <= r.ts) ORDER BY l.id, r.rid",
         "SELECT l.id, r.rid FROM asof_l l ASOF LEFT JOIN asof_r r " +
-          "MATCH_CONDITION(l.ts <= r.ts) ON l.k1 = r.k1 ORDER BY l.id")
+          "MATCH_CONDITION(l.ts <= r.ts) ON l.k1 = r.k1 ORDER BY l.id",
+        // arithmetic right-time expressions: the carry orders by the
+        // SHIFTED value, which is monotone in r.ts, so the union+window
+        // lowering stays exact ("r visible 2 minutes after its ts")
+        "SELECT l.id, r.rid FROM asof_l l ASOF JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts >= r.ts + INTERVAL '2' MINUTE) " +
+          "ON l.k1 = r.k1 ORDER BY l.id",
+        "SELECT l.id, r.rid FROM asof_l l ASOF LEFT JOIN asof_r r " +
+          "MATCH_CONDITION(l.ts < r.ts - INTERVAL '1' MINUTE) " +
+          "ON l.k1 = r.k1 ORDER BY l.id")
       for (q <- shapes) {
         val viaUnionWindow = s.sql(q)
         assert(viaUnionWindow.queryExecution.optimizedPlan.collect {
