@@ -987,6 +987,58 @@ object SnowflakeSql extends QueryPack {
         ORDER BY o.o_orderpriority;""")
     },
 
+    // Forward ASOF LEFT JOIN: keep-unmatched forward orientation —
+    // purchases with no later view survive with NULL vts. Oracle is the
+    // LEFT range-join + min (tie-insensitive, NULL for matchless rows).
+    GQuery("snow51_asof_forward_left", Some("""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, min(v.ts) AS vts
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id""")) { (s, dir) =>
+      session(s, dir).sql("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, v.ts AS vts
+        FROM p ASOF LEFT JOIN v MATCH_CONDITION(p.ts <= v.ts)
+          ON p.user_id = v.user_id
+        ORDER BY p.event_id""")
+    },
+
+    // Bucketed table lifecycle: CTAS CLUSTER BY, INSERT (bucket spec
+    // replayed on append), then a bucket-key join + aggregate — proves
+    // the whole SQL lifecycle round-trips values, not just the plan
+    // shape (zero-exchange asserted in SessionSpec).
+    GQuery("snow52_bucketed_insert", Some("""
+      WITH ob AS (
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT c.c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(ob.price) AS DOUBLE) AS total
+      FROM ob JOIN customer c ON ob.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY seg""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE ord_ins CLUSTER BY (o_custkey) INTO 4 BUCKETS
+          AS SELECT o_orderkey, o_custkey, o_totalprice::number(12,2) AS price
+          FROM orders;
+        INSERT INTO ord_ins
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey % 2 = 0;
+        SELECT c.c_mktsegment AS seg, count(*) AS n,
+          sum(ob.price)::double AS total
+        FROM ord_ins ob JOIN customer c ON ob.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY seg;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -249,6 +249,45 @@ class RobustnessSpec extends AnyFunSuite {
       lateral.collect().map(_.toSeq).toSeq)
   }
 
+  test("chained ASOF joins: both lower through the emitter, zero joins") {
+    // the first lowering leaves a parenthesized derived table as the
+    // left side; the second ASOF must still take the union+window path
+    // (subquery-left support), so the whole plan stays join-free
+    val s = newSession()
+    val df = s.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events
+                 WHERE event_type = 'view'),
+           c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+                 WHERE event_type = 'click')
+      SELECT p.event_id, v.view_id, c.click_id
+      FROM p
+        ASOF JOIN v MATCH_CONDITION(p.ts >= v.vts) ON p.user_id = v.user_id
+        ASOF JOIN c MATCH_CONDITION(p.ts >= c.cts) ON p.user_id = c.user_id
+      ORDER BY p.event_id""")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, s"chained ASOF should stay join-free:\n${df.queryExecution.optimizedPlan}")
+    // differential vs the double-LATERAL lowering
+    val q = """
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events
+                 WHERE event_type = 'view'),
+           c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+                 WHERE event_type = 'click')
+      SELECT p.event_id, v.view_id, c.click_id
+      FROM p
+        ASOF JOIN v MATCH_CONDITION(p.ts >= v.vts) ON p.user_id = v.user_id
+        ASOF JOIN c MATCH_CONDITION(p.ts >= c.cts) ON p.user_id = c.user_id
+      ORDER BY p.event_id"""
+    val lateral = SnowflakeRewriter.rewrite(q)
+    assert(lateral.toUpperCase.contains("LATERAL"))
+    val viaLateral = spark.sql(TableResolver.resolveAndSubstitute(lateral, s))
+    assert(df.collect().toSeq == viaLateral.collect().toSeq)
+  }
+
   test("ASOF bails to LATERAL when the right alias is re-bound in scope") {
     // a scalar subquery inside the block re-binds `v` as a relation —
     // the emitter must not rewrite through the shadowing binding

@@ -203,6 +203,21 @@ class SessionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("CLUSTER BY guards: non-CTAS shapes and CLONE fail loudly") {
+    val s = newSession()
+    val e1 = intercept[IllegalArgumentException] {
+      s.sql("CREATE TABLE t_bad CLUSTER BY (k) INTO 4 BUCKETS (k INT, v INT)")
+    }
+    assert(e1.getMessage.contains("CREATE TABLE … AS SELECT"))
+    s.sql("""CREATE OR REPLACE TABLE src_b CLUSTER BY (o_orderkey)
+      AS SELECT o_orderkey, o_totalprice FROM orders""")
+    val e2 = intercept[IllegalArgumentException] {
+      s.sql("CREATE TABLE src_b2 CLONE src_b")
+    }
+    assert(e2.getMessage.toLowerCase.contains("bucketed"))
+    s.sql("DROP TABLE src_b")
+  }
+
   test("forward ASOF JOIN (first right at-or-after) also takes the union+window plan") {
     val s = newSession()
     val df = s.sql("""
