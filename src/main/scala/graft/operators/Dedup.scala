@@ -85,6 +85,33 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: the fraction of each corpus document's
+    * n-gram shingles that appear anywhere in the benchmark set; documents
+    * at-or-over `threshold` are flagged contaminated — the standard
+    * pre-training hygiene pass (a training corpus must not contain the
+    * eval suite).
+    *
+    * Scale shape: benchmark suites are tiny next to the corpus, so the
+    * DISTINCT benchmark shingle set is BROADCAST and the corpus side
+    * never shuffles its text — one map-side hash probe + a per-doc
+    * aggregate on the already-exploded shingles. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol, n)
+    val bs = shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("_hit", lit(1))
+    cs.join(broadcast(bs), Seq("shingle"), "left_outer")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("hits"))
+      .withColumn("overlap",
+        col("hits").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .select(col("doc").as(idCol), col("n_shingles"), col("hits"),
+        round(col("overlap"), 6).as("overlap"),
+        (col("overlap") >= threshold).as("contaminated"))
+  }
+
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     *
     * `numHashes` minhash values per doc (min of a seeded xxhash64 over the

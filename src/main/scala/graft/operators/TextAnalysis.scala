@@ -49,6 +49,20 @@ object TextAnalysis {
       split(regexp_replace(textCol, "(\\w{4})", "$1 "), "[\\s\\p{Punct}]+"),
       t => t =!= ""))
 
+  /** PII redaction — the standard corpus-cleaning pass before training:
+    * emails, IPv4s, and long digit runs (phone/ID shapes) replaced with
+    * typed placeholder tokens. A pure codegen'd regexp_replace chain:
+    * per-row, shuffle-free, linear in the corpus — and RE2-compatible
+    * patterns (no lookarounds) so the DuckDB oracle evaluates the exact
+    * same language. */
+  def redact(textCol: Column): Column = {
+    val email = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
   /** Quality features + a combined score. All int/int double divisions →
     * deterministic across engines. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -389,6 +389,53 @@ object Extensions extends QueryPack {
         .orderBy("event_id")
     },
 
+    // PII redaction: emails / IPv4s / long digit runs → typed placeholder
+    // tokens, a codegen'd regexp_replace chain (per-row, shuffle-free).
+    // Patterns are RE2-compatible, so DuckDB runs the EXACT same regex
+    // language ('g' = replace-all, Spark's default); synthetic PII is
+    // injected identically on both sides so the pass provably fires.
+    GQuery("x31_redact", Some("""
+      SELECT doc_id, md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              text || ' contact u' || doc_id || '@ex.com at 10.0.0.' ||
+                (doc_id % 256) || ' ref 1234567890' || doc_id,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{7,}\b', '<NUM>', 'g')) AS redacted_md5
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.redact(concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@ex.com at 10.0.0."),
+          col("doc_id") % 256, lit(" ref 1234567890"), col("doc_id"))))
+          .as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: per-doc fraction of 5-gram shingles
+    // found in the "benchmark" set (every 20th doc stands in for an eval
+    // suite — those must flag 1.0). Bench shingles broadcast; the corpus
+    // text never shuffles.
+    GQuery("x32_contamination", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+              FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i) g),
+      shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+      bench AS (SELECT DISTINCT s FROM shd WHERE doc_id % 20 = 0),
+      agg AS (SELECT d.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              FROM shd d LEFT JOIN bench b ON d.s = b.s GROUP BY 1)
+      SELECT doc_id, n_shingles, hits,
+        round(CAST(hits AS DOUBLE) / n_shingles, 6) AS overlap,
+        CAST(hits AS DOUBLE) / n_shingles >= 0.5 AS contaminated
+      FROM agg ORDER BY doc_id""")) { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.contamination(d, d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Forward as-of at the operator level: FIRST right row at-or-after
     // each left row (the same DESC-carry lowering snow48 takes in SQL).
     // The matched right timestamp is selected — unique even when right
