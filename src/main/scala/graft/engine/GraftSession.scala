@@ -1052,7 +1052,12 @@ final class GraftSession(
         org.apache.spark.sql.catalyst.TableIdentifier(ref.path.get))
       val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
         s"bucketed table ${f.table} lost its bucket spec"))
-      val w = aligned.write.mode(if (overwrite) "overwrite" else "append")
+      // one writer task per bucket, matching the CTAS layout (appends
+      // add one file per bucket instead of one per task × bucket)
+      val w = aligned
+        .repartition(spec.numBuckets,
+          spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(if (overwrite) "overwrite" else "append")
         .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
           spec.bucketColumnNames.tail: _*)
       val ws =
