@@ -1062,25 +1062,29 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY d;""")
     },
 
-    // Integral identity partitioning through the session: user_id
+    // Integral identity partitioning through the session: c_nationkey
     // partitions write the zi (order-preserving zero-padded) shadow
     // encoding, so the BETWEEN range on the REAL column file-prunes
     // (file-level skip asserted in IcebergLiteSpec; this gate proves
-    // values round-trip the partitioned write + pruned read).
+    // values round-trip the partitioned write + pruned read). Identity
+    // partitioning is for BOUNDED-cardinality keys — nationkey is 25
+    // dirs at any SF; a high-cardinality int belongs under bucket(),
+    // not identity (a per-user partition would be a tiny-file storm).
     GQuery("snow50_iceberg_int_partition", Some("""
-      SELECT user_id, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-      FROM events
-      WHERE user_id BETWEEN 40 AND 80
-      GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+      SELECT c_nationkey, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM customer
+      WHERE c_nationkey BETWEEN 5 AND 15
+      GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
       session(s, dir).sql("""
-        CREATE OR REPLACE ICEBERG TABLE events_by_user
-          PARTITION BY (user_id)
-          AS SELECT event_id, user_id, value FROM events;
-        SELECT user_id, count(*) AS n, sum(value::number(12,2))::double AS total
-        FROM events_by_user
-        WHERE user_id BETWEEN 40 AND 80
-        GROUP BY user_id ORDER BY user_id;""")
+        CREATE OR REPLACE ICEBERG TABLE cust_by_nation
+          PARTITION BY (c_nationkey)
+          AS SELECT c_custkey, c_nationkey, c_acctbal FROM customer;
+        SELECT c_nationkey, count(*) AS n,
+          sum(c_acctbal::number(12,2))::double AS total
+        FROM cust_by_nation
+        WHERE c_nationkey BETWEEN 5 AND 15
+        GROUP BY c_nationkey ORDER BY c_nationkey;""")
     },
 
     // APPROX_TOP_K (Snowflake's Space-Saving heavy hitters → Spark 4's

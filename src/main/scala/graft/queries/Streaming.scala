@@ -178,17 +178,22 @@ object Streaming extends QueryPack {
       FROM events p JOIN events v
         ON p.user_id = v.user_id
         AND p.event_type = 'purchase' AND v.event_type = 'view'
+        AND p.user_id < 50 AND v.user_id < 50
         AND v.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 1 HOUR
                                 AND p.ts::TIMESTAMP
       ORDER BY p_id, v_id""")) { (s, dir) =>
       runStream(s, dir, outputMode = "append") { src =>
         // watermarks require an instant (TIMESTAMP) column; the session
-        // pins UTC, so the NTZ→instant cast is exact
-        val p = src.filter(col("event_type") === "purchase")
+        // pins UTC, so the NTZ→instant cast is exact. The user bound
+        // keeps the gate's state size flat across SFs — the state
+        // EVICTION story is the watermark, exercised either way.
+        val p = src.filter(col("event_type") === "purchase" &&
+            col("user_id") < 50)
           .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
             col("ts").cast("timestamp").as("p_ts"))
           .withWatermark("p_ts", "2 hours")
-        val v = src.filter(col("event_type") === "view")
+        val v = src.filter(col("event_type") === "view" &&
+            col("user_id") < 50)
           .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
             col("ts").cast("timestamp").as("v_ts"))
           .withWatermark("v_ts", "2 hours")
