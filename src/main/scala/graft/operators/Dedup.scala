@@ -93,11 +93,19 @@ object Dedup {
     *
     * Scale shape: benchmark suites are tiny next to the corpus, so the
     * DISTINCT benchmark shingle set is BROADCAST and the corpus side
-    * never shuffles its text — one map-side hash probe + a per-doc
-    * aggregate on the already-exploded shingles. */
+    * never shuffles its shingles — per-doc dedup happens LOCALLY via
+    * `array_distinct` before the explode (unlike [[shingles]]' global
+    * distinct, which would shuffle the whole exploded corpus), then one
+    * map-side hash probe + a partial-aggregated per-doc rollup. */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
-    val cs = shingles(corpus, idCol, textCol, n)
+    val words = split(col(textCol), " ")
+    val arr = array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(words, " "))))
+    val cs = corpus.select(col(idCol).as("doc"), explode(arr).as("shingle"))
     val bs = shingles(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()
       .withColumn("_hit", lit(1))

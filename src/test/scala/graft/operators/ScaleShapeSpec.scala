@@ -55,6 +55,24 @@ class ScaleShapeSpec extends AnyFunSuite {
         TextAnalysis.langId(col("text")), TextAnalysis.tokenCount(col("text")))) == 0)
     assert(exchanges(Sampling.fractionByHash(
       docs.select("doc_id"), "doc_id", 0.25)) == 0)
+    assert(exchanges(
+      docs.select(TextAnalysis.redact(col("text")))) == 0)
+  }
+
+  test("contamination probes a BROADCAST bench set; corpus text never shuffles") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    // assert on the pre-execution plan: once AQE runs, stage boundaries
+    // hide the join subtree from collect()
+    val df = Dedup.contamination(docs, bench, "doc_id", "text",
+      n = 5, threshold = 0.5)
+    assert(allPairsJoins(df) == 0, physical(df).toString)
+    val plan = physical(df)
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"bench side must broadcast:\n$plan")
+    // the only exchange is the per-doc aggregate — the exploded corpus
+    // shingles are probed map-side, never shuffled for the join
+    assert(exchanges(df) <= 2, physical(df).toString)
   }
 
   test("candidate generators plan equi-joins, never all-pairs") {
