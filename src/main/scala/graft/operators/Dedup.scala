@@ -29,17 +29,21 @@ object Dedup {
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-`n`-gram shingles per document: (id, shingle). */
+  /** Distinct word-`n`-gram shingles per document: (id, shingle).
+    * Per-doc dedup is LOCAL (`array_distinct` before the explode) — a
+    * global `.distinct()` here would shuffle every exploded shingle of
+    * the corpus, a full-corpus exchange that per-row dedup replaces for
+    * free (the set is per-document by definition). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(col(textCol), " ")
     df.select(col(idCol).as("doc"),
-        when(size(words) >= n,
-          transform(sequence(lit(0), size(words) - n),
-            i => array_join(slice(words, i + 1, lit(n)), " ")))
-          .otherwise(array(array_join(words, " ")))
+        array_distinct(
+          when(size(words) >= n,
+            transform(sequence(lit(0), size(words) - n),
+              i => array_join(slice(words, i + 1, lit(n)), " ")))
+            .otherwise(array(array_join(words, " "))))
           .as("shs"))
       .select(col("doc"), explode(col("shs")).as("shingle"))
-      .distinct()
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold.
@@ -93,19 +97,11 @@ object Dedup {
     *
     * Scale shape: benchmark suites are tiny next to the corpus, so the
     * DISTINCT benchmark shingle set is BROADCAST and the corpus side
-    * never shuffles its shingles — per-doc dedup happens LOCALLY via
-    * `array_distinct` before the explode (unlike [[shingles]]' global
-    * distinct, which would shuffle the whole exploded corpus), then one
-    * map-side hash probe + a partial-aggregated per-doc rollup. */
+    * never shuffles its shingles ([[shingles]] dedups per-doc locally)
+    * — one map-side hash probe + a partial-aggregated per-doc rollup. */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
-    val words = split(col(textCol), " ")
-    val arr = array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, lit(n)), " ")))
-        .otherwise(array(array_join(words, " "))))
-    val cs = corpus.select(col(idCol).as("doc"), explode(arr).as("shingle"))
+    val cs = shingles(corpus, idCol, textCol, n)
     val bs = shingles(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()
       .withColumn("_hit", lit(1))
