@@ -21,10 +21,13 @@ import org.apache.spark.sql.types._
   * column), and an optimizer rule ([[AutoStats.AttachStats]]) that
   * decorates bare `LogicalRelation` leaves with a synthetic
   * [[CatalogTable]] carrying those stats — exactly what `ANALYZE TABLE`
-  * would have produced, minus min/max. `sizeInBytes` is copied from the
-  * relation itself so join-strategy (broadcast) decisions are unchanged;
-  * only rowCount/ndv — the inputs the eager-aggregation gate needs —
-  * are added. Stats flow to plans only when CBO is on
+  * would have produced, minus min/max. NOTE on sizes: with CBO on and
+  * rowCount present, Spark's `toPlanStats` IGNORES the stored
+  * sizeInBytes and recomputes it as rowCount × estimated row width, so
+  * string columns also get avgLen/maxLen collected (ADVICE r5) — without
+  * them a string falls back to defaultSize (20 B) and a string-heavy
+  * table could be under-estimated into an unintended broadcast.
+  * Stats flow to plans only when CBO is on
   * (`spark.sql.cbo.enabled`, set by [[GraftSession]] when auto-stats is
   * enabled).
   *
@@ -95,17 +98,35 @@ object AutoStats {
     try {
       val cols = df.schema.fields.filter(eligible).take(32)
         .filter(f => !f.name.contains("`"))
-      val aggs = count(lit(1L)).as("_gs_n") +: cols.flatMap(f => Seq(
-        approx_count_distinct(col(s"`${f.name}`")),
-        count(col(s"`${f.name}`"))))
-      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      // strings additionally get avg/max length so toPlanStats' row-width
+      // recomputation stays realistic (see class doc)
+      val aggItems = scala.collection.mutable.ArrayBuffer(count(lit(1L)).as("_gs_n"))
+      val layout = cols.map { f =>
+        val base = aggItems.size
+        aggItems += approx_count_distinct(col(s"`${f.name}`"))
+        aggItems += count(col(s"`${f.name}`"))
+        val strOff = if (f.dataType == StringType) {
+          aggItems += avg(length(col(s"`${f.name}`")))
+          aggItems += max(length(col(s"`${f.name}`")))
+          Some(base + 2)
+        } else None
+        (f, base, strOff)
+      }
+      val row = df.agg(aggItems.head, aggItems.drop(1).toSeq: _*).collect()(0)
       val rows = BigInt(row.getLong(0))
-      val colStats = cols.zipWithIndex.map { case (f, i) =>
-        val ndv = BigInt(row.getLong(1 + 2 * i))
-        val nonNull = BigInt(row.getLong(2 + 2 * i))
+      val colStats = layout.map { case (f, base, strOff) =>
+        val ndv = BigInt(row.getLong(base))
+        val nonNull = BigInt(row.getLong(base + 1))
+        val (avgLen, maxLen) = strOff.map { o =>
+          (if (row.isNullAt(o)) None
+           else Some(math.ceil(row.getDouble(o)).toLong),
+           if (row.isNullAt(o + 1)) None
+           else Some(row.getInt(o + 1).toLong))
+        }.getOrElse((None, None))
         f.name -> CatalogColumnStat(
           distinctCount = Some(ndv.max(1)),
-          nullCount = Some((rows - nonNull).max(0)))
+          nullCount = Some((rows - nonNull).max(0)),
+          avgLen = avgLen, maxLen = maxLen)
       }.toMap
       store.put(key, CatalogStatistics(
         sizeInBytes = lr.relation.sizeInBytes,
@@ -141,19 +162,30 @@ object AutoStats {
     if (cols.isEmpty) return (df, () => ())
     val obs = org.apache.spark.sql.Observation()
     val aggs = count(lit(1L)).as("_gs_n") +: cols.zipWithIndex.flatMap {
-      case (f, i) => Seq(
-        approx_count_distinct(col(s"`${f.name}`")).as(s"_gs_d$i"),
-        count(col(s"`${f.name}`")).as(s"_gs_c$i"))
+      case (f, i) =>
+        Seq(approx_count_distinct(col(s"`${f.name}`")).as(s"_gs_d$i"),
+          count(col(s"`${f.name}`")).as(s"_gs_c$i")) ++
+          (if (f.dataType == StringType)
+            Seq(avg(length(col(s"`${f.name}`"))).as(s"_gs_a$i"),
+              max(length(col(s"`${f.name}`"))).as(s"_gs_m$i"))
+          else Nil)
     }
     val instrumented = df.observe(obs, aggs.head, aggs.tail: _*)
     val record = () => try {
       val m = obs.get
       val rows = BigInt(m("_gs_n").asInstanceOf[Long])
       val colStats = cols.zipWithIndex.map { case (f, i) =>
+        val (avgLen, maxLen) =
+          if (f.dataType == StringType)
+            (Option(m(s"_gs_a$i")).collect { case n: Number =>
+              math.ceil(n.doubleValue()).toLong },
+             Option(m(s"_gs_m$i")).collect { case n: Number => n.longValue() })
+          else (None, None)
         f.name -> CatalogColumnStat(
           distinctCount = Some(BigInt(m(s"_gs_d$i").asInstanceOf[Long]).max(1)),
           nullCount = Some(
-            (rows - BigInt(m(s"_gs_c$i").asInstanceOf[Long])).max(0)))
+            (rows - BigInt(m(s"_gs_c$i").asInstanceOf[Long])).max(0)),
+          avgLen = avgLen, maxLen = maxLen)
       }.toMap
       val key = qualifiedKey(spark, path)
       val size = try {
@@ -170,11 +202,24 @@ object AutoStats {
     (instrumented, record)
   }
 
-  /** Drop stats for any path containing `pathFragment` (called after
-    * in-place writes; the next reference re-collects). */
+  /** Drop stats for any path matching `pathFragment` at a path-segment
+    * boundary (called after in-place writes; the next reference
+    * re-collects). Substring containment alone would invalidate `/wh/t2`
+    * when `/wh/t` is written (ADVICE r5) — the occurrence must be
+    * followed by `/` or end-of-key. */
   def invalidate(pathFragment: String): Unit = {
-    store.keys.filter(_.contains(pathFragment)).foreach(store.remove)
-    skipped.keys.filter(_.contains(pathFragment)).foreach(skipped.remove)
+    val frag = pathFragment.stripSuffix("/")
+    def hit(k: String): Boolean = {
+      var i = k.indexOf(frag)
+      while (i >= 0) {
+        val end = i + frag.length
+        if (end == k.length || k.charAt(end) == '/') return true
+        i = k.indexOf(frag, i + 1)
+      }
+      false
+    }
+    store.keys.filter(hit).foreach(store.remove)
+    skipped.keys.filter(hit).foreach(skipped.remove)
   }
 
   /** Test/tooling escape hatch. */

@@ -21,9 +21,26 @@ import scala.jdk.CollectionConverters._
   *   - A22 CURRENT_WAREHOUSE() UDF
   */
 final class GraftSession(
-    val spark: SparkSession,
+    parent: SparkSession,
     warehouseDir: String =
       Files.createTempDirectory("graft_warehouse").toString) {
+
+  /** Execution runs in a CLONED session state: same SharedState (external
+    * catalog, cached blocks), but a private SQLConf + temp-view namespace.
+    * Session-scoped confs (CBO for AutoStats, bucketed-scan sort trust)
+    * therefore never leak into other workloads sharing the JVM — ADVICE r5
+    * flagged the previous global `spark.sql.cbo.enabled` mutation, and
+    * tools/CboProbe measured a 2.7→16.6 s heavy-join regression when that
+    * conf leaked into a non-session workload. DataFrames returned by
+    * [[sql]] are bound to this clone, so their (lazy) planning sees the
+    * session confs too. */
+  val spark: SparkSession =
+    // cloneSession() is public bytecode but `private[sql]` to scalac in
+    // Spark 4 (classic.SparkSession); newSession() would lose the caller's
+    // runtime conf + injected experimental rules, so invoke it reflectively
+    try parent.getClass.getMethod("cloneSession").invoke(parent)
+      .asInstanceOf[SparkSession]
+    catch { case _: NoSuchMethodException => parent.newSession() }
 
   var currentDatabase: String = "GRAFT"
   var currentSchema: String = "PUBLIC"
@@ -73,11 +90,19 @@ final class GraftSession(
 
   spark.udf.register("current_warehouse", () => "x-spark")
 
-  // auto-collected table stats (AutoStats) reach plans only through the
-  // CBO stats visitor; sizeInBytes is preserved by the synthetic stats,
-  // so join-strategy decisions are unchanged — plans gain rowCount/ndv
+  // auto-collected table stats (AutoStats) reach plans through the CBO
+  // stats visitor — session-scoped via the clone (see above). NOTE: with
+  // CBO on and rowCount set, Spark's toPlanStats recomputes sizeInBytes
+  // as rowCount × estimated row width, so AutoStats collects avg string
+  // lengths too (ADVICE r5) to keep broadcast decisions realistic.
   if (AutoStats.enabled(spark))
     spark.conf.set("spark.sql.cbo.enabled", "true")
+  // trust bucket pre-sorts: with one file per bucket (CLUSTER BY CTAS and
+  // OPTIMIZE both write exactly one) the scan reports its sort order and
+  // co-located joins skip their Sorts entirely. Off by default in Spark
+  // because it lists files at planning time; bounded here — bucket counts
+  // are small and the file index is already materialized for the scan.
+  spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
   def attachLake(dir: String, database: String = "GRAFT",
       schema: String = "PUBLIC",
@@ -104,10 +129,33 @@ final class GraftSession(
       registry.register(ref.copy(path = Some(newMeta)))
       recordVersion(f, ref.copy(path = Some(newMeta)))
       graft.sources.IcebergLite.scan(spark, newMeta).count()
+    } else if (ref.format == "bucketed" && {
+        // a bucketed table's COW snapshot re-clusters through the recorded
+        // bucket spec whenever the rewritten frame still carries every
+        // cluster key — DML must not silently trade away the
+        // zero-exchange join property the user asked for with CLUSTER BY
+        val spec = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(ref.path.get)).bucketSpec
+        spec.exists(_.bucketColumnNames.forall(next.columns.contains))
+      }) {
+      val oldCat = ref.path.get
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(oldCat)).bucketSpec.get
+      val newCat = oldCat.replaceAll("_v\\d+$", "") +
+        s"_v${snapshotSeq.incrementAndGet()}"
+      graft.operators.Bucketing.writeBucketedMulti(
+        next, newCat, spec.bucketColumnNames, spec.numBuckets)
+      val newRef = ref.copy(path = Some(newCat))
+      registry.register(newRef)
+      recordVersion(f, newRef)
+      spark.table(newCat).count()
     } else {
-      // COW snapshots are plain parquet; a bucketed table's rewritten
-      // snapshot downgrades to parquet (its catalog path is not a
-      // filesystem path) — re-CLUSTER with CTAS to restore bucketing
+      // bucketed tables whose rewrite dropped a cluster key downgrade to
+      // plain parquet — loudly, not silently (ADVICE r5)
+      if (ref.format == "bucketed")
+        System.err.println(s"WARNING: DML on bucketed table ${f.table} " +
+          "dropped a CLUSTER BY key; table downgraded to plain parquet " +
+          "(re-create with CREATE TABLE … CLUSTER BY … AS SELECT to restore)")
       val base =
         if (ref.format == "bucketed")
           new java.io.File(warehouseDir, f.flat.toLowerCase).toString
@@ -275,6 +323,7 @@ final class GraftSession(
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
   private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|SEQUENCES|FILE\\s+FORMATS)\\b.*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
+  private val optimizeRe = "(?is)^OPTIMIZE\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val alterRe = "(?is)^ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s+(.*)$".r
   private val listRe = "(?is)^(?:LIST|LS)\\s+(\\S+)\\s*$".r
   private val showColsRe = "(?is)^SHOW\\s+COLUMNS\\s+IN\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
@@ -362,6 +411,7 @@ final class GraftSession(
     case dropRe(ifExists, name) => doDrop(ifExists != null, name)
     case undropRe(name) => doUndrop(name)
     case truncateRe(name) => doTruncate(name)
+    case optimizeRe(name) => doOptimize(name)
     case alterRe(name, action) => doAlter(name, action.trim)
     case listRe(src) if src.startsWith("@") => doList(src)
     case showColsRe(name) => doShowColumns(name)
@@ -884,6 +934,43 @@ final class GraftSession(
     status("Statement executed successfully.")
   }
 
+  /** OPTIMIZE table / ALTER TABLE … RECLUSTER (Snowflake's re-cluster
+    * verb): compact the table's storage layout.
+    *
+    * Bucketed tables are the motivating case — every INSERT appends one
+    * file per bucket (`doInsert`), and Spark only trusts a bucket's
+    * pre-sort (skipping the join-side Sort) when the bucket is a single
+    * file, so after the first append co-located joins silently re-grow
+    * their sorts. OPTIMIZE rewrites each bucket to exactly one sorted
+    * file (COW: a new catalog table, the registry re-points, the old
+    * version stays time-travelable), restoring the zero-Exchange AND
+    * zero-Sort join plan. Plain parquet / Iceberg tables get a file
+    * compaction rewrite through the same COW snapshot path. */
+  private def doOptimize(rawName: String): DataFrame = {
+    val f = fqn(rawName)
+    val ref = registry.resolve(f).getOrElse(
+      throw new IllegalArgumentException(s"table $f does not exist"))
+    require(ref.kind == TableKind.Lake && ref.path.isDefined,
+      s"cannot OPTIMIZE $f")
+    if (ref.format == "bucketed") {
+      val oldCat = ref.path.get
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(oldCat)).bucketSpec
+        .getOrElse(throw new IllegalStateException(
+          s"bucketed table ${f.table} lost its bucket spec"))
+      val newCat = oldCat.replaceAll("_v\\d+$", "") +
+        s"_v${snapshotSeq.incrementAndGet()}"
+      graft.operators.Bucketing.writeBucketedMulti(
+        spark.table(oldCat), newCat, spec.bucketColumnNames, spec.numBuckets)
+      val newRef = ref.copy(path = Some(newCat))
+      registry.register(newRef)
+      recordVersion(f, newRef)
+    } else {
+      swapSnapshot(f, ref, registry.load(ref))
+    }
+    status(s"Table ${f.table} successfully optimized.")
+  }
+
   // ── ALTER TABLE (schema evolution on copy-on-write snapshots) ──────────
   private def doAlter(rawName: String, action: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, lit}
@@ -900,6 +987,7 @@ final class GraftSession(
     val renameColRe =
       "(?is)^RENAME\\s+COLUMN\\s+([\\w$\"]+)\\s+TO\\s+([\\w$\"]+)\\s*$".r
     action match {
+      case r if r.matches("(?is)^RECLUSTER\\s*$") => doOptimize(rawName)
       case renameToRe(newName) =>
         val nf = fqn(newName)
         require(registry.resolve(nf).isEmpty, s"object $nf already exists")
@@ -1053,17 +1141,25 @@ final class GraftSession(
       val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
         s"bucketed table ${f.table} lost its bucket spec"))
       // one writer task per bucket, matching the CTAS layout (appends
-      // add one file per bucket instead of one per task × bucket)
-      val w = aligned
-        .repartition(spec.numBuckets,
-          spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
-        .write.mode(if (overwrite) "overwrite" else "append")
-        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-          spec.bucketColumnNames.tail: _*)
-      val ws =
-        if (spec.sortColumnNames.isEmpty) w
-        else w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-      ws.format("parquet").saveAsTable(ref.path.get)
+      // add one file per bucket instead of one per task × bucket); pin
+      // autoBucketedScan off so a self-referencing INSERT (source scans
+      // the same bucketed table) keeps its bucket-aligned partitions
+      // (see Bucketing.writeBucketedMulti for the full failure mode)
+      val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAbs = spark.conf.getOption(abs)
+      spark.conf.set(abs, "false")
+      try {
+        val w = aligned
+          .repartition(spec.numBuckets,
+            spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode(if (overwrite) "overwrite" else "append")
+          .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+            spec.bucketColumnNames.tail: _*)
+        val ws =
+          if (spec.sortColumnNames.isEmpty) w
+          else w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+        ws.format("parquet").saveAsTable(ref.path.get)
+      } finally prevAbs.fold(spark.conf.unset(abs))(spark.conf.set(abs, _))
       resetHistory(f, ref)
     } else {
       aligned.write.mode(if (overwrite) "overwrite" else "append")

@@ -41,13 +41,28 @@ object Bucketing {
     // trusts bucket files as pre-sorted (skipping the join's sort) when
     // a bucket is a single file. repartition uses the same Murmur3 hash
     // as the bucket spec, so each task holds exactly its bucket's rows.
+    //
+    // When the INPUT is itself a bucketed scan with the same spec (the
+    // OPTIMIZE re-cluster path), the planner elides the repartition
+    // exchange against the scan's hash partitioning — and then
+    // DisableUnnecessaryBucketedScan (no downstream operator "requires"
+    // the partitioning in a write plan) silently turns the bucketed scan
+    // OFF, leaving size-coalesced splits whose tasks hold a mix of
+    // buckets → several files per bucket, misaligned. Pinning
+    // autoBucketedScan off for the write keeps the bucketed scan (and
+    // hence the elided, shuffle-free rewrite) bucket-aligned.
     import org.apache.spark.sql.functions.col
-    val w = df.repartition(buckets, keys.map(col): _*)
-      .write.mode("overwrite")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-    location.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(abs)
+    spark.conf.set(abs, "false")
+    try {
+      val w = df.repartition(buckets, keys.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+      location.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    } finally prev.fold(spark.conf.unset(abs))(spark.conf.set(abs, _))
   }
 
   /** Re-expose an existing bucketed data directory as an external table

@@ -1039,6 +1039,38 @@ object SnowflakeSql extends QueryPack {
         GROUP BY c.c_mktsegment ORDER BY seg;""")
     },
 
+    // Bucket compaction: after an INSERT every bucket holds one file per
+    // append, and Spark only trusts the bucket pre-sort (skipping the
+    // join's Sort) with exactly one file per bucket — OPTIMIZE rewrites
+    // each bucket to one sorted file (COW, old version time-travelable).
+    // SessionSpec asserts the post-OPTIMIZE plan is Exchange- AND
+    // Sort-free; this gate proves the compacted values round-trip.
+    GQuery("snow53_bucketed_optimize", Some("""
+      WITH ob AS (
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT c.c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(ob.price) AS DOUBLE) AS total
+      FROM ob JOIN customer c ON ob.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY seg""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE ord_opt CLUSTER BY (o_custkey) INTO 4 BUCKETS
+          AS SELECT o_orderkey, o_custkey, o_totalprice::number(12,2) AS price
+          FROM orders;
+        INSERT INTO ord_opt
+          SELECT o_orderkey + 20000000, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey % 3 = 0;
+        OPTIMIZE ord_opt;
+        SELECT c.c_mktsegment AS seg, count(*) AS n,
+          sum(ob.price)::double AS total
+        FROM ord_opt ob JOIN customer c ON ob.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY seg;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -105,7 +105,7 @@ class SessionSpec extends AnyFunSuite {
       ORDER BY p.event_id""").collect().toSeq
     val viaLateral = graft.engine.TableResolver
       .resolveAndSubstitute(lateralSql, s)
-    assert(spark.sql(viaLateral).collect().toSeq == bounded)
+    assert(s.spark.sql(viaLateral).collect().toSeq == bounded)
   }
 
   test("EagerAggregation fires through a plain session: auto stats, no ANALYZE") {
@@ -141,7 +141,7 @@ class SessionSpec extends AnyFunSuite {
         s"eager aggregation did not fire:\n${df.queryExecution.optimizedPlan}")
       // and the result matches the unrewritten plan
       val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-      spark.conf.set("spark.graft.eagerAggregation", "false")
+      s.spark.conf.set("spark.graft.eagerAggregation", "false")
       val base = s.sql("""
         SELECT c.c_name, sum(e.value::double) AS total
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
@@ -168,7 +168,13 @@ class SessionSpec extends AnyFunSuite {
     // the write's Observation produced the stats — no ANALYZE, no
     // second scan; CBO (enabled by the session) carries them to plans
     val df = s.sql("SELECT * FROM obs_t")
-    val stats = df.queryExecution.optimizedPlan.stats
+    // .stats reads SQLConf from the ACTIVE session (thread-local): make the
+    // session clone active so its cbo.enabled governs the stats visitor,
+    // as it does during the session's own query execution
+    val active = SparkSession.getActiveSession
+    val stats =
+      try { SparkSession.setActiveSession(s.spark); df.queryExecution.optimizedPlan.stats }
+      finally active.foreach(SparkSession.setActiveSession)
     assert(stats.rowCount.contains(BigInt(1500)),
       s"expected write-time rowCount, got ${stats.rowCount}")
   }
@@ -199,6 +205,45 @@ class SessionSpec extends AnyFunSuite {
       df2.collect()
       assert(!df2.queryExecution.executedPlan.toString.contains("Exchange"),
         "post-INSERT bucketed join should still be exchange-free")
+      // the append left cb with 2 files per bucket, so Spark stops
+      // trusting the bucket pre-sort and the join re-grows cb's Sort;
+      // OPTIMIZE rewrites each bucket to one sorted file → the join
+      // plans with zero Exchange AND zero Sort again
+      import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: flatten(q.plan)
+        case o => o +: o.children.flatMap(flatten)
+      }
+      def sorts(df: org.apache.spark.sql.DataFrame): Int =
+        flatten(df.queryExecution.executedPlan)
+          .collect { case s: SortExec => s }.size
+      def exch(df: org.apache.spark.sql.DataFrame): Int =
+        flatten(df.queryExecution.executedPlan).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      assert(sorts(df2) > 0,
+        "expected the post-INSERT join to re-grow a sort (2 files/bucket)")
+      val n2 = df2.count()
+      s.sql("OPTIMIZE cb")
+      val df3 = s.sql(
+        "SELECT ob.o_orderkey, cb.c_mktsegment FROM ob JOIN cb ON ob.custkey = cb.custkey")
+      df3.collect()
+      assert(exch(df3) == 0,
+        s"post-OPTIMIZE join should not shuffle:\n${df3.queryExecution.executedPlan}")
+      assert(sorts(df3) == 0,
+        s"post-OPTIMIZE join should not sort:\n${df3.queryExecution.executedPlan}")
+      assert(df3.count() == n2, "OPTIMIZE must not change the row set")
+      // ALTER TABLE … RECLUSTER is the same verb (Snowflake spelling)
+      s.sql("INSERT INTO cb SELECT c_custkey + 200000, 'EXTRA2' FROM customer")
+      s.sql("ALTER TABLE cb RECLUSTER")
+      val df4 = s.sql(
+        "SELECT ob.o_orderkey, cb.c_mktsegment FROM ob JOIN cb ON ob.custkey = cb.custkey")
+      df4.collect()
+      assert(exch(df4) == 0 && sorts(df4) == 0,
+        s"post-RECLUSTER join should be exchange- and sort-free:\n${df4.queryExecution.executedPlan}")
       s.sql("DROP TABLE ob"); s.sql("DROP TABLE cb")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
