@@ -424,6 +424,14 @@ object SnowflakeRewriter {
 
   private val plainIdent = "^[A-Za-z_][A-Za-z0-9_$]*$".r
 
+  /** Render a RESOLVED column name as a Spark identifier: plain names
+    * pass through; anything else (spaces, punctuation, exact-case names
+    * born from quoted DDL) renders backtick-quoted. Names containing a
+    * backtick are rejected upstream (they cannot round-trip Spark's
+    * quoting). */
+  private def bq(c: String): String =
+    if (plainIdent.findFirstIn(c).isDefined) c else "`" + c + "`"
+
   /** The union+window ASOF emitter (see [[rewriteAsOfJoin]] scaladoc).
     * Returns None for any shape it cannot prove it handles — the caller
     * then falls back to the correlated-LATERAL form.
@@ -617,8 +625,10 @@ object SnowflakeRewriter {
     val rightRelSql = render(rel)
     val leftCols = resolver(withPrefixSql, leftRelSql).getOrElse(return None)
     val rightCols = resolver(withPrefixSql, rightRelSql).getOrElse(return None)
-    if ((leftCols ++ rightCols).exists(c => plainIdent.findFirstIn(c).isEmpty))
-      return None
+    // non-plain names (quoted DDL/aliases: spaces, punctuation, exact
+    // case) render backtick-quoted via bq(); only a backtick in the name
+    // itself cannot round-trip Spark quoting — those bail to LATERAL
+    if ((leftCols ++ rightCols).exists(_.contains("`"))) return None
 
     // ── exposure: left cols keep their names (derived table is aliased as
     //    the LEFT alias); right cols keep theirs unless colliding, in
@@ -660,16 +670,32 @@ object SnowflakeRewriter {
             if (c < arr.length) arr(c) match {
               case Ident(cn) if exposedOf.contains(cn.toLowerCase) =>
                 arr(i) = Ident(laAlias)
-                arr(c) = Ident(exposedOf(cn.toLowerCase))
+                arr(c) = Ident(bq(exposedOf(cn.toLowerCase)))
                 i = c
-              case Op("*") => // ra.* → the exposed right columns via la
+              case QIdent(q) if exposedOf.contains(
+                  Identifiers.normalizePart(q).toLowerCase) =>
+                // quoted member ref (`ra."My Col"`) → the backtick-rendered
+                // exposed name (resolution stays case-insensitive, like the
+                // rest of the engine)
+                arr(i) = Ident(laAlias)
+                arr(c) = Ident(bq(
+                  exposedOf(Identifiers.normalizePart(q).toLowerCase)))
+                i = c
+              case Op("*") => // ra.* → the exposed right columns via la,
+                // re-aliased to their ORIGINAL right names: Snowflake's
+                // r.* surfaces the right relation's own column names even
+                // when they collide with left ones (duplicate select-list
+                // names are legal) — without the alias the collision
+                // renames (b_ts) would leak into the output schema
                 splices(i) = lex(
-                  exposed.map(e => s"$laAlias.$e").mkString(", "))
+                  exposed.zip(rightCols).map { case (e, c0) =>
+                    if (e == c0) s"$laAlias.${bq(e)}"
+                    else s"$laAlias.${bq(e)} AS ${bq(c0)}" }.mkString(", "))
                 splices(j) = Vector.empty
                 splices(c) = Vector.empty
                 i = c
               case Ident(_) => i = c // not a right column (map key) — leave
-              case _ => return None // quoted/odd member access — fall back
+              case _ => return None // odd member access — fall back
             }
           } else {
             // left alias as qualifier: skip the member (it may share the
@@ -707,20 +733,21 @@ object SnowflakeRewriter {
     val over = s"OVER (${partition}ORDER BY _ga_ts $dir NULLS FIRST, " +
       "_ga_side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     val lKeys = keyPairs.zipWithIndex.map { case ((lc, _), i) =>
-      s"$laAlias.$lc AS _ga_k$i" }
+      s"$laAlias.${bq(lc)} AS _ga_k$i" }
     val rKeys = keyPairs.zipWithIndex.map { case ((_, rc), _) =>
-      s"$aName.$rc" }
+      s"$aName.${bq(rc)}" }
     val rStruct = "named_struct(" +
-      rightCols.map(c => s"'$c', $aName.$c").mkString(", ") + ")"
+      rightCols.map(c =>
+        s"'${c.replace("'", "''")}', $aName.${bq(c)}").mkString(", ") + ")"
     val rGuards = (keyPairs.map { case (_, rc) =>
-      s"$aName.$rc IS NOT NULL" } :+ s"($rtSql) IS NOT NULL").mkString(" AND ")
+      s"$aName.${bq(rc)} IS NOT NULL" } :+ s"($rtSql) IS NOT NULL").mkString(" AND ")
     val lBranch = (lKeys ++ Seq(s"$ltSql AS _ga_ts", "1 AS _ga_side") ++
-      leftCols.map(c => s"$laAlias.$c AS $c") ++
+      leftCols.map(c => s"$laAlias.${bq(c)} AS ${bq(c)}") ++
       Seq("NULL AS _ga_r")).mkString(", ")
     val rBranch = (rKeys ++ Seq(rtSql, s"$rightTag") ++
       leftCols.map(_ => "NULL") ++ Seq(rStruct)).mkString(", ")
-    val outCols = leftCols ++
-      exposed.zip(rightCols).map { case (e, c) => s"_ga_m.$c AS $e" }
+    val outCols = leftCols.map(bq) ++
+      exposed.zip(rightCols).map { case (e, c) => s"_ga_m.${bq(c)} AS ${bq(e)}" }
     // inner drops matchless left rows (`_ga_m IS NOT NULL`); outer keeps
     // them — their carried right columns surface as NULL
     val matchFilter = if (outer) "" else " AND _ga_m IS NOT NULL"

@@ -67,6 +67,19 @@ object SqlTokens {
           } else j += 1
         }
         out += QIdent(sql.substring(i, j)); i = j
+      } else if (c == '`') {
+        // Spark backtick-quoted identifier (emitted by our own rewrite
+        // passes for non-plain column names): one atomic token, so later
+        // passes can never rewrite fragments inside it. `` escapes `.
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          if (sql.charAt(j) == '`') {
+            if (j + 1 < n && sql.charAt(j + 1) == '`') j += 2
+            else { done = true; j += 1 }
+          } else j += 1
+        }
+        out += Ident(sql.substring(i, j)); i = j
       } else if (c.isDigit || (c == '.' && i + 1 < n && sql.charAt(i + 1).isDigit)) {
         var j = i
         while (j < n && (sql.charAt(j).isDigit || sql.charAt(j) == '.' ||

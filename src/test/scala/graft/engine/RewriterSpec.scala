@@ -535,13 +535,15 @@ class RewriterSpec extends AnyFunSuite {
     assert(fwdStrict.contains("DESC NULLS FIRST") &&
       fwdStrict.replaceAll("\\s+", " ").contains("b.k, b.ts, 2, NULL"))
 
-    // right-star expands to the exposed right columns via the left alias
+    // right-star expands to the exposed right columns via the left alias,
+    // re-aliased back to the ORIGINAL right names (Snowflake r.* keeps
+    // the right relation's own names even when they collide with left)
     val star = SnowflakeRewriter.rewrite(
       "SELECT a.x, b.* FROM a ASOF JOIN b " +
         "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k", resolver)
     assert(!star.toUpperCase.contains("LATERAL"), star)
     assert(star.replaceAll("\\s+", " ").contains(
-      "SELECT a.x, a.b_k, a.b_ts, a.y FROM"))
+      "SELECT a.x, a.b_k AS k, a.b_ts AS ts, a.y FROM"))
 
     // shapes the emitter must refuse (falls back to LATERAL):
     // unresolvable schema

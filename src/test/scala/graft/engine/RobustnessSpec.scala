@@ -94,7 +94,7 @@ class RobustnessSpec extends AnyFunSuite {
         }.isEmpty, s"emitter did not engage for: $q")
         val lateral = SnowflakeRewriter.rewrite(q) // no resolver → LATERAL
         assert(lateral.toUpperCase.contains("LATERAL"))
-        val viaLateral = spark.sql(
+        val viaLateral = s.spark.sql(
           TableResolver.resolveAndSubstitute(lateral, s))
         assert(viaUnionWindow.collect().toSeq == viaLateral.collect().toSeq,
           s"seed=$seed shape=$q")
@@ -152,7 +152,7 @@ class RobustnessSpec extends AnyFunSuite {
           case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
         }.isEmpty, s"emitter did not engage for: $q")
         val lateral = SnowflakeRewriter.rewrite(q)
-        val viaLateral = spark.sql(
+        val viaLateral = s.spark.sql(
           TableResolver.resolveAndSubstitute(lateral, s))
         assert(viaUnionWindow.collect().toSeq == viaLateral.collect().toSeq,
           s"seed=$seed shape=$q")
@@ -243,7 +243,61 @@ class RobustnessSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.isEmpty, "emitter should engage for v.* expansion")
     assert(df.columns.toSeq == Seq("event_id", "view_id", "vuid", "vts"))
-    val lateral = spark.sql(
+    val lateral = s.spark.sql(
+      TableResolver.resolveAndSubstitute(SnowflakeRewriter.rewrite(q), s))
+    assert(df.collect().map(_.toSeq).toSeq ==
+      lateral.collect().map(_.toSeq).toSeq)
+  }
+
+  test("ASOF r.* with colliding right names keeps ORIGINAL names in output") {
+    // Snowflake's r.* surfaces the right relation's own column names even
+    // when they collide with left columns; the emitter's internal
+    // collision renames (v_ts) must not leak into the output schema
+    // (ADVICE r5). Values were always correct — this pins the names.
+    val s = newSession()
+    val q = """
+      SELECT e.event_id, v.*
+      FROM events e
+        ASOF JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'view') v
+        MATCH_CONDITION(e.ts >= v.ts) ON e.user_id = v.user_id
+      ORDER BY e.event_id"""
+    val df = s.sql(q)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "emitter should engage")
+    assert(df.columns.toSeq == Seq("event_id", "user_id", "ts"),
+      s"r.* must expose original right names, got ${df.columns.toSeq}")
+    val lateral = s.spark.sql(
+      TableResolver.resolveAndSubstitute(SnowflakeRewriter.rewrite(q), s))
+    assert(df.collect().map(_.toSeq).toSeq ==
+      lateral.collect().map(_.toSeq).toSeq)
+  }
+
+  test("ASOF with a special-char right column takes the emitter, quote-rendered") {
+    // A right column whose resolved name is not a plain identifier
+    // ("View ID": space + exact case, as born from quoted DDL) used to
+    // force the LATERAL nested-loop fallback; the emitter now renders
+    // such names backtick-quoted and keeps the zero-join plan.
+    val s = newSession()
+    val dir = java.nio.file.Files.createTempDirectory("asof_weird").toString
+    s.spark.range(0, 200)
+      .selectExpr("id AS `View ID`", "CAST(id % 40 AS BIGINT) AS vuid",
+        "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, CAST(id * 7 % 600 AS INT)) AS vts")
+      .write.mode("overwrite").parquet(s"$dir/weird.parquet")
+    s.attachLake(dir, names = Seq("weird"))
+    val q = """
+      SELECT e.event_id, v.*
+      FROM events e ASOF JOIN weird v
+      MATCH_CONDITION(e.ts >= v.vts) ON e.user_id = v.vuid
+      ORDER BY e.event_id"""
+    val df = s.sql(q)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty,
+      "emitter should engage for a special-char right column")
+    assert(df.columns.toSeq == Seq("event_id", "View ID", "vuid", "vts"))
+    val lateral = s.spark.sql(
       TableResolver.resolveAndSubstitute(SnowflakeRewriter.rewrite(q), s))
     assert(df.collect().map(_.toSeq).toSeq ==
       lateral.collect().map(_.toSeq).toSeq)
@@ -284,7 +338,7 @@ class RobustnessSpec extends AnyFunSuite {
       ORDER BY p.event_id"""
     val lateral = SnowflakeRewriter.rewrite(q)
     assert(lateral.toUpperCase.contains("LATERAL"))
-    val viaLateral = spark.sql(TableResolver.resolveAndSubstitute(lateral, s))
+    val viaLateral = s.spark.sql(TableResolver.resolveAndSubstitute(lateral, s))
     assert(df.collect().toSeq == viaLateral.collect().toSeq)
   }
 
