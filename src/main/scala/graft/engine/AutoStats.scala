@@ -145,21 +145,89 @@ object AutoStats {
       .makeQualified(p).toString
   }
 
-  /** The 100 TB collection path: instrument `df` so the WRITE job itself
-    * produces the stats (`Dataset.observe` — the metrics ride the write
-    * for free, no second scan), and return a thunk to store them once
-    * the write action completes. Usage:
-    * {{{
-    *   val (instrumented, record) = AutoStats.observedForWrite(spark, df, path)
-    *   instrumented.write.mode("overwrite").parquet(path)
-    *   record()
-    * }}} */
-  def observedForWrite(spark: SparkSession, df: DataFrame,
+  /** Record exact zero stats for a freshly created EMPTY table — the
+    * anchor that lets the first COPY/INSERT append MERGE its observed
+    * stats instead of falling back to lazy re-collection (the common
+    * `CREATE TABLE (cols); COPY INTO t` load pattern then has live stats
+    * with zero extra scans). */
+  def recordEmpty(spark: SparkSession, path: String,
+      schema: StructType): Unit = {
+    if (!enabled(spark)) return
+    val colStats = schema.fields.filter(eligible)
+      .filter(f => !f.name.contains("`")).take(32).map { f =>
+        f.name -> CatalogColumnStat(
+          distinctCount = Some(BigInt(0)), nullCount = Some(BigInt(0)))
+      }.toMap
+    val key = qualifiedKey(spark, path)
+    skipped.remove(key)
+    store.put(key, CatalogStatistics(sizeInBytes = BigInt(0),
+      rowCount = Some(BigInt(0)), colStats = colStats))
+    ()
+  }
+
+  /** Append-mode sibling of [[observedForWrite]]: observe the appended
+    * batch during the write, then MERGE with the table's existing stats —
+    * rowCount/nullCount add exactly; ndv takes the capped sum (an upper
+    * bound: conservative for the eager-aggregation gate, which only fires
+    * on LOW-ndv keys); avgLen weights by non-null counts; maxLen maxes.
+    * When the table has NO recorded stats (pre-append contents unknown)
+    * the entry is invalidated instead — recording only the batch's stats
+    * would mis-describe the table. */
+  def observedForAppend(spark: SparkSession, df: DataFrame,
       path: String): (DataFrame, () => Unit) = {
     if (!enabled(spark)) return (df, () => ())
+    val (instrumented, stats) = observed(spark, df)
+    val record = () => {
+      val key = qualifiedKey(spark, path)
+      (store.get(key), stats()) match {
+        case (Some(old), Some(add)) if old.rowCount.isDefined =>
+          val rows = old.rowCount.get + add.rowCount.getOrElse(BigInt(0))
+          val colStats = old.colStats.map { case (name, o) =>
+            name -> add.colStats.get(name).map { a =>
+              val oN = o.nullCount.getOrElse(BigInt(0))
+              val aN = a.nullCount.getOrElse(BigInt(0))
+              val oNonNull = (old.rowCount.get - oN).max(0)
+              val aNonNull = (add.rowCount.getOrElse(BigInt(0)) - aN).max(0)
+              val avgLen = (o.avgLen, a.avgLen) match {
+                case (Some(x), Some(y)) =>
+                  val w = oNonNull + aNonNull
+                  Some(if (w <= 0) 0L
+                       else ((x * oNonNull + y * aNonNull) / w).toLong)
+                case (x, y) => y.orElse(x)
+              }
+              CatalogColumnStat(
+                distinctCount = Some(
+                  (o.distinctCount.getOrElse(BigInt(0)) +
+                    a.distinctCount.getOrElse(BigInt(0))).min(rows.max(1))),
+                nullCount = Some(oN + aN),
+                avgLen = avgLen,
+                maxLen = (o.maxLen ++ a.maxLen).reduceOption(_ max _))
+            }.getOrElse(o)
+          }
+          val size = try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            BigInt(p.getFileSystem(spark.sessionState.newHadoopConf())
+              .getContentSummary(p).getLength)
+          } catch { case scala.util.control.NonFatal(_) =>
+            old.sizeInBytes + add.sizeInBytes }
+          store.put(key, CatalogStatistics(sizeInBytes = size,
+            rowCount = Some(rows), colStats = colStats))
+          ()
+        case _ => invalidate(path)
+      }
+    }
+    (instrumented, record)
+  }
+
+  /** Observe `df`'s stats during whatever action consumes it; the thunk
+    * yields the batch's CatalogStatistics once the action ran (None on
+    * failure). Shared by the write- and append-recording paths and the
+    * bucketed-CTAS catalog attach. */
+  def observed(spark: SparkSession,
+      df: DataFrame): (DataFrame, () => Option[CatalogStatistics]) = {
     val cols = df.schema.fields.filter(eligible).take(32)
       .filter(f => !f.name.contains("`"))
-    if (cols.isEmpty) return (df, () => ())
+    if (cols.isEmpty) return (df, () => None)
     val obs = org.apache.spark.sql.Observation()
     val aggs = count(lit(1L)).as("_gs_n") +: cols.zipWithIndex.flatMap {
       case (f, i) =>
@@ -171,7 +239,7 @@ object AutoStats {
           else Nil)
     }
     val instrumented = df.observe(obs, aggs.head, aggs.tail: _*)
-    val record = () => try {
+    val stats = () => try {
       val m = obs.get
       val rows = BigInt(m("_gs_n").asInstanceOf[Long])
       val colStats = cols.zipWithIndex.map { case (f, i) =>
@@ -187,18 +255,35 @@ object AutoStats {
             (rows - BigInt(m(s"_gs_c$i").asInstanceOf[Long])).max(0)),
           avgLen = avgLen, maxLen = maxLen)
       }.toMap
+      Some(CatalogStatistics(sizeInBytes = rows.max(1),
+        rowCount = Some(rows), colStats = colStats))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    (instrumented, stats)
+  }
+
+  /** The 100 TB collection path: instrument `df` so the WRITE job itself
+    * produces the stats (`Dataset.observe` — the metrics ride the write
+    * for free, no second scan), and return a thunk to store them once
+    * the write action completes. Usage:
+    * {{{
+    *   val (instrumented, record) = AutoStats.observedForWrite(spark, df, path)
+    *   instrumented.write.mode("overwrite").parquet(path)
+    *   record()
+    * }}} */
+  def observedForWrite(spark: SparkSession, df: DataFrame,
+      path: String): (DataFrame, () => Unit) = {
+    if (!enabled(spark)) return (df, () => ())
+    val (instrumented, stats) = observed(spark, df)
+    val record = () => stats().foreach { s =>
       val key = qualifiedKey(spark, path)
       val size = try {
         val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sessionState.newHadoopConf())
-          .getContentSummary(p).getLength
-      } catch { case scala.util.control.NonFatal(_) => rows.toLong.max(1L) }
+        BigInt(p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength)
+      } catch { case scala.util.control.NonFatal(_) => s.sizeInBytes }
       skipped.remove(key)
-      store.put(key, CatalogStatistics(
-        sizeInBytes = BigInt(size), rowCount = Some(rows),
-        colStats = colStats))
-      ()
-    } catch { case scala.util.control.NonFatal(_) => () }
+      store.put(key, s.copy(sizeInBytes = size))
+    }
     (instrumented, record)
   }
 

@@ -850,6 +850,10 @@ final class GraftSession(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema)
           .write.mode("overwrite").parquet(path)
+        // exact zero stats anchor the merge path: the first COPY/INSERT
+        // append then records live stats with no extra scan
+        AutoStats.invalidate(path)
+        AutoStats.recordEmpty(spark, path, schema)
         registry.register(TableRef(f, TableKind.Lake, Some(path)))
         resetHistory(f, TableRef(f, TableKind.Lake, Some(path)))
         val _ = ddl
@@ -1161,10 +1165,20 @@ final class GraftSession(
         ws.format("parquet").saveAsTable(ref.path.get)
       } finally prevAbs.fold(spark.conf.unset(abs))(spark.conf.set(abs, _))
       resetHistory(f, ref)
-    } else {
-      aligned.write.mode(if (overwrite) "overwrite" else "append")
-        .parquet(ref.path.get)
+    } else if (overwrite) {
+      val (instrumented, record) =
+        AutoStats.observedForWrite(spark, aligned, ref.path.get)
       AutoStats.invalidate(ref.path.get)
+      instrumented.write.mode("overwrite").parquet(ref.path.get)
+      record()
+      resetHistory(f, ref)
+    } else {
+      // stats ride the append job and merge with the recorded table stats
+      // (or invalidate when the table was never profiled)
+      val (instrumented, record) =
+        AutoStats.observedForAppend(spark, aligned, ref.path.get)
+      instrumented.write.mode("append").parquet(ref.path.get)
+      record()
       resetHistory(f, ref)
     }
     status(s"inserted rows into ${f.table}")
@@ -1297,8 +1311,13 @@ final class GraftSession(
           toTarget(c(src), sf.dataType).as(sf.name)
         }.toIndexedSeq: _*)
       }
-    aligned.write.mode("append").parquet(ref.path.get)
-    AutoStats.invalidate(ref.path.get)
+    // the COPY's own write job observes the batch's stats and merges them
+    // onto the table's recorded stats (or invalidates when the pre-append
+    // contents were never profiled) — no ANALYZE, no second scan
+    val (instrumented, record) =
+      AutoStats.observedForAppend(spark, aligned, ref.path.get)
+    instrumented.write.mode("append").parquet(ref.path.get)
+    record()
     resetHistory(f, ref)
     loadHistory.update(f, already ++ paths)
     if (mapped.purge) {

@@ -55,14 +55,34 @@ object Bucketing {
     val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.getOption(abs)
     spark.conf.set(abs, "false")
+    // bucketed tables live in the Spark catalog, so AttachStats' synthetic
+    // CatalogTable never applies — observe the write job's stats and file
+    // them through the catalog's own channel (what ANALYZE would write);
+    // the stats visitor then sees rowCount/ndv with zero extra scans
+    val (instrumented, stats) =
+      if (graft.engine.AutoStats.enabled(spark))
+        graft.engine.AutoStats.observed(spark, df)
+      else (df, () => None)
     try {
-      val w = df.repartition(buckets, keys.map(col): _*)
+      val w = instrumented.repartition(buckets, keys.map(col): _*)
         .write.mode("overwrite")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .format("parquet")
       location.fold(w)(p => w.option("path", p)).saveAsTable(table)
     } finally prev.fold(spark.conf.unset(abs))(spark.conf.set(abs, _))
+    stats().foreach { s =>
+      try {
+        val cat = spark.sessionState.catalog
+        val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+        val size = try {
+          val p = new org.apache.hadoop.fs.Path(cat.getTableMetadata(id).location)
+          BigInt(p.getFileSystem(spark.sessionState.newHadoopConf())
+            .getContentSummary(p).getLength)
+        } catch { case scala.util.control.NonFatal(_) => s.sizeInBytes }
+        cat.alterTableStats(id, Some(s.copy(sizeInBytes = size)))
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
   }
 
   /** Re-expose an existing bucketed data directory as an external table

@@ -344,6 +344,45 @@ class SessionSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("R_NAME")).contains("ASIA"))
   }
 
+  test("COPY INTO and CLUSTER BY CTAS record stats with zero ANALYZE") {
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.EagerAggregation))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++
+          Seq(graft.engine.AutoStats.AttachStats, graft.plans.EagerAggregation)
+    val s = newSession()
+    def planRowCount(sql: String): Option[BigInt] = {
+      val df = s.sql(sql)
+      val active = SparkSession.getActiveSession
+      try { SparkSession.setActiveSession(s.spark)
+            df.queryExecution.optimizedPlan.stats.rowCount }
+      finally active.foreach(SparkSession.setActiveSession)
+    }
+    // CREATE (cols) anchors zero stats; the COPY write job observes the
+    // batch and merges — rowCount live with no ANALYZE, no extra scan
+    val stageDir = Files.createTempDirectory("graft_stage_stats").toString
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "region")
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$stageDir/r")
+    s.sql(s"CREATE STAGE stats_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE r_stats (r_regionkey INT, r_name VARCHAR)")
+    s.sql("""COPY INTO r_stats FROM @stats_stage/r
+             FILE_FORMAT = (SKIP_HEADER = 1)""")
+    assert(planRowCount("SELECT * FROM r_stats").contains(BigInt(5)),
+      "COPY INTO should leave merged write-time stats")
+    // a second (FORCE) load merges again: counts add
+    s.sql("""COPY INTO r_stats FROM @stats_stage/r
+             FILE_FORMAT = (SKIP_HEADER = 1) FORCE = TRUE""")
+    assert(planRowCount("SELECT * FROM r_stats").contains(BigInt(10)),
+      "second COPY should merge, not reset")
+    // bucketed CTAS: stats travel the catalog's own channel
+    // (alterTableStats) since AttachStats skips catalog tables
+    s.sql("""CREATE OR REPLACE TABLE n_bkt CLUSTER BY (n_nationkey)
+      AS SELECT n_nationkey, n_name FROM nation""")
+    assert(planRowCount("SELECT * FROM n_bkt").contains(BigInt(25)),
+      "CLUSTER BY CTAS should record catalog stats from the write job")
+  }
+
   test("INSERT INTO ... VALUES and INSERT OVERWRITE") {
     val s = newSession()
     s.sql("CREATE OR REPLACE TABLE kv (k VARCHAR, v NUMBER(38,0))")
