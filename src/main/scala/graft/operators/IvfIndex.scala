@@ -71,19 +71,106 @@ object IvfIndex {
       greatest(scores.toIndexedSeq: _*).getField("lid"))
   }
 
-  /** Top-k per query over the `nprobe` nearest lists only. */
+  // ── persistent index ────────────────────────────────────────────────────
+
+  /** A built index: broadcastable centroids + the corpus pre-assigned to
+    * lists, projected to exactly what probing needs. */
+  final case class Index(model: Model, assigned: DataFrame)
+
+  /** JVM-local cache fronting the on-disk index (the whole Index, so a
+    * warm call re-runs nothing — not even partition discovery). */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Index]
+
+  /** Identity of the corpus at rest: the scan's root path for a
+    * single-relation plan, else the analyzed plan's canonicalized hash
+    * (JVM-stable). */
+  private def corpusKey(corpus: DataFrame): String =
+    corpus.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).sorted.mkString(",")
+          case _ => ""
+        }
+    } match {
+      case Seq(p) if p.nonEmpty => p
+      case _ => "plan:" + corpus.queryExecution.analyzed.canonicalized.hashCode
+    }
+
+  /** Build-or-load the persistent index for `(corpus, nlist, iters)`.
+    *
+    * First call trains k-means and writes BOTH artifacts to disk:
+    * `centroids` (nlist × dim doubles — tiny) and `assigned` (the corpus
+    * projected to (neighbor_id, vec, normSq, list_id)). Every later call —
+    * including from a fresh JVM — loads them instead of re-training: the
+    * round-5 shape re-ran the driver-side k-means collects on every query
+    * for identical results. At 100 TB this is the write-once/probe-many
+    * split: index build cost amortizes across all subsequent ANN queries,
+    * and probing scans the (pruned) assigned table only. */
+  def index(corpus: DataFrame, nlist: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    val spark = corpus.sparkSession
+    val key = Seq(corpusKey(corpus), nlist, iters, idCol, vecCol).mkString("|")
+    indexCache.getOrElseUpdate(key, {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        f"graft_ivf/${key.hashCode}%08x").toString
+      val model =
+        if (new java.io.File(s"$dir/centroids/_SUCCESS").exists()) {
+          val rows = spark.read.parquet(s"$dir/centroids")
+            .orderBy("list_id").collect()
+          Model(rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)))
+        } else {
+          val m = train(corpus, nlist, iters, idCol, vecCol)
+          val spark2 = spark
+          import spark2.implicits._
+          m.centroids.toSeq.map { case (lid, c) => (lid, c.toSeq) }
+            .toDF("list_id", "centroid")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+          m
+        }
+      if (!new java.io.File(s"$dir/assigned/_SUCCESS").exists())
+        assign(corpus, model, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+            VectorOps.normSq(col(vecCol)).as("cn"), col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$dir/assigned")
+      Index(model, spark.read.parquet(s"$dir/assigned")
+        .select("neighbor_id", "cv", "cn", "list_id"))
+    })
+  }
+
+  /** Top-k per query over a PERSISTED index: no training, no assignment —
+    * probe scoring only. `assigned` is partitioned by list_id, so the
+    * nprobe list filter prunes at the directory level. */
+  def topKIndexed(idx: Index, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    probe(idx.assigned, queries, idx.model, k, nprobe, idCol, vecCol)
+
+  /** Test/tooling escape hatch. */
+  def clearCache(): Unit = indexCache.clear()
+
+  /** Top-k per query over the `nprobe` nearest lists only (assigns the
+    * corpus inline; see [[index]]/[[topKIndexed]] for the persisted
+    * write-once/probe-many path). */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model, k: Int,
       nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = assign(corpus, model, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         VectorOps.normSq(col(vecCol)).as("cn"), col("list_id"))
+    probe(assigned, queries, model, k, nprobe, idCol, vecCol)
+  }
+
+  private def probe(assigned: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     // per query: the nprobe closest centroid ids
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VectorOps.normSq(col(vecCol)).as("qn"))
     val centroidRows = model.centroids.map { case (lid, c) =>
       (lid, c.toSeq)
     }.toSeq
-    val spark = corpus.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
     val cdf = centroidRows.toDF("list_id", "centroid")
     val probes = qScored.crossJoin(broadcast(cdf))

@@ -436,6 +436,46 @@ object Extensions extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Persistent IVF index: same recall contract as x13, but through the
+    // write-once/probe-many path — index() builds (or loads) centroids +
+    // list-partitioned assignments on disk; topKIndexed only probes. The
+    // double index() call inside the query proves the reuse path returns
+    // the identical model (OperatorsSpec asserts the second call runs
+    // ZERO jobs); at 100 TB the k-means/assignment cost amortizes across
+    // every later ANN query instead of repeating per query.
+    GQuery("x33_ann_ivf_indexed", Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        round(list_dot_product(a.v, b.v) /
+          sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS sim
+        FROM q JOIN e a ON a.vec_id = q.query_id
+        JOIN e b ON b.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+      FROM ranked WHERE rnk <= 5""")) { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("ex"))
+      val idx = graft.operators.IvfIndex.index(e, nlist = 8, iters = 2)
+      val idx2 = graft.operators.IvfIndex.index(e, nlist = 8, iters = 2)
+      require(idx2.model.centroids.map(_._2.toSeq).toSeq ==
+        idx.model.centroids.map(_._2.toSeq).toSeq,
+        "second index() call must return the persisted model")
+      val ivf = graft.operators.IvfIndex.topKIndexed(idx2, queries,
+        k = 5, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("fo"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(sum(col("ex")).cast("long").as("n_exact"),
+             coalesce(sum(when(col("ex") === 1 && col("fo") === 1, 1)), lit(0))
+               .as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
+    },
+
     // Forward as-of at the operator level: FIRST right row at-or-after
     // each left row (the same DESC-carry lowering snow48 takes in SQL).
     // The matched right timestamp is selected — unique even when right

@@ -162,6 +162,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.size == exact.size)
   }
 
+  test("IVF persistent index: second index() call runs ZERO jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    IvfIndex.clearCache()
+    val idx1 = IvfIndex.index(e, nlist = 4, iters = 1)
+    // the k-means collects + assignment write all happened above; a
+    // second call must be a pure cache/disk lookup — no Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val idx2 =
+      try {
+        val i = IvfIndex.index(e, nlist = 4, iters = 1)
+        Thread.sleep(1000) // listener delivery is async
+        i
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get == 0, s"second index() started ${jobs.get} jobs")
+    assert(idx2.model.centroids.map(_._2.toSeq).toSeq ==
+      idx1.model.centroids.map(_._2.toSeq).toSeq)
+    // fresh-JVM analog: drop the memory cache — the model reloads from
+    // the persisted centroids (tiny read), identical values, no k-means
+    IvfIndex.clearCache()
+    val idx3 = IvfIndex.index(e, nlist = 4, iters = 1)
+    assert(idx3.model.centroids.map(_._2.toSeq).toSeq ==
+      idx1.model.centroids.map(_._2.toSeq).toSeq)
+    // and the probed result over the persisted index matches the inline
+    // topK over the same model
+    val queries = e.filter($"vec_id" < 5)
+    val a = IvfIndex.topKIndexed(idx3, queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = IvfIndex.topK(e, queries, idx1.model, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("as-of join: latest at-or-before match per key, ties inclusive") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
