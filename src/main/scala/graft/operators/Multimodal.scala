@@ -35,7 +35,9 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
-    StructField("channels", IntegerType, nullable = true)))
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true)))
 
   /** Magic-byte container sniff — cheap rejection before any decode. */
   private def sniff(b: Array[Byte]): Option[String] =
@@ -46,7 +48,36 @@ object Multimodal {
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8') Some("gif")
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') Some("wav")
     else None
+
+  /** (channels, sampleRate, nFrames) from a RIFF/WAVE payload, walking
+    * the chunk list (fmt may not precede data, unknown chunks skip).
+    * Truncated or malformed containers yield None — the same soft-fail
+    * contract as a corrupt image. */
+  private def parseWav(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    val buf = java.nio.ByteBuffer.wrap(b).order(
+      java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12 // past RIFF<size>WAVE
+    var chans = -1; var rate = -1; var blockAlign = -1; var dataLen = -1L
+    while (pos + 8 <= b.length && (chans < 0 || dataLen < 0)) {
+      val cid = new String(b, pos, 4, "US-ASCII")
+      val clen = buf.getInt(pos + 4).toLong & 0xFFFFFFFFL
+      if (cid == "fmt " && pos + 24 <= b.length) {
+        chans = buf.getShort(pos + 10) & 0xFFFF
+        rate = buf.getInt(pos + 12)
+        blockAlign = buf.getShort(pos + 20) & 0xFFFF
+      } else if (cid == "data") dataLen = clen
+      // word-aligned advance; a corrupt length past the buffer ends the walk
+      if (clen > b.length.toLong) pos = b.length
+      else pos += 8 + clen.toInt + (clen.toInt & 1)
+    }
+    if (chans > 0 && rate > 0 && blockAlign > 0 && dataLen >= 0)
+      Some((chans, rate, dataLen / blockAlign))
+    else None
+  }
 
   private def decode(id: Long, payload: Array[Byte],
       md: java.security.MessageDigest): Row = {
@@ -54,14 +85,21 @@ object Multimodal {
     val digest = md.digest(payload).map("%02x".format(_)).mkString
     val n = payload.length.toLong
     sniff(payload) match {
+      case Some("wav") =>
+        (try parseWav(payload)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some((ch, rate, frames)) =>
+            Row(id, n, digest, "wav", null, null, ch, rate, frames)
+          case None => Row(id, n, digest, "wav", null, null, null, null, null)
+        }
       case Some(fmt) =>
         val img =
           try ImageIO.read(new ByteArrayInputStream(payload))
           catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) Row(id, n, digest, fmt, null, null, null)
+        if (img == null) Row(id, n, digest, fmt, null, null, null, null, null)
         else Row(id, n, digest, fmt, img.getWidth, img.getHeight,
-          img.getColorModel.getNumComponents)
-      case None => Row(id, n, digest, null, null, null, null)
+          img.getColorModel.getNumComponents, null, null)
+      case None => Row(id, n, digest, null, null, null, null, null, null)
     }
   }
 
@@ -117,6 +155,42 @@ object Multimodal {
           val out = new ByteArrayOutputStream()
           ImageIO.write(img, "png", out)
           Row(id, out.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Deterministic real-WAV fixture: for each id, a PCM RIFF/WAVE
+    * container with `1 + id % 2` channels, `8000 + (id % 5) * 4000` Hz,
+    * 16-bit samples, `50 + (id * 11) % 200` frames, assembled per the
+    * public RIFF layout (fmt + data chunks). The decode oracle is pure
+    * arithmetic on the id — DuckDB checks channels/rate/frames without
+    * any audio library. */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(payloadSchema))
+    df.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val chans = (1 + Math.floorMod(id, 2L)).toInt
+          val rate = (8000 + Math.floorMod(id, 5L) * 4000).toInt
+          val frames = (50 + Math.floorMod(id * 11, 200L)).toInt
+          val blockAlign = chans * 2 // 16-bit PCM
+          val dataLen = frames * blockAlign
+          val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(chans.toShort).putInt(rate)
+            .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+            .putShort(16)
+          buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < frames * chans) { // id-derived PCM samples
+            buf.putShort(((id * 131 + i * 7) & 0x7FFF).toShort)
+            i += 1
+          }
+          Row(id, buf.array())
         }
       }(enc)
   }

@@ -476,6 +476,28 @@ object Extensions extends QueryPack {
           (col("n_hit").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
     },
 
+    // Audio through the same multimodal sniff→decode seam as x12's
+    // images: a deterministic PCM RIFF/WAVE fixture per doc, then
+    // extractFeatures walks the chunk list for channels / sample rate /
+    // frame count. The oracle is pure arithmetic on doc_id — the fixture
+    // parameters — so DuckDB verifies the real container parse with no
+    // audio library. Same mapPartitions batch stage, no shuffle.
+    GQuery("x34_multimodal_audio", Some("""
+      SELECT doc_id,
+        'wav' AS format,
+        CAST(1 + doc_id % 2 AS INT) AS channels,
+        CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+        CAST(50 + (doc_id * 11) % 200 AS BIGINT) AS n_frames,
+        CAST(44 + (50 + (doc_id * 11) % 200) * (1 + doc_id % 2) * 2 AS BIGINT)
+          AS n_bytes
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticWavs(docs(s, dir), "doc_id"))
+        .select("doc_id", "format", "channels", "sample_rate", "n_frames",
+          "n_bytes")
+        .orderBy("doc_id")
+    },
+
     // Forward as-of at the operator level: FIRST right row at-or-after
     // each left row (the same DESC-carry lowering snow48 takes in SQL).
     // The matched right timestamp is selected — unique even when right

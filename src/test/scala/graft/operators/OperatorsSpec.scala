@@ -398,6 +398,35 @@ class OperatorsSpec extends AnyFunSuite {
       cf.isNullAt(cf.fieldIndex("width")) && cf.getAs[Long]("n_bytes") == 11L)
   }
 
+  test("multimodal: WAV containers parse channels/rate/frames; truncated soft-fails") {
+    val ids = Seq(0L, 1L, 4L, 9L, 123L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticWavs(ids, "doc_id"))
+      .orderBy("doc_id").collect()
+    feats.foreach { f =>
+      val id = f.getAs[Long]("doc_id")
+      assert(f.getAs[String]("format") == "wav")
+      assert(f.getAs[Int]("channels") == (1 + id % 2).toInt)
+      assert(f.getAs[Int]("sample_rate") == (8000 + (id % 5) * 4000).toInt)
+      assert(f.getAs[Long]("n_frames") == 50 + (id * 11) % 200)
+      assert(f.isNullAt(f.fieldIndex("width"))) // image fields stay NULL
+    }
+    // a RIFF/WAVE header cut off before any fmt chunk: format sniffs as
+    // wav, audio fields NULL, byte metadata intact — same soft-fail
+    // contract as the corrupt PNG above
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val truncated = spark.createDataFrame(
+      java.util.Arrays.asList(Row(77L,
+        "RIFF    WAVE".getBytes("US-ASCII"))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val tf = Multimodal.extractFeatures(truncated).collect()(0)
+    assert(tf.getAs[String]("format") == "wav" &&
+      tf.isNullAt(tf.fieldIndex("sample_rate")) &&
+      tf.getAs[Long]("n_bytes") == 12L)
+  }
+
   test("chunk: overlap windows cover every token; short docs = one chunk") {
     val text = (1 to 25).map("w" + _).mkString(" ")
     val df = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
