@@ -22,9 +22,12 @@ import javax.imageio.ImageIO
   * Payloads that are not images (or fail to decode) keep their byte
   * length + digest with NULL image fields, the soft-failure contract a
   * 100 TB media crawl needs (a corrupt file must not kill the stage).
-  * Audio/video containers would slot into the same sniff→decode seam
-  * with external codec libraries; only image decoding ships because the
-  * JDK carries it natively.
+  * Audio and video containers ride the same sniff→decode seam with
+  * dependency-free header parses: RIFF/WAVE chunk walks (channels /
+  * sample rate / frame count) and ISO-BMFF box walks (movie duration /
+  * track count). Sample-level audio decode and video frame extraction
+  * would need external codec libraries; the container metadata layer —
+  * what a 100 TB crawl filter actually groups and prunes on — is real.
   */
 object Multimodal {
 
@@ -37,7 +40,9 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
-    StructField("n_frames", LongType, nullable = true)))
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true)))
 
   /** Magic-byte container sniff — cheap rejection before any decode. */
   private def sniff(b: Array[Byte]): Option[String] =
@@ -51,6 +56,8 @@ object Multimodal {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E') Some("wav")
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') Some("mp4")
     else None
 
   /** (channels, sampleRate, nFrames) from a RIFF/WAVE payload, walking
@@ -79,6 +86,62 @@ object Multimodal {
     else None
   }
 
+  /** (durationMs, nTracks) from an ISO-BMFF (MP4/MOV) payload: walk the
+    * top-level box list to `moov`, then its children — `mvhd` (version 0
+    * and 1 layouts) for timescale + duration, counting `trak` boxes.
+    * Handles 64-bit largesize (size==1) and to-end boxes (size==0);
+    * malformed sizes or truncation yield None — the same soft-fail
+    * contract as the other containers. */
+  private def parseMp4(b: Array[Byte]): Option[(Long, Int)] = {
+    val buf = java.nio.ByteBuffer.wrap(b) // ISO-BMFF is big-endian
+    def u32(p: Int): Long = buf.getInt(p).toLong & 0xFFFFFFFFL
+    // (type, payloadStart, boxEnd); boxEnd is also the next sibling
+    def box(pos: Int, limit: Int): Option[(String, Int, Int)] = {
+      if (pos + 8 > limit) return None
+      val sz = u32(pos)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val (hdr, size) =
+        if (sz == 1L) {
+          if (pos + 16 > limit) return None
+          (16L, buf.getLong(pos + 8))
+        } else if (sz == 0L) (8L, (limit - pos).toLong)
+        else (8L, sz)
+      if (size < hdr || pos + size > limit) None
+      else Some((typ, pos + hdr.toInt, pos + size.toInt))
+    }
+    var pos = 0
+    val limit = b.length
+    var moov: Option[(Int, Int)] = None
+    while (pos < limit && moov.isEmpty) box(pos, limit) match {
+      case Some(("moov", ps, pe)) => moov = Some((ps, pe))
+      case Some((_, _, nx)) => pos = nx
+      case None => pos = limit
+    }
+    moov.flatMap { case (ms, me) =>
+      var p = ms
+      var tracks = 0
+      var durMs = -1L
+      while (p < me) box(p, me) match {
+        case Some(("trak", _, nx)) => tracks += 1; p = nx
+        case Some(("mvhd", ps, pe)) =>
+          val ver = if (pe > ps) b(ps) & 0xFF else -1
+          if (ver == 1 && pe - ps >= 32) {
+            // v1: ver/flags(4) creation(8) modification(8) ts(4) dur(8)
+            val ts = u32(ps + 20); val dur = buf.getLong(ps + 24)
+            if (ts > 0 && dur >= 0) durMs = dur * 1000L / ts
+          } else if (ver == 0 && pe - ps >= 20) {
+            // v0: ver/flags(4) creation(4) modification(4) ts(4) dur(4)
+            val ts = u32(ps + 12); val dur = u32(ps + 16)
+            if (ts > 0) durMs = dur * 1000L / ts
+          }
+          p = pe
+        case Some((_, _, nx)) => p = nx
+        case None => p = me
+      }
+      if (durMs >= 0) Some((durMs, tracks)) else None
+    }
+  }
+
   private def decode(id: Long, payload: Array[Byte],
       md: java.security.MessageDigest): Row = {
     md.reset()
@@ -89,17 +152,29 @@ object Multimodal {
         (try parseWav(payload)
          catch { case scala.util.control.NonFatal(_) => None }) match {
           case Some((ch, rate, frames)) =>
-            Row(id, n, digest, "wav", null, null, ch, rate, frames)
-          case None => Row(id, n, digest, "wav", null, null, null, null, null)
+            Row(id, n, digest, "wav", null, null, ch, rate, frames, null, null)
+          case None =>
+            Row(id, n, digest, "wav", null, null, null, null, null, null, null)
+        }
+      case Some("mp4") =>
+        (try parseMp4(payload)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some((durMs, tracks)) =>
+            Row(id, n, digest, "mp4", null, null, null, null, null, durMs,
+              tracks)
+          case None =>
+            Row(id, n, digest, "mp4", null, null, null, null, null, null, null)
         }
       case Some(fmt) =>
         val img =
           try ImageIO.read(new ByteArrayInputStream(payload))
           catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) Row(id, n, digest, fmt, null, null, null, null, null)
+        if (img == null)
+          Row(id, n, digest, fmt, null, null, null, null, null, null, null)
         else Row(id, n, digest, fmt, img.getWidth, img.getHeight,
-          img.getColorModel.getNumComponents, null, null)
-      case None => Row(id, n, digest, null, null, null, null, null, null)
+          img.getColorModel.getNumComponents, null, null, null, null)
+      case None =>
+        Row(id, n, digest, null, null, null, null, null, null, null, null)
     }
   }
 
@@ -188,6 +263,63 @@ object Multimodal {
           var i = 0
           while (i < frames * chans) { // id-derived PCM samples
             buf.putShort(((id * 131 + i * 7) & 0x7FFF).toShort)
+            i += 1
+          }
+          Row(id, buf.array())
+        }
+      }(enc)
+  }
+
+  /** Deterministic real-MP4 fixture: for each id, an ISO-BMFF container
+    * (ftyp + free + moov[mvhd + traks] + mdat) with `1 + id % 3` tracks,
+    * timescale `250 << (id % 3)`, movie duration chosen so
+    * duration_ms = 4 * (20 + (id*13) % 480) exactly, and the mvhd
+    * version alternating 0/1 by id parity so both public layouts are
+    * exercised. The decode oracle is pure arithmetic on the id — DuckDB
+    * checks duration/tracks/bytes with no video library. */
+  def syntheticMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(payloadSchema))
+    df.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nTracks = (1 + Math.floorMod(id, 3L)).toInt
+          val v1 = Math.floorMod(id, 2L) == 1L
+          val timescale = 250 << Math.floorMod(id, 3L).toInt // 250/500/1000
+          val m = 20 + Math.floorMod(id * 13, 480L)
+          val durUnits = m * (timescale / 250) // durMs = m*1000/250 = 4m
+          val mdatLen = (32 + Math.floorMod(id, 64L)).toInt
+          val mvhdSize = if (v1) 120 else 108
+          val moovSize = 8 + mvhdSize + nTracks * 8
+          val buf = java.nio.ByteBuffer.allocate(20 + 12 + moovSize +
+            8 + mdatLen) // big-endian per spec
+          def fourcc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+          buf.putInt(20); fourcc("ftyp"); fourcc("isom")
+          buf.putInt(0); fourcc("iso2")
+          buf.putInt(12); fourcc("free"); buf.putInt(0)
+          buf.putInt(moovSize); fourcc("moov")
+          buf.putInt(mvhdSize); fourcc("mvhd")
+          if (v1) {
+            buf.putInt(0x01000000) // version 1, flags 0
+            buf.putLong(0L).putLong(0L) // creation, modification
+            buf.putInt(timescale).putLong(durUnits)
+          } else {
+            buf.putInt(0)
+            buf.putInt(0).putInt(0)
+            buf.putInt(timescale).putInt(durUnits.toInt)
+          }
+          buf.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+          buf.putLong(0L) // rate, volume, reserved
+          // identity matrix (9 × u32) + 6 pre_defined zeros
+          Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            .foreach(buf.putInt)
+          (1 to 6).foreach(_ => buf.putInt(0))
+          buf.putInt(nTracks + 1) // next_track_ID
+          (1 to nTracks).foreach { _ => buf.putInt(8); fourcc("trak") }
+          buf.putInt(8 + mdatLen); fourcc("mdat")
+          var i = 0
+          while (i < mdatLen) { // id-derived media bytes
+            buf.put(((id * 37 + i * 11) & 0xFF).toByte)
             i += 1
           }
           Row(id, buf.array())

@@ -498,6 +498,27 @@ object Extensions extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Video completes the multimodal trio: a deterministic ISO-BMFF
+    // (MP4) container per doc — ftyp + free + moov[mvhd + traks] + mdat,
+    // mvhd alternating version 0/1 by id parity — then extractFeatures
+    // walks the box tree for movie duration and track count. Every
+    // container parameter derives from doc_id, so the DuckDB oracle is
+    // pure arithmetic (duration_ms = 4*(20 + (id*13)%480), tracks =
+    // 1 + id%3, and the exact byte size of the assembled container).
+    GQuery("x35_multimodal_video", Some("""
+      SELECT doc_id,
+        'mp4' AS format,
+        CAST(80 + 4 * ((doc_id * 13) % 480) AS BIGINT) AS duration_ms,
+        CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        CAST(196 + 12 * (doc_id % 2) + 8 * (doc_id % 3) + doc_id % 64
+          AS BIGINT) AS n_bytes
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMp4s(docs(s, dir), "doc_id"))
+        .select("doc_id", "format", "duration_ms", "n_tracks", "n_bytes")
+        .orderBy("doc_id")
+    },
+
     // Forward as-of at the operator level: FIRST right row at-or-after
     // each left row (the same DESC-carry lowering snow48 takes in SQL).
     // The matched right timestamp is selected — unique even when right

@@ -427,6 +427,37 @@ class OperatorsSpec extends AnyFunSuite {
       tf.getAs[Long]("n_bytes") == 12L)
   }
 
+  test("multimodal: MP4 box walk yields duration/tracks for both mvhd versions") {
+    // ids 0/2/4 take the mvhd v0 layout, 1/3/123 take v1
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 123L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMp4s(ids, "doc_id"))
+      .orderBy("doc_id").collect()
+    feats.foreach { f =>
+      val id = f.getAs[Long]("doc_id")
+      assert(f.getAs[String]("format") == "mp4")
+      assert(f.getAs[Long]("duration_ms") == 4 * (20 + (id * 13) % 480))
+      assert(f.getAs[Int]("n_tracks") == (1 + id % 3).toInt)
+      assert(f.isNullAt(f.fieldIndex("width"))) // image+audio fields NULL
+      assert(f.isNullAt(f.fieldIndex("sample_rate")))
+    }
+    // an ftyp with a moov whose declared size overruns the payload:
+    // format sniffs as mp4, video fields NULL, byte metadata intact
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val corrupt = java.nio.ByteBuffer.allocate(24)
+    corrupt.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+    corrupt.putInt(9999).put("moov".getBytes("US-ASCII"))
+    val cdf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7L, corrupt.array())),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val cf = Multimodal.extractFeatures(cdf).collect()(0)
+    assert(cf.getAs[String]("format") == "mp4" &&
+      cf.isNullAt(cf.fieldIndex("duration_ms")) &&
+      cf.getAs[Long]("n_bytes") == 24L)
+  }
+
   test("chunk: overlap windows cover every token; short docs = one chunk") {
     val text = (1 to 25).map("w" + _).mkString(" ")
     val df = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
