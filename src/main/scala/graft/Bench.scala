@@ -41,12 +41,22 @@ object Bench {
       // than lz4 costs in CPU at 32 threads). tools/ShufCompProbe.
       .config("spark.shuffle.compress", "true")
       .config("spark.shuffle.spill.compress", "true")
+      // trust the bucket pre-sort on h09b's one-sorted-file-per-bucket
+      // layout so the co-located SMJ runs sort-free (GraftSession sets
+      // this for its own statements, but since the conf-scoping fix it
+      // no longer leaks into this session — round 5's h09b numbers
+      // silently depended on that leak)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev iteration flag: skip the pack to isolate the heavy phase in
+    // the exact bench harness (official artifacts always run both)
+    val packOn = sys.env.getOrElse("SPARK_GRAFT_PACK", "1") != "0"
+    val queries =
+      if (packOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
     // warm pass (untimed)
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
@@ -184,14 +194,21 @@ object Bench {
     // spreads across all queries instead of poisoning one; per-sweep
     // /proc/loadavg is recorded so the artifact carries its own evidence.
     // After the base sweeps, if any query's max/min rep spread exceeds
-    // 2.5× the harness runs extra sweeps (cap 7 total); if the spread
-    // still exceeds 2.5× the artifact is stamped "contended":true with
-    // the worst spread — a recorded number that can silently lie is worse
-    // than no number.
+    // 2.5× AND its absolute rep delta is material (≥ spreadFloor s), the
+    // harness runs extra sweeps (cap 7 total); if that persists the
+    // artifact is stamped "contended":true with the worst spread — a
+    // recorded number that can silently lie is worse than no number.
     val baseSweeps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "3").toInt
     val maxSweeps = math.max(baseSweeps,
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_MAX_REPS", "7").toInt)
     val spreadBar = 2.5
+    // a query only counts toward the contention signal when its rep
+    // delta is material in absolute terms: a 0.1 s query jittering to
+    // 0.4 s is scheduler/GC noise that says nothing about external load
+    // (and would stamp quiet runs contended), while real contamination
+    // moves multi-second queries by seconds (r5: h02 +2.6 s, h09b +27 s)
+    val spreadFloor =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_SPREAD_FLOOR", "0.5").toDouble
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val failedQ = scala.collection.mutable.Set.empty[String]
@@ -206,9 +223,19 @@ object Bench {
         else failedQ += name
       }
     }
+    // spread is computed over steady-state samples: each query's FIRST
+    // timed sample is excluded (once ≥3 exist) because sweep 1 inherits
+    // one-time costs — page-cache population after clearCache, first
+    // listing of freshly written bucketed files — that are warmup, not
+    // contention. Sustained external load hits later sweeps too (r5's
+    // contamination did), so the signal survives; raw per-sweep samples
+    // are recorded in the artifact so the claim is auditable.
+    def steady(s: Vector[Double]): Vector[Double] =
+      if (s.size >= 3) s.tail else s
     def worstSpread(): Double = heavy.map { case (name, _, _) =>
-      val s = samples(name)
-      if (s.size < 2 || s.min <= 0) 1.0 else s.max / s.min
+      val s = steady(samples(name))
+      if (s.size < 2 || s.min <= 0 || s.max - s.min < spreadFloor) 1.0
+      else s.max / s.min
     }.max
     (1 to baseSweeps).foreach(_ => runSweep())
     var sweeps = baseSweeps
@@ -229,9 +256,14 @@ object Bench {
     val hr = timed.collect { case (k, _, r, true) => s"\"" + k + "\":" + f"$r%.1f" }
       .mkString("{", ",", "}")
     val spreads = timed.collect { case (k, _, _, true) =>
-      val s = samples(k)
+      val s = steady(samples(k))
       val sp = if (s.size < 2 || s.min <= 0) 1.0 else s.max / s.min
       s"\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
+    // raw per-sweep times, in sweep order — the artifact carries the
+    // evidence behind spread/contended instead of asking to be trusted
+    val raw = timed.collect { case (k, _, _, true) =>
+      s"\"" + k + "\":" + samples(k).map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = timed.collect { case (k, _, _, false) => s"\"$k\"" }
     val hTotal = timed.filter(_._4).map(_._2).sum
     val failedJson =
@@ -240,7 +272,7 @@ object Bench {
       s""","contended":true,"heavy_worst_spread":${f"${worstSpread()}%.2f"}"""
     else ""
     s""","heavy":$hq,"heavy_total":$hTotal,"heavy_sweeps":$sweeps,""" +
-      s""""heavy_spread":$spreads,""" +
+      s""""heavy_spread":$spreads,"heavy_samples":$raw,""" +
       s""""heavy_sweep_loadavg":${sweepLoads.mkString("[", ",", "]")},""" +
       s""""heavy_lineitem_rows":$liRows,""" +
       s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr$failedJson$contendedJson"""

@@ -49,10 +49,18 @@ QUERIES = {
 
 
 def main():
-    dirs = sorted(glob.glob("/tmp/graft_heavy_*"))
+    # newest COMPLETE heavy dir by mtime — probe runs leave partial dirs
+    # (e.g. lineitem+events only), and an alphabetical pick once paired
+    # the official Spark numbers against a 120k-row stale dir
+    dirs = [d for d in glob.glob("/tmp/graft_heavy_*")
+            if all(os.path.isdir(os.path.join(d, t))
+                   for t in ("lineitem", "events", "orders"))]
+    dirs.sort(key=os.path.getmtime)
     heavy = sys.argv[1] if len(sys.argv) > 1 else (dirs and dirs[-1])
     if not heavy:
-        sys.exit("no /tmp/graft_heavy_* dir; run `runMain graft.Bench` first")
+        sys.exit("no complete /tmp/graft_heavy_* dir; "
+                 "run `runMain graft.Bench` first")
+    print(f"heavy_dir: {heavy}")
     threads = sys.argv[2] if len(sys.argv) > 2 else "32"
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
