@@ -1007,7 +1007,18 @@ final class GraftSession(
           status(s"column $name already exists, statement succeeded.")
         else {
           val dt = parseSnowflakeType(typeSql.trim)
-          swapSnapshot(f, ref, df.withColumn(name, lit(null).cast(dt)))
+          if (ref.format == "iceberg") {
+            // Iceberg's design point: ADD COLUMN is a metadata-only
+            // commit — a new metadata.json, zero data files rewritten
+            // (old files read NULL under the declared schema). The COW
+            // rewrite below would be O(table) at 100 TB.
+            val newMeta = graft.sources.IcebergLite.addColumn(
+              spark, ref.path.get, name, dt)
+            val newRef = ref.copy(path = Some(newMeta))
+            registry.register(newRef)
+            recordVersion(f, newRef)
+          } else
+            swapSnapshot(f, ref, df.withColumn(name, lit(null).cast(dt)))
           status("Statement executed successfully.")
         }
       case dropColRe(colName) =>

@@ -1071,6 +1071,30 @@ object SnowflakeSql extends QueryPack {
         GROUP BY c.c_mktsegment ORDER BY seg;""")
     },
 
+    // Iceberg schema evolution: ADD COLUMN is a METADATA-ONLY commit
+    // (new metadata.json, same data files — IcebergLiteSpec asserts the
+    // file set is untouched), with the declared schema applied at scan
+    // so pre-evolution files surface NULL and the post-evolution INSERT
+    // carries real values through the same mixed-schema read group.
+    GQuery("snow54_iceberg_schema_evolution", Some("""
+      SELECT n_nationkey AS k, n_name AS name,
+        CAST(NULL AS DOUBLE) AS score
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT n_nationkey, n_name, CAST(n_nationkey AS DOUBLE) * 1.5
+      FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20
+      ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE ice_evo AS
+          SELECT n_nationkey AS k, n_name AS name
+          FROM nation WHERE n_nationkey < 10;
+        ALTER TABLE ice_evo ADD COLUMN score DOUBLE;
+        INSERT INTO ice_evo
+          SELECT n_nationkey, n_name, n_nationkey::double * 1.5
+          FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20;
+        SELECT k, name, score AS score FROM ice_evo ORDER BY k;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

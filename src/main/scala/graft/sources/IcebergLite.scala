@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -87,6 +87,106 @@ object IcebergLite {
       .filter(_.nonEmpty)
   }
 
+  // ── schema evolution (metadata-only, the Iceberg design point) ────────
+  //
+  // The table's current schema is recorded in every metadata.json twice:
+  //  - "schemas"/"current-schema-id": the Iceberg-spec field list
+  //    (best-effort type mapping, for spec-shaped interop), and
+  //  - "properties"."graft.spark-schema-ddl": the exact Spark StructType
+  //    DDL (lossless for every Spark type, what [[scan]] actually reads).
+  // ADD COLUMN then writes ONLY a new metadata.json version pointing at
+  // the same snapshots/manifests/data files — O(metadata), not O(data),
+  // which is what makes evolution usable on a 100 TB table. Reads apply
+  // the declared schema to the parquet scan, so pre-evolution files
+  // surface NULL for the new column with no mergeSchema footer sweep
+  // (the reference inherits the same from pyiceberg's schema projection).
+
+  private val SchemaDdlProp = "graft.spark-schema-ddl"
+
+  /** The declared (evolved) schema of a table, when its metadata records
+    * one; tables written before schema recording return None and scan by
+    * file-schema inference as before. */
+  def declaredSchema(metadataPath: String): Option[StructType] = {
+    val meta = mapper.readTree(
+      Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
+    val ddl = meta.path("properties").path(SchemaDdlProp).asText("")
+    if (ddl.isEmpty) None else Some(StructType.fromDDL(ddl))
+  }
+
+  /** Spark → Iceberg spec type string; None for types the spec's
+    * primitive set can't carry (the DDL property stays exact anyway). */
+  private def iceTypeName(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => Some("boolean")
+      case ByteType | ShortType | IntegerType => Some("int")
+      case LongType => Some("long")
+      case FloatType => Some("float")
+      case DoubleType => Some("double")
+      case StringType => Some("string")
+      case BinaryType => Some("binary")
+      case DateType => Some("date")
+      case TimestampNTZType => Some("timestamp")
+      case TimestampType => Some("timestamptz")
+      case d: DecimalType => Some(s"decimal(${d.precision}, ${d.scale})")
+      case _ => None
+    }
+  }
+
+  /** Append `colName` to the table's schema as a pure metadata commit:
+    * a new vN+1.metadata.json with the evolved schema and the SAME
+    * snapshot chain — zero data files touched. Returns the new metadata
+    * path. */
+  def addColumn(spark: SparkSession, metadataPath: String, colName: String,
+      dataType: org.apache.spark.sql.types.DataType): String = {
+    val mp = stripScheme(metadataPath)
+    val current = declaredSchema(mp).getOrElse {
+      // pre-recording table: one footer read of one data file
+      val probe = readFiles(spark,
+        Seq(planFiles(spark, mp)._1.head.path), None)
+      StructType(probe.schema.filterNot(_.name.startsWith("__part_")))
+    }
+    require(!current.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"column $colName already exists")
+    val evolved = current.add(colName, dataType, nullable = true)
+    val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(mp)
+      .map(_.group(1).toInt).getOrElse(1)
+    val tree = mapper.readTree(Files.readAllBytes(Paths.get(mp)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    writeSchemaInto(tree, evolved)
+    val newPath = Paths.get(mp).getParent.resolve(
+      s"v${version + 1}.metadata.json")
+    Files.write(newPath, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(tree))
+    newPath.toString
+  }
+
+  /** Record `schema` in a metadata tree: the exact Spark DDL property +
+    * the best-effort Iceberg-spec field list. */
+  private def writeSchemaInto(
+      tree: com.fasterxml.jackson.databind.node.ObjectNode,
+      schema: StructType): Unit = {
+    val props = tree.path("properties") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => tree.putObject("properties")
+    }
+    props.put(SchemaDdlProp, schema.toDDL)
+    val specTypes = schema.fields.map(f => iceTypeName(f.dataType))
+    if (specTypes.forall(_.isDefined)) {
+      val schemas = tree.putArray("schemas")
+      val s = schemas.addObject()
+      s.put("type", "struct"); s.put("schema-id", 0)
+      val fields = s.putArray("fields")
+      schema.fields.zip(specTypes).zipWithIndex.foreach {
+        case ((f, t), i) =>
+          val fo = fields.addObject()
+          fo.put("id", i + 1); fo.put("name", f.name)
+          fo.put("required", !f.nullable); fo.put("type", t.get)
+      }
+      tree.put("current-schema-id", 0)
+    }
+  }
+
   def scan(spark: SparkSession, metadataPath: String): DataFrame =
     scan(spark, metadataPath, None)
 
@@ -107,6 +207,11 @@ object IcebergLite {
     }
     require(allData.nonEmpty,
       s"Iceberg table at $metadataPath has no data files")
+    // schema evolution: when the metadata declares a schema, every file
+    // group reads under it, so files written before an ADD COLUMN yield
+    // NULL for the new column (and a group mixing old and new files
+    // cannot silently drop it to the first file's footer)
+    val declared = declaredSchema(metadataPath)
     // the shadow partition column is plumbing, not user schema; the drop
     // is a Project above the relation, so filters still push below it
     // (and the mirror rule rewrites them onto the shadow column there)
@@ -114,9 +219,10 @@ object IcebergLite {
       df.drop(df.columns.filter(_.startsWith("__part_")).toSeq: _*)
     if (dataEntries.isEmpty)
       // fully pruned: preserve the schema via an always-false filter on one file
-      return clean(readFiles(spark, Seq(allData.head.path))).filter(lit(false))
+      return clean(readFiles(spark, Seq(allData.head.path), declared))
+        .filter(lit(false))
     if (deleteEntries.isEmpty)
-      return clean(readFiles(spark, dataEntries.map(_.path)))
+      return clean(readFiles(spark, dataEntries.map(_.path), declared))
 
     val posFiles = deleteEntries.filter(_.content == 1)
     val eqFiles = deleteEntries.filter(_.content == 2)
@@ -124,7 +230,7 @@ object IcebergLite {
       regexp_replace(c, "^file:/+", "/")
 
     def readGroup(paths: Seq[String]): DataFrame = {
-      val df = readFiles(spark, paths)
+      val df = readFiles(spark, paths, declared)
       if (posFiles.isEmpty) df
       else {
         // pos deletes name explicit (file, row) targets → safe globally
@@ -171,7 +277,7 @@ object IcebergLite {
     * user-visible schema is unchanged apart from the trailing shadow
     * column, which the session layer projects away. */
   private[graft] def readFiles(spark: SparkSession,
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String], declared: Option[StructType] = None): DataFrame = {
     val byBase = paths.groupBy(p => "(.*)/__part_[^=/]+=".r
       .findFirstMatchIn(p).map(_.group(1)))
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -179,9 +285,16 @@ object IcebergLite {
     spark.conf.set(inferKey, "false")
     try {
       byBase.toSeq.sortBy(_._1.getOrElse("")).map {
-        case (None, fs) => spark.read.parquet(fs: _*)
+        case (None, fs) =>
+          declared.fold(spark.read)(s => spark.read.schema(s)).parquet(fs: _*)
         case (Some(base), fs) =>
-          spark.read.option("basePath", base).parquet(fs: _*)
+          // the declared schema covers the DATA columns only; the shadow
+          // partition columns are directory-derived and appended by
+          // partition discovery (inference disabled → STRING, as before).
+          // Declaring them explicitly makes Spark source them from the
+          // file content instead — all-NULL, breaking the mirror rule.
+          declared.fold(spark.read)(s => spark.read.schema(s))
+            .option("basePath", base).parquet(fs: _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     } finally {
       prev match {
@@ -284,12 +397,14 @@ object IcebergLite {
     commit(spark, df, dir, version + 1,
       carryForward = planFiles(spark, metadataPath)._1
         .map(e => e.path -> e.partition).distinct,
-      partitionBy = partitionColumns(metadataPath))
+      partitionBy = partitionColumns(metadataPath),
+      baseSchema = declaredSchema(metadataPath))
   }
 
   private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
       newVersion: Int, carryForward: Seq[(String, Option[String])],
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      baseSchema: Option[StructType] = None): String = {
     import org.apache.spark.sql.functions._
     val snapId = newVersion.toLong
     val dataDir = s"$tableDir/data/s$snapId"
@@ -403,7 +518,21 @@ object IcebergLite {
          | "current-snapshot-id": $snapId,
          | "snapshots": $snapshotsJson$specJson}""".stripMargin
     Files.createDirectories(Paths.get(metadataPath).getParent)
-    Files.write(Paths.get(metadataPath), json.getBytes)
+    // record the declared schema: the evolved base (when appending to an
+    // evolved table) plus any columns this commit introduces, so later
+    // scans project every file — old or new — under one schema
+    val recorded = baseSchema match {
+      case Some(base) =>
+        val extra = df.schema.filterNot(f =>
+          base.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        StructType(base.fields ++ extra)
+      case None => df.schema
+    }
+    val tree = mapper.readTree(json.getBytes)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    writeSchemaInto(tree, recorded)
+    Files.write(Paths.get(metadataPath),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree))
     metadataPath
   }
 }

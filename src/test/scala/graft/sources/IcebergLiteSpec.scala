@@ -494,4 +494,68 @@ class IcebergLiteSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n == 25)
   }
+
+  test("ADD COLUMN is metadata-only: same files, old rows NULL, appends carry values") {
+    import java.nio.file.Paths
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE evo_ice AS
+             SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 10""")
+    val fqn = graft.engine.Identifiers.fullQualifier("evo_ice", "GRAFT", "PUBLIC")
+    val ref1 = s.registry.resolve(fqn).get
+    val filesBefore = IcebergLite.dataFiles(spark, ref1.path.get).toSet
+    val mtimes = filesBefore.map(p =>
+      p -> Files.getLastModifiedTime(Paths.get(p))).toMap
+
+    s.sql("ALTER TABLE evo_ice ADD COLUMN score DOUBLE")
+    val ref2 = s.registry.resolve(fqn).get
+    assert(ref2.path.get != ref1.path.get, "ALTER must commit a new metadata version")
+    // the Iceberg design point: evolution is O(metadata) — the data file
+    // set is untouched, byte for byte
+    val filesAfter = IcebergLite.dataFiles(spark, ref2.path.get).toSet
+    assert(filesAfter == filesBefore)
+    filesAfter.foreach(p =>
+      assert(Files.getLastModifiedTime(Paths.get(p)) == mtimes(p),
+        s"data file $p was rewritten by ADD COLUMN"))
+
+    // pre-evolution files surface NULL under the declared schema
+    val before = s.sql("SELECT k, score AS score FROM evo_ice ORDER BY k").collect()
+    assert(before.length == 10 && before.forall(_.isNullAt(1)))
+
+    // a post-evolution INSERT lands real values in the SAME read group as
+    // the old files (mixed schemas; first file's footer lacks the column)
+    s.sql("""INSERT INTO evo_ice
+             SELECT n_nationkey, n_name, n_nationkey * 2.0
+             FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15""")
+    val rows = s.sql("SELECT k, score AS score FROM evo_ice ORDER BY k").collect()
+    assert(rows.length == 15)
+    assert(rows.take(10).forall(_.isNullAt(1)))
+    rows.drop(10).foreach(r =>
+      assert(r.getDouble(1) == r.getAs[Number](0).doubleValue * 2.0))
+
+    // time travel: the pre-evolution metadata still reads the old schema
+    assert(!IcebergLite.scan(spark, ref1.path.get)
+      .columns.exists(_.equalsIgnoreCase("score")))
+    s.sql("DROP TABLE evo_ice")
+  }
+
+  test("declared schema rides partitioned tables: NULL/value split per partition") {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE evo_part PARTITION BY (r) AS
+             SELECT n_nationkey AS k, n_regionkey AS r FROM nation""")
+    s.sql("ALTER TABLE evo_part ADD COLUMN tag VARCHAR")
+    s.sql("""INSERT INTO evo_part
+             SELECT n_nationkey + 100, n_regionkey, 'new'
+             FROM nation WHERE n_regionkey = 2""")
+    // the partition-pruned read mixes a pre-evolution file (NULL tag) and
+    // a post-evolution file ('new') under one declared schema
+    val rows = s.sql("SELECT k, tag AS tag FROM evo_part WHERE r = 2 ORDER BY k")
+      .collect()
+    val (old, fresh) = rows.partition(_.getAs[Number](0).intValue < 100)
+    assert(old.nonEmpty && old.forall(_.isNullAt(1)))
+    assert(fresh.nonEmpty && fresh.forall(_.getString(1) == "new"))
+    assert(old.length == fresh.length)
+    s.sql("DROP TABLE evo_part")
+  }
 }
