@@ -992,6 +992,34 @@ final class GraftSession(
       "(?is)^RENAME\\s+COLUMN\\s+([\\w$\"]+)\\s+TO\\s+([\\w$\"]+)\\s*$".r
     action match {
       case r if r.matches("(?is)^RECLUSTER\\s*$") => doOptimize(rawName)
+      case r if r.matches("(?is)^EXPIRE\\s+SNAPSHOTS\\s*$") =>
+        require(ref.format == "iceberg",
+          s"EXPIRE SNAPSHOTS requires an Iceberg table (got ${ref.format})")
+        // 1. metadata-level: truncate the snapshot list to the current
+        //    one and delete expired manifests (IcebergLite)
+        val newMeta = graft.sources.IcebergLite.expireSnapshots(
+          spark, ref.path.get)
+        val newRef = ref.copy(path = Some(newMeta))
+        // 2. storage-level: COW/overwrite versions live in their own
+        //    table dirs, referenced only by this session's history —
+        //    delete every historical dir that is not the current one
+        //    (each is a session-created iceberg dir; sanity-checked)
+        val curDir = java.nio.file.Paths.get(newMeta).getParent.getParent
+          .toAbsolutePath.normalize
+        tableHistory.getOrElse(f, Vector.empty).foreach { case (_, _, h) =>
+          if (h.format == "iceberg") h.path.foreach { p =>
+            val d = java.nio.file.Paths.get(p).getParent.getParent
+              .toAbsolutePath.normalize
+            if (d != curDir &&
+                java.nio.file.Files.isDirectory(d.resolve("metadata"))) {
+              java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          }
+        }
+        registry.register(newRef)
+        resetHistory(f, newRef)
+        status("Statement executed successfully.")
       case renameToRe(newName) =>
         val nf = fqn(newName)
         require(registry.resolve(nf).isEmpty, s"object $nf already exists")
@@ -1007,11 +1035,15 @@ final class GraftSession(
           status(s"column $name already exists, statement succeeded.")
         else {
           val dt = parseSnowflakeType(typeSql.trim)
-          if (ref.format == "iceberg") {
+          if (ref.format == "iceberg" &&
+              graft.sources.IcebergLite.canAddColumn(ref.path.get, name)) {
             // Iceberg's design point: ADD COLUMN is a metadata-only
             // commit — a new metadata.json, zero data files rewritten
             // (old files read NULL under the declared schema). The COW
-            // rewrite below would be O(table) at 100 TB.
+            // rewrite below would be O(table) at 100 TB. A re-added
+            // TOMBSTONED name falls through to COW instead: old files
+            // still hold the dropped values and a name-based read would
+            // resurrect them, so the rewrite scrubs first.
             val newMeta = graft.sources.IcebergLite.addColumn(
               spark, ref.path.get, name, dt)
             val newRef = ref.copy(path = Some(newMeta))
@@ -1027,7 +1059,16 @@ final class GraftSession(
         val actual = df.schema.fieldNames.find(_.toUpperCase == name)
           .getOrElse(throw new IllegalArgumentException(
             s"column $colName does not exist in $f"))
-        swapSnapshot(f, ref, df.drop(actual))
+        if (ref.format == "iceberg") {
+          // metadata-only: the declared schema loses the field and the
+          // name is tombstoned (see ADD COLUMN); data files untouched
+          val newMeta = graft.sources.IcebergLite.dropColumn(
+            spark, ref.path.get, actual)
+          val newRef = ref.copy(path = Some(newMeta))
+          registry.register(newRef)
+          recordVersion(f, newRef)
+        } else
+          swapSnapshot(f, ref, df.drop(actual))
         status("Statement executed successfully.")
       case renameColRe(from, to) =>
         val df = registry.load(ref)

@@ -1095,6 +1095,32 @@ object SnowflakeSql extends QueryPack {
         SELECT k, name, score AS score FROM ice_evo ORDER BY k;""")
     },
 
+    // Iceberg column lifecycle: DROP COLUMN is metadata-only with a
+    // tombstone; re-ADDing the name COW-scrubs instead of resurrecting
+    // the dropped values; EXPIRE SNAPSHOTS truncates history and
+    // reclaims expired manifests/COW dirs while the current snapshot
+    // keeps reading (file-level assertions in IcebergLiteSpec).
+    GQuery("snow55_iceberg_column_lifecycle", Some("""
+      SELECT n_nationkey AS k, n_regionkey AS r,
+        CAST(NULL AS VARCHAR) AS name
+      FROM nation WHERE n_nationkey < 15
+      UNION ALL
+      SELECT n_nationkey, n_regionkey, n_name
+      FROM nation WHERE n_nationkey >= 15 AND n_nationkey < 20
+      ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE ice_lc AS
+          SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+          FROM nation WHERE n_nationkey < 15;
+        ALTER TABLE ice_lc DROP COLUMN name;
+        ALTER TABLE ice_lc ADD COLUMN name VARCHAR;
+        INSERT INTO ice_lc
+          SELECT n_nationkey, n_regionkey, n_name
+          FROM nation WHERE n_nationkey >= 15 AND n_nationkey < 20;
+        ALTER TABLE ice_lc EXPIRE SNAPSHOTS;
+        SELECT k, r, name AS name FROM ice_lc ORDER BY k;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -161,6 +161,108 @@ object IcebergLite {
     newPath.toString
   }
 
+  private val TombstoneProp = "graft.dropped-columns"
+
+  /** Names dropped from the schema whose data still lives in files on
+    * disk. Iceberg proper avoids resurrection through field ids; this
+    * name-based reader records a tombstone instead, and [[canAddColumn]]
+    * refuses the metadata-only path for a tombstoned name (the session
+    * falls back to the COW rewrite, which scrubs the stale values). */
+  def tombstones(metadataPath: String): Set[String] = {
+    val meta = mapper.readTree(
+      Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
+    meta.path("properties").path(TombstoneProp).asText("")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** A metadata-only ADD COLUMN is sound unless the name was previously
+    * dropped (old files would resurrect their values under it). */
+  def canAddColumn(metadataPath: String, colName: String): Boolean =
+    !tombstones(metadataPath).exists(_.equalsIgnoreCase(colName))
+
+  /** Drop `colName` as a pure metadata commit: the declared schema loses
+    * the field, scans stop projecting it (parquet column pruning skips
+    * the bytes), and the name is tombstoned against resurrection. Data
+    * files are untouched — O(metadata) where COW would be O(table). */
+  def dropColumn(spark: SparkSession, metadataPath: String,
+      colName: String): String = {
+    val mp = stripScheme(metadataPath)
+    require(!partitionColumns(mp).map(parsePartField).exists(
+        _.column.equalsIgnoreCase(colName)),
+      s"cannot drop partition column $colName")
+    val current = declaredSchema(mp).getOrElse {
+      val probe = readFiles(spark,
+        Seq(planFiles(spark, mp)._1.head.path), None)
+      StructType(probe.schema.filterNot(_.name.startsWith("__part_")))
+    }
+    val actual = current.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $colName does not exist"))
+    require(current.length > 1, "cannot drop the only column")
+    val evolved = StructType(current.filterNot(_.name == actual.name))
+    val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(mp)
+      .map(_.group(1).toInt).getOrElse(1)
+    val tree = mapper.readTree(Files.readAllBytes(Paths.get(mp)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    writeSchemaInto(tree, evolved)
+    val props = tree.path("properties")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    props.put(TombstoneProp,
+      (tombstones(mp) + actual.name).toSeq.sorted.mkString(","))
+    val newPath = Paths.get(mp).getParent.resolve(
+      s"v${version + 1}.metadata.json")
+    Files.write(newPath, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(tree))
+    newPath.toString
+  }
+
+  /** Expire all snapshots but the current one: a new metadata version
+    * whose snapshot list is just the head, with the expired snapshots'
+    * manifest and manifest-list directories deleted from disk. Data
+    * files are NOT touched — under this writer's layout every live data
+    * file is carried forward into the current manifest (status
+    * EXISTING), so the current snapshot's reachable set is exactly the
+    * live set. Time travel to an expired snapshot's metadata file fails
+    * loudly afterwards (its manifests are gone), which is the Iceberg
+    * contract for expiration. */
+  def expireSnapshots(spark: SparkSession, metadataPath: String): String = {
+    val mp = stripScheme(metadataPath)
+    val tree = mapper.readTree(Files.readAllBytes(Paths.get(mp)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapId = tree.path("current-snapshot-id").asLong(-1)
+    require(snapId >= 0, s"no current-snapshot-id in $mp")
+    val snaps = tree.path("snapshots").elements().asScala.toSeq
+    val (keep, expire) = snaps.partition(
+      _.path("snapshot-id").asLong() == snapId)
+    require(keep.nonEmpty, s"snapshot $snapId not found in $mp")
+    expire.foreach { s =>
+      val listDir = Paths.get(stripScheme(s.path("manifest-list").asText()))
+      if (Files.isDirectory(listDir)) {
+        // manifests referenced by this expired list (may be shared with
+        // the kept snapshot only via carry-forward REWRITES, which this
+        // writer never does — each snapshot writes its own manifest dir)
+        val mans = spark.read.format(avroFmt).load(listDir.toString)
+          .collect().map(r => stripScheme(r.getAs[String]("manifest_path")))
+        def rmTree(p: java.nio.file.Path): Unit =
+          if (Files.exists(p)) {
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
+        mans.foreach(m => rmTree(Paths.get(m)))
+        rmTree(listDir)
+      }
+    }
+    val newSnaps = tree.putArray("snapshots")
+    keep.foreach(newSnaps.add)
+    val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(mp)
+      .map(_.group(1).toInt).getOrElse(1)
+    val newPath = Paths.get(mp).getParent.resolve(
+      s"v${version + 1}.metadata.json")
+    Files.write(newPath, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(tree))
+    newPath.toString
+  }
+
   /** Record `schema` in a metadata tree: the exact Spark DDL property +
     * the best-effort Iceberg-spec field list. */
   private def writeSchemaInto(
@@ -184,6 +286,9 @@ object IcebergLite {
           fo.put("required", !f.nullable); fo.put("type", t.get)
       }
       tree.put("current-schema-id", 0)
+    } else {
+      // a stale spec-schema list must not outlive the DDL that replaced it
+      tree.remove("schemas"); tree.remove("current-schema-id")
     }
   }
 

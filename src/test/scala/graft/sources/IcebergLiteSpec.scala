@@ -539,6 +539,73 @@ class IcebergLiteSpec extends AnyFunSuite {
     s.sql("DROP TABLE evo_ice")
   }
 
+  test("DROP COLUMN is metadata-only; a re-added name does not resurrect values") {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE evo_drop AS
+             SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 10""")
+    val fqn = graft.engine.Identifiers.fullQualifier("evo_drop", "GRAFT", "PUBLIC")
+    val ref1 = s.registry.resolve(fqn).get
+    val filesBefore = IcebergLite.dataFiles(spark, ref1.path.get).toSet
+
+    s.sql("ALTER TABLE evo_drop DROP COLUMN nm")
+    val ref2 = s.registry.resolve(fqn).get
+    assert(IcebergLite.dataFiles(spark, ref2.path.get).toSet == filesBefore,
+      "DROP COLUMN must not rewrite data files")
+    assert(!s.sql("SELECT * FROM evo_drop").columns.exists(_.equalsIgnoreCase("nm")))
+    assert(IcebergLite.tombstones(ref2.path.get).exists(_.equalsIgnoreCase("nm")))
+    assert(!IcebergLite.canAddColumn(ref2.path.get, "NM"))
+
+    // re-adding the tombstoned name falls back to the COW rewrite: the
+    // old values are scrubbed, NOT resurrected from the old files
+    s.sql("ALTER TABLE evo_drop ADD COLUMN nm VARCHAR")
+    val rows = s.sql("SELECT k, nm FROM evo_drop ORDER BY k").collect()
+    assert(rows.length == 10 && rows.forall(_.isNullAt(1)),
+      "tombstoned re-add must surface NULL, not the dropped values")
+    // and the rewrite cleared the tombstone for future evolution
+    val ref3 = s.registry.resolve(fqn).get
+    assert(IcebergLite.canAddColumn(ref3.path.get, "nm2"))
+    s.sql("DROP TABLE evo_drop")
+  }
+
+  test("EXPIRE SNAPSHOTS: current stays readable, expired manifests and COW dirs reclaimed") {
+    import java.nio.file.Paths
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE evo_exp AS
+             SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 10""")
+    val fqn = graft.engine.Identifiers.fullQualifier("evo_exp", "GRAFT", "PUBLIC")
+    s.sql("""INSERT INTO evo_exp SELECT n_nationkey, n_name
+             FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15""")
+    val refIns = s.registry.resolve(fqn).get
+    // library-level: expiring the 2-snapshot chain drops snapshot 1's
+    // manifests but keeps every carried-forward data file readable
+    val v2 = refIns.path.get
+    assert(v2.endsWith("v2.metadata.json"))
+    val v3 = IcebergLite.expireSnapshots(spark, v2)
+    assert(IcebergLite.scan(spark, v3).count() == 15)
+    assert(!Files.isDirectory(
+      Paths.get(v2).getParent.resolve("manifest-list-s1")))
+    intercept[Exception] {
+      IcebergLite.scan(spark,
+        v2.replace("v2.metadata.json", "v1.metadata.json")).count()
+    }
+
+    // session-level: a COW UPDATE leaves the old table dir behind;
+    // EXPIRE SNAPSHOTS reclaims it and resets time travel to now
+    s.sql("UPDATE evo_exp SET nm = lower(nm) WHERE k < 3")
+    val refCow = s.registry.resolve(fqn).get
+    val oldDir = Paths.get(refIns.path.get).getParent.getParent
+    val cowDir = Paths.get(refCow.path.get).getParent.getParent
+    assert(oldDir != cowDir && Files.isDirectory(oldDir))
+    s.sql("ALTER TABLE evo_exp EXPIRE SNAPSHOTS")
+    assert(!Files.exists(oldDir), "expired COW source dir must be reclaimed")
+    val rows = s.sql("SELECT k, nm FROM evo_exp ORDER BY k").collect()
+    assert(rows.length == 15)
+    assert(rows.take(3).forall(r => r.getString(1) == r.getString(1).toLowerCase))
+    s.sql("DROP TABLE evo_exp")
+  }
+
   test("declared schema rides partitioned tables: NULL/value split per partition") {
     val s = new GraftSession(spark)
     s.attachLake("/root/testdata/sf0.001")
