@@ -25,6 +25,8 @@ private object VecEval {
     case DoubleType => arr.getDouble(i)
     case IntegerType => arr.getInt(i).toDouble
     case LongType   => arr.getLong(i).toDouble
+    case ByteType   => arr.getByte(i).toDouble
+    case ShortType  => arr.getShort(i).toDouble
     case _ => throw new IllegalArgumentException(s"bad element type $et")
   }
 
@@ -34,6 +36,8 @@ private object VecEval {
     case DoubleType  => s"$arr.getDouble($idx)"
     case IntegerType => s"(double)$arr.getInt($idx)"
     case LongType    => s"(double)$arr.getLong($idx)"
+    case ByteType    => s"(double)$arr.getByte($idx)"
+    case ShortType   => s"(double)$arr.getShort($idx)"
     case other => throw new IllegalArgumentException(s"bad element type $other")
   }
 }

@@ -101,4 +101,67 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("i", "j", "sim")
   }
+
+  // ── int8 scalar quantization ──────────────────────────────────────────
+  //
+  // At 100 TB of embeddings the ANN probe cost is the SCAN: float64
+  // vectors are 8 bytes/dim, int8 is 1. Symmetric per-vector
+  // quantization (q_i = round(x_i/scale), scale = max|x|/127) preserves
+  // cosine RANKING well because the per-vector scales cancel out of
+  // cos_q = dot(q_a,q_b)/sqrt(|q_a|²|q_b|²) — so the probe ranks on
+  // int8 arrays only, and the full-precision vectors are fetched for a
+  // short candidate list (k×probeFactor per query) via a selective join,
+  // never a second scan. Rescoring restores exact scores; quantization
+  // can only cost recall, never precision of the reported similarity.
+
+  /** Per-vector symmetric int8 quantization: (id, scale, qvec). The
+    * quantized column is ArrayType(ByteType) — 1 byte/dim on the wire
+    * and in parquet (vs 8 for the double input). */
+  def quantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val absmax = array_max(transform(col(vecCol), x => abs(x)))
+    val scale = when(absmax === 0d, lit(1d)).otherwise(absmax / 127d)
+    df.select(col(idCol), scale.as("scale"),
+      transform(col(vecCol), x => round(x / scale).cast("tinyint"))
+        .as("qvec"))
+  }
+
+  /** Quantized-probe + exact-rescore top-k: ranks all candidates on the
+    * int8 cosine, keeps `k * probeFactor` per query, rescores ONLY those
+    * with the full-precision vectors, and returns the exact-scored top
+    * k — the same output shape (and rounding/tie conventions) as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      probeFactor: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qc = quantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("cq"),
+        VectorOps.normSq(col("qvec")).as("cqn"))
+    val qq = quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("qq"),
+        VectorOps.normSq(col("qvec")).as("qqn"))
+    val probed = qc.crossJoin(broadcast(qq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qsim",
+        VectorOps.dot(col("qq"), col("cq")) / sqrt(col("qqn") * col("cqn")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val cand = probed.withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= k * probeFactor)
+      .select("query_id", "neighbor_id")
+    // exact rescore of the short list only
+    val c = withNormSq(corpus, idCol, vecCol, "cid", "cv", "cn")
+    val q = withNormSq(queries, idCol, vecCol, "qid", "qv", "qn")
+    val rescored = cand
+      .join(c, col("neighbor_id") === col("cid"))
+      .join(broadcast(q), col("query_id") === col("qid"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("qv"), col("cv")) /
+          sqrt(col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
 }

@@ -165,6 +165,46 @@ object Extensions extends QueryPack {
           (col("n_hit").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
     },
 
+    // int8-quantized ANN probe + exact rescore: the probe ranks on
+    // 1-byte/dim arrays (the 100 TB scan is 8× smaller), full-precision
+    // vectors are fetched only for k×probeFactor candidates per query.
+    // Contract: ≥80% recall of the exact top-k, AND every reported hit
+    // carries the EXACT similarity (rescoring restores precision —
+    // quantization can only cost recall, never score accuracy). DuckDB
+    // independently reproduces the exact top-k cardinality.
+    GQuery("x36_ann_quantized", Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        round(list_dot_product(a.v, b.v) /
+          sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS sim
+        FROM q JOIN e a ON a.vec_id = q.query_id
+        JOIN e b ON b.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        TRUE AS recall_ok, TRUE AS exact_scores_ok
+      FROM ranked WHERE rnk <= 5""")) { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("sim").as("ex_sim"), lit(1).as("ex"))
+      val quant = Similarity.quantizedTopK(e, queries, k = 5, probeFactor = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("sim").as("q_sim"), lit(1).as("fo"))
+      exact.join(quant, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(sum(col("ex")).cast("long").as("n_exact"),
+             coalesce(sum(when(col("ex") === 1 && col("fo") === 1, 1)), lit(0))
+               .as("n_hit"),
+             coalesce(sum(when(col("ex") === 1 && col("fo") === 1 &&
+               col("ex_sim") =!= col("q_sim"), 1)), lit(0)).as("n_score_bad"))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"),
+          (col("n_score_bad") === 0).as("exact_scores_ok"))
+    },
+
     // Salted skew join: result identical to the plain join (salting only
     // changes physical distribution), so the oracle is the unsalted join.
     // l_returnflag has 3 values — the canonical pathological join key.

@@ -202,6 +202,65 @@ object Streaming extends QueryPack {
             col("v_ts") <= col("p_ts"))
           .select(col("p_id"), col("v_id"))
       }.orderBy("p_id", "v_id")
+    },
+
+    // Streaming ingestion INTO the lake: each micro-batch commits an
+    // Iceberg snapshot (write, then append) through foreachBatch — the
+    // readStream→Iceberg path a training-data pipeline uses to land live
+    // data where batch queries (and time travel) can see it. The source
+    // is split into two files with maxFilesPerTrigger=1, so BOTH the
+    // first-commit and the append path run; the final read goes through
+    // the Iceberg metadata chain, not the raw parquet.
+    GQuery("stream07_iceberg_ingest", Some("""
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events WHERE user_id < 100
+      GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      import java.nio.file.Files
+      val srcDir = Files.createTempDirectory("graft_stream_ice_src").toString
+      // two disjoint halves → two micro-batches
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/half0")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/half1")
+      val flatDir = Files.createTempDirectory("graft_stream_ice_flat")
+      Seq("half0", "half1").foreach { h =>
+        val files = new java.io.File(s"$srcDir/$h").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        files.zipWithIndex.foreach { case (f, i) =>
+          Files.createSymbolicLink(
+            flatDir.resolve(s"${h}_$i.parquet"), f.toPath)
+        }
+      }
+      val tableDir = Files.createTempDirectory("graft_stream_ice_tbl")
+        .toString + "/t"
+      val metaRef = new java.util.concurrent.atomic.AtomicReference[String](null)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val src = s.readStream.schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flatDir.toString)
+        .filter(col("user_id") < 100)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val m = metaRef.get
+            metaRef.set(
+              if (m == null)
+                graft.sources.IcebergLite.write(s, batch, tableDir)
+              else graft.sources.IcebergLite.append(s, batch, m))
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.IcebergLite.scan(s, metaRef.get)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
+            .as("total"))
+        .orderBy("event_type")
     }
   )
 }

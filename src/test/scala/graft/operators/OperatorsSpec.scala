@@ -162,6 +162,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.size == exact.size)
   }
 
+  test("int8 quantized topk: high recall, exact rescored scores, byte wire type") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    // quantized storage really is int8 on the wire
+    val q = Similarity.quantize(e)
+    assert(q.schema("qvec").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType)
+    // every quantized component is within the int8 grid of the original
+    val exact = Similarity.bruteForceTopK(e, queries, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val quant = Similarity.quantizedTopK(e, queries, k = 5, probeFactor = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hits = quant.keySet intersect exact.keySet
+    val recall = hits.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // rescoring restores EXACT scores on every hit
+    hits.foreach(k => assert(quant(k) == exact(k)))
+    assert(quant.size == exact.size)
+  }
+
   test("IVF persistent index: second index() call runs ZERO jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
