@@ -1035,15 +1035,13 @@ final class GraftSession(
           status(s"column $name already exists, statement succeeded.")
         else {
           val dt = parseSnowflakeType(typeSql.trim)
-          if (ref.format == "iceberg" &&
-              graft.sources.IcebergLite.canAddColumn(ref.path.get, name)) {
+          if (ref.format == "iceberg") {
             // Iceberg's design point: ADD COLUMN is a metadata-only
             // commit — a new metadata.json, zero data files rewritten
             // (old files read NULL under the declared schema). The COW
-            // rewrite below would be O(table) at 100 TB. A re-added
-            // TOMBSTONED name falls through to COW instead: old files
-            // still hold the dropped values and a name-based read would
-            // resurrect them, so the rewrite scrubs first.
+            // rewrite below would be O(table) at 100 TB. Re-adding a
+            // previously dropped name is safe: it binds a fresh
+            // PHYSICAL name, so the old file data stays invisible.
             val newMeta = graft.sources.IcebergLite.addColumn(
               spark, ref.path.get, name, dt)
             val newRef = ref.copy(path = Some(newMeta))
@@ -1076,8 +1074,23 @@ final class GraftSession(
           .find(_.toUpperCase == Identifiers.normalizePart(from))
           .getOrElse(throw new IllegalArgumentException(
             s"column $from does not exist in $f"))
-        swapSnapshot(f, ref,
-          df.withColumnRenamed(actual, Identifiers.normalizePart(to)))
+        val isPartCol = ref.format == "iceberg" &&
+          graft.sources.IcebergLite.partitionColumns(ref.path.get)
+            .map(graft.sources.IcebergLite.parsePartField(_).column)
+            .exists(_.equalsIgnoreCase(actual))
+        if (ref.format == "iceberg" && !isPartCol) {
+          // metadata-only: the logical name rebinds; the physical name
+          // in every data file (and equality-delete file) never changes.
+          // Partition columns take the COW path — their shadow directory
+          // names are physical.
+          val newMeta = graft.sources.IcebergLite.renameColumn(
+            spark, ref.path.get, actual, Identifiers.normalizePart(to))
+          val newRef = ref.copy(path = Some(newMeta))
+          registry.register(newRef)
+          recordVersion(f, newRef)
+        } else
+          swapSnapshot(f, ref,
+            df.withColumnRenamed(actual, Identifiers.normalizePart(to)))
         status("Statement executed successfully.")
       case other =>
         throw new IllegalArgumentException(s"unsupported ALTER TABLE: $other")

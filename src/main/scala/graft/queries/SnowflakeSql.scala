@@ -1095,11 +1095,13 @@ object SnowflakeSql extends QueryPack {
         SELECT k, name, score AS score FROM ice_evo ORDER BY k;""")
     },
 
-    // Iceberg column lifecycle: DROP COLUMN is metadata-only with a
-    // tombstone; re-ADDing the name COW-scrubs instead of resurrecting
-    // the dropped values; EXPIRE SNAPSHOTS truncates history and
-    // reclaims expired manifests/COW dirs while the current snapshot
-    // keeps reading (file-level assertions in IcebergLiteSpec).
+    // Iceberg column lifecycle — ALL metadata-only: DROP tombstones the
+    // physical name; re-ADDing the same logical name binds a FRESH
+    // physical name (old values cannot resurrect — the name-based
+    // equivalent of Iceberg field ids); RENAME rebinds the logical name
+    // while files keep their physical one; EXPIRE SNAPSHOTS truncates
+    // history and reclaims expired manifests/COW dirs while the current
+    // snapshot keeps reading (file-level assertions in IcebergLiteSpec).
     GQuery("snow55_iceberg_column_lifecycle", Some("""
       SELECT n_nationkey AS k, n_regionkey AS r,
         CAST(NULL AS VARCHAR) AS name
@@ -1114,11 +1116,12 @@ object SnowflakeSql extends QueryPack {
           FROM nation WHERE n_nationkey < 15;
         ALTER TABLE ice_lc DROP COLUMN name;
         ALTER TABLE ice_lc ADD COLUMN name VARCHAR;
+        ALTER TABLE ice_lc RENAME COLUMN r TO reg;
         INSERT INTO ice_lc
           SELECT n_nationkey, n_regionkey, n_name
           FROM nation WHERE n_nationkey >= 15 AND n_nationkey < 20;
         ALTER TABLE ice_lc EXPIRE SNAPSHOTS;
-        SELECT k, r, name AS name FROM ice_lc ORDER BY k;""")
+        SELECT k, reg AS r, name AS name FROM ice_lc ORDER BY k;""")
     },
 
     // Iceberg hidden time partitioning: day(ts) transform through the

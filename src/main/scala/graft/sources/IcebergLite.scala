@@ -133,41 +133,14 @@ object IcebergLite {
     }
   }
 
-  /** Append `colName` to the table's schema as a pure metadata commit:
-    * a new vN+1.metadata.json with the evolved schema and the SAME
-    * snapshot chain — zero data files touched. Returns the new metadata
-    * path. */
-  def addColumn(spark: SparkSession, metadataPath: String, colName: String,
-      dataType: org.apache.spark.sql.types.DataType): String = {
-    val mp = stripScheme(metadataPath)
-    val current = declaredSchema(mp).getOrElse {
-      // pre-recording table: one footer read of one data file
-      val probe = readFiles(spark,
-        Seq(planFiles(spark, mp)._1.head.path), None)
-      StructType(probe.schema.filterNot(_.name.startsWith("__part_")))
-    }
-    require(!current.fieldNames.exists(_.equalsIgnoreCase(colName)),
-      s"column $colName already exists")
-    val evolved = current.add(colName, dataType, nullable = true)
-    val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(mp)
-      .map(_.group(1).toInt).getOrElse(1)
-    val tree = mapper.readTree(Files.readAllBytes(Paths.get(mp)))
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    writeSchemaInto(tree, evolved)
-    val newPath = Paths.get(mp).getParent.resolve(
-      s"v${version + 1}.metadata.json")
-    Files.write(newPath, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(tree))
-    newPath.toString
-  }
-
   private val TombstoneProp = "graft.dropped-columns"
+  private val PhysicalProp = "graft.physical-names"
 
-  /** Names dropped from the schema whose data still lives in files on
-    * disk. Iceberg proper avoids resurrection through field ids; this
-    * name-based reader records a tombstone instead, and [[canAddColumn]]
-    * refuses the metadata-only path for a tombstoned name (the session
-    * falls back to the COW rewrite, which scrubs the stale values). */
+  /** PHYSICAL column names dropped from the schema whose data still
+    * lives in files on disk. A later ADD COLUMN of the same logical name
+    * simply binds a FRESH physical name (see [[physicalNames]]), so the
+    * old values can never resurrect — the name-based equivalent of
+    * Iceberg's monotonically increasing field ids. */
   def tombstones(metadataPath: String): Set[String] = {
     val meta = mapper.readTree(
       Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
@@ -175,14 +148,63 @@ object IcebergLite {
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
   }
 
-  /** A metadata-only ADD COLUMN is sound unless the name was previously
-    * dropped (old files would resurrect their values under it). */
-  def canAddColumn(metadataPath: String, colName: String): Boolean =
-    !tombstones(metadataPath).exists(_.equalsIgnoreCase(colName))
+  /** logical → physical column-name map. Files always store PHYSICAL
+    * names (assigned at first ADD and never reused after a DROP);
+    * renames and re-adds only rebind logical names in metadata. The map
+    * records only non-identity entries, so it is empty — and the whole
+    * mechanism dormant — until a rename or a tombstone collision
+    * happens. */
+  def physicalNames(metadataPath: String): Map[String, String] = {
+    val meta = mapper.readTree(
+      Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
+    val node = meta.path("properties").path(PhysicalProp)
+    if (!node.isObject) Map.empty
+    else node.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def currentSchema(spark: SparkSession, mp: String): StructType =
+    declaredSchema(mp).getOrElse {
+      // pre-recording table: one footer read of one data file
+      val probe = readFiles(spark,
+        Seq(planFiles(spark, mp)._1.head.path), None)
+      StructType(probe.schema.filterNot(_.name.startsWith("__part_")))
+    }
+
+  /** A physical name for a new logical column: the logical name itself
+    * unless some file on disk may already hold data under it (current
+    * physical set + tombstones), in which case a fresh `name__N`. */
+  private def freshPhysical(name: String, schema: StructType,
+      physMap: Map[String, String], tombs: Set[String]): String = {
+    val used = schema.fields.map(f => physMap.getOrElse(f.name, f.name))
+      .toSet ++ tombs
+    if (!used.exists(_.equalsIgnoreCase(name))) name
+    else Iterator.from(2).map(i => s"${name}__$i")
+      .find(c => !used.exists(_.equalsIgnoreCase(c))).get
+  }
+
+  /** Append `colName` to the table's schema as a pure metadata commit:
+    * a new vN+1.metadata.json with the evolved schema and the SAME
+    * snapshot chain — zero data files touched. Returns the new metadata
+    * path. Re-adding a previously dropped name is safe: the column binds
+    * a fresh physical name, so old file data stays invisible. */
+  def addColumn(spark: SparkSession, metadataPath: String, colName: String,
+      dataType: org.apache.spark.sql.types.DataType): String = {
+    val mp = stripScheme(metadataPath)
+    val current = currentSchema(spark, mp)
+    require(!current.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"column $colName already exists")
+    val physMap = physicalNames(mp)
+    val phys = freshPhysical(colName, current, physMap, tombstones(mp))
+    val evolved = current.add(colName, dataType, nullable = true)
+    val newMap =
+      if (phys == colName) physMap else physMap + (colName -> phys)
+    commitEvolution(mp, evolved, newMap, tombstones(mp))
+  }
 
   /** Drop `colName` as a pure metadata commit: the declared schema loses
     * the field, scans stop projecting it (parquet column pruning skips
-    * the bytes), and the name is tombstoned against resurrection. Data
+    * the bytes), and its PHYSICAL name is tombstoned against reuse. Data
     * files are untouched — O(metadata) where COW would be O(table). */
   def dropColumn(spark: SparkSession, metadataPath: String,
       colName: String): String = {
@@ -190,25 +212,52 @@ object IcebergLite {
     require(!partitionColumns(mp).map(parsePartField).exists(
         _.column.equalsIgnoreCase(colName)),
       s"cannot drop partition column $colName")
-    val current = declaredSchema(mp).getOrElse {
-      val probe = readFiles(spark,
-        Seq(planFiles(spark, mp)._1.head.path), None)
-      StructType(probe.schema.filterNot(_.name.startsWith("__part_")))
-    }
+    val current = currentSchema(spark, mp)
     val actual = current.fields.find(_.name.equalsIgnoreCase(colName))
       .getOrElse(throw new IllegalArgumentException(
         s"column $colName does not exist"))
     require(current.length > 1, "cannot drop the only column")
+    val physMap = physicalNames(mp)
     val evolved = StructType(current.filterNot(_.name == actual.name))
+    commitEvolution(mp, evolved, physMap - actual.name,
+      tombstones(mp) + physMap.getOrElse(actual.name, actual.name))
+  }
+
+  /** Rename `from` to `to` as a pure metadata commit: the logical name
+    * rebinds, the physical name in the files never changes (so old AND
+    * new data files keep reading, and equality-delete files keyed by the
+    * physical name keep applying). Partition columns are refused — their
+    * shadow-directory names are physical. */
+  def renameColumn(spark: SparkSession, metadataPath: String,
+      from: String, to: String): String = {
+    val mp = stripScheme(metadataPath)
+    require(!partitionColumns(mp).map(parsePartField).exists(
+        _.column.equalsIgnoreCase(from)),
+      s"cannot rename partition column $from")
+    val current = currentSchema(spark, mp)
+    val actual = current.fields.find(_.name.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $from does not exist"))
+    require(!current.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists")
+    val physMap = physicalNames(mp)
+    val phys = physMap.getOrElse(actual.name, actual.name)
+    val evolved = StructType(current.fields.map(f =>
+      if (f.name == actual.name) f.copy(name = to) else f))
+    val newMap = (physMap - actual.name) ++
+      (if (phys == to) Map.empty else Map(to -> phys))
+    commitEvolution(mp, evolved, newMap, tombstones(mp))
+  }
+
+  /** Write a new metadata version identical to `mp` except for the
+    * declared schema, physical-name map, and tombstones. */
+  private def commitEvolution(mp: String, schema: StructType,
+      physMap: Map[String, String], tombs: Set[String]): String = {
     val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(mp)
       .map(_.group(1).toInt).getOrElse(1)
     val tree = mapper.readTree(Files.readAllBytes(Paths.get(mp)))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    writeSchemaInto(tree, evolved)
-    val props = tree.path("properties")
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    props.put(TombstoneProp,
-      (tombstones(mp) + actual.name).toSeq.sorted.mkString(","))
+    writeSchemaInto(tree, schema, physMap, tombs)
     val newPath = Paths.get(mp).getParent.resolve(
       s"v${version + 1}.metadata.json")
     Files.write(newPath, mapper.writerWithDefaultPrettyPrinter()
@@ -264,15 +313,26 @@ object IcebergLite {
   }
 
   /** Record `schema` in a metadata tree: the exact Spark DDL property +
-    * the best-effort Iceberg-spec field list. */
+    * the best-effort Iceberg-spec field list + the evolution state
+    * (physical-name map and tombstones — every metadata version must
+    * carry them or an append would silently discard them). */
   private def writeSchemaInto(
       tree: com.fasterxml.jackson.databind.node.ObjectNode,
-      schema: StructType): Unit = {
+      schema: StructType,
+      physMap: Map[String, String] = Map.empty,
+      tombs: Set[String] = Set.empty): Unit = {
     val props = tree.path("properties") match {
       case o: com.fasterxml.jackson.databind.node.ObjectNode => o
       case _ => tree.putObject("properties")
     }
     props.put(SchemaDdlProp, schema.toDDL)
+    if (physMap.nonEmpty) {
+      val m = props.putObject(PhysicalProp)
+      physMap.toSeq.sortBy(_._1).foreach { case (l, p) => m.put(l, p) }
+    } else props.remove(PhysicalProp)
+    if (tombs.nonEmpty)
+      props.put(TombstoneProp, tombs.toSeq.sorted.mkString(","))
+    else props.remove(TombstoneProp)
     val specTypes = schema.fields.map(f => iceTypeName(f.dataType))
     if (specTypes.forall(_.isDefined)) {
       val schemas = tree.putArray("schemas")
@@ -315,13 +375,24 @@ object IcebergLite {
     // schema evolution: when the metadata declares a schema, every file
     // group reads under it, so files written before an ADD COLUMN yield
     // NULL for the new column (and a group mixing old and new files
-    // cannot silently drop it to the first file's footer)
-    val declared = declaredSchema(metadataPath)
+    // cannot silently drop it to the first file's footer). Files store
+    // PHYSICAL names; the read happens physical and the final projection
+    // rebinds to the logical names (identity unless a rename or a
+    // tombstone collision ever happened on this table).
+    val logical = declaredSchema(metadataPath)
+    val physMap = physicalNames(metadataPath)
+    val declared = logical.map(s => StructType(s.fields.map(f =>
+      f.copy(name = physMap.getOrElse(f.name, f.name)))))
     // the shadow partition column is plumbing, not user schema; the drop
     // is a Project above the relation, so filters still push below it
     // (and the mirror rule rewrites them onto the shadow column there)
-    def clean(df: DataFrame): DataFrame =
-      df.drop(df.columns.filter(_.startsWith("__part_")).toSeq: _*)
+    def clean(df: DataFrame): DataFrame = {
+      val noShadow =
+        df.drop(df.columns.filter(_.startsWith("__part_")).toSeq: _*)
+      if (physMap.isEmpty) noShadow
+      else noShadow.select(logical.get.fields.map(f =>
+        col(physMap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+    }
     if (dataEntries.isEmpty)
       // fully pruned: preserve the schema via an always-false filter on one file
       return clean(readFiles(spark, Seq(allData.head.path), declared))
@@ -503,14 +574,39 @@ object IcebergLite {
       carryForward = planFiles(spark, metadataPath)._1
         .map(e => e.path -> e.partition).distinct,
       partitionBy = partitionColumns(metadataPath),
-      baseSchema = declaredSchema(metadataPath))
+      baseMeta = Some(metadataPath))
   }
 
-  private def commit(spark: SparkSession, df: DataFrame, tableDir: String,
+  private def commit(spark: SparkSession, df0: DataFrame, tableDir: String,
       newVersion: Int, carryForward: Seq[(String, Option[String])],
       partitionBy: Seq[String] = Nil,
-      baseSchema: Option[StructType] = None): String = {
+      baseMeta: Option[String] = None): String = {
     import org.apache.spark.sql.functions._
+    // evolution state carried from the base metadata (appends must not
+    // discard renames or tombstones committed before them)
+    val baseSchema = baseMeta.flatMap(m => declaredSchema(stripScheme(m)))
+    val baseTombs = baseMeta.map(m => tombstones(stripScheme(m)))
+      .getOrElse(Set.empty)
+    var physMap = baseMeta.map(m => physicalNames(stripScheme(m)))
+      .getOrElse(Map.empty[String, String])
+    // columns this commit introduces need physical names too
+    val recorded0 = baseSchema match {
+      case Some(base) =>
+        val extra = df0.schema.filterNot(f =>
+          base.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        extra.foreach { f =>
+          val phys = freshPhysical(f.name,
+            StructType(base.fields), physMap, baseTombs)
+          if (phys != f.name) physMap += (f.name -> phys)
+        }
+        StructType(base.fields ++ extra)
+      case None => df0.schema
+    }
+    // files store PHYSICAL names; rename the incoming logical frame
+    val df =
+      if (physMap.isEmpty) df0
+      else df0.select(df0.columns.map(c =>
+        col(c).as(physMap.getOrElse(c, c))).toIndexedSeq: _*)
     val snapId = newVersion.toLong
     val dataDir = s"$tableDir/data/s$snapId"
     // resolve partition columns against the frame case-insensitively
@@ -623,19 +719,12 @@ object IcebergLite {
          | "current-snapshot-id": $snapId,
          | "snapshots": $snapshotsJson$specJson}""".stripMargin
     Files.createDirectories(Paths.get(metadataPath).getParent)
-    // record the declared schema: the evolved base (when appending to an
-    // evolved table) plus any columns this commit introduces, so later
-    // scans project every file — old or new — under one schema
-    val recorded = baseSchema match {
-      case Some(base) =>
-        val extra = df.schema.filterNot(f =>
-          base.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-        StructType(base.fields ++ extra)
-      case None => df.schema
-    }
+    // record the declared LOGICAL schema (evolved base + new columns) and
+    // the evolution state, so later scans project every file — old or
+    // new — under one schema
     val tree = mapper.readTree(json.getBytes)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    writeSchemaInto(tree, recorded)
+    writeSchemaInto(tree, recorded0, physMap, baseTombs)
     Files.write(Paths.get(metadataPath),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree))
     metadataPath

@@ -554,18 +554,67 @@ class IcebergLiteSpec extends AnyFunSuite {
       "DROP COLUMN must not rewrite data files")
     assert(!s.sql("SELECT * FROM evo_drop").columns.exists(_.equalsIgnoreCase("nm")))
     assert(IcebergLite.tombstones(ref2.path.get).exists(_.equalsIgnoreCase("nm")))
-    assert(!IcebergLite.canAddColumn(ref2.path.get, "NM"))
 
-    // re-adding the tombstoned name falls back to the COW rewrite: the
-    // old values are scrubbed, NOT resurrected from the old files
+    // re-adding the tombstoned name stays METADATA-ONLY: it binds a
+    // fresh physical name, so the old file data cannot resurrect
     s.sql("ALTER TABLE evo_drop ADD COLUMN nm VARCHAR")
+    val ref3 = s.registry.resolve(fqn).get
+    assert(IcebergLite.dataFiles(spark, ref3.path.get).toSet == filesBefore,
+      "tombstoned re-add must also be metadata-only")
+    val physMap = IcebergLite.physicalNames(ref3.path.get)
+    assert(physMap.exists { case (l, p) =>
+      l.equalsIgnoreCase("nm") && !p.equalsIgnoreCase("nm") },
+      s"re-added column must bind a fresh physical name, got $physMap")
     val rows = s.sql("SELECT k, nm FROM evo_drop ORDER BY k").collect()
     assert(rows.length == 10 && rows.forall(_.isNullAt(1)),
       "tombstoned re-add must surface NULL, not the dropped values")
-    // and the rewrite cleared the tombstone for future evolution
-    val ref3 = s.registry.resolve(fqn).get
-    assert(IcebergLite.canAddColumn(ref3.path.get, "nm2"))
+    // an INSERT writes the re-added column under its physical name and
+    // reads back by the logical one
+    s.sql("""INSERT INTO evo_drop SELECT n_nationkey, n_name
+             FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 12""")
+    val rows2 = s.sql("SELECT k, nm FROM evo_drop ORDER BY k").collect()
+    assert(rows2.length == 12)
+    assert(rows2.take(10).forall(_.isNullAt(1)))
+    assert(rows2.drop(10).forall(r => r.getString(1).startsWith("NATION")))
     s.sql("DROP TABLE evo_drop")
+  }
+
+  test("RENAME COLUMN is metadata-only: physical name stable, values preserved") {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE evo_ren AS
+             SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 10""")
+    val fqn = graft.engine.Identifiers.fullQualifier("evo_ren", "GRAFT", "PUBLIC")
+    val filesBefore = IcebergLite.dataFiles(
+      spark, s.registry.resolve(fqn).get.path.get).toSet
+
+    s.sql("ALTER TABLE evo_ren RENAME COLUMN nm TO label")
+    val ref2 = s.registry.resolve(fqn).get
+    assert(IcebergLite.dataFiles(spark, ref2.path.get).toSet == filesBefore,
+      "RENAME COLUMN must not rewrite data files")
+    val renamed = s.sql("SELECT k, label FROM evo_ren ORDER BY k").collect()
+    assert(renamed.length == 10 &&
+      renamed.forall(_.getString(1).startsWith("NATION")),
+      "values must survive the rename")
+    // the physical name is stable: metadata maps LABEL -> nm
+    assert(IcebergLite.physicalNames(ref2.path.get).exists { case (l, p) =>
+      l.equalsIgnoreCase("label") && p == "nm" })
+
+    // appends under the new logical name land on the OLD physical name,
+    // so one read group mixes pre- and post-rename files seamlessly
+    s.sql("""INSERT INTO evo_ren SELECT n_nationkey, n_name
+             FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15""")
+    val all = s.sql("SELECT k, label FROM evo_ren ORDER BY k").collect()
+    assert(all.length == 15 && all.forall(_.getString(1).startsWith("NATION")))
+
+    // adding a fresh column named like the OLD name must NOT read the
+    // renamed column's data (the physical name is taken → fresh binding)
+    s.sql("ALTER TABLE evo_ren ADD COLUMN nm VARCHAR")
+    val withOld = s.sql("SELECT k, label, nm FROM evo_ren ORDER BY k").collect()
+    assert(withOld.forall(_.isNullAt(2)),
+      "a new column reusing a renamed-away name must read NULL")
+    assert(withOld.forall(_.getString(1).startsWith("NATION")))
+    s.sql("DROP TABLE evo_ren")
   }
 
   test("EXPIRE SNAPSHOTS: current stays readable, expired manifests and COW dirs reclaimed") {
