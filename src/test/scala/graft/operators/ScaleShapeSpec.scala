@@ -88,6 +88,30 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(allPairsJoins(lsh) == 0, physical(lsh).toString)
   }
 
+  test("quantized ANN: the all-pairs probe touches ONLY int8 vectors") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType}
+    // assert on the pre-execution plan: AQE stage materialization after
+    // a collect() hides earlier stages from executedPlan.collect
+    val q = Similarity.quantizedTopK(embs, embs.filter($"id" < 3), k = 3,
+      idCol = "id", vecCol = "v")
+    val plan = physical(q)
+    val allPairs = plan.collect {
+      case j: CartesianProductExec => j: SparkPlan
+      case j: BroadcastNestedLoopJoinExec => j: SparkPlan
+    }
+    // exactly one all-pairs stage — the int8 probe; the full-precision
+    // rescore must reach the corpus through selective equi-joins
+    assert(allPairs.size == 1, plan.toString)
+    val probeTypes = allPairs.head.output.map(_.dataType)
+    assert(probeTypes.contains(ArrayType(ByteType, containsNull = true)) ||
+      probeTypes.contains(ArrayType(ByteType, containsNull = false)),
+      s"probe should carry int8 vectors, got $probeTypes")
+    assert(!probeTypes.exists {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }, s"full-precision vectors leaked into the all-pairs probe: $probeTypes")
+  }
+
   test("exact baselines are the ONLY all-pairs plans") {
     // thresholdPairs is the documented O(n²) correctness baseline — it
     // SHOULD plan the product; this guards the framing both ways

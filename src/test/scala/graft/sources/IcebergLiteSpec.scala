@@ -579,6 +579,63 @@ class IcebergLiteSpec extends AnyFunSuite {
     s.sql("DROP TABLE evo_drop")
   }
 
+  test("randomized: evolution sequences match a simulated table") {
+    // a wrong physical-name binding is silent data corruption (values
+    // resurrect, vanish, or land under the wrong column) — fuzz random
+    // add/drop/rename/insert sequences against an in-memory model
+    val rnd = new scala.util.Random(4242)
+    for (scenario <- 1 to 4) {
+      val s = new GraftSession(spark)
+      s.attachLake("/root/testdata/sf0.001")
+      s.sql("""CREATE OR REPLACE ICEBERG TABLE evo_fuzz AS
+               SELECT n_nationkey AS k, n_name AS c0
+               FROM nation WHERE n_nationkey < 5""")
+      // model: column order + per-row values keyed by k
+      var cols = Vector("C0")
+      var rows: Map[Long, Map[String, String]] =
+        (0L until 5L).map(k => k -> Map("C0" -> s"NATION_$k")).toMap
+      var nextKey = 100L
+      var nextCol = 1
+      for (_ <- 1 to 8) rnd.nextInt(4) match {
+        case 0 => // add column
+          val c = s"C$nextCol"; nextCol += 1
+          s.sql(s"ALTER TABLE evo_fuzz ADD COLUMN $c VARCHAR")
+          cols :+= c
+          rows = rows.view.mapValues(_ + (c -> null)).toMap
+        case 1 if cols.length > 1 => // drop a random non-key column
+          val c = cols(rnd.nextInt(cols.length))
+          s.sql(s"ALTER TABLE evo_fuzz DROP COLUMN $c")
+          cols = cols.filterNot(_ == c)
+          rows = rows.view.mapValues(_ - c).toMap
+        case 2 => // rename a random column (possibly to a retired name)
+          val from = cols(rnd.nextInt(cols.length))
+          val to = s"C$nextCol"; nextCol += 1
+          s.sql(s"ALTER TABLE evo_fuzz RENAME COLUMN $from TO $to")
+          cols = cols.map(c => if (c == from) to else c)
+          rows = rows.view.mapValues(m => m - from + (to -> m(from))).toMap
+        case _ => // insert two rows with distinct values per live column
+          val ks = Seq(nextKey, nextKey + 1); nextKey += 2
+          val values = ks.map { k =>
+            val vs = cols.map(c => s"v${k}_$c")
+            s"($k, ${vs.map(v => s"'$v'").mkString(", ")})"
+          }.mkString(", ")
+          s.sql(s"INSERT INTO evo_fuzz VALUES $values")
+          ks.foreach { k =>
+            rows += k -> cols.map(c => c -> s"v${k}_$c").toMap
+          }
+      }
+      val got = s.sql(s"SELECT k, ${cols.mkString(", ")} FROM evo_fuzz ORDER BY k")
+        .collect()
+        .map(r => r.getAs[Number](0).longValue ->
+          cols.zipWithIndex.map { case (c, i) =>
+            c -> (if (r.isNullAt(i + 1)) null else r.getString(i + 1)) }.toMap)
+        .toMap
+      assert(got == rows,
+        s"scenario $scenario diverged:\n got=$got\nwant=$rows")
+      s.sql("DROP TABLE evo_fuzz")
+    }
+  }
+
   test("RENAME COLUMN is metadata-only: physical name stable, values preserved") {
     val s = new GraftSession(spark)
     s.attachLake("/root/testdata/sf0.001")
