@@ -193,6 +193,55 @@ object Multimodal {
       }(enc)
   }
 
+  private val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** Integer-exact resize dimensions: downscale so max(w,h) == maxDim,
+    * aspect preserved with floor division, never below 1px, never
+    * upscale. Pure integer math so an external oracle can reproduce the
+    * expected dimensions without an image library. */
+  def resizedDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val maxSide = math.max(w, h)
+    if (maxSide <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / maxSide),
+          math.max(1, h * maxDim / maxSide))
+  }
+
+  /** REAL image resize in the same mapPartitions batch stage: decode
+    * (JDK codecs), Java2D scale to [[resizedDims]], re-encode PNG.
+    * Non-image or corrupt payloads soft-fail to NULL payload/dims — a
+    * 100 TB crawl's resize stage must never die on one bad file. The
+    * stage is shuffle-free; partitioning stays whatever the scan chose. */
+  def resizeImages(binDf: DataFrame, maxDim: Int,
+      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(resizedSchema))
+    binDf.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Row(id, null, null, null)
+          else {
+            val (nw, nh) = resizedDims(img.getWidth, img.getHeight, maxDim)
+            val scaled =
+              new BufferedImage(nw, nh, BufferedImage.TYPE_3BYTE_BGR)
+            val g = scaled.createGraphics()
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val out = new ByteArrayOutputStream()
+            ImageIO.write(scaled, "png", out)
+            Row(id, out.toByteArray, nw, nh)
+          }
+        }
+      }(enc)
+  }
+
   /** Build a binary-payload table from text (an opaque-binary column for
     * the non-image path: sniff misses, byte metadata still flows). */
   def binaryFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -320,6 +320,32 @@ object Extensions extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // REAL image resize: decode → Java2D scale (max side 16, aspect
+    // preserved, integer-exact dims) → PNG re-encode, then the check
+    // RE-DECODES the resized payloads — so the gate proves the output
+    // is a valid image with exactly the arithmetic dimensions, not just
+    // that a metadata field was set.
+    GQuery("x37_multimodal_resize", Some("""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(8 + doc_id % 32 AS INT) AS w,
+          CAST(8 + (doc_id * 7) % 32 AS INT) AS h
+        FROM documents),
+      d2 AS (SELECT doc_id, w, h, GREATEST(w, h) AS ms FROM dims)
+      SELECT doc_id,
+        CAST(CASE WHEN ms <= 16 THEN w
+             ELSE GREATEST(1, w * 16 // ms) END AS INT) AS width,
+        CAST(CASE WHEN ms <= 16 THEN h
+             ELSE GREATEST(1, h * 16 // ms) END AS INT) AS height,
+        CAST(3 AS INT) AS channels
+      FROM d2 ORDER BY doc_id""")) { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.resizeImages(
+          Multimodal.syntheticImages(docs(s, dir), "doc_id"), maxDim = 16))
+        .select("doc_id", "width", "height", "channels")
+        .orderBy("doc_id")
+    },
+
     // Sessionization with a 30-minute inactivity gap: Spark's
     // `session_window` (shuffle by user_id, per-key merge — no full-sort
     // window function, so it scales to 100 TB of events). The oracle

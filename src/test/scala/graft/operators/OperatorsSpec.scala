@@ -479,6 +479,29 @@ class OperatorsSpec extends AnyFunSuite {
       cf.getAs[Long]("n_bytes") == 24L)
   }
 
+  test("multimodal: resize downscales with exact dims; corrupt soft-fails NULL") {
+    val ids = (0L to 40L).toDF("doc_id")
+    val resized = Multimodal.resizeImages(
+      Multimodal.syntheticImages(ids, "doc_id"), maxDim = 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 40L).foreach { id =>
+      val w = (8 + Math.floorMod(id, 32L)).toInt
+      val h = (8 + Math.floorMod(id * 7, 32L)).toInt
+      val (ew, eh) = Multimodal.resizedDims(w, h, 16)
+      val r = resized(id)
+      assert(r.getInt(2) == ew && r.getInt(3) == eh, s"id=$id")
+      assert(math.max(ew, eh) <= 16)
+      // the payload is a real decodable PNG with those dims
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      assert(img.getWidth == ew && img.getHeight == eh)
+    }
+    // corrupt/non-image payloads: NULL payload and dims, stage survives
+    val junk = Seq((1L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(junk, maxDim = 16).collect()(0)
+    assert(out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
+  }
+
   test("chunk: overlap windows cover every token; short docs = one chunk") {
     val text = (1 to 25).map("w" + _).mkString(" ")
     val df = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
