@@ -73,6 +73,89 @@ final class GraftSession(
     * values are "not necessarily contiguous"). */
   private val sequences = scala.collection.concurrent.TrieMap
     .empty[String, (Long, Long, java.util.concurrent.atomic.AtomicLong)]
+  /** CREATE STREAM registry (Snowflake table CDC, [[Streams]]): name →
+    * offset state. Reads resolve through [[ensureView]]; DML/CTAS
+    * statements that read a stream advance its offset on success. */
+  private val streams = scala.collection.concurrent.TrieMap
+    .empty[FQN, StreamState]
+  /** Streams resolved by the statement currently executing — consulted
+    * after it completes to apply the consume-advances-offset rule. */
+  private val streamsReadInStmt = scala.collection.mutable.Set.empty[FQN]
+
+  private def doCreateStream(orReplace: Boolean, ifNotExists: Boolean,
+      name: String, target: String, rest: String): DataFrame = {
+    val f = fqn(name)
+    if (streams.contains(f) && !orReplace) {
+      if (ifNotExists) return status(s"${f.table} already exists, statement succeeded.")
+      throw new IllegalArgumentException(s"stream ${f.flat} already exists")
+    }
+    val tf = fqn(target)
+    val ref = registry.resolve(tf).orElse(resolveExternal(tf)).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE STREAM: table ${tf.flat} does not exist"))
+    val appendOnly = "(?i)APPEND_ONLY\\s*=\\s*TRUE".r
+      .findFirstIn(rest).isDefined
+    val showInitial = "(?i)SHOW_INITIAL_ROWS\\s*=\\s*TRUE".r
+      .findFirstIn(rest).isDefined
+    val (files, deletes) = Streams.filesOf(spark, ref)
+    val st =
+      if (showInitial) {
+        // offset at the EMPTY file set: the existing rows surface as the
+        // first delta (file-addressable storage only — elsewhere there is
+        // no before-creation snapshot to diff against)
+        require(files.isDefined, "SHOW_INITIAL_ROWS requires " +
+          s"file-addressable storage (table ${tf.flat} is ${ref.format})")
+        new StreamState(tf, appendOnly, ref,
+          Some(Set.empty), Some(Set.empty))
+      } else new StreamState(tf, appendOnly, ref, files, deletes)
+    streams.put(f, st)
+    status(s"Stream ${f.table} successfully created.")
+  }
+
+  /** Consume rule: after a successful DML/CTAS statement, every stream it
+    * read advances to the target's CURRENT version (post-statement). */
+  private def advanceStreams(): Unit = streamsReadInStmt.foreach { f =>
+    streams.get(f).foreach { st =>
+      registry.resolve(st.target).foreach { cur =>
+        val (files, deletes) = Streams.filesOf(spark, cur)
+        st.offsetRef = cur
+        st.offsetFiles = files
+        st.offsetDeleteFiles = deletes
+      }
+    }
+  }
+
+  /** SYSTEM$STREAM_HAS_DATA('name') → TRUE|FALSE literal, resolved
+    * eagerly against the stream registry (file-set comparison — no Spark
+    * job on the append path). Token-level like LAST_QUERY_ID. */
+  private def substituteStreamHasData(sql: String): String = {
+    if (!sql.toUpperCase.contains("SYSTEM$STREAM_HAS_DATA")) return sql
+    import SqlTokens._
+    val toks = lex(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Ident(w) if w.equalsIgnoreCase("SYSTEM$STREAM_HAS_DATA") =>
+          var j = i + 1
+          while (j < toks.length && (toks(j).isInstanceOf[Ws] ||
+                 toks(j).isInstanceOf[Comment])) j += 1
+          if (j < toks.length && toks(j) == Op("(")) {
+            val close = matchParenTok(toks, j)
+            val arg = render(toks.slice(j + 1, close)).trim
+              .stripPrefix("'").stripSuffix("'")
+            val f = fqn(arg)
+            val st = streams.getOrElse(f, throw new IllegalArgumentException(
+              s"SYSTEM$$STREAM_HAS_DATA: unknown stream ${f.flat}"))
+            out += Ident(if (Streams.hasData(spark, registry, st)) "TRUE" else "FALSE")
+            i = close + 1
+          } else { out += toks(i); i += 1 }
+        case t => out += t; i += 1
+      }
+    }
+    render(out.toSeq)
+  }
+
   /** External (Iceberg-REST / Polaris-shape) catalogs consulted on a
     * registry miss, in attach order — the reference's `--universql-catalog`
     * seam (`universql/catalog/iceberg.py`). Resolutions are cached into
@@ -187,7 +270,11 @@ final class GraftSession(
     stmts.map { st =>
       currentSeq = stmtSeqGen.incrementAndGet()
       val t0 = System.nanoTime()
-      val res = executeOne(substituteLastQueryId(st))
+      streamsReadInStmt.clear()
+      val res = executeOne(substituteStreamHasData(substituteLastQueryId(st)))
+      if (streamsReadInStmt.nonEmpty &&
+          consumesStreamsRe.pattern.matcher(st).matches())
+        advanceStreams()
       lastQueryLog =
         s"Run locally on Spark: ${GraftSession.costEstimate((System.nanoTime() - t0) / 1e9)}"
       val qid = f"01-graft-$sessionId%04d-$currentSeq%06d"
@@ -321,7 +408,7 @@ final class GraftSession(
   private val undropRe = "(?is)^UNDROP\\s+TABLE\\s+([\\w$\".]+)\\s*$".r
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
-  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|SEQUENCES|FILE\\s+FORMATS)\\b.*$".r
+  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|SEQUENCES|STREAMS|FILE\\s+FORMATS)\\b.*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   private val optimizeRe = "(?is)^OPTIMIZE\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val alterRe = "(?is)^ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s+(.*)$".r
@@ -345,6 +432,18 @@ final class GraftSession(
     "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?SEQUENCE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w$\".]+)\\s*(.*)$".r
   private val dropSeqRe =
     "(?is)^DROP\\s+SEQUENCE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
+  private val createStreamRe =
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?STREAM\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+     "([\\w$\".]+)\\s+ON\\s+TABLE\\s+([\\w$\".]+)\\s*(.*)$").r
+  private val dropStreamRe =
+    "(?is)^DROP\\s+STREAM\\s+(IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
+  /** Statements whose successful completion CONSUMES the streams they
+    * read (advances their offset to the current table version) — DML and
+    * CTAS, per Snowflake; plain SELECT and CREATE VIEW never advance.
+    * `COPY INTO @stage` (unload) is excluded via the [^@] guard. */
+  private val consumesStreamsRe =
+    ("(?is)^\\s*(?:INSERT|MERGE|UPDATE|DELETE|COPY\\s+INTO\\s+[^@\\s]|" +
+     "CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?(?:ICEBERG\\s+)?TABLE)\\b.*$").r
   /** Cloud-services / account statements a script carries but an offline
     * single-user engine has nothing to do for — accepted as successful
     * no-ops, the way Snowflake acks them without warehouse work. */
@@ -393,6 +492,13 @@ final class GraftSession(
     case dropSeqRe(name) =>
       sequences.remove(Identifiers.normalizePart(name))
       status("Statement executed successfully.")
+    case createStreamRe(orReplace, ifNotExists, name, target, rest) =>
+      doCreateStream(orReplace != null, ifNotExists != null, name, target, rest)
+    case dropStreamRe(ifExists, name) =>
+      val f = fqn(name)
+      if (streams.remove(f).isEmpty && ifExists == null)
+        throw new IllegalArgumentException(s"unknown stream ${f.flat}")
+      status(s"${Identifiers.normalizePart(name)} successfully dropped.")
     case noopRe(_) => status("Statement executed successfully.")
     case r if r.toUpperCase.startsWith("ROLLBACK") =>
       throw new UnsupportedOperationException(
@@ -658,7 +764,15 @@ final class GraftSession(
     * return the view name; unknown names are left untouched so Spark can
     * resolve its own temp views / raise its own errors. */
   private[engine] def ensureView(f: FQN): Option[String] =
-    if (f.schema == "INFORMATION_SCHEMA") {
+    if (streams.contains(f)) {
+      // stream read: materialize the CURRENT delta as the view (recomputed
+      // at every statement — stream contents track the target table)
+      val st = streams(f)
+      streamsReadInStmt += f
+      val vn = viewName(f)
+      Streams.delta(spark, registry, st).createOrReplaceTempView(vn)
+      Some(vn)
+    } else if (f.schema == "INFORMATION_SCHEMA") {
       infoSchemaView(f.table).map { df =>
         df.createOrReplaceTempView(viewName(f)); viewName(f)
       }
@@ -1546,6 +1660,13 @@ final class GraftSession(
         val rows = fileFormats.toSeq.sortBy(_._1).map { case (n, opts) =>
           Row(n, currentDatabase, currentSchema,
             opts.getOrElse("TYPE", "CSV"))
+        }
+        spark.createDataFrame(rows.asJava, schemaOf)
+      case "STREAMS" =>
+        val rows = streams.toSeq.sortBy(_._1.flat).map { case (f, st) =>
+          Row(f.table, f.database, f.schema,
+            s"ON ${st.target.flat}" +
+              (if (st.appendOnly) " APPEND_ONLY" else ""))
         }
         spark.createDataFrame(rows.asJava, schemaOf)
       case "DATABASES" =>

@@ -183,8 +183,21 @@ object SnowflakeRewriter {
     toks = rewriteSample(toks)
     toks = rewriteQualify(toks)
     toks = rewriteTop(toks)
+    toks = quoteMetadataIdents(toks)
     render(toks)
   }
+
+  /** Snowflake stream metadata columns (METADATA$ACTION, METADATA$ISUPDATE,
+    * METADATA$ROW_ID) are legal unquoted in Snowflake, but `$` is not an
+    * unquoted-identifier character for Spark's parser — backtick-render
+    * them. Already-backticked tokens start with ` and don't match. */
+  private def quoteMetadataIdents(toks: Vector[Tok]): Vector[Tok] =
+    toks.map {
+      case Ident(t) if t.length > 9 &&
+          t.regionMatches(true, 0, "METADATA$", 0, 9) =>
+        Ident("`" + t + "`")
+      case t => t
+    }
 
   // ── pass: ASOF JOIN → union+window (scale path) or LATERAL (fallback) ──
   /** Snowflake `L ASOF JOIN R [alias] MATCH_CONDITION(l.t >= r.t) [ON eq]`.

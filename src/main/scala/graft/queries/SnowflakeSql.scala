@@ -1124,6 +1124,89 @@ object SnowflakeSql extends QueryPack {
         SELECT k, reg AS r, name AS name FROM ice_lc ORDER BY k;""")
     },
 
+    // Snowflake table STREAM (CDC): offset at creation, INSERT delta via
+    // the in-place append fast path (added files only), then a COW DELETE
+    // flips the read to the snapshot diff — the stream reports the NET
+    // changes with METADATA$ACTION. Oracle recomputes both sets from the
+    // scripted DML.
+    GQuery("snow56_stream_cdc", Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders WHERE o_orderkey % 7 = 0),
+      ins AS (
+        SELECT o_orderkey + 5000000 AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders WHERE o_orderkey % 11 = 0),
+      del AS (SELECT k, v FROM base WHERE k % 3 = 0)
+      SELECT 'DELETE' AS action, count(*) AS n,
+        CAST(sum(v) AS DOUBLE) AS total FROM del
+      UNION ALL
+      SELECT 'INSERT', count(*), CAST(sum(v) AS DOUBLE) FROM ins
+      ORDER BY action""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE strm_src AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS v
+          FROM orders WHERE o_orderkey % 7 = 0;
+        CREATE OR REPLACE STREAM strm_s ON TABLE strm_src;
+        INSERT INTO strm_src
+          SELECT o_orderkey + 5000000, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey % 11 = 0;
+        DELETE FROM strm_src WHERE k % 3 = 0 AND k < 5000000;
+        SELECT METADATA$ACTION AS action, count(*) AS n,
+          sum(v)::double AS total
+        FROM strm_s GROUP BY 1 ORDER BY action;""")
+    },
+
+    // Stream consumption lifecycle: a CTAS reading the stream ADVANCES
+    // its offset (Snowflake's consume rule — plain SELECTs never do), so
+    // the next delta holds only post-consumption changes;
+    // SYSTEM$STREAM_HAS_DATA resolves from file-set metadata alone.
+    GQuery("snow57_stream_consume", Some("""
+      SELECT
+        (SELECT count(*) FROM orders WHERE o_orderkey % 17 = 0) AS consumed,
+        count(*) AS pending,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS pending_total,
+        TRUE AS has_data
+      FROM orders WHERE o_orderkey % 19 = 0""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE strm_src2 AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS v
+          FROM orders WHERE o_orderkey % 13 = 0;
+        CREATE OR REPLACE STREAM strm_c ON TABLE strm_src2;
+        INSERT INTO strm_src2
+          SELECT o_orderkey + 6000000, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey % 17 = 0;
+        CREATE OR REPLACE TABLE strm_sink AS
+          SELECT k, v FROM strm_c WHERE METADATA$ACTION = 'INSERT';
+        INSERT INTO strm_src2
+          SELECT o_orderkey + 7000000, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey % 19 = 0;
+        SELECT
+          (SELECT count(*) FROM strm_sink) AS consumed,
+          count(*) AS pending,
+          sum(v)::double AS pending_total,
+          SYSTEM$STREAM_HAS_DATA('strm_c') AS has_data
+        FROM strm_c;""")
+    },
+
+    // APPEND_ONLY stream on an Iceberg table: the delta reads ONLY the
+    // files the INSERT committed (StreamsSpec asserts the input-file
+    // subset) — Iceberg's incremental append scan, O(delta) at any table
+    // size. This gate proves the values and metadata action round-trip.
+    GQuery("snow58_stream_iceberg_append", Some("""
+      SELECT 'INSERT' AS action, count(*) AS n,
+        min(n_nationkey + 100) AS min_k, max(n_nationkey + 100) AS max_k
+      FROM nation WHERE n_nationkey < 10""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE strm_ice AS
+          SELECT n_nationkey AS k, n_name AS name FROM nation;
+        CREATE OR REPLACE STREAM strm_i ON TABLE strm_ice APPEND_ONLY = TRUE;
+        INSERT INTO strm_ice
+          SELECT n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 10;
+        SELECT METADATA$ACTION AS action, count(*) AS n,
+          min(k) AS min_k, max(k) AS max_k
+        FROM strm_i GROUP BY 1 ORDER BY action;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

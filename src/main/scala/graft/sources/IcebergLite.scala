@@ -363,12 +363,29 @@ object IcebergLite {
     * partition value's string form (Iceberg's `partition` struct value,
     * stored here via the hive-style path segment). */
   def scan(spark: SparkSession, metadataPath: String,
-      partitionFilter: Option[String => Boolean]): DataFrame = {
+      partitionFilter: Option[String => Boolean]): DataFrame =
+    scanCore(spark, metadataPath, partitionFilter, None)
+
+  /** [[scan]] restricted to a subset of the table's data files — identical
+    * read semantics (declared schema, physical-name rebind, delete-file
+    * application) over only `only`: the stream incremental append read
+    * ([[graft.engine.Streams]]), O(added files) instead of O(table). */
+  def scanSubset(spark: SparkSession, metadataPath: String,
+      only: Set[String]): DataFrame =
+    scanCore(spark, metadataPath, None, Some(only))
+
+  private def scanCore(spark: SparkSession, metadataPath: String,
+      partitionFilter: Option[String => Boolean],
+      fileSubset: Option[Set[String]]): DataFrame = {
     import org.apache.spark.sql.functions._
     val (allData, deleteEntries) = planFiles(spark, metadataPath)
-    val dataEntries = partitionFilter match {
+    val afterPart = partitionFilter match {
       case Some(f) => allData.filter(_.partition.forall(f))
       case None => allData
+    }
+    val dataEntries = fileSubset match {
+      case Some(s) => afterPart.filter(e => s.contains(e.path))
+      case None => afterPart
     }
     require(allData.nonEmpty,
       s"Iceberg table at $metadataPath has no data files")
@@ -484,6 +501,11 @@ object IcebergLite {
     * excluded — callers wanting delete-aware reads use [[scan]]). */
   def dataFiles(spark: SparkSession, metadataPath: String): Seq[String] =
     planFiles(spark, metadataPath)._1.map(_.path).distinct
+
+  /** Current delete-file paths (position + equality) — streams compare
+    * these across snapshots to tell a pure append from a rewrite. */
+  def deleteFiles(spark: SparkSession, metadataPath: String): Seq[String] =
+    planFiles(spark, metadataPath)._2.map(_.path).distinct
 
   /** Walk metadata.json → manifest list → manifests, returning data-file
     * and delete-file entries with their data sequence numbers (entry

@@ -1,0 +1,144 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snowflake table STREAM (CDC) lifecycle: offset capture, net-delta
+  * reads, consume-advances-offset, the O(delta) incremental-append read
+  * path, and loud staleness. */
+class StreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newSession(): GraftSession = {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s
+  }
+
+  test("fresh stream is empty; inserts surface as INSERT delta") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE st_t1 AS
+      SELECT n_nationkey AS k, n_name AS name FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s1 ON TABLE st_t1")
+    assert(s.sql("SELECT * FROM st_s1").count() == 0)
+    s.sql("INSERT INTO st_t1 SELECT n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 5")
+    val d = s.sql("SELECT METADATA$ACTION AS a, k FROM st_s1 ORDER BY k").collect()
+    assert(d.length == 5)
+    assert(d.forall(_.getString(0) == "INSERT"))
+    assert(d.map(_.getAs[Number](1).longValue()).toSeq == Seq(100L, 101L, 102L, 103L, 104L))
+  }
+
+  test("DELETE surfaces as DELETE rows; net-change consolidation") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE st_t2 AS
+      SELECT n_nationkey AS k, n_name AS name FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s2 ON TABLE st_t2")
+    s.sql("DELETE FROM st_t2 WHERE k % 5 = 0")
+    val d = s.sql(
+      "SELECT METADATA$ACTION AS a, count(*) AS n FROM st_s2 GROUP BY 1").collect()
+    assert(d.length == 1 && d(0).getString(0) == "DELETE" && d(0).getLong(1) == 5)
+  }
+
+  test("consume via INSERT advances the offset; plain SELECT does not") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE st_t3 AS
+      SELECT n_nationkey AS k FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s3 ON TABLE st_t3")
+    s.sql("INSERT INTO st_t3 SELECT n_nationkey + 50 FROM nation WHERE n_nationkey < 3")
+    // two plain reads both see the delta (SELECT never consumes)
+    assert(s.sql("SELECT * FROM st_s3").count() == 3)
+    assert(s.sql("SELECT * FROM st_s3").count() == 3)
+    s.sql("""CREATE OR REPLACE TABLE st_sink AS
+      SELECT k FROM st_s3 WHERE METADATA$ACTION = 'INSERT'""")
+    assert(s.sql("SELECT * FROM st_sink").count() == 3)
+    // consumed: stream now empty until the next change
+    assert(s.sql("SELECT * FROM st_s3").count() == 0)
+    s.sql("INSERT INTO st_t3 SELECT n_nationkey + 70 FROM nation WHERE n_nationkey < 2")
+    assert(s.sql("SELECT * FROM st_s3").count() == 2)
+  }
+
+  test("iceberg append-only stream reads ONLY the added files") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE st_ice AS
+      SELECT n_nationkey AS k, n_name AS name FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_si ON TABLE st_ice APPEND_ONLY = TRUE")
+    s.sql("INSERT INTO st_ice SELECT n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 10")
+    val d = s.sql("SELECT k FROM st_si ORDER BY k")
+    assert(Streams.lastMode == "incremental-files", Streams.lastMode)
+    assert(d.count() == 10)
+    // O(delta) evidence: the delta reads strictly fewer files than the
+    // table holds — only the appended ones, never the original CTAS files
+    val deltaFiles = d.inputFiles.toSet
+    val allFiles = s.sql("SELECT * FROM st_ice").inputFiles.toSet
+    assert(deltaFiles.nonEmpty && deltaFiles.subsetOf(allFiles) &&
+      deltaFiles.size < allFiles.size,
+      s"delta=${deltaFiles.size} all=${allFiles.size}")
+  }
+
+  test("SHOW_INITIAL_ROWS surfaces existing rows as the first delta") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE st_t4 AS
+      SELECT n_nationkey AS k FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s4 ON TABLE st_t4 SHOW_INITIAL_ROWS = TRUE")
+    assert(s.sql("SELECT * FROM st_s4").count() == 25)
+  }
+
+  test("SYSTEM$STREAM_HAS_DATA resolves without a diff on the append path") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE st_t5 AS SELECT n_nationkey AS k FROM nation")
+    s.sql("CREATE OR REPLACE STREAM st_s5 ON TABLE st_t5")
+    val before = s.sql("SELECT SYSTEM$STREAM_HAS_DATA('st_s5') AS h").collect()(0)
+    assert(!before.getBoolean(0))
+    s.sql("INSERT INTO st_t5 SELECT n_nationkey + 30 FROM nation WHERE n_nationkey < 1")
+    val after = s.sql("SELECT SYSTEM$STREAM_HAS_DATA('st_s5') AS h").collect()(0)
+    assert(after.getBoolean(0))
+  }
+
+  test("SHOW STREAMS lists streams; DROP STREAM removes") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE st_t6 AS SELECT n_nationkey AS k FROM nation")
+    s.sql("CREATE STREAM st_s6 ON TABLE st_t6 APPEND_ONLY = TRUE")
+    val rows = s.sql("SHOW STREAMS").collect()
+    assert(rows.exists(r => r.getString(0) == "ST_S6" &&
+      r.getString(3).contains("APPEND_ONLY")))
+    s.sql("DROP STREAM st_s6")
+    assert(!s.sql("SHOW STREAMS").collect().exists(_.getString(0) == "ST_S6"))
+    intercept[Exception] { s.sql("SELECT * FROM st_s6").collect() }
+  }
+
+  test("in-place INSERT then COW DELETE: base diffs against the CAPTURED " +
+      "file set, not the grown directory") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE st_t8 AS
+      SELECT n_nationkey AS k FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s8 ON TABLE st_t8")
+    // in-place append into the same lake dir…
+    s.sql("INSERT INTO st_t8 SELECT n_nationkey + 200 FROM nation WHERE n_nationkey < 5")
+    // …then a COW delete of ORIGINAL rows (new snapshot dir)
+    s.sql("DELETE FROM st_t8 WHERE k < 3")
+    val d = s.sql(
+      "SELECT METADATA$ACTION AS a, count(*) AS n FROM st_s8 GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(Streams.lastMode == "cow-diff", Streams.lastMode)
+    assert(d == Map("INSERT" -> 5L, "DELETE" -> 3L), d.toString)
+  }
+
+  test("UPDATE surfaces as paired INSERT+DELETE (net-change)") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE st_t7 AS
+      SELECT n_nationkey AS k, n_nationkey * 10 AS v FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s7 ON TABLE st_t7")
+    s.sql("UPDATE st_t7 SET v = v + 1 WHERE k < 3")
+    val d = s.sql(
+      "SELECT METADATA$ACTION AS a, count(*) AS n FROM st_s7 GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d == Map("INSERT" -> 3L, "DELETE" -> 3L))
+  }
+}
