@@ -81,6 +81,169 @@ final class GraftSession(
   /** Streams resolved by the statement currently executing — consulted
     * after it completes to apply the consume-advances-offset rule. */
   private val streamsReadInStmt = scala.collection.mutable.Set.empty[FQN]
+  /** Registry tables resolved by the statement currently executing —
+    * cleared before a dynamic table's defining query runs, so the tables
+    * it resolves become the refresh-tracked base set. */
+  private val basesResolvedInStmt = scala.collection.mutable.Set.empty[FQN]
+
+  // ── DYNAMIC TABLE (incremental materialized views, [[DynamicTables]]) ──
+  /** name → (defining query, TARGET_LAG, bases, per-base offsets,
+    * incremental plan, output schema). Offsets are the same snapshot
+    * file-sets the CDC streams keep. */
+  private final class DynState(
+      val query: String, val lag: String, val bases: Seq[FQN],
+      @volatile var offsets: Map[FQN, (TableRef, Option[Set[String]], Option[Set[String]])],
+      val inc: Option[DynamicTables.IncPlan], val schema: StructType)
+  private val dynamicTables =
+    scala.collection.concurrent.TrieMap.empty[FQN, DynState]
+
+  private def snapshotOffsets(bases: Seq[FQN])
+      : Map[FQN, (TableRef, Option[Set[String]], Option[Set[String]])] =
+    bases.flatMap { b =>
+      registry.resolve(b).map { r =>
+        val (fs, ds) = Streams.filesOf(spark, r)
+        b -> ((r, fs, ds))
+      }
+    }.toMap
+
+  private def doCreateDynamic(orReplace: Boolean, ifNotExists: Boolean,
+      rawName: String, rest: String): DataFrame = {
+    val f = fqn(rawName)
+    if ((registry.resolve(f).isDefined || dynamicTables.contains(f)) && !orReplace) {
+      if (ifNotExists)
+        return status(s"${f.table} already exists, statement succeeded.")
+      throw new IllegalArgumentException(s"object $f already exists")
+    }
+    // option list before AS: TARGET_LAG / WAREHOUSE / REFRESH_MODE /
+    // INITIALIZE (warehouse + initialize are accepted session decoration)
+    val optRe = ("(?is)^((?:(?:TARGET_LAG\\s*=\\s*(?:'[^']*'|DOWNSTREAM)|" +
+      "WAREHOUSE\\s*=\\s*[\\w$\".]+|REFRESH_MODE\\s*=\\s*\\w+|" +
+      "INITIALIZE\\s*=\\s*\\w+)\\s*)*)AS\\s+(.+)$").r
+    val (opts, select) = rest.trim match {
+      case optRe(o, s) => (o, s)
+      case _ => throw new IllegalArgumentException(
+        "CREATE DYNAMIC TABLE requires AS SELECT …")
+    }
+    val lag = "(?is)TARGET_LAG\\s*=\\s*(?:'([^']*)'|(DOWNSTREAM))".r
+      .findFirstMatchIn(opts)
+      .map(m => Option(m.group(1)).getOrElse("DOWNSTREAM")).getOrElse("")
+    val forceFull =
+      "(?is)REFRESH_MODE\\s*=\\s*FULL".r.findFirstIn(opts).isDefined
+    basesResolvedInStmt.clear()
+    val df = runQuery(select)
+    require(streamsReadInStmt.isEmpty,
+      "dynamic table over a STREAM is not supported — reference the base " +
+      "table directly; refresh tracks its changes itself")
+    val bases = basesResolvedInStmt.toSeq.sortBy(_.flat)
+    require(bases.nonEmpty,
+      "dynamic table must reference at least one registered table")
+    val inc =
+      if (forceFull) None
+      else DynamicTables.incrementalPlan(
+        df.queryExecution.analyzed, bases.length == 1)
+    val path = tablePath(f, temp = false)
+    val (instrumented, record) = AutoStats.observedForWrite(spark, df, path)
+    AutoStats.invalidate(path)
+    instrumented.write.mode("overwrite").parquet(path)
+    record()
+    val ref = TableRef(f, TableKind.Lake, Some(path))
+    registry.register(ref)
+    resetHistory(f, ref)
+    dynamicTables.put(f,
+      new DynState(select, lag, bases, snapshotOffsets(bases), inc, df.schema))
+    status(s"Dynamic table ${f.table} successfully created.")
+  }
+
+  /** ALTER DYNAMIC TABLE … REFRESH — mode decided per refresh from pure
+    * metadata; see [[DynamicTables]] for the soundness argument. */
+  private def doRefreshDynamic(rawName: String): DataFrame = {
+    val f = fqn(rawName)
+    val st = dynamicTables.getOrElse(f, throw new IllegalArgumentException(
+      s"unknown dynamic table ${f.flat}"))
+    val ref = registry.resolve(f).getOrElse(throw new IllegalStateException(
+      s"dynamic table ${f.flat} lost its materialization"))
+    val curs = st.bases.map { b =>
+      b -> registry.resolve(b).getOrElse(throw new IllegalArgumentException(
+        s"dynamic table base ${b.flat} no longer exists"))
+    }.toMap
+    // change detection: file-addressable bases compare snapshot file sets
+    // (pure metadata, no job); a base without file info is assumed changed
+    val unchanged = st.bases.forall { b =>
+      st.offsets.get(b).exists { case (oref, ofs, ods) =>
+        ofs.isDefined && curs(b).format == oref.format && {
+          val (cfs, cds) = Streams.filesOf(spark, curs(b))
+          cfs == ofs && cds == ods
+        }
+      }
+    }
+    if (unchanged) {
+      DynamicTables.lastRefreshMode = "no-op"
+      return status(s"Dynamic table ${f.table} is up to date.")
+    }
+    // incremental path: one base, declared maintainable, pure append
+    val added: Option[Set[String]] = st.inc.flatMap { _ =>
+      if (st.bases.length != 1) None
+      else st.offsets.get(st.bases.head).flatMap { case (oref, ofs, ods) =>
+        Streams.addedFiles(spark, oref, ofs, ods, curs(st.bases.head))
+      }
+    }
+    (st.inc, added) match {
+      case (Some(plan), Some(af)) if af.nonEmpty =>
+        val b = st.bases.head
+        val cur = curs(b)
+        val baseSchema = registry.load(cur).schema
+        // substitute FIRST (registers the full base view), then re-bind
+        // the view to the delta; spark.sql analysis inlines the binding
+        val substituted = rewriteAndSubstitute(st.query)
+        Streams.readFiles(spark, cur, af, baseSchema)
+          .createOrReplaceTempView(viewName(b))
+        val deltaResult =
+          try spark.sql(substituted)
+          finally registry.load(cur).createOrReplaceTempView(viewName(b))
+        DynamicTables.lastDeltaFiles = af.toSeq.sorted
+        plan match {
+          case DynamicTables.AppendTransform =>
+            DynamicTables.lastRefreshMode = "incremental-append"
+            val aligned = deltaResult.select(st.schema.fields.map(sf =>
+              org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)
+                .as(sf.name)).toIndexedSeq: _*)
+            val (instrumented, record) =
+              AutoStats.observedForAppend(spark, aligned, ref.path.get)
+            instrumented.write.mode("append").parquet(ref.path.get)
+            record()
+            // in-place append invalidates older versions (same as INSERT)
+            resetHistory(f, ref)
+          case am: DynamicTables.AggMerge =>
+            DynamicTables.lastRefreshMode = "incremental-merge"
+            val merged = DynamicTables.merge(
+              registry.load(ref), deltaResult, am, st.schema)
+            swapMaterialization(f, ref, merged)
+        }
+      case _ =>
+        DynamicTables.lastRefreshMode = "full"
+        DynamicTables.lastDeltaFiles = Nil
+        swapMaterialization(f, ref, runQuery(st.query))
+    }
+    st.offsets = snapshotOffsets(st.bases)
+    status(s"Dynamic table ${f.table} successfully refreshed " +
+      s"(${DynamicTables.lastRefreshMode}).")
+  }
+
+  /** COW swap: write the new materialization beside the old one and
+    * re-point the ref — the old version stays time-travelable, and the
+    * new plan may read the old files while writing. */
+  private def swapMaterialization(f: FQN, ref: TableRef,
+      df: DataFrame): Unit = {
+    val newPath =
+      s"${ref.path.get.split("__v").head}__v${snapshotSeq.incrementAndGet()}"
+    val (instrumented, record) = AutoStats.observedForWrite(spark, df, newPath)
+    AutoStats.invalidate(newPath)
+    instrumented.write.mode("overwrite").parquet(newPath)
+    record()
+    val newRef = ref.copy(path = Some(newPath))
+    registry.register(newRef)
+    recordVersion(f, newRef)
+  }
 
   private def doCreateStream(orReplace: Boolean, ifNotExists: Boolean,
       name: String, target: String, rest: String): DataFrame = {
@@ -408,7 +571,7 @@ final class GraftSession(
   private val undropRe = "(?is)^UNDROP\\s+TABLE\\s+([\\w$\".]+)\\s*$".r
   private val insertRe = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+([\\w$\".]+)\\s*(.*)$".r
   private val copyRe  = "(?is)^COPY\\s+INTO\\s+([\\w$\".]+)\\s+FROM\\s+(.*)$".r
-  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|SEQUENCES|STREAMS|FILE\\s+FORMATS)\\b.*$".r
+  private val showRe  = "(?is)^SHOW\\s+(?:TERSE\\s+)?(TABLES|VIEWS|SCHEMAS|DATABASES|OBJECTS|STAGES|FUNCTIONS|SEQUENCES|STREAMS|FILE\\s+FORMATS|DYNAMIC\\s+TABLES)\\b.*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   private val optimizeRe = "(?is)^OPTIMIZE\\s+(?:TABLE\\s+)?([\\w$\".]+)\\s*$".r
   private val alterRe = "(?is)^ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s+(.*)$".r
@@ -437,6 +600,14 @@ final class GraftSession(
      "([\\w$\".]+)\\s+ON\\s+TABLE\\s+([\\w$\".]+)\\s*(.*)$").r
   private val dropStreamRe =
     "(?is)^DROP\\s+STREAM\\s+(IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
+  private val createDynRe =
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?DYNAMIC\\s+TABLE\\s+" +
+     "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w$\".]+)\\s+(.*)$").r
+  private val alterDynRe =
+    ("(?is)^ALTER\\s+DYNAMIC\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?" +
+     "([\\w$\".]+)\\s+(REFRESH|SUSPEND|RESUME)\\s*$").r
+  private val dropDynRe =
+    "(?is)^DROP\\s+DYNAMIC\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w$\".]+)\\s*$".r
   /** Statements whose successful completion CONSUMES the streams they
     * read (advances their offset to the current table version) — DML and
     * CTAS, per Snowflake; plain SELECT and CREATE VIEW never advance.
@@ -492,6 +663,18 @@ final class GraftSession(
     case dropSeqRe(name) =>
       sequences.remove(Identifiers.normalizePart(name))
       status("Statement executed successfully.")
+    case createDynRe(orReplace, ifNotExists, name, rest) =>
+      doCreateDynamic(orReplace != null, ifNotExists != null, name, rest)
+    case alterDynRe(name, action) => action.toUpperCase match {
+      case "REFRESH" => doRefreshDynamic(name)
+      case _ => // SUSPEND / RESUME: scheduling decoration, no local scheduler
+        status("Statement executed successfully.")
+    }
+    case dropDynRe(ifExists, name) =>
+      val f = fqn(name)
+      if (dynamicTables.remove(f).isEmpty && ifExists == null)
+        throw new IllegalArgumentException(s"unknown dynamic table ${f.flat}")
+      doDrop(ifExists = true, name)
     case createStreamRe(orReplace, ifNotExists, name, target, rest) =>
       doCreateStream(orReplace != null, ifNotExists != null, name, target, rest)
     case dropStreamRe(ifExists, name) =>
@@ -608,7 +791,14 @@ final class GraftSession(
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
-  def runQuery(snowflakeSql: String): DataFrame = {
+  def runQuery(snowflakeSql: String): DataFrame =
+    spark.sql(rewriteAndSubstitute(snowflakeSql))
+
+  /** The full rewrite pipeline WITHOUT execution — dynamic-table refresh
+    * re-binds a base's temp view to its delta between substitution and
+    * `spark.sql` (analysis inlines the view's plan, so the binding is
+    * captured at that point). */
+  private def rewriteAndSubstitute(snowflakeSql: String): String = {
     val rewritten = SnowflakeRewriter.rewrite(
       expandSqlFunctions(substituteNextval(substituteResultScan(snowflakeSql))),
       asOfSchemaResolver)
@@ -616,8 +806,7 @@ final class GraftSession(
     // SparkSession can't carry per-session UDF state); token-level so the
     // function name inside a string literal survives untouched
     val contextual = substituteSessionContext(rewritten)
-    val substituted = TableResolver.resolveAndSubstitute(contextual, this)
-    spark.sql(substituted)
+    TableResolver.resolveAndSubstitute(contextual, this)
   }
 
   /** Expand SQL-function calls as macros: `f(a, b)` → `(body[p1←(a),
@@ -777,6 +966,7 @@ final class GraftSession(
         df.createOrReplaceTempView(viewName(f)); viewName(f)
       }
     } else registry.resolve(f).orElse(resolveExternal(f)).map { ref =>
+      basesResolvedInStmt += f
       if (ref.kind == TableKind.Lake) {
         val df = registry.load(ref)
         // lazy auto-stats (rowCount + ndv, once per path per JVM) so the
@@ -1249,6 +1439,7 @@ final class GraftSession(
     // a re-created table under the same FQN starts with fresh load history
     loadHistory.remove(f)
     tableHistory.remove(f)
+    dynamicTables.remove(f) // DROP TABLE on a dynamic table ends its refresh
     status(s"${f.table} successfully dropped.")
   }
 
@@ -1275,6 +1466,9 @@ final class GraftSession(
     val f = fqn(rawName)
     val ref = registry.resolve(f).getOrElse(
       throw new IllegalArgumentException(s"table $f does not exist"))
+    require(!dynamicTables.contains(f),
+      s"cannot INSERT into dynamic table $f — its contents are maintained " +
+      "by ALTER DYNAMIC TABLE … REFRESH")
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
       s"cannot INSERT into $f")
     val existing = registry.load(ref)
@@ -1667,6 +1861,13 @@ final class GraftSession(
           Row(f.table, f.database, f.schema,
             s"ON ${st.target.flat}" +
               (if (st.appendOnly) " APPEND_ONLY" else ""))
+        }
+        spark.createDataFrame(rows.asJava, schemaOf)
+      case "DYNAMIC TABLES" =>
+        val rows = dynamicTables.toSeq.sortBy(_._1.flat).map { case (f, st) =>
+          Row(f.table, f.database, f.schema,
+            (if (st.inc.isDefined) "INCREMENTAL" else "FULL") +
+              (if (st.lag.nonEmpty) s" TARGET_LAG=${st.lag}" else ""))
         }
         spark.createDataFrame(rows.asJava, schemaOf)
       case "DATABASES" =>

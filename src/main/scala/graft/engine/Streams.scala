@@ -107,6 +107,33 @@ object Streams {
       .withColumn(RowId, sha2(to_json(struct(
         df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)), 256))
 
+  /** Pure-append probe, shared by stream deltas and dynamic-table
+    * incremental refresh: when `cur` keeps the offset's storage format,
+    * its data-file set is a superset of the offset's, and no delete files
+    * appeared, the net change is exactly the ADDED files — returned here
+    * (possibly empty = no change). None = not a pure append (files were
+    * rewritten, or the storage is not file-addressable). Pure metadata —
+    * no Spark job. */
+  def addedFiles(spark: SparkSession, offsetRef: TableRef,
+      offsetFiles: Option[Set[String]], offsetDeleteFiles: Option[Set[String]],
+      cur: TableRef): Option[Set[String]] = {
+    val (curFiles, curDeletes) = filesOf(spark, cur)
+    (offsetFiles, curFiles) match {
+      case (Some(of), Some(cf))
+          if cur.format == offsetRef.format && of.subsetOf(cf) &&
+            offsetDeleteFiles == curDeletes =>
+        Some(cf -- of)
+      case _ => None
+    }
+  }
+
+  /** Read ONLY `files` of `cur` — the O(delta) I/O path. */
+  def readFiles(spark: SparkSession, cur: TableRef, files: Set[String],
+      schema: StructType): DataFrame =
+    if (cur.format == "iceberg")
+      graft.sources.IcebergLite.scanSubset(spark, cur.path.get, files)
+    else spark.read.schema(schema).parquet(files.toSeq.sorted: _*)
+
   /** The stream's current contents: net changes offset → current. */
   def delta(spark: SparkSession, registry: TableRegistry,
       st: StreamState): DataFrame = {
@@ -117,22 +144,14 @@ object Streams {
     val schema = curDf.schema
     def empty = { lastMode = "empty"; withMeta(curDf.filter(lit(false)), "INSERT") }
 
-    val (curFiles, curDeletes) = filesOf(spark, cur)
-    val pureAppend = (st.offsetFiles, curFiles) match {
-      case (Some(of), Some(cf)) =>
-        cur.format == st.offsetRef.format && of.subsetOf(cf) &&
-          st.offsetDeleteFiles == curDeletes
-      case _ => false
-    }
-    if (pureAppend) {
-      val added = curFiles.get -- st.offsetFiles.get
-      if (added.isEmpty) return empty
-      lastMode = "incremental-files"
-      val ins =
-        if (cur.format == "iceberg")
-          graft.sources.IcebergLite.scanSubset(spark, cur.path.get, added)
-        else spark.read.schema(schema).parquet(added.toSeq.sorted: _*)
-      return withMeta(align(ins, schema), "INSERT")
+    addedFiles(spark, st.offsetRef, st.offsetFiles, st.offsetDeleteFiles,
+        cur) match {
+      case Some(added) if added.isEmpty => return empty
+      case Some(added) =>
+        lastMode = "incremental-files"
+        return withMeta(align(readFiles(spark, cur, added, schema), schema),
+          "INSERT")
+      case None =>
     }
     // files were rewritten: diff the two snapshots. The base side is the
     // OFFSET-TIME state, reconstructed exactly:

@@ -1207,6 +1207,62 @@ object SnowflakeSql extends QueryPack {
         FROM strm_i GROUP BY 1 ORDER BY action;""")
     },
 
+    // DYNAMIC TABLE incremental maintenance: a decomposable aggregate
+    // (count/sum/max) over a base that then gains an append is refreshed
+    // by MERGING agg(delta) into the previous result — O(result + delta),
+    // never a base rescan (DynamicTableSpec asserts mode + delta file
+    // subset). This gate proves the merged contents equal a from-scratch
+    // aggregate over the full base.
+    GQuery("snow59_dynamic_table", Some("""
+      WITH base AS (
+        SELECT o_custkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey <= 4000
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000)
+      SELECT k, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        CAST(max(price) AS DOUBLE) AS hi
+      FROM base GROUP BY k ORDER BY k LIMIT 100""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE dt_base AS
+          SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+          FROM orders WHERE o_orderkey <= 4000;
+        CREATE OR REPLACE DYNAMIC TABLE dt_sum TARGET_LAG = '1 minute' AS
+          SELECT k, count(*) AS n, sum(price) AS total, max(price) AS hi
+          FROM dt_base GROUP BY k;
+        INSERT INTO dt_base
+          SELECT o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000;
+        ALTER DYNAMIC TABLE dt_sum REFRESH;
+        SELECT k, n, total::double AS total, hi::double AS hi
+        FROM dt_sum ORDER BY k LIMIT 100;""")
+    },
+
+    // DYNAMIC TABLE full-refresh fallback: a join isn't incrementally
+    // maintainable under this engine's plan classification, so refresh
+    // re-runs the defining query (mode-asserted in DynamicTableSpec);
+    // the refreshed contents still track the post-INSERT base exactly.
+    GQuery("snow60_dynamic_table_join", Some("""
+      WITH base AS (
+        SELECT n_nationkey AS k, n_regionkey AS rk FROM nation
+        UNION ALL
+        SELECT n_nationkey + 50, n_regionkey FROM nation)
+      SELECT r.r_name AS region, count(*) AS n
+      FROM base b JOIN region r ON b.rk = r.r_regionkey
+      GROUP BY r.r_name ORDER BY region""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE dtj_base AS
+          SELECT n_nationkey AS k, n_regionkey AS rk FROM nation;
+        CREATE OR REPLACE DYNAMIC TABLE dtj_dt AS
+          SELECT r.r_name AS region, count(*) AS n
+          FROM dtj_base b JOIN region r ON b.rk = r.r_regionkey
+          GROUP BY r.r_name;
+        INSERT INTO dtj_base
+          SELECT n_nationkey + 50, n_regionkey FROM nation;
+        ALTER DYNAMIC TABLE dtj_dt REFRESH;
+        SELECT region, n FROM dtj_dt ORDER BY region;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

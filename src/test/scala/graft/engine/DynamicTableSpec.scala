@@ -1,0 +1,192 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DYNAMIC TABLE lifecycle: create-materializes, refresh picks the
+  * cheapest sound mode per refresh (no-op / incremental-append /
+  * incremental-merge / full), incremental refreshes read ONLY the delta
+  * files, deletes degrade exactly one refresh to full, and the
+  * materialization always equals a from-scratch recompute. */
+class DynamicTableSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newSession(): GraftSession = {
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s
+  }
+
+  private def assertSame(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"dynamic table diverged from recompute:\n got=${got.collect().toSeq}\nwant=${want.collect().toSeq}")
+  }
+
+  test("aggregate DT: incremental-merge refresh equals full recompute") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_base AS
+      SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 4000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_agg TARGET_LAG = '1 minute' AS
+      SELECT k, count(*) AS n, sum(price) AS total, max(price) AS hi
+      FROM dyn_base GROUP BY k""")
+    s.sql("""INSERT INTO dyn_base
+      SELECT o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_agg REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assert(DynamicTables.lastDeltaFiles.nonEmpty)
+    assertSame(
+      s.sql("SELECT * FROM dyn_agg"),
+      s.sql("SELECT k, count(*) AS n, sum(price) AS total, max(price) AS hi FROM dyn_base GROUP BY k"))
+    // schema must not drift across merge refreshes (decimal SUM widens)
+    val sch1 = s.sql("SELECT * FROM dyn_agg").schema
+    s.sql("INSERT INTO dyn_base SELECT o_custkey, o_totalprice::number(12,2) FROM orders WHERE o_orderkey > 8000 AND o_orderkey <= 9000")
+    s.sql("ALTER DYNAMIC TABLE dyn_agg REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assert(s.sql("SELECT * FROM dyn_agg").schema == sch1)
+    assertSame(
+      s.sql("SELECT * FROM dyn_agg"),
+      s.sql("SELECT k, count(*) AS n, sum(price) AS total, max(price) AS hi FROM dyn_base GROUP BY k"))
+  }
+
+  test("incremental refresh reads ONLY the files the INSERT added") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b2 AS
+      SELECT n_nationkey AS k, n_name AS name FROM nation""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_a2 AS
+      SELECT name, count(*) AS n FROM dyn_b2 GROUP BY name""")
+    s.sql("INSERT INTO dyn_b2 SELECT n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 5")
+    s.sql("ALTER DYNAMIC TABLE dyn_a2 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    // the delta file set is exactly the second write's files: a strict
+    // subset of the base directory (the O(delta) refresh contract)
+    val deltaFiles = DynamicTables.lastDeltaFiles.toSet
+    val dir = java.nio.file.Paths.get(deltaFiles.head).getParent
+    val all = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filterNot(p => { val n = java.nio.file.Paths.get(p).getFileName.toString
+        n.startsWith("_") || n.startsWith(".") }).toSet
+    assert(deltaFiles.subsetOf(all) && deltaFiles.size < all.size)
+  }
+
+  test("stateless DT: incremental-append; unchanged base: no-op") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b3 AS
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+      FROM orders WHERE o_orderkey <= 2000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_f3 AS
+      SELECT k, price * 2 AS p2 FROM dyn_b3 WHERE st = 'O'""")
+    s.sql("ALTER DYNAMIC TABLE dyn_f3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "no-op")
+    s.sql("""INSERT INTO dyn_b3
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_f3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-append")
+    assertSame(
+      s.sql("SELECT * FROM dyn_f3"),
+      s.sql("SELECT k, price * 2 AS p2 FROM dyn_b3 WHERE st = 'O'"))
+  }
+
+  test("join DT classifies as full; refresh is correct") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b4 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_j4 AS
+      SELECT r.r_name AS region, count(*) AS n
+      FROM dyn_b4 b JOIN region r ON b.rk = r.r_regionkey
+      GROUP BY r.r_name""")
+    s.sql("INSERT INTO dyn_b4 SELECT n_nationkey + 50, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_j4 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(
+      s.sql("SELECT * FROM dyn_j4"),
+      s.sql("""SELECT r.r_name AS region, count(*) AS n
+        FROM dyn_b4 b JOIN region r ON b.rk = r.r_regionkey GROUP BY r.r_name"""))
+  }
+
+  test("DELETE on the base degrades ONE refresh to full, then resumes incremental") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b5 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_a5 AS
+      SELECT rk, count(*) AS n, min(k) AS lo FROM dyn_b5 GROUP BY rk""")
+    s.sql("DELETE FROM dyn_b5 WHERE k % 2 = 0")
+    s.sql("ALTER DYNAMIC TABLE dyn_a5 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(
+      s.sql("SELECT * FROM dyn_a5"),
+      s.sql("SELECT rk, count(*) AS n, min(k) AS lo FROM dyn_b5 GROUP BY rk"))
+    s.sql("INSERT INTO dyn_b5 SELECT n_nationkey + 200, n_regionkey FROM nation WHERE n_nationkey < 4")
+    s.sql("ALTER DYNAMIC TABLE dyn_a5 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(
+      s.sql("SELECT * FROM dyn_a5"),
+      s.sql("SELECT rk, count(*) AS n, min(k) AS lo FROM dyn_b5 GROUP BY rk"))
+  }
+
+  test("REFRESH_MODE = FULL opts out of incremental maintenance") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_b6 AS SELECT n_nationkey AS k FROM nation")
+    s.sql("""CREATE DYNAMIC TABLE dyn_a6 REFRESH_MODE = FULL AS
+      SELECT count(*) AS n FROM dyn_b6""")
+    s.sql("INSERT INTO dyn_b6 SELECT n_nationkey + 30 FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_a6 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assert(s.sql("SELECT * FROM dyn_a6").collect()(0).getLong(0) == 50)
+  }
+
+  test("DT over DT: downstream refresh is incremental off an in-place append") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b7 AS
+      SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 2000""")
+    // dt1 stateless → refresh APPENDS in place → dt2 sees a pure append
+    s.sql("CREATE DYNAMIC TABLE dyn_d7a AS SELECT ck, price FROM dyn_b7 WHERE price > 1000")
+    s.sql("CREATE DYNAMIC TABLE dyn_d7b AS SELECT ck, count(*) AS n FROM dyn_d7a GROUP BY ck")
+    s.sql("""INSERT INTO dyn_b7 SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_d7a REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-append")
+    s.sql("ALTER DYNAMIC TABLE dyn_d7b REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(
+      s.sql("SELECT * FROM dyn_d7b"),
+      s.sql("SELECT ck, count(*) AS n FROM dyn_b7 WHERE price > 1000 GROUP BY ck"))
+  }
+
+  test("guards: no INSERT into a DT; DROP DYNAMIC TABLE; SHOW DYNAMIC TABLES") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_b8 AS SELECT n_nationkey AS k FROM nation")
+    s.sql("CREATE DYNAMIC TABLE dyn_a8 AS SELECT count(*) AS n FROM dyn_b8")
+    val e = intercept[IllegalArgumentException] {
+      s.sql("INSERT INTO dyn_a8 SELECT 1")
+    }
+    assert(e.getMessage.contains("dynamic table"))
+    val shown = s.sql("SHOW DYNAMIC TABLES").collect()
+    assert(shown.exists(r => r.getString(0) == "DYN_A8" &&
+      r.getString(3).startsWith("INCREMENTAL")))
+    s.sql("DROP DYNAMIC TABLE dyn_a8")
+    intercept[Exception] { s.sql("SELECT * FROM dyn_a8").collect() }
+    intercept[IllegalArgumentException] { s.sql("ALTER DYNAMIC TABLE dyn_a8 REFRESH") }
+  }
+
+  test("AVG / DISTINCT aggregates are not claimed incremental") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_b9 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    s.sql("CREATE DYNAMIC TABLE dyn_a9 AS SELECT rk, avg(k) AS a FROM dyn_b9 GROUP BY rk")
+    s.sql("INSERT INTO dyn_b9 SELECT n_nationkey + 25, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_a9 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(
+      s.sql("SELECT * FROM dyn_a9"),
+      s.sql("SELECT rk, avg(k) AS a FROM dyn_b9 GROUP BY rk"))
+  }
+}
