@@ -2,29 +2,40 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampNTZType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated testdata lake (TESTDATA.md).
   *
-  * All tables are plain parquet, one file per table. The `events` table
-  * carries an INT64 TIMESTAMP(NANOS) column Spark refuses by default;
-  * sessions must set `spark.sql.legacy.parquet.nanosAsLong=true` (see
-  * [[GraftSession]]), after which we rebuild a microsecond-precision
-  * TIMESTAMP_NTZ column here so query code sees a proper timestamp. The
-  * truncation (floor-div by 1000) matches DuckDB's TIMESTAMP_NS → TIMESTAMP
-  * cast, which the oracle relies on.
+  * All tables are plain parquet, one file per table. The `events` table's
+  * `ts` column has shipped in two physical encodings across driver rounds:
+  * INT64 TIMESTAMP(NANOS) (which Spark only reads under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, surfacing as LONG) and
+  * plain TIMESTAMP(MICROS). [[normalizeEventsTs]] maps either to a
+  * microsecond TIMESTAMP_NTZ so query code always sees one type. The
+  * nanos floor-division matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast,
+  * which the oracle relies on.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an events frame's `ts` to microsecond TIMESTAMP_NTZ,
+    * whatever the parquet physical type was. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => // INT64 nanos read under nanosAsLong=true
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case _ => // TIMESTAMP_LTZ: sessions run UTC, so the instant is the value
+        df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
 
   /** Register every testdata table as a temp view for SQL-path queries. */

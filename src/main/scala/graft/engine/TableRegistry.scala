@@ -72,13 +72,9 @@ final class TableRegistry(spark: SparkSession,
           // bucket spec, so joins on the keys plan exchange-free
           spark.table(ref.path.get)
         else spark.read.format(ref.format).load(ref.path.get)
-      // events carries INT64-nanos timestamps; normalize like Tables.load
-      if (ref.fqn.table == "EVENTS" && df.schema.fieldNames.contains("ts") &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast(org.apache.spark.sql.types.TimestampNTZType))
+      // events' ts has shipped as both INT64-nanos and timestamp[us]
+      // across testdata rounds; normalize like Tables.load
+      if (ref.fqn.table == "EVENTS") graft.Tables.normalizeEventsTs(df)
       else df
   }
 }

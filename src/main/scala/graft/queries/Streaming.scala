@@ -17,10 +17,12 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object Streaming extends QueryPack {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The file source needs an explicit schema; read it from the actual
+    * footer so both ts encodings the driver has shipped (INT64 nanos,
+    * timestamp[us]) stream correctly — [[graft.Tables.normalizeEventsTs]]
+    * then maps either to TIMESTAMP_NTZ. */
+  private def eventsSchema(s: SparkSession, dir: String): StructType =
+    s.read.parquet(s"$dir/events.parquet").schema
 
   private val counter = new AtomicInteger(0)
 
@@ -48,10 +50,8 @@ object Streaming extends QueryPack {
     // the drain is synchronous; the extra no-data micro-batch only adds
     // latency here
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val src = s.readStream.schema(eventsSchema)
-      .parquet(asDir(dir))
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val src = graft.Tables.normalizeEventsTs(
+      s.readStream.schema(eventsSchema(s, dir)).parquet(asDir(dir)))
     val writeMode = if (outputMode == "complete") "overwrite" else "append"
     val q = transform(src).writeStream
       .outputMode(outputMode)
@@ -237,7 +237,7 @@ object Streaming extends QueryPack {
         .toString + "/t"
       val metaRef = new java.util.concurrent.atomic.AtomicReference[String](null)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val src = s.readStream.schema(eventsSchema)
+      val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(flatDir.toString)
         .filter(col("user_id") < 100)
