@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, max, min, sum}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types.StructType
 
@@ -37,9 +38,27 @@ import org.apache.spark.sql.types.StructType
   *     fold) — O(|result| + |delta|), one small shuffle. This is the
   *     map-side-combine identity that makes partial aggregation sound,
   *     applied across refreshes instead of across partitions.
-  *  4. '''full''' — anything else (joins, windows, DISTINCT, AVG,
-  *     HAVING, deletes/rewrites on a base, multi-base queries):
-  *     re-run the defining query. Deletes break append-only deltas and
+  *  4. '''incremental-join-append / incremental-join-merge''' — the
+  *     defining query is a stateless transform (or a decomposable
+  *     aggregate) over ONE INNER join of TWO bases, and both bases only
+  *     gained files. For appends, the multiset of new join rows
+  *     partitions exactly:
+  *     {{{ Δ(A ⋈ B) = ΔA ⋈ B_new  ⊎  A_old ⋈ ΔB }}}
+  *     (every new pair has its left row in ΔA, or its left row old and
+  *     its right row in ΔB — each pair lands in exactly one part). The
+  *     refresh evaluates the defining query twice with the base views
+  *     re-bound to (ΔA, B_new) then (A_old, ΔB), unions the parts, and
+  *     appends (stateless) or folds them into the previous result
+  *     (aggregate). The fact table is read only at O(delta); the
+  *     dimension side is read at O(dim) — never the old fact files.
+  *     This is the star-schema rollup case: at 100 TB the alternative
+  *     is re-joining the whole fact table per refresh. Inner joins
+  *     only — outer joins retract rows (a NULL-extended row must be
+  *     deleted when its first match arrives), which an append-only
+  *     materialization cannot express.
+  *  5. '''full''' — anything else (outer joins, >2 bases, windows,
+  *     DISTINCT aggregates, AVG, deletes/rewrites on a base): re-run
+  *     the defining query. Deletes break append-only deltas and
   *     MIN/MAX merging, so this fallback is what keeps every mode
   *     above sound.
   *
@@ -62,6 +81,13 @@ object DynamicTables {
     * ("sum" | "min" | "max" — COUNT partials merge via sum). */
   final case class AggMerge(keys: Seq[String], merges: Seq[(String, String)])
       extends IncPlan
+  /** Stateless/decomposable query over one INNER join of two bases:
+    * refresh computes Q(ΔA, B_new) ∪ Q(A_old, ΔB) and applies `inner`
+    * (AppendTransform → append the parts; AggMerge → fold them into the
+    * previous result). A is the first base in the session's sorted base
+    * list; the view re-binding makes the assignment positional, not
+    * join-side-dependent. */
+  final case class JoinDelta(inner: IncPlan) extends IncPlan
 
   /** Last refresh's chosen path, for spec assertions:
     * "no-op" | "incremental-append" | "incremental-merge" | "full". */
@@ -69,40 +95,96 @@ object DynamicTables {
   /** Files the last incremental refresh read as its delta. */
   @volatile private[graft] var lastDeltaFiles: Seq[String] = Nil
 
-  /** Classify the defining query's analyzed plan. None = not
-    * incrementally maintainable (full refresh every time). */
-  def incrementalPlan(plan: LogicalPlan, singleBase: Boolean): Option[IncPlan] = {
-    if (!singleBase || plan.collectLeaves().length != 1) return None
-    strip(plan) match {
-      case Aggregate(groupExprs, aggExprs, child, _) if stateless(child) =>
-        // every output column must be a grouping key or a decomposable
-        // aggregate; anything else (AVG, DISTINCT, FILTER, expressions
-        // OVER aggregates like sum(x)+1) disqualifies the whole query
-        val cols = aggExprs.map {
-          case a: Attribute if groupExprs.exists(_.semanticEquals(a)) =>
-            ("key", a.name)
-          case al: Alias if groupExprs.exists(_.semanticEquals(al.child)) =>
-            ("key", al.name)
-          case al: Alias => al.child match {
-            case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-              ae.aggregateFunction match {
-                case _: Sum   => ("sum", al.name)
-                case _: Count => ("sum", al.name) // count partials add
-                case _: Min   => ("min", al.name)
-                case _: Max   => ("max", al.name)
-                case _        => ("no", al.name)
-              }
-            case _ => ("no", al.name)
-          }
-          case _ => ("no", "")
+  /** Classify the defining query's analyzed plan. `baseViews` are the
+    * session temp-view names of the DT's bases (sorted by base FQN) —
+    * used to verify each join side reads exactly one distinct base.
+    * None = not incrementally maintainable (full refresh every time). */
+  def incrementalPlan(plan: LogicalPlan, baseViews: Seq[String]): Option[IncPlan] = {
+    val leafCount = plan.collectLeaves().length
+    baseViews.length match {
+      case 1 if leafCount == 1 =>
+        strip(plan) match {
+          case Aggregate(groupExprs, aggExprs, child, _) if stateless(child) =>
+            classifyAgg(groupExprs, aggExprs)
+          case p if stateless(p) => Some(AppendTransform)
+          case _ => None
         }
-        if (cols.exists(_._1 == "no")) None
-        else Some(AggMerge(cols.filter(_._1 == "key").map(_._2),
-          cols.collect { case (fn, n) if fn != "key" => (n, fn) }))
-      case p if stateless(p) => Some(AppendTransform)
+      case 2 if leafCount == 2 =>
+        val (body, agg) = strip(plan) match {
+          case Aggregate(g, a, child, _) => (child, Some((g, a)))
+          case p                          => (p, None)
+        }
+        unwrapToJoin(body).flatMap {
+          case Join(l, r, Inner | Cross, cond, _)
+              if cond.forall(exprOk) && stateless(l) && stateless(r) &&
+                sidesCoverBases(l, r, baseViews) =>
+            agg match {
+              case None         => Some(JoinDelta(AppendTransform))
+              case Some((g, a)) => classifyAgg(g, a).map(JoinDelta(_))
+            }
+          case _ => None
+        }
       case _ => None
     }
   }
+
+  /** Every output column must be a grouping key or a decomposable
+    * aggregate; anything else (AVG, DISTINCT, FILTER, expressions OVER
+    * aggregates like sum(x)+1) disqualifies the whole query. */
+  private def classifyAgg(groupExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+      : Option[AggMerge] = {
+    val cols = aggExprs.map {
+      case a: Attribute if groupExprs.exists(_.semanticEquals(a)) =>
+        ("key", a.name)
+      case al: Alias if groupExprs.exists(_.semanticEquals(al.child)) =>
+        ("key", al.name)
+      case al: Alias => al.child match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case _: Sum   => ("sum", al.name)
+            case _: Count => ("sum", al.name) // count partials add
+            case _: Min   => ("min", al.name)
+            case _: Max   => ("max", al.name)
+            case _        => ("no", al.name)
+          }
+        case _ => ("no", al.name)
+      }
+      case _ => ("no", "")
+    }
+    if (cols.exists(_._1 == "no")) None
+    else Some(AggMerge(cols.filter(_._1 == "key").map(_._2),
+      cols.collect { case (fn, n) if fn != "key" => (n, fn) }))
+  }
+
+  /** Peel deterministic Project/Filter/alias wrappers down to a single
+    * Join node; None if anything else (a second join, a window, a
+    * set-op) sits in between. */
+  private def unwrapToJoin(p: LogicalPlan): Option[Join] = p match {
+    case j: Join => Some(j)
+    case _: Project | _: Filter | _: SubqueryAlias | _: View
+        if p.expressions.forall(exprOk) =>
+      unwrapToJoin(p.children.head)
+    case _ => None
+  }
+
+  /** Each join side must read exactly one of the two base views, and
+    * together they must cover both — rules out self-joins dressed as
+    * two bases and non-base leaves (VALUES lists, ranges). */
+  private def sidesCoverBases(l: LogicalPlan, r: LogicalPlan,
+      baseViews: Seq[String]): Boolean = {
+    val want = baseViews.map(_.toLowerCase).toSet
+    def viewsIn(p: LogicalPlan): Set[String] = p.collect {
+      case s: SubqueryAlias
+          if want.contains(s.identifier.name.toLowerCase) =>
+        s.identifier.name.toLowerCase
+    }.toSet
+    val (lv, rv) = (viewsIn(l), viewsIn(r))
+    lv.size == 1 && rv.size == 1 && (lv ++ rv) == want
+  }
+
+  private def exprOk(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])
 
   private def strip(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, c) => strip(c)

@@ -140,7 +140,7 @@ final class GraftSession(
     val inc =
       if (forceFull) None
       else DynamicTables.incrementalPlan(
-        df.queryExecution.analyzed, bases.length == 1)
+        df.queryExecution.analyzed, bases.map(viewName))
     val path = tablePath(f, temp = false)
     val (instrumented, record) = AutoStats.observedForWrite(spark, df, path)
     AutoStats.invalidate(path)
@@ -180,45 +180,93 @@ final class GraftSession(
       DynamicTables.lastRefreshMode = "no-op"
       return status(s"Dynamic table ${f.table} is up to date.")
     }
-    // incremental path: one base, declared maintainable, pure append
-    val added: Option[Set[String]] = st.inc.flatMap { _ =>
-      if (st.bases.length != 1) None
-      else st.offsets.get(st.bases.head).flatMap { case (oref, ofs, ods) =>
-        Streams.addedFiles(spark, oref, ofs, ods, curs(st.bases.head))
+    // incremental path: every base pure-append since the offset (None =
+    // some base was rewritten or is not file-addressable)
+    val addedPerBase: Option[Map[FQN, Set[String]]] = st.inc.flatMap { _ =>
+      val per = st.bases.map { b =>
+        st.offsets.get(b).flatMap { case (oref, ofs, ods) =>
+          Streams.addedFiles(spark, oref, ofs, ods, curs(b)).map(b -> _)
+        }
       }
+      if (per.forall(_.isDefined)) Some(per.flatten.toMap) else None
     }
-    (st.inc, added) match {
-      case (Some(plan), Some(af)) if af.nonEmpty =>
+    // apply a computed delta result: append it (stateless) or fold it
+    // into the previous materialization (decomposable aggregate)
+    def applyIncrement(plan: DynamicTables.IncPlan, deltaResult: DataFrame,
+        modePrefix: String): Unit = plan match {
+      case DynamicTables.AppendTransform =>
+        DynamicTables.lastRefreshMode = modePrefix + "append"
+        val aligned = deltaResult.select(st.schema.fields.map(sf =>
+          org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)
+            .as(sf.name)).toIndexedSeq: _*)
+        val (instrumented, record) =
+          AutoStats.observedForAppend(spark, aligned, ref.path.get)
+        instrumented.write.mode("append").parquet(ref.path.get)
+        record()
+        // in-place append invalidates older versions (same as INSERT)
+        resetHistory(f, ref)
+      case am: DynamicTables.AggMerge =>
+        DynamicTables.lastRefreshMode = modePrefix + "merge"
+        val merged = DynamicTables.merge(
+          registry.load(ref), deltaResult, am, st.schema)
+        swapMaterialization(f, ref, merged)
+      case _: DynamicTables.JoinDelta => // nested JoinDelta never occurs
+        throw new IllegalStateException("JoinDelta cannot nest")
+    }
+    (st.inc, addedPerBase) match {
+      case (Some(plan), Some(af)) if st.bases.length == 1 &&
+          af(st.bases.head).nonEmpty =>
         val b = st.bases.head
         val cur = curs(b)
         val baseSchema = registry.load(cur).schema
         // substitute FIRST (registers the full base view), then re-bind
         // the view to the delta; spark.sql analysis inlines the binding
         val substituted = rewriteAndSubstitute(st.query)
-        Streams.readFiles(spark, cur, af, baseSchema)
+        Streams.readFiles(spark, cur, af(b), baseSchema)
           .createOrReplaceTempView(viewName(b))
         val deltaResult =
           try spark.sql(substituted)
           finally registry.load(cur).createOrReplaceTempView(viewName(b))
-        DynamicTables.lastDeltaFiles = af.toSeq.sorted
-        plan match {
-          case DynamicTables.AppendTransform =>
-            DynamicTables.lastRefreshMode = "incremental-append"
-            val aligned = deltaResult.select(st.schema.fields.map(sf =>
-              org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)
-                .as(sf.name)).toIndexedSeq: _*)
-            val (instrumented, record) =
-              AutoStats.observedForAppend(spark, aligned, ref.path.get)
-            instrumented.write.mode("append").parquet(ref.path.get)
-            record()
-            // in-place append invalidates older versions (same as INSERT)
-            resetHistory(f, ref)
-          case am: DynamicTables.AggMerge =>
-            DynamicTables.lastRefreshMode = "incremental-merge"
-            val merged = DynamicTables.merge(
-              registry.load(ref), deltaResult, am, st.schema)
-            swapMaterialization(f, ref, merged)
-        }
+        DynamicTables.lastDeltaFiles = af(b).toSeq.sorted
+        applyIncrement(plan, deltaResult, "incremental-")
+      case (Some(DynamicTables.JoinDelta(inner)), Some(af))
+          if st.bases.length == 2 && af.values.exists(_.nonEmpty) &&
+            // the A_old re-read is a raw file-subset scan, so bail to
+            // full when row-level delete files exist on either base
+            st.bases.forall(b =>
+              Streams.filesOf(spark, curs(b))._2.exists(_.isEmpty)) =>
+        // Δ(A⋈B) = ΔA ⋈ B_new  ⊎  A_old ⋈ ΔB — exact multiset partition
+        // of the new join rows for INNER joins over append-only bases
+        val Seq(ba, bb) = st.bases
+        val schemaOf = st.bases.map(b =>
+          b -> registry.load(curs(b)).schema).toMap
+        val substituted = rewriteAndSubstitute(st.query)
+        val parts = scala.collection.mutable.Buffer.empty[DataFrame]
+        try {
+          if (af(ba).nonEmpty) {
+            // part 1: ΔA against the CURRENT right side (already bound)
+            Streams.readFiles(spark, curs(ba), af(ba), schemaOf(ba))
+              .createOrReplaceTempView(viewName(ba))
+            parts += spark.sql(substituted)
+          }
+          if (af(bb).nonEmpty) {
+            // part 2: the OLD left side (offset file set) against ΔB
+            val oldA = st.offsets(ba)._2.get
+            val aOld =
+              if (oldA.isEmpty)
+                registry.load(curs(ba))
+                  .filter(org.apache.spark.sql.functions.lit(false))
+              else Streams.readFiles(spark, curs(ba), oldA, schemaOf(ba))
+            aOld.createOrReplaceTempView(viewName(ba))
+            Streams.readFiles(spark, curs(bb), af(bb), schemaOf(bb))
+              .createOrReplaceTempView(viewName(bb))
+            parts += spark.sql(substituted)
+          }
+        } finally st.bases.foreach(b =>
+          registry.load(curs(b)).createOrReplaceTempView(viewName(b)))
+        DynamicTables.lastDeltaFiles = (af(ba) ++ af(bb)).toSeq.sorted
+        applyIncrement(inner, parts.reduce(_ unionByName _),
+          "incremental-join-")
       case _ =>
         DynamicTables.lastRefreshMode = "full"
         DynamicTables.lastDeltaFiles = Nil
@@ -1252,15 +1300,30 @@ final class GraftSession(
     * their sorts. OPTIMIZE rewrites each bucket to exactly one sorted
     * file (COW: a new catalog table, the registry re-points, the old
     * version stays time-travelable), restoring the zero-Exchange AND
-    * zero-Sort join plan. Plain parquet / Iceberg tables get a file
-    * compaction rewrite through the same COW snapshot path. */
+    * zero-Sort join plan.
+    *
+    * Iceberg tables get INCREMENTAL small-file compaction
+    * ([[graft.sources.IcebergLite.compact]]): partitions holding ≥2
+    * sub-threshold files are rewritten to one file each in a single
+    * snapshot commit that reads ONLY the small files — the maintenance
+    * pass a streaming-ingested table needs (stream07 leaves one file per
+    * micro-batch), at O(small bytes) instead of the O(table) a COW
+    * rewrite would cost at 100 TB. Plain parquet tables get a file
+    * compaction rewrite through the COW snapshot path. */
   private def doOptimize(rawName: String): DataFrame = {
     val f = fqn(rawName)
     val ref = registry.resolve(f).getOrElse(
       throw new IllegalArgumentException(s"table $f does not exist"))
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
       s"cannot OPTIMIZE $f")
-    if (ref.format == "bucketed") {
+    if (ref.format == "iceberg") {
+      val newMeta = graft.sources.IcebergLite.compact(spark, ref.path.get)
+      if (newMeta == ref.path.get)
+        return status(s"Table ${f.table} is already compact.")
+      val newRef = ref.copy(path = Some(newMeta))
+      registry.register(newRef)
+      recordVersion(f, newRef)
+    } else if (ref.format == "bucketed") {
       val oldCat = ref.path.get
       val spec = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(oldCat)).bucketSpec

@@ -1238,10 +1238,11 @@ object SnowflakeSql extends QueryPack {
         FROM dt_sum ORDER BY k LIMIT 100;""")
     },
 
-    // DYNAMIC TABLE full-refresh fallback: a join isn't incrementally
-    // maintainable under this engine's plan classification, so refresh
-    // re-runs the defining query (mode-asserted in DynamicTableSpec);
-    // the refreshed contents still track the post-INSERT base exactly.
+    // DYNAMIC TABLE over an INNER join: the fact-side INSERT refreshes
+    // via the join-delta decomposition Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB —
+    // agg(delta) merges into the previous result, so the old fact files
+    // are never re-joined (mode + delta-file asserts in DynamicTableSpec).
+    // This gate proves the merged contents equal a from-scratch join.
     GQuery("snow60_dynamic_table_join", Some("""
       WITH base AS (
         SELECT n_nationkey AS k, n_regionkey AS rk FROM nation
@@ -1261,6 +1262,63 @@ object SnowflakeSql extends QueryPack {
           SELECT n_nationkey + 50, n_regionkey FROM nation;
         ALTER DYNAMIC TABLE dtj_dt REFRESH;
         SELECT region, n FROM dtj_dt ORDER BY region;""")
+    },
+
+    // DYNAMIC TABLE join-delta with BOTH bases appended in one refresh:
+    // part 1 (Δfact ⋈ dim_new) catches the new fact rows — including
+    // matches against the new dim row — and part 2 (fact_old ⋈ Δdim)
+    // catches old fact rows the new dim row now matches. One refresh,
+    // O(Δfact ⋈ dim + fact ⋈ Δdim), exact multiset of the full join.
+    GQuery("snow61_dynamic_table_join_both", Some("""
+      WITH f AS (
+        SELECT n_nationkey AS k, n_regionkey AS rk FROM nation
+        UNION ALL
+        SELECT n_nationkey + 50, n_regionkey FROM nation),
+      d AS (
+        SELECT r_regionkey AS rk, r_name AS rname FROM region
+        WHERE r_regionkey < 4
+        UNION ALL
+        SELECT 4, 'REGION4')
+      SELECT f.k, d.rname FROM f JOIN d ON f.rk = d.rk
+      ORDER BY k, rname""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE dtb_f AS
+          SELECT n_nationkey AS k, n_regionkey AS rk FROM nation;
+        CREATE OR REPLACE TABLE dtb_d AS
+          SELECT r_regionkey AS rk, r_name AS rname FROM region
+          WHERE r_regionkey < 4;
+        CREATE OR REPLACE DYNAMIC TABLE dtb_dt AS
+          SELECT f.k, d.rname FROM dtb_f f JOIN dtb_d d ON f.rk = d.rk;
+        INSERT INTO dtb_f SELECT n_nationkey + 50, n_regionkey FROM nation;
+        INSERT INTO dtb_d SELECT 4, 'REGION4';
+        ALTER DYNAMIC TABLE dtb_dt REFRESH;
+        SELECT k, rname FROM dtb_dt ORDER BY k, rname;""")
+    },
+
+    // Iceberg small-file compaction: three commits leave ≥3 data files
+    // (the shape streaming ingest produces — one file per micro-batch);
+    // OPTIMIZE rewrites the small files into one per partition in a
+    // single snapshot commit that reads ONLY the small files, O(small
+    // bytes) not O(table) (file counts + partial compaction + time
+    // travel asserted in IcebergLiteSpec). This gate proves the
+    // compacted table's contents are exactly the union of the commits.
+    GQuery("snow62_iceberg_compaction", Some("""
+      WITH base AS (
+        SELECT n_nationkey AS k, n_regionkey AS rk FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey + 200, n_regionkey FROM nation)
+      SELECT rk, count(*) AS n, min(k) AS lo, max(k) AS hi
+      FROM base GROUP BY rk ORDER BY rk""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE ice_cmp AS
+          SELECT n_nationkey AS k, n_regionkey AS rk FROM nation;
+        INSERT INTO ice_cmp SELECT n_nationkey + 100, n_regionkey FROM nation;
+        INSERT INTO ice_cmp SELECT n_nationkey + 200, n_regionkey FROM nation;
+        OPTIMIZE ice_cmp;
+        SELECT rk, count(*) AS n, min(k) AS lo, max(k) AS hi
+        FROM ice_cmp GROUP BY rk ORDER BY rk;""")
     },
 
     // Iceberg hidden time partitioning: day(ts) transform through the

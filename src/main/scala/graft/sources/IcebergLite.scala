@@ -599,6 +599,88 @@ object IcebergLite {
       baseMeta = Some(metadataPath))
   }
 
+  /** Compact small data files: partitions holding ≥2 files under
+    * `smallBytes` are rewritten into one file each (unpartitioned tables
+    * bin-pack toward `smallBytes`-sized outputs); everything else carries
+    * forward untouched. One snapshot commit, one Spark pass over ONLY the
+    * small files — O(small bytes), never O(table), which is the whole
+    * point at 100 TB where streaming ingest leaves one file per
+    * micro-batch commit ([[graft.engine.GraftSession]] `OPTIMIZE`).
+    * Returns the new metadata.json (the pre-compaction version stays
+    * time-travelable), or `metadataPath` unchanged when nothing
+    * qualifies. Tables with pending row-level delete files are rejected
+    * loudly — compaction must not resurrect deleted rows, and folding
+    * deletes in belongs to a COW rewrite. */
+  private def isIntegralCol(df: DataFrame, c: String): Boolean =
+    df.schema(df.schema.fieldIndex(c)).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** The transform's partition-value expression over `df` — the commit
+    * write derives partition directories from it, and compaction
+    * repartitions on it so one task owns each partition value (one
+    * compacted file per value). Zero-padded UTC-wallclock formats keep
+    * lexicographic order = chronological order (see commit). */
+  private def shadowValueExpr(df: DataFrame,
+      pf: PartField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pf.transform match {
+      case "identity" if isIntegralCol(df, pf.column) =>
+        lpad((col(pf.column).cast(DecimalType(21, 0)) +
+            lit(BigDecimal("9223372036854775808")))
+          .cast(DecimalType(20, 0)).cast("string"), 20, "0")
+      case "identity" => col(pf.column).cast("string")
+      case "year" => date_format(col(pf.column), "yyyy")
+      case "month" => date_format(col(pf.column), "yyyy-MM")
+      case "day" => date_format(col(pf.column), "yyyy-MM-dd")
+      case "hour" => date_format(col(pf.column), "yyyy-MM-dd-HH")
+    }
+  }
+
+  def compact(spark: SparkSession, metadataPath: String,
+      smallBytes: Long = 128L << 20): String = {
+    val (entries, deletes) = planFiles(spark, metadataPath)
+    require(deletes.isEmpty,
+      "compact with pending row-level deletes is unsupported; " +
+      "run a copy-on-write rewrite (UPDATE/DELETE already lands one)")
+    def sizeOf(p: String): Long = new java.io.File(p).length()
+    val byPartition = entries.groupBy(_.partition)
+    val toCompact = byPartition.iterator.flatMap { case (_, es) =>
+      val small = es.filter(e => sizeOf(e.path) < smallBytes)
+      if (small.length >= 2) small else Nil
+    }.toSeq
+    if (toCompact.isEmpty) return metadataPath
+    val keep = entries.filterNot(toCompact.contains)
+      .map(e => e.path -> e.partition).distinct
+    val smallTotal = toCompact.map(e => sizeOf(e.path)).sum
+    val outParts = math.max(1L, smallTotal / math.max(1L, smallBytes)).toInt
+    val parts = partitionColumns(metadataPath)
+    // the partition source columns live IN the data files (shadow-column
+    // write), so re-committing with the same spec regenerates identical
+    // partition values; repartitioning on the TRANSFORM value (not the
+    // raw source column — day(ts) must not scatter a day's distinct
+    // timestamps across tasks) lands one file per partition value
+    val merged0 = scanSubset(spark, metadataPath, toCompact.map(_.path).toSet)
+    val merged =
+      if (parts.nonEmpty) {
+        val partFields = parts.map(parsePartField).map { pf =>
+          pf.copy(column = merged0.columns
+            .find(_.equalsIgnoreCase(pf.column)).getOrElse(pf.column))
+        }
+        merged0.repartition(
+          partFields.map(pf => shadowValueExpr(merged0, pf)).toIndexedSeq: _*)
+      } else merged0.repartition(outParts)
+    val dir = Paths.get(stripScheme(metadataPath)).getParent.getParent.toString
+    val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(metadataPath)
+      .map(_.group(1).toInt).getOrElse(1)
+    commit(spark, merged, dir, version + 1, carryForward = keep,
+      partitionBy = parts, baseMeta = Some(metadataPath))
+  }
+
   private def commit(spark: SparkSession, df0: DataFrame, tableDir: String,
       newVersion: Int, carryForward: Seq[(String, Option[String])],
       partitionBy: Seq[String] = Nil,
@@ -653,14 +735,7 @@ object IcebergLite {
     // broke the naive rendering). The metadata spec stays standard
     // Iceberg "identity"; `zi` is re-derived from the column type on
     // every commit (INSERT round-trips preserve it).
-    def isIntegral(c: String): Boolean =
-      df.schema(df.schema.fieldIndex(c)).dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
+    def isIntegral(c: String): Boolean = isIntegralCol(df, c)
     def shadowNameOf(pf: PartField): String =
       if (pf.transform == "identity" && isIntegral(pf.column))
         s"__part_zi__${pf.column}"
@@ -673,17 +748,7 @@ object IcebergLite {
         s"identity partition column '${pf.column}' collides with the " +
         "shadow transform encoding (<transform>__ prefix); rename it")
     }
-    def shadowExpr(pf: PartField) = pf.transform match {
-      case "identity" if isIntegral(pf.column) =>
-        lpad((col(pf.column).cast(DecimalType(21, 0)) +
-            lit(BigDecimal("9223372036854775808")))
-          .cast(DecimalType(20, 0)).cast("string"), 20, "0")
-      case "identity" => col(pf.column).cast("string")
-      case "year" => date_format(col(pf.column), "yyyy")
-      case "month" => date_format(col(pf.column), "yyyy-MM")
-      case "day" => date_format(col(pf.column), "yyyy-MM-dd")
-      case "hour" => date_format(col(pf.column), "yyyy-MM-dd-HH")
-    }
+    def shadowExpr(pf: PartField) = shadowValueExpr(df, pf)
     if (partFields.nonEmpty) {
       // shadow columns keep the originals inside the data files; names
       // carry the transform + source column so the filter-mirror rule

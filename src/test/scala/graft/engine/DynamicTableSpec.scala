@@ -95,7 +95,7 @@ class DynamicTableSpec extends AnyFunSuite {
       s.sql("SELECT k, price * 2 AS p2 FROM dyn_b3 WHERE st = 'O'"))
   }
 
-  test("join DT classifies as full; refresh is correct") {
+  test("agg-over-join DT: fact append refreshes as incremental-join-merge") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_b4 AS
       SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
@@ -105,11 +105,99 @@ class DynamicTableSpec extends AnyFunSuite {
       GROUP BY r.r_name""")
     s.sql("INSERT INTO dyn_b4 SELECT n_nationkey + 50, n_regionkey FROM nation")
     s.sql("ALTER DYNAMIC TABLE dyn_j4 REFRESH")
-    assert(DynamicTables.lastRefreshMode == "full")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge")
+    // the delta is the fact INSERT's files only — the dimension (region)
+    // gained nothing and the old fact files are not in the delta set
+    assert(DynamicTables.lastDeltaFiles.nonEmpty &&
+      DynamicTables.lastDeltaFiles.forall(_.toUpperCase.contains("DYN_B4")))
     assertSame(
       s.sql("SELECT * FROM dyn_j4"),
       s.sql("""SELECT r.r_name AS region, count(*) AS n
         FROM dyn_b4 b JOIN region r ON b.rk = r.r_regionkey GROUP BY r.r_name"""))
+  }
+
+  test("stateless join DT: incremental-join-append; both-side appends stay exact") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_jf AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation WHERE n_nationkey < 20""")
+    s.sql("""CREATE OR REPLACE TABLE dyn_jd AS
+      SELECT r_regionkey AS rk, r_name AS rname FROM region WHERE r_regionkey < 4""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_jv AS
+      SELECT f.k, d.rname FROM dyn_jf f JOIN dyn_jd d ON f.rk = d.rk""")
+    def recompute() = s.sql(
+      "SELECT f.k, d.rname FROM dyn_jf f JOIN dyn_jd d ON f.rk = d.rk")
+    // fact-side append only
+    s.sql("INSERT INTO dyn_jf SELECT n_nationkey + 100, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_jv REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-append")
+    assertSame(s.sql("SELECT * FROM dyn_jv"), recompute())
+    // BOTH sides append: Q(Δf, d_new) ∪ Q(f_old, Δd) — new fact rows join
+    // the NEW dim rows too, and old fact rows pick up the new dim matches
+    s.sql("INSERT INTO dyn_jf SELECT n_nationkey + 200, 4 FROM nation WHERE n_nationkey < 3")
+    s.sql("INSERT INTO dyn_jd SELECT 4, 'NEWREGION'")
+    s.sql("ALTER DYNAMIC TABLE dyn_jv REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-append")
+    assertSame(s.sql("SELECT * FROM dyn_jv"), recompute())
+    // dim-side-only append still incremental
+    s.sql("INSERT INTO dyn_jd SELECT 5, 'R5'")
+    s.sql("ALTER DYNAMIC TABLE dyn_jv REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-append")
+    assertSame(s.sql("SELECT * FROM dyn_jv"), recompute())
+  }
+
+  test("join DT: DELETE on a base degrades ONE refresh to full, then resumes") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_jf2 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_jv2 AS
+      SELECT r.r_name AS region, sum(f.k) AS total
+      FROM dyn_jf2 f JOIN region r ON f.rk = r.r_regionkey
+      GROUP BY r.r_name""")
+    def recompute() = s.sql("""SELECT r.r_name AS region, sum(f.k) AS total
+      FROM dyn_jf2 f JOIN region r ON f.rk = r.r_regionkey GROUP BY r.r_name""")
+    s.sql("DELETE FROM dyn_jf2 WHERE k % 3 = 0")
+    s.sql("ALTER DYNAMIC TABLE dyn_jv2 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(s.sql("SELECT * FROM dyn_jv2"), recompute())
+    s.sql("INSERT INTO dyn_jf2 SELECT n_nationkey + 300, n_regionkey FROM nation WHERE n_nationkey < 5")
+    s.sql("ALTER DYNAMIC TABLE dyn_jv2 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge")
+    assertSame(s.sql("SELECT * FROM dyn_jv2"), recompute())
+  }
+
+  test("outer joins and 3-table joins are not claimed incremental") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_jf3 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    // LEFT JOIN retracts its NULL-extension when a match appears — full
+    s.sql("""CREATE DYNAMIC TABLE dyn_jl AS
+      SELECT f.k, r.r_name FROM dyn_jf3 f LEFT JOIN region r ON f.rk = r.r_regionkey""")
+    s.sql("INSERT INTO dyn_jf3 SELECT n_nationkey + 400, n_regionkey FROM nation WHERE n_nationkey < 3")
+    s.sql("ALTER DYNAMIC TABLE dyn_jl REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(
+      s.sql("SELECT * FROM dyn_jl"),
+      s.sql("SELECT f.k, r.r_name FROM dyn_jf3 f LEFT JOIN region r ON f.rk = r.r_regionkey"))
+    // three bases → full
+    s.sql("""CREATE DYNAMIC TABLE dyn_j3 AS
+      SELECT count(*) AS n FROM dyn_jf3 f
+      JOIN region r ON f.rk = r.r_regionkey
+      JOIN nation n ON f.k = n.n_nationkey""")
+    s.sql("INSERT INTO dyn_jf3 SELECT n_nationkey + 500, n_regionkey FROM nation WHERE n_nationkey < 2")
+    s.sql("ALTER DYNAMIC TABLE dyn_j3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+  }
+
+  test("self-join over one base is not claimed incremental") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_sj AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    s.sql("""CREATE DYNAMIC TABLE dyn_sjv AS
+      SELECT a.k AS ak, b.k AS bk FROM dyn_sj a JOIN dyn_sj b ON a.rk = b.rk""")
+    s.sql("INSERT INTO dyn_sj SELECT n_nationkey + 600, n_regionkey FROM nation WHERE n_nationkey < 2")
+    s.sql("ALTER DYNAMIC TABLE dyn_sjv REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(
+      s.sql("SELECT * FROM dyn_sjv"),
+      s.sql("SELECT a.k AS ak, b.k AS bk FROM dyn_sj a JOIN dyn_sj b ON a.rk = b.rk"))
   }
 
   test("DELETE on the base degrades ONE refresh to full, then resumes incremental") {

@@ -171,6 +171,12 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(!keys.contains(20L) && !keys.contains(24L))
     // snapshot 1 unaffected (time travel still sees all rows)
     assert(IcebergLite.scan(spark, metaV1).count() == 25)
+    // compaction refuses tables with pending delete files — merging data
+    // files while deletes are outstanding could resurrect deleted rows
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.compact(spark, metaV2)
+    }
+    assert(e.getMessage.contains("delete"))
   }
 
   test("partitioned write: manifest partition values drive file pruning") {
@@ -730,5 +736,67 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(fresh.nonEmpty && fresh.forall(_.getString(1) == "new"))
     assert(old.length == fresh.length)
     s.sql("DROP TABLE evo_part")
+  }
+
+  test("compact: small files merge to one per partition, old snapshot travels") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_cmp").toString
+    val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    // three commits → at least three data files
+    val m1 = IcebergLite.write(spark, nation, root)
+    val m2 = IcebergLite.append(spark,
+      nation.withColumn("n_nationkey", col("n_nationkey") + 100), m1)
+    val m3 = IcebergLite.append(spark,
+      nation.withColumn("n_nationkey", col("n_nationkey") + 200), m2)
+    val before = IcebergLite.dataFiles(spark, m3)
+    assert(before.length >= 3)
+    val want = IcebergLite.scan(spark, m3).collect().toSeq
+
+    val m4 = IcebergLite.compact(spark, m3)
+    assert(m4 != m3)
+    // unpartitioned small files bin-pack to ONE file; content identical
+    val after = IcebergLite.dataFiles(spark, m4)
+    assert(after.length == 1, s"expected 1 compacted file, got $after")
+    val got = IcebergLite.scan(spark, m4).collect().toSeq
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+      want.groupBy(identity).view.mapValues(_.size).toMap)
+    // the pre-compaction snapshot still reads (time travel)
+    assert(IcebergLite.scan(spark, m3).count() == 75)
+    // nothing left to do → same metadata back
+    assert(IcebergLite.compact(spark, m4) == m4)
+  }
+
+  test("compact: partitioned table compacts per partition value, pruning intact") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_cmp_p").toString
+    val nation = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val m1 = IcebergLite.write(spark, nation, root,
+      partitionBy = Seq("n_regionkey"))
+    val m2 = IcebergLite.append(spark,
+      nation.withColumn("n_nationkey", col("n_nationkey") + 100), m1)
+    val before = IcebergLite.dataFiles(spark, m2)
+    assert(before.length >= 10) // ≥2 files in each of the 5 regions
+    val want = IcebergLite.scan(spark, m2).count()
+
+    val m3 = IcebergLite.compact(spark, m2)
+    val after = IcebergLite.dataFiles(spark, m3)
+    assert(after.length == 5, s"expected 1 file per region, got $after")
+    assert(IcebergLite.scan(spark, m3).count() == want)
+    // partition spec survives: the pruned scan reads 1 file, right rows
+    val pruned = IcebergLite.scan(spark, m3, Some(_ == zi(2)))
+    assert(pruned.inputFiles.length == 1 && pruned.count() == 10)
+    // only the small-file groups were rewritten, as one spark pass — a
+    // fourth commit with a BIG threshold shows partial compaction too:
+    // one partition grows a new file, compact leaves the other four alone
+    val m4 = IcebergLite.append(spark,
+      nation.filter(col("n_regionkey") === 2)
+        .withColumn("n_nationkey", col("n_nationkey") + 300), m3)
+    val m5 = IcebergLite.compact(spark, m4)
+    val files5 = IcebergLite.dataFiles(spark, m5)
+    assert(files5.length == 5)
+    val untouched = after.filterNot(_.contains("__part_zi__n_regionkey=" + zi(2)))
+    assert(untouched.forall(files5.contains), "untouched partitions must carry forward")
   }
 }
