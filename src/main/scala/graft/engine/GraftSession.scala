@@ -81,6 +81,9 @@ final class GraftSession(
   /** Streams resolved by the statement currently executing — consulted
     * after it completes to apply the consume-advances-offset rule. */
   private val streamsReadInStmt = scala.collection.mutable.Set.empty[FQN]
+  /** Whether the executing statement read information_schema — such reads
+    * track registry state, not table files, so result reuse skips them. */
+  @volatile private var infoSchemaReadInStmt = false
   /** Registry tables resolved by the statement currently executing —
     * cleared before a dynamic table's defining query runs, so the tables
     * it resolves become the refresh-tracked base set. */
@@ -482,6 +485,7 @@ final class GraftSession(
       currentSeq = stmtSeqGen.incrementAndGet()
       val t0 = System.nanoTime()
       streamsReadInStmt.clear()
+      infoSchemaReadInStmt = false
       val res = executeOne(substituteStreamHasData(substituteLastQueryId(st)))
       if (streamsReadInStmt.nonEmpty &&
           consumesStreamsRe.pattern.matcher(st).matches())
@@ -671,7 +675,22 @@ final class GraftSession(
      "BEGIN(?:\\s+TRANSACTION|\\s+WORK)?|COMMIT(?:\\s+WORK)?|" +
      "USE\\s+SECONDARY\\s+ROLES)\\b.*$").r
 
+  /** ALTER SESSION SET USE_CACHED_RESULT — the one session parameter with
+    * local behavior (result reuse, [[runQueryCached]]); the reference's own
+    * benchmark script sets it
+    * (/root/reference/resources/dwh-benchmark/clickbench.sql:116). Other
+    * ALTER SESSION forms stay no-op acks (noopRe). */
+  private val alterSessionCacheRe =
+    "(?is)^ALTER\\s+SESSION\\s+SET\\s+USE_CACHED_RESULT\\s*=\\s*(\\w+)\\s*$".r
+
   private def executeOne(stmt: String): DataFrame = stmt.trim match {
+    case alterSessionCacheRe(v) =>
+      useCachedResult = v.equalsIgnoreCase("true")
+      if (!useCachedResult) reuseCache.synchronized {
+        reuseCache.values.foreach(_._2.unpersist(false))
+        reuseCache.clear()
+      }
+      status("Statement executed successfully.")
     case useRe(kind, name) => doUse(Option(kind).map(_.toUpperCase), name)
     case stageRe(name, url) =>
       stages.put(Identifiers.normalizePart(name), url.stripSuffix("/"))
@@ -757,7 +776,101 @@ final class GraftSession(
     case showRe(what) => doShow(what.toUpperCase.replaceAll("\\s+", " "))
     case descRe(name) => doDescribe(name)
     case dml if Dml.matches(dml) => Dml.execute(this, dml)
-    case q => runQuery(q)
+    case q => runQueryCached(q)
+  }
+
+  // ── query result reuse (Snowflake USE_CACHED_RESULT) ───────────────────
+  /** Snowflake's result cache, locally: a SELECT whose rewritten text ran
+    * before in this session, over base tables whose storage is unchanged,
+    * reuses the earlier result instead of recomputing. Freshness is
+    * decided from pure metadata — the same per-base (data files, delete
+    * files) fingerprint the CDC streams and dynamic-table refresh use; no
+    * Spark job runs to validate a hit. Snowflake's own reuse conditions
+    * apply: deterministic plans only, no time-context/random functions,
+    * file-addressable bases only (views and temp scratch never match).
+    *
+    * Mechanics: the first execution returns a PRISTINE plan (so
+    * `.explain`/plan assertions see the real query; nothing is persisted
+    * up front). The first REUSE of a key Spark-persists the stored frame,
+    * so its next action computes once into the block cache and every
+    * execution after that reads cached blocks — at 100 TB the repeated
+    * dashboard query costs one scan, not one per refresh interval.
+    * Bounded LRU (16 entries); evictions and ALTER SESSION SET
+    * USE_CACHED_RESULT=FALSE unpersist. */
+  private val reuseCache =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, DataFrame, Boolean)]
+  /** Whether the last top-level SELECT was served from the result cache
+    * (spec observability, mirrors QUERY_HISTORY's result-reuse flag). */
+  @volatile private[graft] var lastResultReused = false
+  @volatile private[graft] var useCachedResult = true
+
+  private val timeContextFnRe =
+    ("(?i)\\b(CURRENT_TIMESTAMP|CURRENT_TIME|CURRENT_DATE|LOCALTIME(?:STAMP)?|" +
+     "SYSDATE|GETDATE|NOW|RANDOM|RAND|UUID_STRING|UUID|SEQ\\d)\\s*\\(").r
+
+  /** Per-base storage fingerprint (hashed file sets); None = some base is
+    * not file-addressable, which disables reuse for the statement. */
+  private def basesFingerprint(): Option[String] = {
+    val parts = basesResolvedInStmt.toSeq.sortBy(_.flat).map { b =>
+      registry.resolve(b) match {
+        case Some(ref) =>
+          val (fs, ds) = Streams.filesOf(spark, ref)
+          if (fs.isEmpty) return None
+          val h = scala.util.hashing.MurmurHash3.orderedHash(
+            fs.get.toSeq.sorted ++ Seq("|") ++
+              ds.getOrElse(Set.empty[String]).toSeq.sorted)
+          s"${b.flat}:${ref.format}:$h"
+        case None => return None
+      }
+    }
+    Some(parts.mkString(";"))
+  }
+
+  private def runQueryCached(q: String): DataFrame = {
+    lastResultReused = false
+    if (!useCachedResult) return runQuery(q)
+    basesResolvedInStmt.clear()
+    val substituted = rewriteAndSubstitute(q)
+    val key = substituted.trim
+    // never reuse: time-context/random functions (Snowflake's own
+    // condition), stream reads (contents advance with the target table,
+    // invisible to the base fingerprint), information_schema (tracks
+    // registry state, not files)
+    if (timeContextFnRe.findFirstIn(key).isDefined ||
+        streamsReadInStmt.nonEmpty || infoSchemaReadInStmt)
+      return spark.sql(substituted)
+    val fp = basesFingerprint().getOrElse(return spark.sql(substituted))
+    reuseCache.synchronized {
+      reuseCache.remove(key) match {
+        case Some((oldFp, anchor, wasHit)) if oldFp == fp =>
+          lastResultReused = true
+          // first reuse Spark-persists the anchor plan; the FRESH frame
+          // below re-plans through the CacheManager, so it reads (and on
+          // its first action, populates) the cached blocks — the anchor
+          // itself may already carry a pre-cache physical plan
+          if (!wasHit) anchor.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          reuseCache.put(key, (oldFp, anchor, true)) // LRU touch
+        case Some((_, anchor, wasHit)) => // stale: base storage changed
+          if (wasHit) anchor.unpersist(false)
+        case None =>
+      }
+      if (lastResultReused) return spark.sql(substituted)
+    }
+    val df = spark.sql(substituted)
+    // nondeterministic plans (rand(), UDFs marked as such) never cache
+    if (df.queryExecution.analyzed.exists(
+        _.expressions.exists(e => !e.deterministic || e.exists(!_.deterministic))))
+      return df
+    reuseCache.synchronized {
+      reuseCache.put(key, (fp, df, false))
+      while (reuseCache.size > 16) {
+        val (k, (_, old, wasHit)) = reuseCache.head
+        reuseCache.remove(k)
+        if (wasHit) old.unpersist(false)
+      }
+    }
+    df
   }
 
   /** Results of completed statements by qid, for RESULT_SCAN (bounded,
@@ -1010,6 +1123,7 @@ final class GraftSession(
       Streams.delta(spark, registry, st).createOrReplaceTempView(vn)
       Some(vn)
     } else if (f.schema == "INFORMATION_SCHEMA") {
+      infoSchemaReadInStmt = true
       infoSchemaView(f.table).map { df =>
         df.createOrReplaceTempView(viewName(f)); viewName(f)
       }
