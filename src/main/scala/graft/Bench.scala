@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_HEAVY_REPL.
   */
 object Bench {
+
+  private case class HeavyOut(full: String, compact: String,
+      dir: String, secs: Map[String, Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // never RECORD a contended official artifact — wait for a quiet
+    // machine instead (round-7 directive). Gated before any Spark work.
+    val gateJson = gateOnLoad()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,18 +78,33 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    val heavyJson =
+    val heavyOut =
       if (sys.env.getOrElse("SPARK_GRAFT_HEAVY", "1") != "0")
-        try heavyPhase(spark, sfDir)
+        try Some(heavyPhase(spark, sfDir))
         catch { case e: Throwable =>
-          s""","heavy_error":"${e.getMessage.replace('"', '\'')}"""" }
-      else ""
+          val err = s""","heavy_error":"${e.getMessage.replace('"', '\'')}""""
+          Some(HeavyOut(err, err, "", Map.empty)) }
+      else None
+    // same-invocation DuckDB pairing (round-7 directive): ratio the two
+    // sides under ONE machine state — artifacts recorded an hour apart
+    // under drifting absolute speed cannot be compared
+    val (duckFull, duckCompact) = heavyOut match {
+      case Some(h) if h.dir.nonEmpty &&
+          sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "1") != "0" =>
+        try duckDbPhase(h.dir, cpus, h.secs)
+        catch { case e: Throwable =>
+          val er = s""","duckdb_error":"${e.getMessage.replace('"', '\'')}""""
+          (er, er) }
+      case _ => ("", "")
+    }
+    val heavyJson = heavyOut.map(_.full).getOrElse("") + duckFull
+    val heavyCompact = heavyOut.map(_.compact).getOrElse("") + duckCompact
 
     // Full-precision detail: printed FIRST (survives in full logs) and
     // written to bench_detail.json — NOT the last line, because the
     // harness that collects this output keeps only a bounded tail.
     val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":${loadavg()}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$heavyJson$loadJson}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$heavyJson$loadJson$gateJson}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
@@ -99,7 +121,7 @@ object Bench {
     val compactAll = results.map { case (k, v) => s"""\"${short(k)}\":${fmt(v)}""" }
     def line(entries: Seq[String], truncated: Boolean): String = {
       val extra = if (truncated) s""","queries_truncated":true""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"$heavyJson$loadJson$extra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"$heavyCompact$loadJson$gateJson$extra}"""
     }
     val full = line(compactAll, truncated = false)
     val out =
@@ -115,7 +137,7 @@ object Bench {
 
   // ── heavy phase ─────────────────────────────────────────────────────────
 
-  private def heavyPhase(spark: SparkSession, sfDir: String): String = {
+  private def heavyPhase(spark: SparkSession, sfDir: String): HeavyOut = {
     // the pack leaves sf0.1 tables cached (Tables.load); heavy measures
     // scan+agg+join over its own replicated parquet and must not compete
     // with stale cached blocks for executor memory
@@ -268,14 +290,102 @@ object Bench {
     val hTotal = timed.filter(_._4).map(_._2).sum
     val failedJson =
       if (failed.isEmpty) "" else s""","heavy_failed":[${failed.mkString(",")}]"""
-    val contendedJson = if (contended)
-      s""","contended":true,"heavy_worst_spread":${f"${worstSpread()}%.2f"}"""
-    else ""
-    s""","heavy":$hq,"heavy_total":$hTotal,"heavy_sweeps":$sweeps,""" +
+    val contendedJson =
+      s""","contended":$contended""" + (if (contended)
+        s""","heavy_worst_spread":${f"${worstSpread()}%.2f"}""" else "")
+    val full =
+      s""","heavy":$hq,"heavy_total":$hTotal,"heavy_sweeps":$sweeps,""" +
       s""""heavy_spread":$spreads,"heavy_samples":$raw,""" +
       s""""heavy_sweep_loadavg":${sweepLoads.mkString("[", ",", "]")},""" +
       s""""heavy_lineitem_rows":$liRows,""" +
       s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr$failedJson$contendedJson"""
+    // compact: per-query seconds under short keys; the evidence bulk
+    // (samples, spreads, per-sweep loadavg) lives in bench_detail.json
+    val hqShort = timed.map { case (k, v, _, ok) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" +
+        (if (ok) f"$v%.3f" else "\"error\"") }.mkString("{", ",", "}")
+    val compact =
+      s""","heavy":$hqShort,"heavy_total":${f"$hTotal%.2f"},""" +
+      s""""heavy_sweeps":$sweeps$failedJson$contendedJson"""
+    HeavyOut(full, compact, dir,
+      timed.collect { case (k, v, _, true) => k -> v }.toMap)
+  }
+
+  /** Block until the machine is quiet (1-min loadavg below
+    * SPARK_GRAFT_LOADAVG_GATE, default 2.0) before any Spark work runs —
+    * an official artifact recorded under external load cannot be ratioed
+    * or compared across rounds, so waiting beats recording (round-7
+    * directive; rounds 5 and 6 both had to stamp `contended`). Polls
+    * every 30 s up to SPARK_GRAFT_GATE_TIMEOUT_SEC (default 1200); a
+    * timeout proceeds anyway and says so in the artifact. */
+  private def gateOnLoad(): String = {
+    val bar = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "2.0").toDouble
+    val cap = sys.env.getOrElse("SPARK_GRAFT_GATE_TIMEOUT_SEC", "1200").toLong
+    def load1(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    val t0 = System.nanoTime()
+    var waitedSec = 0L
+    while (load1() >= bar && waitedSec < cap) {
+      System.err.println(f"loadavg ${load1()}%.2f >= $bar%.1f — " +
+        s"waiting for quiet machine (${waitedSec}s/${cap}s)")
+      Thread.sleep(30000)
+      waitedSec = (System.nanoTime() - t0) / 1000000000L
+    }
+    val timedOut = load1() >= bar
+    s""","gate_wait_sec":$waitedSec""" +
+      (if (timedOut) s""","gate_timeout":true""" else "")
+  }
+
+  /** Run tools/bench_duckdb.py over the SAME heavy dir in the SAME
+    * invocation and embed its numbers plus the computed Spark/DuckDB
+    * ratios. `ratio` covers the queries both sides ran (h01–h09);
+    * `ratio_bucketed` substitutes h09b (the CLUSTER BY layout) for h09 —
+    * the storage a user who declared the join key would actually get.
+    * Returns (detail fragment, compact fragment). */
+  private def duckDbPhase(dir: String, threads: String,
+      sparkSecs: Map[String, Double]): (String, String) = {
+    val script = new java.io.File("tools/bench_duckdb.py")
+    if (!script.exists()) return ("", "")
+    val pb = new ProcessBuilder("python3", script.getPath, dir, threads)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val log = new String(p.getInputStream.readAllBytes())
+    val rc = p.waitFor()
+    if (rc != 0) {
+      System.err.println(s"bench_duckdb.py failed rc=$rc:\n$log")
+      val er = s""","duckdb_error":$rc"""
+      return (er, er)
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File("bench_duckdb.json"))
+    import scala.jdk.CollectionConverters._
+    val duck = node.path("queries").fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    val common = duck.keySet.intersect(sparkSecs.keySet).toSeq.sorted
+    val sSum = common.map(sparkSecs).sum
+    val dSum = common.map(duck).sum
+    val ratio = if (dSum > 0 && common.nonEmpty) sSum / dSum else Double.NaN
+    val bucketedKey = "h09b_join_agg_bucketed"
+    val ratioB =
+      if (dSum > 0 && sparkSecs.contains(bucketedKey))
+        (common.filterNot(_.startsWith("h09")).map(sparkSecs).sum +
+          sparkSecs(bucketedKey)) / dSum
+      else Double.NaN
+    def j(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
+    val pairJson =
+      s""","pair":{"spark_common_total":${f"$sSum%.3f"},""" +
+      s""""duckdb_total":${f"$dSum%.3f"},"ratio":${j(ratio)},""" +
+      s""""ratio_bucketed":${j(ratioB)},"common":${common.size}}"""
+    val duckShort = common.map(k =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + f"${duck(k)}%.3f")
+      .mkString("{", ",", "}")
+    val full = s""","duckdb":${node.toString}$pairJson"""
+    val compact = s""","duckdb":$duckShort,""" +
+      s""""duckdb_total":${f"$dSum%.2f"},"ratio":${j(ratio)},""" +
+      s""""ratio_bucketed":${j(ratioB)}"""
+    (full, compact)
   }
 
   /** Bucketed copies of the heavy join inputs (32 buckets on the join

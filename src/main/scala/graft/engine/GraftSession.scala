@@ -525,12 +525,39 @@ final class GraftSession(
   private val tableHistory = scala.collection.concurrent.TrieMap
     .empty[FQN, Vector[(Long, Long, TableRef)]]
 
-  private[engine] def recordVersion(f: FQN, ref: TableRef): Unit =
+  private[engine] def recordVersion(f: FQN, ref: TableRef): Unit = {
+    invalidateResultReuse(f)
     tableHistory.updateWith(f)(h => Some(h.getOrElse(Vector.empty) :+
       ((currentSeq, System.currentTimeMillis(), ref))))
+  }
 
-  private def resetHistory(f: FQN, ref: TableRef): Unit =
+  private def resetHistory(f: FQN, ref: TableRef): Unit = {
+    invalidateResultReuse(f)
     tableHistory.put(f, Vector((currentSeq, System.currentTimeMillis(), ref)))
+  }
+
+  /** Eagerly evict (and unpersist) result-reuse entries whose fingerprint
+    * covers a just-written base. The fingerprint check alone only protects
+    * a RE-RUN of the identical statement text: once a reuse persisted its
+    * anchor, Spark's CacheManager substitutes the cached blocks into ANY
+    * later plan that embeds the same subplan (CTAS/INSERT-SELECT of the
+    * same text, full refresh of a DT defined as the query, `SELECT * FROM
+    * (Q) LIMIT n`) — InMemoryFileIndex equality ignores the file listing,
+    * so those statements would silently read pre-write blocks. Every
+    * write funnels through recordVersion/resetHistory/drop, so eviction
+    * here closes the hole at O(cache-size) string work, no Spark job. */
+  private def invalidateResultReuse(f: FQN): Unit = reuseCache.synchronized {
+    val prefix = f.flat + ":"
+    val stale = reuseCache.collect {
+      case (k, (fp, anchor, wasHit))
+          if fp.split(";").exists(_.startsWith(prefix)) =>
+        (k, anchor, wasHit)
+    }.toSeq
+    stale.foreach { case (k, anchor, wasHit) =>
+      if (wasHit) anchor.unpersist(false)
+      reuseCache.remove(k)
+    }
+  }
 
   /** LAST_QUERY_ID([n]) → the qid string literal, resolved against this
     * session's statement log (token-level: occurrences inside string
@@ -681,10 +708,14 @@ final class GraftSession(
     * (/root/reference/resources/dwh-benchmark/clickbench.sql:116). Other
     * ALTER SESSION forms stay no-op acks (noopRe). */
   private val alterSessionCacheRe =
-    "(?is)^ALTER\\s+SESSION\\s+SET\\s+USE_CACHED_RESULT\\s*=\\s*(\\w+)\\s*$".r
+    "(?is)^ALTER\\s+SESSION\\s+SET\\s+USE_CACHED_RESULT\\s*=\\s*'?(\\w+)'?\\s*$".r
 
   private def executeOne(stmt: String): DataFrame = stmt.trim match {
     case alterSessionCacheRe(v) =>
+      // Snowflake accepts TRUE/FALSE bare or quoted; anything else is an
+      // invalid-value error, not a silent FALSE
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"invalid value [$v] for session parameter USE_CACHED_RESULT")
       useCachedResult = v.equalsIgnoreCase("true")
       if (!useCachedResult) reuseCache.synchronized {
         reuseCache.values.foreach(_._2.unpersist(false))
@@ -804,9 +835,15 @@ final class GraftSession(
   @volatile private[graft] var lastResultReused = false
   @volatile private[graft] var useCachedResult = true
 
+  /** The ANSI keyword forms (first alternation) are valid WITHOUT
+    * parentheses in both Snowflake and Spark, and Catalyst still marks
+    * them deterministic — so a paren-less `SELECT CURRENT_DATE` would
+    * cache and later serve a frozen date from persisted blocks. No `\(`
+    * requirement for those; function-style names keep it. */
   private val timeContextFnRe =
-    ("(?i)\\b(CURRENT_TIMESTAMP|CURRENT_TIME|CURRENT_DATE|LOCALTIME(?:STAMP)?|" +
-     "SYSDATE|GETDATE|NOW|RANDOM|RAND|UUID_STRING|UUID|SEQ\\d)\\s*\\(").r
+    ("(?i)\\b(?:(?:CURRENT_TIMESTAMP|CURRENT_TIME|CURRENT_DATE|" +
+     "LOCALTIME(?:STAMP)?)\\b|" +
+     "(?:SYSDATE|GETDATE|NOW|RANDOM|RAND|UUID_STRING|UUID|SEQ\\d)\\s*\\()").r
 
   /** Per-base storage fingerprint (hashed file sets); None = some base is
     * not file-addressable, which disables reuse for the statement. */
@@ -1431,12 +1468,20 @@ final class GraftSession(
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
       s"cannot OPTIMIZE $f")
     if (ref.format == "iceberg") {
-      val newMeta = graft.sources.IcebergLite.compact(spark, ref.path.get)
-      if (newMeta == ref.path.get)
-        return status(s"Table ${f.table} is already compact.")
-      val newRef = ref.copy(path = Some(newMeta))
-      registry.register(newRef)
-      recordVersion(f, newRef)
+      // metadata-only small-file merge when possible; a table with
+      // pending row-level delete files instead takes the COW snapshot
+      // rewrite (scan applies the deletes, the rewrite lands one clean
+      // file set) — OPTIMIZE is maintenance and must not error (ADVICE r6)
+      if (graft.sources.IcebergLite.deleteFiles(spark, ref.path.get).nonEmpty) {
+        swapSnapshot(f, ref, registry.load(ref))
+      } else {
+        val newMeta = graft.sources.IcebergLite.compact(spark, ref.path.get)
+        if (newMeta == ref.path.get)
+          return status(s"Table ${f.table} is already compact.")
+        val newRef = ref.copy(path = Some(newMeta))
+        registry.register(newRef)
+        recordVersion(f, newRef)
+      }
     } else if (ref.format == "bucketed") {
       val oldCat = ref.path.get
       val spec = spark.sessionState.catalog.getTableMetadata(
@@ -1616,6 +1661,7 @@ final class GraftSession(
     // a re-created table under the same FQN starts with fresh load history
     loadHistory.remove(f)
     tableHistory.remove(f)
+    invalidateResultReuse(f)
     dynamicTables.remove(f) // DROP TABLE on a dynamic table ends its refresh
     status(s"${f.table} successfully dropped.")
   }

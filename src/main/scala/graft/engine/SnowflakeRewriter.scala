@@ -2078,6 +2078,13 @@ object SnowflakeRewriter {
           } else {
             out += toks(i); i += 1
           }
+        // paren-less ANSI forms: Snowflake accepts bare LOCALTIMESTAMP /
+        // LOCALTIME; Spark only resolves the CURRENT_* keywords bare.
+        // Session timezone is the local zone, so the values coincide.
+        case Ident(w) if w.equalsIgnoreCase("LOCALTIMESTAMP") =>
+          out += Ident("current_timestamp"); i += 1
+        case Ident(w) if w.equalsIgnoreCase("LOCALTIME") =>
+          out += Ident("current_timestamp"); i += 1
         case t => out += t; i += 1
       }
     }

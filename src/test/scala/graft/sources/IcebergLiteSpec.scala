@@ -177,6 +177,22 @@ class IcebergLiteSpec extends AnyFunSuite {
       IcebergLite.compact(spark, metaV2)
     }
     assert(e.getMessage.contains("delete"))
+
+    // …but session OPTIMIZE must still succeed as maintenance: it detects
+    // the pending deletes and takes the COW snapshot rewrite instead
+    // (scan applies the deletes; the rewrite lands a clean file set)
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.registry.register(TableRef(
+      FQN("GRAFT", "PUBLIC", "NAT_DEL_ICE"), TableKind.Lake,
+      Some(metaV2), format = "iceberg"))
+    s.sql("OPTIMIZE nat_del_ice")
+    val after = s.registry.resolve(FQN("GRAFT", "PUBLIC", "NAT_DEL_ICE")).get
+    assert(after.path.get != metaV2, "OPTIMIZE must land a new snapshot")
+    assert(IcebergLite.deleteFiles(spark, after.path.get).isEmpty,
+      "rewritten snapshot must carry no delete files")
+    assert(s.sql("SELECT count(*) AS n FROM nat_del_ice")
+      .collect()(0).getLong(0) == 21)
   }
 
   test("partitioned write: manifest partition values drive file pruning") {
