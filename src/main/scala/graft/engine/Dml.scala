@@ -109,6 +109,10 @@ object Dml {
   private def doMerge(s: GraftSession, rawName: String,
       tAliasOpt: Option[String], rest: String): DataFrame = {
     val (f, ref) = managedTarget(s, rawName)
+    // merge-inserted rows land mixed into the rewritten files — the
+    // append-only insert log cannot describe them; clear it so streams
+    // fall back to net-diff (which sees them) rather than omit them
+    s.clearInsertLog(f)
     val schema = s.registry.load(ref).schema
     // unaliased targets are referenced by bare table name in Snowflake
     val tAlias = tAliasOpt.getOrElse(f.table)

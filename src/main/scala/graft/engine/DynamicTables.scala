@@ -40,25 +40,30 @@ import org.apache.spark.sql.types.StructType
   *     applied across refreshes instead of across partitions.
   *  4. '''incremental-join-append / incremental-join-merge''' — the
   *     defining query is a stateless transform (or a decomposable
-  *     aggregate) over ONE INNER join of TWO bases, and both bases only
-  *     gained files. For appends, the multiset of new join rows
-  *     partitions exactly:
-  *     {{{ Δ(A ⋈ B) = ΔA ⋈ B_new  ⊎  A_old ⋈ ΔB }}}
-  *     (every new pair has its left row in ΔA, or its left row old and
-  *     its right row in ΔB — each pair lands in exactly one part). The
-  *     refresh evaluates the defining query twice with the base views
-  *     re-bound to (ΔA, B_new) then (A_old, ΔB), unions the parts, and
-  *     appends (stateless) or folds them into the previous result
-  *     (aggregate). The fact table is read only at O(delta); the
-  *     dimension side is read at O(dim) — never the old fact files.
-  *     This is the star-schema rollup case: at 100 TB the alternative
-  *     is re-joining the whole fact table per refresh. Inner joins
-  *     only — outer joins retract rows (a NULL-extended row must be
-  *     deleted when its first match arrives), which an append-only
-  *     materialization cannot express.
-  *  5. '''full''' — anything else (outer joins, >2 bases, windows,
-  *     DISTINCT aggregates, AVG, deletes/rewrites on a base): re-run
-  *     the defining query. Deletes break append-only deltas and
+  *     aggregate) over a tree of INNER joins of n ≥ 2 bases, and every
+  *     base only gained files. The multiset of new join rows partitions
+  *     exactly by telescoping on the FIRST base whose contributing row
+  *     is new:
+  *     {{{ Δ(A₁⋈…⋈Aₙ) = ⊎ᵢ A₁_old⋈…⋈Aᵢ₋₁_old ⋈ ΔAᵢ ⋈ Aᵢ₊₁_new⋈…⋈Aₙ_new }}}
+  *     (n = 2 is the familiar ΔA ⋈ B_new ⊎ A_old ⋈ ΔB). The refresh
+  *     evaluates the defining query once per base that gained files,
+  *     with the base views re-bound per the identity, unions the
+  *     parts, and appends (stateless) or folds them into the previous
+  *     result (aggregate). Each fact table is read only at O(delta);
+  *     unchanged dimension sides are read at O(dim) — never the old
+  *     fact files. This is the star-schema rollup case: at 100 TB the
+  *     alternative is re-joining the whole fact table per refresh.
+  *     Inner joins only — outer joins retract rows (a NULL-extended
+  *     row must be deleted when its first match arrives), which an
+  *     append-only materialization cannot express. A dynamic table
+  *     whose own materialization is append-mode can serve as a base of
+  *     another dynamic table and keep the chain incremental (its
+  *     refresh is an in-place file append, indistinguishable from an
+  *     INSERT to the change detector).
+  *  5. '''full''' — anything else (outer joins, windows, DISTINCT
+  *     aggregates, AVG, deletes/rewrites on a base, a base DT that
+  *     merge-refreshes — its file set is swapped, not appended):
+  *     re-run the defining query. Deletes break append-only deltas and
   *     MIN/MAX merging, so this fallback is what keeps every mode
   *     above sound.
   *
@@ -81,12 +86,13 @@ object DynamicTables {
     * ("sum" | "min" | "max" — COUNT partials merge via sum). */
   final case class AggMerge(keys: Seq[String], merges: Seq[(String, String)])
       extends IncPlan
-  /** Stateless/decomposable query over one INNER join of two bases:
-    * refresh computes Q(ΔA, B_new) ∪ Q(A_old, ΔB) and applies `inner`
-    * (AppendTransform → append the parts; AggMerge → fold them into the
-    * previous result). A is the first base in the session's sorted base
-    * list; the view re-binding makes the assignment positional, not
-    * join-side-dependent. */
+  /** Stateless/decomposable query over a tree of INNER joins of n ≥ 2
+    * bases: refresh computes the n telescoped parts (base i bound to its
+    * delta, earlier bases to their old file sets, later bases to their
+    * current state) and applies `inner` (AppendTransform → append the
+    * parts; AggMerge → fold them into the previous result). Base order
+    * is the session's sorted base list; the view re-binding makes the
+    * assignment positional, not join-shape-dependent. */
   final case class JoinDelta(inner: IncPlan) extends IncPlan
 
   /** Last refresh's chosen path, for spec assertions:
@@ -109,15 +115,14 @@ object DynamicTables {
           case p if stateless(p) => Some(AppendTransform)
           case _ => None
         }
-      case 2 if leafCount == 2 =>
+      case n if n >= 2 && leafCount == n =>
         val (body, agg) = strip(plan) match {
           case Aggregate(g, a, child, _) => (child, Some((g, a)))
           case p                          => (p, None)
         }
-        unwrapToJoin(body).flatMap {
-          case Join(l, r, Inner | Cross, cond, _)
-              if cond.forall(exprOk) && stateless(l) && stateless(r) &&
-                sidesCoverBases(l, r, baseViews) =>
+        val want = baseViews.map(_.toLowerCase).toSet
+        joinTree(body, want) match {
+          case Some(covered) if covered == want =>
             agg match {
               case None         => Some(JoinDelta(AppendTransform))
               case Some((g, a)) => classifyAgg(g, a).map(JoinDelta(_))
@@ -127,6 +132,36 @@ object DynamicTables {
       case _ => None
     }
   }
+
+  /** Validate `p` as a tree of INNER/CROSS joins over stateless sides,
+    * each side reading exactly one distinct base view; returns the base
+    * views covered. The Δ-partition identity telescopes over ANY such
+    * tree, regardless of shape or arity:
+    * {{{ Δ(A₁⋈…⋈Aₙ) = ⊎ᵢ A₁ᵒˡᵈ⋈…⋈Aᵢ₋₁ᵒˡᵈ ⋈ ΔAᵢ ⋈ Aᵢ₊₁ⁿᵉʷ⋈…⋈Aₙⁿᵉʷ }}}
+    * — every new result tuple has a unique FIRST base (in the fixed base
+    * order) whose contributing row is new, so the n parts are disjoint
+    * and together exhaustive. Inner/cross only: outer joins retract. */
+  private def joinTree(p: LogicalPlan, want: Set[String]): Option[Set[String]] =
+    p match {
+      case Join(l, r, Inner | Cross, cond, _) if cond.forall(exprOk) =>
+        for {
+          lv <- joinTree(l, want)
+          rv <- joinTree(r, want)
+          if (lv & rv).isEmpty
+        } yield lv ++ rv
+      case _: Project | _: Filter | _: SubqueryAlias | _: View
+          if p.expressions.forall(exprOk) &&
+            p.exists(_.isInstanceOf[Join]) =>
+        joinTree(p.children.head, want)
+      case side if stateless(side) =>
+        val vs = side.collect {
+          case s: SubqueryAlias
+              if want.contains(s.identifier.name.toLowerCase) =>
+            s.identifier.name.toLowerCase
+        }.toSet
+        if (vs.size == 1) Some(vs) else None
+      case _ => None
+    }
 
   /** Every output column must be a grouping key or a decomposable
     * aggregate; anything else (AVG, DISTINCT, FILTER, expressions OVER
@@ -155,32 +190,6 @@ object DynamicTables {
     if (cols.exists(_._1 == "no")) None
     else Some(AggMerge(cols.filter(_._1 == "key").map(_._2),
       cols.collect { case (fn, n) if fn != "key" => (n, fn) }))
-  }
-
-  /** Peel deterministic Project/Filter/alias wrappers down to a single
-    * Join node; None if anything else (a second join, a window, a
-    * set-op) sits in between. */
-  private def unwrapToJoin(p: LogicalPlan): Option[Join] = p match {
-    case j: Join => Some(j)
-    case _: Project | _: Filter | _: SubqueryAlias | _: View
-        if p.expressions.forall(exprOk) =>
-      unwrapToJoin(p.children.head)
-    case _ => None
-  }
-
-  /** Each join side must read exactly one of the two base views, and
-    * together they must cover both — rules out self-joins dressed as
-    * two bases and non-base leaves (VALUES lists, ranges). */
-  private def sidesCoverBases(l: LogicalPlan, r: LogicalPlan,
-      baseViews: Seq[String]): Boolean = {
-    val want = baseViews.map(_.toLowerCase).toSet
-    def viewsIn(p: LogicalPlan): Set[String] = p.collect {
-      case s: SubqueryAlias
-          if want.contains(s.identifier.name.toLowerCase) =>
-        s.identifier.name.toLowerCase
-    }.toSet
-    val (lv, rv) = (viewsIn(l), viewsIn(r))
-    lv.size == 1 && rv.size == 1 && (lv ++ rv) == want
   }
 
   private def exprOk(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =

@@ -233,41 +233,46 @@ final class GraftSession(
         DynamicTables.lastDeltaFiles = af(b).toSeq.sorted
         applyIncrement(plan, deltaResult, "incremental-")
       case (Some(DynamicTables.JoinDelta(inner)), Some(af))
-          if st.bases.length == 2 && af.values.exists(_.nonEmpty) &&
-            // the A_old re-read is a raw file-subset scan, so bail to
-            // full when row-level delete files exist on either base
+          if st.bases.length >= 2 && af.values.exists(_.nonEmpty) &&
+            // the old-file-set re-reads are raw file-subset scans, so
+            // bail to full when row-level delete files exist on any base
             st.bases.forall(b =>
               Streams.filesOf(spark, curs(b))._2.exists(_.isEmpty)) =>
-        // Δ(A⋈B) = ΔA ⋈ B_new  ⊎  A_old ⋈ ΔB — exact multiset partition
-        // of the new join rows for INNER joins over append-only bases
-        val Seq(ba, bb) = st.bases
+        // Δ(A₁⋈…⋈Aₙ) telescopes on the FIRST base whose row is new:
+        // part i binds bases < i to their OLD file sets, base i to its
+        // delta, bases > i to their current state — each new join tuple
+        // lands in exactly one part (see DynamicTables scaladoc). n = 2
+        // reduces to ΔA ⋈ B_new ⊎ A_old ⋈ ΔB.
         val schemaOf = st.bases.map(b =>
           b -> registry.load(curs(b)).schema).toMap
+        def oldView(b: FQN): DataFrame = {
+          val old = st.offsets(b)._2.get
+          if (old.isEmpty)
+            registry.load(curs(b))
+              .filter(org.apache.spark.sql.functions.lit(false))
+          else Streams.readFiles(spark, curs(b), old, schemaOf(b))
+        }
         val substituted = rewriteAndSubstitute(st.query)
         val parts = scala.collection.mutable.Buffer.empty[DataFrame]
         try {
-          if (af(ba).nonEmpty) {
-            // part 1: ΔA against the CURRENT right side (already bound)
-            Streams.readFiles(spark, curs(ba), af(ba), schemaOf(ba))
-              .createOrReplaceTempView(viewName(ba))
-            parts += spark.sql(substituted)
-          }
-          if (af(bb).nonEmpty) {
-            // part 2: the OLD left side (offset file set) against ΔB
-            val oldA = st.offsets(ba)._2.get
-            val aOld =
-              if (oldA.isEmpty)
-                registry.load(curs(ba))
-                  .filter(org.apache.spark.sql.functions.lit(false))
-              else Streams.readFiles(spark, curs(ba), oldA, schemaOf(ba))
-            aOld.createOrReplaceTempView(viewName(ba))
-            Streams.readFiles(spark, curs(bb), af(bb), schemaOf(bb))
-              .createOrReplaceTempView(viewName(bb))
+          for (i <- st.bases.indices if af(st.bases(i)).nonEmpty) {
+            for (j <- st.bases.indices) {
+              val b = st.bases(j)
+              val bound =
+                if (j < i) oldView(b)
+                else if (j == i)
+                  Streams.readFiles(spark, curs(b), af(b), schemaOf(b))
+                else registry.load(curs(b))
+              bound.createOrReplaceTempView(viewName(b))
+            }
+            // spark.sql analyzes eagerly, inlining the current bindings —
+            // later iterations re-bind without disturbing earlier parts
             parts += spark.sql(substituted)
           }
         } finally st.bases.foreach(b =>
           registry.load(curs(b)).createOrReplaceTempView(viewName(b)))
-        DynamicTables.lastDeltaFiles = (af(ba) ++ af(bb)).toSeq.sorted
+        DynamicTables.lastDeltaFiles =
+          st.bases.flatMap(af(_)).distinct.sorted
         applyIncrement(inner, parts.reduce(_ unionByName _),
           "incremental-join-")
       case _ =>
@@ -296,6 +301,41 @@ final class GraftSession(
     recordVersion(f, newRef)
   }
 
+  /** Per-table insert history: the file set each INSERT/COPY appended,
+    * with the statement seq — O(metadata) per statement (the files are
+    * already listed for the version snapshot). APPEND_ONLY streams
+    * replay it to show the FULL insert set through later deletes
+    * ([[Streams.delta]]). A statement the log cannot describe (INSERT
+    * OVERWRITE, CREATE OR REPLACE, UNDROP) clears the table's log, which
+    * degrades those streams to the net-diff fallback — absent beats
+    * wrong. */
+  private val insertLog = scala.collection.concurrent.TrieMap
+    .empty[FQN, Vector[(Long, Set[String])]]
+
+  /** Record the files `f` gained across an append-style load; `before`
+    * is the data-file set captured before the write. Non-append outcomes
+    * (overwrite; non-file-addressable storage) clear the log. */
+  private def logInsert(f: FQN, before: Option[Set[String]]): Unit = {
+    val after = registry.resolve(f).flatMap(r => Streams.filesOf(spark, r)._1)
+    (before, after) match {
+      case (Some(b), Some(a)) if b.subsetOf(a) =>
+        insertLog.updateWith(f)(v =>
+          Some(v.getOrElse(Vector.empty) :+ ((currentSeq, a -- b))))
+      case _ => insertLog.remove(f)
+    }
+  }
+
+  /** Insert-log entries for `f` recorded after statement `sinceSeq`;
+    * None when the log was cleared (history incomplete). */
+  private def insertHistorySince(f: FQN, sinceSeq: Long): Option[Seq[Set[String]]] =
+    insertLog.get(f).map(_.collect { case (seq, fs) if seq > sinceSeq => fs })
+
+  /** MERGE may insert rows mixed into its rewritten files — a shape the
+    * append log cannot describe. Clearing degrades APPEND_ONLY streams
+    * on the target to the net-diff fallback (which DOES see the merge's
+    * inserts) instead of silently omitting them. Called by [[Dml]]. */
+  private[engine] def clearInsertLog(f: FQN): Unit = insertLog.remove(f)
+
   private def doCreateStream(orReplace: Boolean, ifNotExists: Boolean,
       name: String, target: String, rest: String): DataFrame = {
     val f = fqn(name)
@@ -319,9 +359,13 @@ final class GraftSession(
         // no before-creation snapshot to diff against)
         require(files.isDefined, "SHOW_INITIAL_ROWS requires " +
           s"file-addressable storage (table ${tf.flat} is ${ref.format})")
+        // -1 = sentinel: initial rows predate any logged insert, so the
+        // insert-history replay cannot reconstruct this stream's contents
         new StreamState(tf, appendOnly, ref,
-          Some(Set.empty), Some(Set.empty))
-      } else new StreamState(tf, appendOnly, ref, files, deletes)
+          Some(Set.empty), Some(Set.empty), offsetSeq = -1L)
+      } else
+        new StreamState(tf, appendOnly, ref, files, deletes,
+          offsetSeq = currentSeq)
     streams.put(f, st)
     status(s"Stream ${f.table} successfully created.")
   }
@@ -335,6 +379,7 @@ final class GraftSession(
         st.offsetRef = cur
         st.offsetFiles = files
         st.offsetDeleteFiles = deletes
+        st.offsetSeq = currentSeq
       }
     }
   }
@@ -1157,7 +1202,12 @@ final class GraftSession(
       val st = streams(f)
       streamsReadInStmt += f
       val vn = viewName(f)
-      Streams.delta(spark, registry, st).createOrReplaceTempView(vn)
+      val history =
+        if (st.appendOnly && st.offsetSeq >= 0)
+          insertHistorySince(st.target, st.offsetSeq)
+        else None
+      Streams.delta(spark, registry, st, history)
+        .createOrReplaceTempView(vn)
       Some(vn)
     } else if (f.schema == "INFORMATION_SCHEMA") {
       infoSchemaReadInStmt = true
@@ -1236,6 +1286,7 @@ final class GraftSession(
         return status(s"${f.table} already exists, statement succeeded.")
       throw new IllegalArgumentException(s"object $f already exists")
     }
+    insertLog.remove(f) // new table identity — no inherited insert history
     val asIdx = "(?is)^(?:\\([^)]*\\)\\s*)?AS\\s+(.*)$".r
     val cloneRe = "(?is)^CLONE\\s+([\\w$\".]+)\\s*$".r
     // CREATE ICEBERG TABLE t PARTITION BY (col | day(col)[, …]) AS … —
@@ -1661,6 +1712,7 @@ final class GraftSession(
     // a re-created table under the same FQN starts with fresh load history
     loadHistory.remove(f)
     tableHistory.remove(f)
+    insertLog.remove(f)
     invalidateResultReuse(f)
     dynamicTables.remove(f) // DROP TABLE on a dynamic table ends its refresh
     status(s"${f.table} successfully dropped.")
@@ -1681,6 +1733,7 @@ final class GraftSession(
     registry.register(ref)
     droppedTables.remove(f)
     resetHistory(f, ref)
+    insertLog.remove(f) // pre-drop insert history does not survive UNDROP
     status(s"Table ${f.table} successfully restored.")
   }
 
@@ -1694,6 +1747,7 @@ final class GraftSession(
       "by ALTER DYNAMIC TABLE … REFRESH")
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
       s"cannot INSERT into $f")
+    val beforeFiles = Streams.filesOf(spark, ref)._1
     val existing = registry.load(ref)
     // optional explicit column list: INSERT INTO t (a, b) SELECT/VALUES …
     val colListRe = "(?s)^\\s*\\(([^)]*)\\)\\s*(.*)$".r
@@ -1777,6 +1831,7 @@ final class GraftSession(
       record()
       resetHistory(f, ref)
     }
+    logInsert(f, beforeFiles)
     status(s"inserted rows into ${f.table}")
   }
 
@@ -1854,18 +1909,10 @@ final class GraftSession(
     val reader =
       if (basePathOk) reader0.option("basePath", base) else reader0
     val df0 =
-      if (mapped.format == "csv" && mapped.skipLines > 1) {
-        // SKIP_HEADER > 1: drop the first n lines of each file (partition 0
-        // of a per-file text read holds the file head), then csv-parse
-        import spark.implicits._
-        val lines = paths.map { p =>
-          spark.createDataset(
-            spark.read.textFile(p).rdd.mapPartitionsWithIndex((i, it) =>
-              if (i == 0) it.drop(mapped.skipLines) else it))
-        }.reduce(_ union _)
-        spark.read.options(mapped.options - "header")
-          .schema(target.schema).csv(lines)
-      } else if (mapped.format == "csv")
+      if (mapped.format == "csv" && mapped.skipLines > 1)
+        GraftSession.csvSkippingHeads(spark, paths, mapped.skipLines,
+          mapped.options - "header", target.schema)
+      else if (mapped.format == "csv")
         reader.schema(target.schema).load(paths: _*)
       else reader.load(paths: _*)
     // NULL_IF beyond the first value: post-read rewrites (Spark csv takes
@@ -1912,9 +1959,11 @@ final class GraftSession(
     // contents were never profiled) — no ANALYZE, no second scan
     val (instrumented, record) =
       AutoStats.observedForAppend(spark, aligned, ref.path.get)
+    val beforeFiles = Streams.filesOf(spark, ref)._1
     instrumented.write.mode("append").parquet(ref.path.get)
     record()
     resetHistory(f, ref)
+    logInsert(f, beforeFiles)
     loadHistory.update(f, already ++ paths)
     if (mapped.purge) {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -2126,6 +2175,37 @@ final class GraftSession(
 
 object GraftSession {
   private val idSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** CSV parse of `paths` dropping the first `skip` lines of EACH file
+    * (COPY's SKIP_HEADER > 1). ONE text read over all files: a file's
+    * head lives in the Hadoop split whose byte offset is 0, so the drop
+    * is decided per-split — no per-file Dataset union (the old shape
+    * planned N reads and N−1 Union nodes; a 10k-file stage would melt
+    * the driver). The plan is a single LogicalRDD → csv parse regardless
+    * of file count. Header lines larger than one split (128 MB) are not
+    * a thing. */
+  private[graft] def csvSkippingHeads(spark: SparkSession,
+      paths: Seq[String], skip: Int, options: Map[String, String],
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    val hadoopRdd = spark.sparkContext.hadoopFile(
+      paths.mkString(","),
+      classOf[org.apache.hadoop.mapred.TextInputFormat],
+      classOf[org.apache.hadoop.io.LongWritable],
+      classOf[org.apache.hadoop.io.Text])
+      .asInstanceOf[org.apache.spark.rdd.HadoopRDD[
+        org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+    val lines = hadoopRdd.mapPartitionsWithInputSplit(
+      (split: org.apache.hadoop.mapred.InputSplit,
+       it: Iterator[(org.apache.hadoop.io.LongWritable,
+                     org.apache.hadoop.io.Text)]) => {
+        val fs = split.asInstanceOf[org.apache.hadoop.mapred.FileSplit]
+        val dropped = if (fs.getStart == 0) it.drop(skip) else it
+        dropped.map(_._2.toString) // Text is reused — copy out
+      }, preservesPartitioning = true)
+    spark.read.options(options).schema(schema)
+      .csv(spark.createDataset(lines))
+  }
 
   /** Cost model mirrored from the reference (`universql/util.py:375-406`):
     * hardware = ($50/core + $5/GB) depreciated over 5 years; power =

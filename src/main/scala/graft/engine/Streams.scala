@@ -28,13 +28,22 @@ import org.apache.spark.sql.types.StructType
   * hash shuffle over each side, the unavoidable cost of row-level diffing
   * without per-statement change logs).
   *
+  * APPEND_ONLY streams additionally keep TRUE insert history through
+  * later deletes: the session records each INSERT/COPY statement's added
+  * file set (O(metadata) per statement — the files are already listed
+  * for the snapshot), and because COW rewrites leave prior snapshot
+  * files on disk, an APPEND_ONLY read after a DELETE reconstructs the
+  * full insert set by reading exactly those logged files — Snowflake's
+  * documented semantics (inserts survive later deletes), at O(inserted
+  * data) I/O. Only when a logged file has been physically removed, or a
+  * non-INSERT statement rewrote the table in a way the log cannot
+  * describe (INSERT OVERWRITE, CREATE OR REPLACE), does the read fall
+  * back to the net multiset diff.
+  *
   * Documented deviations (both conservative, both loud in scaladoc):
   *  - UPDATEs surface as their net INSERT+DELETE row pair with
   *    `METADATA$ISUPDATE = false` — net-change semantics without
   *    row-identity change tracking.
-  *  - an APPEND_ONLY stream over a table that later saw deletes reports
-  *    the net remaining inserts (true insert-history would need the
-  *    per-statement change log the offline engine doesn't keep).
   *  - a stream whose offset snapshot was rewritten IN PLACE (a non-append
   *    load into the same storage path) fails loudly as stale instead of
   *    returning a wrong diff.
@@ -44,7 +53,10 @@ final class StreamState(
     val appendOnly: Boolean,
     @volatile var offsetRef: TableRef,
     @volatile var offsetFiles: Option[Set[String]],
-    @volatile var offsetDeleteFiles: Option[Set[String]])
+    @volatile var offsetDeleteFiles: Option[Set[String]],
+    /** Session statement seq at the offset — insert-history entries with
+      * a larger seq are "since this stream's offset". */
+    @volatile var offsetSeq: Long = 0L)
 
 object Streams {
   val Action   = "METADATA$ACTION"
@@ -52,7 +64,7 @@ object Streams {
   val RowId    = "METADATA$ROW_ID"
 
   /** Last delta computation's chosen path, for plan-shape assertions in
-    * specs: "empty" | "incremental-files" | "cow-diff". */
+    * specs: "empty" | "incremental-files" | "insert-history" | "cow-diff". */
   @volatile private[graft] var lastMode: String = ""
 
   private def listDataFiles(dir: String): Set[String] = {
@@ -134,9 +146,16 @@ object Streams {
       graft.sources.IcebergLite.scanSubset(spark, cur.path.get, files)
     else spark.read.schema(schema).parquet(files.toSeq.sorted: _*)
 
-  /** The stream's current contents: net changes offset → current. */
+  /** The stream's current contents: net changes offset → current.
+    * `insertHistory` is the session's per-statement insert log for the
+    * target — the file sets INSERT/COPY statements since the offset
+    * added — consulted by APPEND_ONLY streams when the pure-append probe
+    * fails (a later delete/update rewrote the file set): the logged
+    * files still exist in the retained COW snapshots, so the FULL insert
+    * set reads back at O(inserted data). None = no complete log (a
+    * statement the log cannot describe intervened) → net-diff fallback. */
   def delta(spark: SparkSession, registry: TableRegistry,
-      st: StreamState): DataFrame = {
+      st: StreamState, insertHistory: Option[Seq[Set[String]]] = None): DataFrame = {
     val cur = registry.resolve(st.target).getOrElse(
       throw new IllegalArgumentException(
         s"stream target ${st.target.flat} no longer exists"))
@@ -151,6 +170,22 @@ object Streams {
         lastMode = "incremental-files"
         return withMeta(align(readFiles(spark, cur, added, schema), schema),
           "INSERT")
+      case None =>
+    }
+    // APPEND_ONLY + rewritten file set: replay the insert log — the
+    // logged files live in retained COW snapshots, so the full insert
+    // set (including rows a later DELETE removed) reads back directly
+    if (st.appendOnly) insertHistory match {
+      case Some(entries) =>
+        val files = entries.flatten.toSet
+        if (files.isEmpty) return { lastMode = "empty"
+          withMeta(curDf.filter(lit(false)), "INSERT") }
+        if (files.forall(p => new java.io.File(p).exists())) {
+          lastMode = "insert-history"
+          return withMeta(
+            align(spark.read.schema(schema).parquet(files.toSeq.sorted: _*),
+              schema), "INSERT")
+        } // a snapshot was physically removed → net-diff fallback
       case None =>
     }
     // files were rewritten: diff the two snapshots. The base side is the

@@ -52,5 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PartitionFilterMirror)
     ext.injectOptimizerRule(_ => EagerProjection)
     ext.injectOptimizerRule(_ => EagerAggregation)
+    // physical: bypass near-useless partial aggregation (off by default;
+    // stats-gated in auto mode — see SkipPartialAggregation)
+    ext.injectQueryStagePrepRule(_ => SkipPartialAggregation)
   }
 }

@@ -1295,6 +1295,42 @@ object SnowflakeSql extends QueryPack {
         SELECT k, rname FROM dtb_dt ORDER BY k, rname;""")
     },
 
+    // DYNAMIC TABLE over a 3-base INNER join chain: the Δ-partition
+    // identity telescopes — Δ(A⋈B⋈C) = ΔA⋈B_new⋈C_new ⊎ A_old⋈ΔB⋈C_new
+    // ⊎ A_old⋈B_old⋈ΔC — so appends on the fact AND one dimension in the
+    // same interval still refresh incrementally: the old fact files are
+    // never re-joined (mode + delta-file asserts in DynamicTableSpec).
+    // This gate proves the telescoped refresh equals a from-scratch join.
+    GQuery("snow63_dynamic_table_join3", Some("""
+      WITH f AS (
+        SELECT n_nationkey AS k, n_regionkey AS rk FROM nation
+        UNION ALL
+        SELECT n_nationkey + 50, n_regionkey FROM nation),
+      d2 AS (
+        SELECT n_nationkey, n_name FROM nation
+        UNION ALL
+        SELECT n_nationkey + 50, n_name FROM nation)
+      SELECT r.r_name AS region, count(*) AS n,
+        CAST(sum(f.k) AS BIGINT) AS sk
+      FROM f JOIN region r ON f.rk = r.r_regionkey
+             JOIN d2 ON f.k = d2.n_nationkey
+      GROUP BY r.r_name ORDER BY region""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE dt3_f AS
+          SELECT n_nationkey AS k, n_regionkey AS rk FROM nation;
+        CREATE OR REPLACE TABLE dt3_d AS
+          SELECT n_nationkey, n_name FROM nation;
+        CREATE OR REPLACE DYNAMIC TABLE dt3_dt AS
+          SELECT r.r_name AS region, count(*) AS n, sum(f.k) AS sk
+          FROM dt3_f f JOIN region r ON f.rk = r.r_regionkey
+                       JOIN dt3_d d2 ON f.k = d2.n_nationkey
+          GROUP BY r.r_name;
+        INSERT INTO dt3_f SELECT n_nationkey + 50, n_regionkey FROM nation;
+        INSERT INTO dt3_d SELECT n_nationkey + 50, n_name FROM nation;
+        ALTER DYNAMIC TABLE dt3_dt REFRESH;
+        SELECT region, n, sk::bigint AS sk FROM dt3_dt ORDER BY region;""")
+    },
+
     // Iceberg small-file compaction: three commits leave ≥3 data files
     // (the shape streaming ingest produces — one file per micro-batch);
     // OPTIMIZE rewrites the small files into one per partition in a

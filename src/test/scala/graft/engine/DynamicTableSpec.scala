@@ -165,7 +165,7 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM dyn_jv2"), recompute())
   }
 
-  test("outer joins and 3-table joins are not claimed incremental") {
+  test("outer joins are not claimed incremental") {
     val s = newSession()
     s.sql("CREATE OR REPLACE TABLE dyn_jf3 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
     // LEFT JOIN retracts its NULL-extension when a match appears — full
@@ -177,14 +177,70 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(
       s.sql("SELECT * FROM dyn_jl"),
       s.sql("SELECT f.k, r.r_name FROM dyn_jf3 f LEFT JOIN region r ON f.rk = r.r_regionkey"))
-    // three bases → full
-    s.sql("""CREATE DYNAMIC TABLE dyn_j3 AS
-      SELECT count(*) AS n FROM dyn_jf3 f
-      JOIN region r ON f.rk = r.r_regionkey
-      JOIN nation n ON f.k = n.n_nationkey""")
-    s.sql("INSERT INTO dyn_jf3 SELECT n_nationkey + 500, n_regionkey FROM nation WHERE n_nationkey < 2")
-    s.sql("ALTER DYNAMIC TABLE dyn_j3 REFRESH")
-    assert(DynamicTables.lastRefreshMode == "full")
+  }
+
+  test("3-base join DT: telescoped incremental refresh, delta-only fact reads") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_f3 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    s.sql("CREATE OR REPLACE TABLE dyn_d3a AS SELECT r_regionkey, r_name FROM region")
+    s.sql("CREATE OR REPLACE TABLE dyn_d3b AS SELECT n_nationkey, n_name FROM nation")
+    def fullSql =
+      """SELECT r.r_name, count(*) AS n, sum(f.k) AS sk FROM dyn_f3 f
+         JOIN dyn_d3a r ON f.rk = r.r_regionkey
+         JOIN dyn_d3b n ON f.k = n.n_nationkey
+         GROUP BY r.r_name"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_t3 AS $fullSql")
+    // fact-side append → incremental-join-merge over the 3-base tree
+    s.sql("INSERT INTO dyn_f3 SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 3")
+    s.sql("ALTER DYNAMIC TABLE dyn_t3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge",
+      s"got ${DynamicTables.lastRefreshMode}")
+    // the delta read was ONLY the appended fact files
+    assert(DynamicTables.lastDeltaFiles.nonEmpty)
+    assert(DynamicTables.lastDeltaFiles.forall(_.toUpperCase.contains("DYN_F3")),
+      s"delta read non-fact files: ${DynamicTables.lastDeltaFiles}")
+    assertSame(s.sql("SELECT * FROM dyn_t3"), s.sql(fullSql))
+    // appends on MULTIPLE bases in one interval telescope exactly
+    s.sql("INSERT INTO dyn_f3 VALUES (90, 0)")
+    s.sql("INSERT INTO dyn_d3b VALUES (90, 'NEWLAND')")
+    s.sql("ALTER DYNAMIC TABLE dyn_t3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge")
+    assertSame(s.sql("SELECT * FROM dyn_t3"), s.sql(fullSql))
+    // stateless 3-base variant appends
+    s.sql("""CREATE DYNAMIC TABLE dyn_t3s AS
+      SELECT f.k, r.r_name, n.n_name FROM dyn_f3 f
+      JOIN dyn_d3a r ON f.rk = r.r_regionkey
+      JOIN dyn_d3b n ON f.k = n.n_nationkey""")
+    s.sql("INSERT INTO dyn_f3 VALUES (91, 1)")
+    s.sql("INSERT INTO dyn_d3b VALUES (91, 'NEWLAND2')")
+    s.sql("ALTER DYNAMIC TABLE dyn_t3s REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-append")
+    assertSame(
+      s.sql("SELECT * FROM dyn_t3s"),
+      s.sql("""SELECT f.k, r.r_name, n.n_name FROM dyn_f3 f
+               JOIN dyn_d3a r ON f.rk = r.r_regionkey
+               JOIN dyn_d3b n ON f.k = n.n_nationkey"""))
+  }
+
+  test("DT over DT with a join stays incremental off an append-mode parent") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_src AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    // parent: stateless transform → refresh appends in place
+    s.sql("CREATE DYNAMIC TABLE dyn_par AS SELECT k, rk FROM dyn_src WHERE k % 2 = 0")
+    // child: join of the parent DT with a dimension table
+    def childSql =
+      """SELECT r.r_name, count(*) AS n FROM dyn_par p
+         JOIN region r ON p.rk = r.r_regionkey GROUP BY r.r_name"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_chi AS $childSql")
+    s.sql("INSERT INTO dyn_src SELECT n_nationkey + 700, n_regionkey FROM nation WHERE n_nationkey < 4")
+    s.sql("ALTER DYNAMIC TABLE dyn_par REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-append")
+    s.sql("ALTER DYNAMIC TABLE dyn_chi REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge",
+      s"got ${DynamicTables.lastRefreshMode}")
+    assert(DynamicTables.lastDeltaFiles.forall(_.toUpperCase.contains("DYN_PAR")),
+      s"delta read non-parent files: ${DynamicTables.lastDeltaFiles}")
+    assertSame(s.sql("SELECT * FROM dyn_chi"), s.sql(childSql))
   }
 
   test("self-join over one base is not claimed incremental") {

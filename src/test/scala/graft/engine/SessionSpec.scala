@@ -453,6 +453,32 @@ class SessionSpec extends AnyFunSuite {
     assert(new String(rows(0).getAs[Array[Byte]]("PAYLOAD")) == "ab") // unhex
   }
 
+  test("COPY INTO: SKIP_HEADER>1 over a 100-file stage plans ONE read") {
+    val s = newSession()
+    val stageDir = Files.createTempDirectory("graft_stage_many").toString
+    val files = (1 to 100).map { i =>
+      val p = java.nio.file.Paths.get(stageDir, f"part$i%03d.csv")
+      Files.writeString(p, s"hdr a\nhdr b\n$i,row$i\n${i + 1000},row${i + 1000}\n")
+      p.toString
+    }
+    // plan shape: a single LogicalRDD-backed csv parse — node count must
+    // not scale with file count (the old per-file union planned 99 Union
+    // nodes and 100 separate text reads)
+    val df = GraftSession.csvSkippingHeads(spark, files, 2, Map.empty,
+      org.apache.spark.sql.types.StructType.fromDDL("id INT, name STRING"))
+    val nodes = df.queryExecution.analyzed.collect { case n => n }.size
+    assert(nodes <= 5, s"plan must stay bounded at 100 files; got $nodes nodes:\n" +
+      df.queryExecution.analyzed.treeString)
+    assert(!df.queryExecution.analyzed.toString.contains("Union"))
+    // …and the session-level COPY loads every row with both heads dropped
+    s.sql(s"CREATE STAGE many_stage URL='$stageDir'")
+    s.sql("CREATE OR REPLACE TABLE many_t (id INT, name VARCHAR)")
+    s.sql("COPY INTO many_t FROM @many_stage FILE_FORMAT = (SKIP_HEADER = 2)")
+    assert(s.sql("SELECT count(*) AS n FROM many_t").collect()(0).getLong(0) == 200)
+    assert(s.sql("SELECT count(*) AS n FROM many_t WHERE id IS NULL")
+      .collect()(0).getLong(0) == 0, "no header line survived the skip")
+  }
+
   test("COPY INTO: load history skips re-loads unless FORCE") {
     val s = newSession()
     val stageDir = Files.createTempDirectory("graft_stage_hist").toString

@@ -130,6 +130,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(d == Map("INSERT" -> 5L, "DELETE" -> 3L), d.toString)
   }
 
+  test("APPEND_ONLY: insert history survives a later DELETE (full insert set)") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE st_t9 AS SELECT n_nationkey AS k FROM nation")
+    s.sql("CREATE OR REPLACE STREAM st_s9 ON TABLE st_t9 APPEND_ONLY = TRUE")
+    // two separate inserts, then a DELETE that removes SOME inserted rows
+    s.sql("INSERT INTO st_t9 SELECT n_nationkey + 100 FROM nation WHERE n_nationkey < 5")
+    s.sql("INSERT INTO st_t9 SELECT n_nationkey + 200 FROM nation WHERE n_nationkey < 3")
+    s.sql("DELETE FROM st_t9 WHERE k >= 200 OR k = 101")
+    // Snowflake APPEND_ONLY semantics: ALL 8 inserted rows still show,
+    // including the 4 the delete removed — replayed from the logged
+    // insert files (no diff job), not the net remaining rows
+    val d = s.sql("SELECT METADATA$ACTION AS a, k FROM st_s9 ORDER BY k").collect()
+    assert(Streams.lastMode == "insert-history", Streams.lastMode)
+    assert(d.forall(_.getString(0) == "INSERT"))
+    assert(d.map(_.getAs[Number](1).longValue()).toSeq ==
+      Seq(100L, 101L, 102L, 103L, 104L, 200L, 201L, 202L))
+    // consuming advances past the logged inserts: a post-consume read is
+    // empty even though the log still holds the files
+    s.sql("CREATE TABLE st_t9_sink AS SELECT k FROM st_s9")
+    assert(s.sql("SELECT count(*) AS n FROM st_s9").collect()(0).getLong(0) == 0)
+    // a MERGE (may insert into rewritten files) degrades to net-diff
+    // rather than omitting its inserts
+    s.sql("INSERT INTO st_t9 VALUES (300)")
+    s.sql("""MERGE INTO st_t9 t USING (SELECT 301 AS k) src ON t.k = src.k
+             WHEN NOT MATCHED THEN INSERT (k) VALUES (src.k)""")
+    val d2 = s.sql("SELECT k FROM st_s9 ORDER BY k").collect()
+      .map(_.getAs[Number](0).longValue()).toSeq
+    assert(d2 == Seq(300L, 301L), d2.toString)
+  }
+
   test("UPDATE surfaces as paired INSERT+DELETE (net-change)") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE st_t7 AS
