@@ -1,9 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftPlans}
 import org.apache.spark.sql.functions.{col, max, min, sum}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types.StructType
@@ -32,12 +32,14 @@ import org.apache.spark.sql.types.StructType
   *     is appended to the materialization. O(delta) I/O, zero shuffle.
   *  3. '''incremental-merge''' — the defining query is a single-level
   *     aggregate whose functions are decomposable (SUM / COUNT / MIN /
-  *     MAX, no DISTINCT or FILTER) over one base that only gained
+  *     MAX / AVG, no DISTINCT or FILTER) over one base that only gained
   *     files: the aggregate runs over ONLY the added files and merges
   *     into the previous result (counts add, sums add, mins/maxes
   *     fold) — O(|result| + |delta|), one small shuffle. This is the
   *     map-side-combine identity that makes partial aggregation sound,
-  *     applied across refreshes instead of across partitions.
+  *     applied across refreshes instead of across partitions. AVG is
+  *     not itself mergeable; it is maintained through a partial-state
+  *     sidecar table holding its (sum, count) pair — see [[AggMerge]].
   *  4. '''incremental-join-append / incremental-join-merge''' — the
   *     defining query is a stateless transform (or a decomposable
   *     aggregate) over a tree of INNER joins of n ≥ 2 bases, and every
@@ -61,7 +63,7 @@ import org.apache.spark.sql.types.StructType
   *     refresh is an in-place file append, indistinguishable from an
   *     INSERT to the change detector).
   *  5. '''full''' — anything else (outer joins, windows, DISTINCT
-  *     aggregates, AVG, deletes/rewrites on a base, a base DT that
+  *     aggregates, deletes/rewrites on a base, a base DT that
   *     merge-refreshes — its file set is swapped, not appended):
   *     re-run the defining query. Deletes break append-only deltas and
   *     MIN/MAX merging, so this fallback is what keeps every mode
@@ -83,9 +85,28 @@ object DynamicTables {
   /** Single-level decomposable aggregate: refresh merges agg(delta)
     * into the previous result. `keys` are the output grouping columns;
     * `merges` maps each aggregate output column to its fold function
-    * ("sum" | "min" | "max" — COUNT partials merge via sum). */
-  final case class AggMerge(keys: Seq[String], merges: Seq[(String, String)])
-      extends IncPlan
+    * ("sum" | "min" | "max" — COUNT partials merge via sum).
+    *
+    * `avgs` are AVG output columns. AVG is not itself mergeable
+    * (avg(A ⊎ B) ≠ f(avg(A), avg(B))) but decomposes into the mergeable
+    * pair (sum, count) — the classic view-maintenance identity. When
+    * non-empty, the session maintains a partial-state sidecar whose
+    * schema replaces each avg column with [[sumCol]]/[[cntCol]]
+    * partials ([[partialize]]); refreshes merge delta partials into the
+    * state ([[stateSpec]]) and re-derive the visible materialization by
+    * one O(|result|) projection ([[finalizeState]]). */
+  final case class AggMerge(keys: Seq[String], merges: Seq[(String, String)],
+      avgs: Seq[String] = Nil)
+      extends IncPlan {
+    /** Merge spec over the partial-state schema: visible mergeable
+      * columns fold as themselves; each avg's sum and count partials
+      * both fold by addition. */
+    def stateSpec: AggMerge = AggMerge(keys,
+      merges ++ avgs.flatMap(n => Seq((sumCol(n), "sum"), (cntCol(n), "sum"))))
+  }
+
+  private[graft] def sumCol(n: String) = s"__graft_avg_sum_$n"
+  private[graft] def cntCol(n: String) = s"__graft_avg_cnt_$n"
   /** Stateless/decomposable query over a tree of INNER joins of n ≥ 2
     * bases: refresh computes the n telescoped parts (base i bound to its
     * delta, earlier bases to their old file sets, later bases to their
@@ -164,8 +185,10 @@ object DynamicTables {
     }
 
   /** Every output column must be a grouping key or a decomposable
-    * aggregate; anything else (AVG, DISTINCT, FILTER, expressions OVER
-    * aggregates like sum(x)+1) disqualifies the whole query. */
+    * aggregate — SUM / COUNT / MIN / MAX fold directly, AVG through its
+    * (sum, count) state pair; anything else (DISTINCT, FILTER,
+    * expressions OVER aggregates like sum(x)+1) disqualifies the whole
+    * query. */
   private def classifyAgg(groupExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
       : Option[AggMerge] = {
@@ -177,11 +200,12 @@ object DynamicTables {
       case al: Alias => al.child match {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case _: Sum   => ("sum", al.name)
-            case _: Count => ("sum", al.name) // count partials add
-            case _: Min   => ("min", al.name)
-            case _: Max   => ("max", al.name)
-            case _        => ("no", al.name)
+            case _: Sum     => ("sum", al.name)
+            case _: Count   => ("sum", al.name) // count partials add
+            case _: Min     => ("min", al.name)
+            case _: Max     => ("max", al.name)
+            case _: Average => ("avg", al.name)
+            case _          => ("no", al.name)
           }
         case _ => ("no", al.name)
       }
@@ -189,8 +213,52 @@ object DynamicTables {
     }
     if (cols.exists(_._1 == "no")) None
     else Some(AggMerge(cols.filter(_._1 == "key").map(_._2),
-      cols.collect { case (fn, n) if fn != "key" => (n, fn) }))
+      cols.collect { case (fn, n) if fn != "key" && fn != "avg" => (n, fn) },
+      cols.collect { case ("avg", n) => n }))
   }
+
+  /** Rewrite the top-level Aggregate of an AVG-bearing decomposable
+    * query into its partial state: `avg(e) AS c` becomes
+    * `sum(e) AS __graft_avg_sum_c, count(e) AS __graft_avg_cnt_c`
+    * (COUNT(e) counts non-nulls, matching AVG's denominator); all other
+    * output columns pass through. Safe to transform every Aggregate
+    * node: classification only admits single-level aggregates over
+    * stateless/join children, so the plan holds no nested Aggregate —
+    * the join-delta caller partializes each telescoped part BEFORE
+    * unioning for the same reason (a Union's children must agree on
+    * arity). */
+  def partialize(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed transform {
+      case a: Aggregate =>
+        val newExprs = a.aggregateExpressions.flatMap {
+          case al @ Alias(ae: AggregateExpression, name)
+              if ae.aggregateFunction.isInstanceOf[Average] &&
+                !ae.isDistinct && ae.filter.isEmpty =>
+            val e = ae.aggregateFunction.asInstanceOf[Average].child
+            Seq(
+              Alias(AggregateExpression(Sum(e), Complete, isDistinct = false),
+                sumCol(name))(),
+              Alias(AggregateExpression(Count(e), Complete, isDistinct = false),
+                cntCol(name))())
+          case other => Seq(other)
+        }
+        a.copy(aggregateExpressions = newExprs)
+    }
+    GraftPlans.ofRows(df.sparkSession, plan)
+  }
+
+  /** Derive the visible materialization from the merged partial state:
+    * each avg column is its sum partial over its count partial (NULL
+    * when the count is 0 — the sum partial is NULL too, and NULL/0 is
+    * NULL — matching AVG over an all-NULL or empty group), cast back to
+    * the declared output type; every other column passes through. */
+  def finalizeState(state: DataFrame, am: AggMerge,
+      schema: StructType): DataFrame =
+    state.select(schema.fields.map { f =>
+      if (am.avgs.contains(f.name))
+        (col(sumCol(f.name)) / col(cntCol(f.name))).cast(f.dataType).as(f.name)
+      else col(f.name).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
 
   private def exprOk(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])

@@ -96,7 +96,22 @@ final class GraftSession(
   private final class DynState(
       val query: String, val lag: String, val bases: Seq[FQN],
       @volatile var offsets: Map[FQN, (TableRef, Option[Set[String]], Option[Set[String]])],
-      val inc: Option[DynamicTables.IncPlan], val schema: StructType)
+      val inc: Option[DynamicTables.IncPlan], val schema: StructType,
+      // AVG-bearing aggregates: partial-state sidecar (sum/count pairs
+      // in place of each avg column) that merges across refreshes; the
+      // visible materialization is re-derived from it. COW-versioned
+      // like the materialization itself.
+      @volatile var statePath: Option[String] = None)
+
+  /** The AVG-bearing aggregate spec of an incremental plan, if any —
+    * these maintain a partial-state sidecar (see [[DynamicTables.AggMerge]]). */
+  private def avgSpec(inc: Option[DynamicTables.IncPlan])
+      : Option[DynamicTables.AggMerge] = inc.flatMap {
+    case am: DynamicTables.AggMerge if am.avgs.nonEmpty => Some(am)
+    case DynamicTables.JoinDelta(am: DynamicTables.AggMerge)
+        if am.avgs.nonEmpty => Some(am)
+    case _ => None
+  }
   private val dynamicTables =
     scala.collection.concurrent.TrieMap.empty[FQN, DynState]
 
@@ -145,7 +160,18 @@ final class GraftSession(
       else DynamicTables.incrementalPlan(
         df.queryExecution.analyzed, bases.map(viewName))
     val path = tablePath(f, temp = false)
-    val (instrumented, record) = AutoStats.observedForWrite(spark, df, path)
+    // AVG-bearing aggregate: materialize the partial state (avg → its
+    // sum/count pair) first, then derive the visible table from it —
+    // one base scan plus one O(|result|) projection
+    val (matDf, statePath) = avgSpec(inc) match {
+      case Some(am) =>
+        val sp = s"${path}__state_v${snapshotSeq.incrementAndGet()}"
+        DynamicTables.partialize(df).write.mode("overwrite").parquet(sp)
+        (DynamicTables.finalizeState(spark.read.parquet(sp), am, df.schema),
+          Some(sp))
+      case None => (df, None)
+    }
+    val (instrumented, record) = AutoStats.observedForWrite(spark, matDf, path)
     AutoStats.invalidate(path)
     instrumented.write.mode("overwrite").parquet(path)
     record()
@@ -153,7 +179,8 @@ final class GraftSession(
     registry.register(ref)
     resetHistory(f, ref)
     dynamicTables.put(f,
-      new DynState(select, lag, bases, snapshotOffsets(bases), inc, df.schema))
+      new DynState(select, lag, bases, snapshotOffsets(bases), inc, df.schema,
+        statePath))
     status(s"Dynamic table ${f.table} successfully created.")
   }
 
@@ -208,6 +235,21 @@ final class GraftSession(
         record()
         // in-place append invalidates older versions (same as INSERT)
         resetHistory(f, ref)
+      case am: DynamicTables.AggMerge if am.avgs.nonEmpty =>
+        DynamicTables.lastRefreshMode = modePrefix + "merge"
+        // deltaResult arrives PARTIALIZED (avg → sum/count pairs, via
+        // partialIfAvg at the call sites): merge it into the state
+        // sidecar, version the state COW-style, then re-derive the
+        // visible table from the new state — O(|result| + |delta|)
+        val oldState = spark.read.parquet(st.statePath.get)
+        val mergedState = DynamicTables.merge(
+          oldState, deltaResult, am.stateSpec, oldState.schema)
+        val newSp = st.statePath.get.split("__state_v").head +
+          s"__state_v${snapshotSeq.incrementAndGet()}"
+        mergedState.write.mode("overwrite").parquet(newSp)
+        st.statePath = Some(newSp)
+        swapMaterialization(f, ref,
+          DynamicTables.finalizeState(spark.read.parquet(newSp), am, st.schema))
       case am: DynamicTables.AggMerge =>
         DynamicTables.lastRefreshMode = modePrefix + "merge"
         val merged = DynamicTables.merge(
@@ -216,6 +258,15 @@ final class GraftSession(
       case _: DynamicTables.JoinDelta => // nested JoinDelta never occurs
         throw new IllegalStateException("JoinDelta cannot nest")
     }
+    // AVG-bearing aggregates merge through their partial state, so the
+    // delta must be evaluated in partial form (each telescoped join part
+    // individually — a Union's children must agree on arity)
+    def partialIfAvg(plan: DynamicTables.IncPlan, df: DataFrame): DataFrame =
+      plan match {
+        case am: DynamicTables.AggMerge if am.avgs.nonEmpty =>
+          DynamicTables.partialize(df)
+        case _ => df
+      }
     (st.inc, addedPerBase) match {
       case (Some(plan), Some(af)) if st.bases.length == 1 &&
           af(st.bases.head).nonEmpty =>
@@ -231,7 +282,7 @@ final class GraftSession(
           try spark.sql(substituted)
           finally registry.load(cur).createOrReplaceTempView(viewName(b))
         DynamicTables.lastDeltaFiles = af(b).toSeq.sorted
-        applyIncrement(plan, deltaResult, "incremental-")
+        applyIncrement(plan, partialIfAvg(plan, deltaResult), "incremental-")
       case (Some(DynamicTables.JoinDelta(inner)), Some(af))
           if st.bases.length >= 2 && af.values.exists(_.nonEmpty) &&
             // the old-file-set re-reads are raw file-subset scans, so
@@ -267,7 +318,7 @@ final class GraftSession(
             }
             // spark.sql analyzes eagerly, inlining the current bindings —
             // later iterations re-bind without disturbing earlier parts
-            parts += spark.sql(substituted)
+            parts += partialIfAvg(inner, spark.sql(substituted))
           }
         } finally st.bases.foreach(b =>
           registry.load(curs(b)).createOrReplaceTempView(viewName(b)))
@@ -278,7 +329,20 @@ final class GraftSession(
       case _ =>
         DynamicTables.lastRefreshMode = "full"
         DynamicTables.lastDeltaFiles = Nil
-        swapMaterialization(f, ref, runQuery(st.query))
+        avgSpec(st.inc) match {
+          case Some(am) =>
+            // rebuild the state sidecar too, or the next incremental
+            // merge would fold its delta into pre-rewrite state
+            val newSp = st.statePath.get.split("__state_v").head +
+              s"__state_v${snapshotSeq.incrementAndGet()}"
+            DynamicTables.partialize(runQuery(st.query))
+              .write.mode("overwrite").parquet(newSp)
+            st.statePath = Some(newSp)
+            swapMaterialization(f, ref, DynamicTables.finalizeState(
+              spark.read.parquet(newSp), am, st.schema))
+          case None =>
+            swapMaterialization(f, ref, runQuery(st.query))
+        }
     }
     st.offsets = snapshotOffsets(st.bases)
     status(s"Dynamic table ${f.table} successfully refreshed " +

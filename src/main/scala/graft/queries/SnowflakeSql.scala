@@ -1331,6 +1331,48 @@ object SnowflakeSql extends QueryPack {
         SELECT region, n, sk::bigint AS sk FROM dt3_dt ORDER BY region;""")
     },
 
+    // DYNAMIC TABLE with AVG: avg is not itself mergeable (avg(A ⊎ B)
+    // is not a function of avg(A) and avg(B)), so the refresh maintains
+    // a (sum, count) partial-state sidecar — the classic materialized-
+    // view decomposition — merges delta partials into it, and re-derives
+    // the visible table by one O(|result|) projection. Two append +
+    // refresh cycles prove the state folds ACROSS refreshes (mode +
+    // state-rebuild-on-full asserts in DynamicTableSpec). Decimal input:
+    // partial sums are exact, so the merged AVG carries no FP-
+    // associativity slack before the final rounding.
+    GQuery("snow64_dynamic_table_avg", Some("""
+      WITH base AS (
+        SELECT o_custkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey <= 4000
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey > 8000)
+      SELECT k % 7 AS g, count(*) AS n,
+        round(CAST(CAST(avg(price) AS DECIMAL(16,6)) AS DOUBLE), 4) AS ap,
+        CAST(max(price) AS DOUBLE) AS hi
+      FROM base GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE dta_b AS
+          SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+          FROM orders WHERE o_orderkey <= 4000;
+        CREATE OR REPLACE DYNAMIC TABLE dta_dt AS
+          SELECT k % 7 AS g, count(*) AS n, avg(price) AS ap, max(price) AS hi
+          FROM dta_b GROUP BY 1;
+        INSERT INTO dta_b
+          SELECT o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000;
+        ALTER DYNAMIC TABLE dta_dt REFRESH;
+        INSERT INTO dta_b
+          SELECT o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 8000;
+        ALTER DYNAMIC TABLE dta_dt REFRESH;
+        SELECT g, n, round(ap::double, 4) AS ap, hi::double AS hi
+        FROM dta_dt ORDER BY g;""")
+    },
+
     // Iceberg small-file compaction: three commits leave ≥3 data files
     // (the shape streaming ingest produces — one file per micro-batch);
     // OPTIMIZE rewrites the small files into one per partition in a

@@ -322,15 +322,85 @@ class DynamicTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { s.sql("ALTER DYNAMIC TABLE dyn_a8 REFRESH") }
   }
 
-  test("AVG / DISTINCT aggregates are not claimed incremental") {
+  test("DISTINCT aggregates are not claimed incremental") {
     val s = newSession()
     s.sql("CREATE OR REPLACE TABLE dyn_b9 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
-    s.sql("CREATE DYNAMIC TABLE dyn_a9 AS SELECT rk, avg(k) AS a FROM dyn_b9 GROUP BY rk")
+    s.sql("CREATE DYNAMIC TABLE dyn_a9 AS SELECT rk, count(DISTINCT k) AS a FROM dyn_b9 GROUP BY rk")
     s.sql("INSERT INTO dyn_b9 SELECT n_nationkey + 25, n_regionkey FROM nation")
     s.sql("ALTER DYNAMIC TABLE dyn_a9 REFRESH")
     assert(DynamicTables.lastRefreshMode == "full")
     assertSame(
       s.sql("SELECT * FROM dyn_a9"),
-      s.sql("SELECT rk, avg(k) AS a FROM dyn_b9 GROUP BY rk"))
+      s.sql("SELECT rk, count(DISTINCT k) AS a FROM dyn_b9 GROUP BY rk"))
+  }
+
+  test("AVG DT: incremental-merge through the sum/count state sidecar") {
+    val s = newSession()
+    // decimal column: partial sums are exact, so the state-merged AVG is
+    // bit-identical to the recompute (no FP-associativity slack needed)
+    s.sql("""CREATE OR REPLACE TABLE dyn_b10 AS
+      SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 4000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_a10 AS
+      SELECT k, avg(price) AS ap, count(*) AS n, max(price) AS hi
+      FROM dyn_b10 GROUP BY k""")
+    def want = s.sql(
+      "SELECT k, avg(price) AS ap, count(*) AS n, max(price) AS hi FROM dyn_b10 GROUP BY k")
+    // the state sidecar must not leak into the visible schema
+    assert(s.sql("SELECT * FROM dyn_a10").columns.toSeq ==
+      Seq("K", "AP", "N", "HI") ||
+      s.sql("SELECT * FROM dyn_a10").columns.toSeq == Seq("k", "ap", "n", "hi"))
+    assertSame(s.sql("SELECT * FROM dyn_a10"), want)
+    s.sql("""INSERT INTO dyn_b10
+      SELECT o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_a10 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assert(DynamicTables.lastDeltaFiles.nonEmpty)
+    assertSame(s.sql("SELECT * FROM dyn_a10"), want)
+    val sch1 = s.sql("SELECT * FROM dyn_a10").schema
+    // second merge: the state must fold across refreshes, not just off
+    // the create-time materialization
+    s.sql("""INSERT INTO dyn_b10
+      SELECT o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 8000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_a10 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assert(s.sql("SELECT * FROM dyn_a10").schema == sch1)
+    assertSame(s.sql("SELECT * FROM dyn_a10"), want)
+    // a delete degrades that one refresh to full — and the rebuilt state
+    // must resume incremental merging afterwards
+    s.sql("DELETE FROM dyn_b10 WHERE k % 3 = 0")
+    s.sql("ALTER DYNAMIC TABLE dyn_a10 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(s.sql("SELECT * FROM dyn_a10"), want)
+    s.sql("INSERT INTO dyn_b10 SELECT o_custkey, o_totalprice::number(12,2) FROM orders WHERE o_orderkey <= 2000")
+    s.sql("ALTER DYNAMIC TABLE dyn_a10 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(s.sql("SELECT * FROM dyn_a10"), want)
+  }
+
+  test("AVG DT over a join: telescoped parts merge through the state") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_f11 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("""CREATE OR REPLACE TABLE dyn_d11 AS
+      SELECT r_regionkey AS rk, r_name AS rname FROM region""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_a11 AS
+      SELECT d.rname, avg(f.k) AS ak, count(*) AS n
+      FROM dyn_f11 f JOIN dyn_d11 d ON f.rk = d.rk
+      GROUP BY d.rname""")
+    def want = s.sql("""SELECT d.rname, avg(f.k) AS ak, count(*) AS n
+      FROM dyn_f11 f JOIN dyn_d11 d ON f.rk = d.rk GROUP BY d.rname""")
+    s.sql("INSERT INTO dyn_f11 SELECT n_nationkey + 25, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_a11 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge")
+    assertSame(s.sql("SELECT * FROM dyn_a11"), want)
+    // both bases gain files: parts for each base union-merge into state
+    s.sql("INSERT INTO dyn_f11 SELECT n_nationkey + 50, n_regionkey FROM nation")
+    s.sql("INSERT INTO dyn_d11 SELECT 7, 'REGION7'")
+    s.sql("ALTER DYNAMIC TABLE dyn_a11 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge")
+    assertSame(s.sql("SELECT * FROM dyn_a11"), want)
   }
 }
