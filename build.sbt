@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap sized for full 32-way concurrency: AQE's 64 MB advisory
+  // partition size bounds each shuffled-hash-join build at ~200-300 MB
+  // IN MEMORY regardless of input scale, but the builds cannot spill, so
+  // the unified pool must hold concurrency × that bound (32 × ~250 MB ≈
+  // 8 GB < 0.6 × 24 g). The old 8 g default left ~145 MB per task and
+  // the 240 M-row scale sweep's fact-fact join died with "Can't acquire
+  // … bytes to build hash relation"; the machine has 128 GiB and the
+  // DuckDB baseline runs uncapped, so 8 g was a self-handicap, not a
+  // like-for-like constraint.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

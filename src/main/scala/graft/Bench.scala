@@ -143,6 +143,18 @@ object Bench {
     // with stale cached blocks for executor memory
     spark.catalog.clearCache()
     val repl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
+    // scale shuffle partitions with the input so per-task memory stays
+    // CONSTANT as the data grows — the round-7 scale sweep caught the
+    // fixed-count version failing at repl=400: AQE's shuffled-hash
+    // conversion sized each h09 build side at rows/32 (~190 MB), 32
+    // concurrent unspillable hash relations blew the 8 g pool ("Can't
+    // acquire … bytes to build hash relation"). With partitions ∝ rows
+    // the per-task build is the same at every repl (AQE coalesces the
+    // small aggregate shuffles back down). repl=100 keeps the official
+    // 1-partition-per-core layout bit-identical.
+    val cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(cores, cores * repl / 100).toString)
     val dir = ensureHeavyData(spark, sfDir, repl)
     val li = spark.read.parquet(s"$dir/lineitem")
     val ev = spark.read.parquet(s"$dir/events")

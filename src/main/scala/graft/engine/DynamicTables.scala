@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, GraftPlans}
+import org.apache.spark.sql.{DataFrame, GraftColumns, GraftPlans}
 import org.apache.spark.sql.functions.{col, max, min, sum}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, PlanExpression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, CommonExpressionRef, Divide, Expression, NamedExpression, PlanExpression, With}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -37,9 +38,11 @@ import org.apache.spark.sql.types.StructType
   *     into the previous result (counts add, sums add, mins/maxes
   *     fold) — O(|result| + |delta|), one small shuffle. This is the
   *     map-side-combine identity that makes partial aggregation sound,
-  *     applied across refreshes instead of across partitions. AVG is
-  *     not itself mergeable; it is maintained through a partial-state
-  *     sidecar table holding its (sum, count) pair — see [[AggMerge]].
+  *     applied across refreshes instead of across partitions. AVG and
+  *     expressions OVER aggregates (sum(x)+1, sum(a)/nullif(count(*),0))
+  *     are not mergeable as values; they are maintained through a
+  *     partial-state sidecar table holding each contained aggregate as
+  *     its own column — see [[AggMerge]].
   *  4. '''incremental-join-append / incremental-join-merge''' — the
   *     defining query is a stateless transform (or a decomposable
   *     aggregate) over a tree of INNER joins of n ≥ 2 bases, and every
@@ -87,26 +90,65 @@ object DynamicTables {
     * `merges` maps each aggregate output column to its fold function
     * ("sum" | "min" | "max" — COUNT partials merge via sum).
     *
-    * `avgs` are AVG output columns. AVG is not itself mergeable
-    * (avg(A ⊎ B) ≠ f(avg(A), avg(B))) but decomposes into the mergeable
-    * pair (sum, count) — the classic view-maintenance identity. When
+    * `derived` are output columns that are EXPRESSIONS over
+    * decomposable aggregates — `avg(x)`, `sum(x) + 1`,
+    * `sum(a) / nullif(count(*), 0)`, `round(avg(p), 2)` — which are not
+    * mergeable as values (avg(A ⊎ B) ≠ f(avg(A), avg(B)); (sum+1)
+    * partials would double the +1) but ARE maintainable through their
+    * aggregate parts — the classic view-maintenance decomposition. When
     * non-empty, the session maintains a partial-state sidecar whose
-    * schema replaces each avg column with [[sumCol]]/[[cntCol]]
-    * partials ([[partialize]]); refreshes merge delta partials into the
-    * state ([[stateSpec]]) and re-derive the visible materialization by
-    * one O(|result|) projection ([[finalizeState]]). */
+    * schema carries each contained aggregate as its own column
+    * ([[partialize]]); refreshes merge delta partials into the state
+    * ([[stateSpec]]) and re-derive the visible materialization by one
+    * O(|result|) projection ([[finalizeState]]). */
   final case class AggMerge(keys: Seq[String], merges: Seq[(String, String)],
-      avgs: Seq[String] = Nil)
+      derived: Seq[DerivedCol] = Nil)
       extends IncPlan {
     /** Merge spec over the partial-state schema: visible mergeable
-      * columns fold as themselves; each avg's sum and count partials
-      * both fold by addition. */
+      * columns fold as themselves; every derived partial folds by its
+      * own function. */
     def stateSpec: AggMerge = AggMerge(keys,
-      merges ++ avgs.flatMap(n => Seq((sumCol(n), "sum"), (cntCol(n), "sum"))))
+      merges ++ derived.flatMap(_.partials))
   }
 
-  private[graft] def sumCol(n: String) = s"__graft_avg_sum_$n"
-  private[graft] def cntCol(n: String) = s"__graft_avg_cnt_$n"
+  /** One derived output column: `partials` name each contained
+    * aggregate's state column and its fold function (an AVG contributes
+    * a sum and a count partial); `recipe` rebuilds the visible value
+    * over the merged state — aggregate occurrences replaced by
+    * references to their state columns, grouping-expression occurrences
+    * by their output key columns. */
+  final case class DerivedCol(name: String, partials: Seq[(String, String)],
+      recipe: Expression)
+
+  /** Deterministic state-column name for aggregate occurrence `j` of
+    * output column `i` — position-based so the classify-time recipe and
+    * every later [[partialize]] of the re-analyzed delta query (same
+    * SQL text → same output shape) agree without sharing state. */
+  private def pName(i: Int, j: Int) = s"__graft_p${i}_$j"
+
+  /** Inline `With` common-subexpression nodes (NULLIF and friends
+    * analyze into them in Spark 4): each CommonExpressionRef is replaced
+    * by its definition's child. Both the classify-time recipe walk and
+    * every partialize walk run on the SAME inlined tree, so aggregate
+    * occurrence order (and count — a ref used twice duplicates its
+    * aggregate, which just stores a redundant partial) stays aligned.
+    * A naive transform of the un-inlined tree breaks: rebuilding a With
+    * calls dataType on its defs, which an UnresolvedAttribute recipe
+    * placeholder cannot answer. */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: With =>
+      // defs are ordered and may reference earlier defs — inline
+      // left-to-right so every ref lands on a fully-inlined tree
+      var byId = Map.empty[org.apache.spark.sql.catalyst.expressions.CommonExpressionId, Expression]
+      w.defs.foreach { d =>
+        byId += (d.id -> d.child.transformUp {
+          case r: CommonExpressionRef if byId.contains(r.id) => byId(r.id)
+        })
+      }
+      w.child.transformUp {
+        case r: CommonExpressionRef if byId.contains(r.id) => byId(r.id)
+      }
+  }
   /** Stateless/decomposable query over a tree of INNER joins of n ≥ 2
     * bases: refresh computes the n telescoped parts (base i bound to its
     * delta, earlier bases to their old file sets, later bases to their
@@ -184,81 +226,187 @@ object DynamicTables {
       case _ => None
     }
 
-  /** Every output column must be a grouping key or a decomposable
-    * aggregate — SUM / COUNT / MIN / MAX fold directly, AVG through its
-    * (sum, count) state pair; anything else (DISTINCT, FILTER,
-    * expressions OVER aggregates like sum(x)+1) disqualifies the whole
-    * query. */
-  private def classifyAgg(groupExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
-      : Option[AggMerge] = {
-    val cols = aggExprs.map {
-      case a: Attribute if groupExprs.exists(_.semanticEquals(a)) =>
-        ("key", a.name)
-      case al: Alias if groupExprs.exists(_.semanticEquals(al.child)) =>
-        ("key", al.name)
-      case al: Alias => al.child match {
-        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
-            case _: Sum     => ("sum", al.name)
-            case _: Count   => ("sum", al.name) // count partials add
-            case _: Min     => ("min", al.name)
-            case _: Max     => ("max", al.name)
-            case _: Average => ("avg", al.name)
-            case _          => ("no", al.name)
-          }
-        case _ => ("no", al.name)
-      }
-      case _ => ("no", "")
+  /** Every output column must be a grouping key, a directly-mergeable
+    * aggregate (SUM / COUNT / MIN / MAX fold in place), or a derivable
+    * expression over decomposable aggregates and grouping expressions
+    * (AVG, sum(x)+1, sum(a)/nullif(count(*),0), max(p)-min(p), …) —
+    * anything else (DISTINCT, FILTER, nondeterminism, subqueries,
+    * non-decomposable functions) disqualifies the whole query. */
+  private def classifyAgg(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression]): Option[AggMerge] = {
+    def keyName(g: Expression): Option[String] = aggExprs.collectFirst {
+      case a: Attribute if g.semanticEquals(a)     => a.name
+      case al: Alias if g.semanticEquals(al.child) => al.name
     }
-    if (cols.exists(_._1 == "no")) None
-    else Some(AggMerge(cols.filter(_._1 == "key").map(_._2),
-      cols.collect { case (fn, n) if fn != "key" && fn != "avg" => (n, fn) },
-      cols.collect { case ("avg", n) => n }))
+    // every grouping expression must be REPRESENTED in the output: the
+    // merge re-groups the union of old result and delta by the OUTPUT
+    // key columns, so a group key that is grouped on but not selected
+    // (SELECT sum(x) FROM t GROUP BY k) would collapse per-k rows into
+    // one — the materialization's row-per-group shape is only
+    // maintainable when the keys survive into it
+    if (!groupExprs.forall(g => keyName(g).isDefined)) return None
+
+    def decomposable(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty &&
+        ae.aggregateFunction.children.forall(exprOk) &&
+        (ae.aggregateFunction match {
+          case _: Sum | _: Count | _: Min | _: Max | _: Average => true
+          case _ => false
+        })
+    // re-derivable from (output keys + aggregate partials): every
+    // attribute must sit under an aggregate or inside a grouping
+    // expression — post-analysis that is guaranteed for valid
+    // aggregates, so this check mainly rejects nondeterminism,
+    // subqueries, and non-decomposable aggregate functions
+    def derivable(e: Expression): Boolean = e match {
+      case ae: AggregateExpression => decomposable(ae)
+      case _ if groupExprs.exists(_.semanticEquals(e)) => true
+      case _: Attribute => false
+      case _ => e.deterministic && !e.isInstanceOf[PlanExpression[_]] &&
+        e.children.forall(derivable)
+    }
+    // build the state recipe: aggregate occurrences → state-column
+    // references (an Average → its sum/count pair divided, cast at the
+    // avg's own result type so the rounding point matches a direct
+    // evaluation), grouping-expression occurrences → output key columns
+    def derive(al: Alias, i: Int): Option[DerivedCol] = {
+      val child = inlineWith(al.child)
+      if (!derivable(child)) return None
+      val partials = scala.collection.mutable.Buffer.empty[(String, String)]
+      var j = 0
+      def fresh(fold: String): String = {
+        val n = pName(i, j); j += 1; partials += ((n, fold)); n
+      }
+      val recipe = child.transformDown {
+        case e if groupExprs.exists(_.semanticEquals(e)) =>
+          UnresolvedAttribute.quoted(keyName(e).get)
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case _: Average =>
+            Cast(Divide(UnresolvedAttribute.quoted(fresh("sum")),
+              UnresolvedAttribute.quoted(fresh("sum"))), ae.dataType)
+          case f =>
+            val fold = f match {
+              case _: Sum | _: Count => "sum"
+              case _: Min            => "min"
+              case _: Max            => "max"
+            }
+            UnresolvedAttribute.quoted(fresh(fold))
+        }
+      }
+      if (partials.isEmpty) None // expression over keys only — stay full
+      else Some(DerivedCol(al.name, partials.toList, recipe))
+    }
+
+    sealed trait C
+    case class K(name: String) extends C
+    case class M(name: String, fn: String) extends C
+    case class D(d: DerivedCol) extends C
+    val cols: Seq[Option[C]] = aggExprs.zipWithIndex.map {
+      case (a: Attribute, _) if groupExprs.exists(_.semanticEquals(a)) =>
+        Some(K(a.name))
+      case (al: Alias, _) if groupExprs.exists(_.semanticEquals(al.child)) =>
+        Some(K(al.name))
+      case (al: Alias, i) => al.child match {
+        // fast path: a bare mergeable aggregate folds in place, no state
+        case ae: AggregateExpression
+            if !ae.isDistinct && ae.filter.isEmpty &&
+              ae.aggregateFunction.children.forall(exprOk) &&
+              plainFold(ae.aggregateFunction).isDefined =>
+          Some(M(al.name, plainFold(ae.aggregateFunction).get))
+        case _ => derive(al, i).map(D(_))
+      }
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else {
+      val cs = cols.flatten
+      Some(AggMerge(cs.collect { case K(n) => n },
+        cs.collect { case M(n, f) => (n, f) },
+        cs.collect { case D(d) => d }))
+    }
   }
 
-  /** Rewrite the top-level Aggregate of an AVG-bearing decomposable
-    * query into its partial state: `avg(e) AS c` becomes
-    * `sum(e) AS __graft_avg_sum_c, count(e) AS __graft_avg_cnt_c`
-    * (COUNT(e) counts non-nulls, matching AVG's denominator); all other
-    * output columns pass through. Safe to transform every Aggregate
-    * node: classification only admits single-level aggregates over
-    * stateless/join children, so the plan holds no nested Aggregate —
-    * the join-delta caller partializes each telescoped part BEFORE
-    * unioning for the same reason (a Union's children must agree on
-    * arity). */
+  /** Fold function of a directly-mergeable aggregate, None otherwise
+    * (AVG and anything non-decomposable go through the derived path). */
+  private def plainFold(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+      : Option[String] = f match {
+    case _: Sum | _: Count => Some("sum")
+    case _: Min            => Some("min")
+    case _: Max            => Some("max")
+    case _                 => None
+  }
+
+  /** Rewrite the top-level Aggregate of a derived-bearing decomposable
+    * query into its partial state: each derived output column is
+    * replaced by one state column per contained aggregate (an Average
+    * by sum(e) + count(e) — COUNT(e) counts non-nulls, matching AVG's
+    * denominator), named positionally to match the classify-time recipe
+    * ([[pName]]); keys and directly-mergeable aggregates pass through.
+    * Safe to transform every Aggregate node: classification only admits
+    * single-level aggregates over stateless/join children, so the plan
+    * holds no nested Aggregate — the join-delta caller partializes each
+    * telescoped part BEFORE unioning for the same reason (a Union's
+    * children must agree on arity). */
   def partialize(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed transform {
       case a: Aggregate =>
-        val newExprs = a.aggregateExpressions.flatMap {
-          case al @ Alias(ae: AggregateExpression, name)
-              if ae.aggregateFunction.isInstanceOf[Average] &&
-                !ae.isDistinct && ae.filter.isEmpty =>
-            val e = ae.aggregateFunction.asInstanceOf[Average].child
-            Seq(
-              Alias(AggregateExpression(Sum(e), Complete, isDistinct = false),
-                sumCol(name))(),
-              Alias(AggregateExpression(Count(e), Complete, isDistinct = false),
-                cntCol(name))())
-          case other => Seq(other)
-        }
+        val g = a.groupingExpressions
+        val newExprs: Seq[NamedExpression] =
+          a.aggregateExpressions.zipWithIndex.flatMap {
+            case (ne, _) if ne.isInstanceOf[Attribute] ||
+                g.exists(_.semanticEquals(ne)) => Seq(ne)
+            case (al: Alias, _) if g.exists(_.semanticEquals(al.child)) =>
+              Seq(al)
+            case (al: Alias, i) => al.child match {
+              case ae: AggregateExpression
+                  if plainFold(ae.aggregateFunction).isDefined =>
+                Seq(al)
+              case _ =>
+                // derived: emit partials in the SAME pre-order the
+                // classify-time recipe assigned names in (grouping
+                // expressions cannot contain aggregates, so skipping
+                // their replacement here cannot shift the order)
+                val buf = scala.collection.mutable.Buffer.empty[NamedExpression]
+                var j = 0
+                def add(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Unit = {
+                  buf += Alias(AggregateExpression(fn, Complete,
+                    isDistinct = false), pName(i, j))()
+                  j += 1
+                }
+                inlineWith(al.child).transformDown {
+                  case ae: AggregateExpression =>
+                    ae.aggregateFunction match {
+                      case avg: Average =>
+                        add(Sum(avg.child)); add(Count(avg.child))
+                      case f => add(f)
+                    }
+                    ae
+                }
+                buf.toSeq
+            }
+            case (other, _) => Seq(other)
+          }
         a.copy(aggregateExpressions = newExprs)
     }
     GraftPlans.ofRows(df.sparkSession, plan)
   }
 
   /** Derive the visible materialization from the merged partial state:
-    * each avg column is its sum partial over its count partial (NULL
-    * when the count is 0 — the sum partial is NULL too, and NULL/0 is
-    * NULL — matching AVG over an all-NULL or empty group), cast back to
-    * the declared output type; every other column passes through. */
+    * each derived column evaluates its recipe over the state (NULL
+    * count-0 avg groups come out NULL — sum partial NULL, NULL/0 is
+    * NULL — matching AVG over an all-NULL group), cast back to the
+    * declared output type; every other column passes through. */
   def finalizeState(state: DataFrame, am: AggMerge,
-      schema: StructType): DataFrame =
+      schema: StructType): DataFrame = {
+    val byName = am.derived.map(d => d.name -> d).toMap
     state.select(schema.fields.map { f =>
-      if (am.avgs.contains(f.name))
-        (col(sumCol(f.name)) / col(cntCol(f.name))).cast(f.dataType).as(f.name)
-      else col(f.name).cast(f.dataType).as(f.name)
+      byName.get(f.name) match {
+        case Some(d) =>
+          GraftColumns.ofExpr(d.recipe).cast(f.dataType).as(f.name)
+        case None => col(f.name).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
+  }
 
   private def exprOk(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])

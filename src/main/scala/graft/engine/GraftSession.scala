@@ -103,13 +103,14 @@ final class GraftSession(
       // like the materialization itself.
       @volatile var statePath: Option[String] = None)
 
-  /** The AVG-bearing aggregate spec of an incremental plan, if any —
-    * these maintain a partial-state sidecar (see [[DynamicTables.AggMerge]]). */
-  private def avgSpec(inc: Option[DynamicTables.IncPlan])
+  /** The derived-column aggregate spec of an incremental plan, if any —
+    * AVG or expressions over aggregates maintain a partial-state
+    * sidecar (see [[DynamicTables.AggMerge]]). */
+  private def derivedSpec(inc: Option[DynamicTables.IncPlan])
       : Option[DynamicTables.AggMerge] = inc.flatMap {
-    case am: DynamicTables.AggMerge if am.avgs.nonEmpty => Some(am)
+    case am: DynamicTables.AggMerge if am.derived.nonEmpty => Some(am)
     case DynamicTables.JoinDelta(am: DynamicTables.AggMerge)
-        if am.avgs.nonEmpty => Some(am)
+        if am.derived.nonEmpty => Some(am)
     case _ => None
   }
   private val dynamicTables =
@@ -160,10 +161,10 @@ final class GraftSession(
       else DynamicTables.incrementalPlan(
         df.queryExecution.analyzed, bases.map(viewName))
     val path = tablePath(f, temp = false)
-    // AVG-bearing aggregate: materialize the partial state (avg → its
-    // sum/count pair) first, then derive the visible table from it —
-    // one base scan plus one O(|result|) projection
-    val (matDf, statePath) = avgSpec(inc) match {
+    // derived-bearing aggregate (AVG / expressions over aggregates):
+    // materialize the partial state first, then derive the visible
+    // table from it — one base scan plus one O(|result|) projection
+    val (matDf, statePath) = derivedSpec(inc) match {
       case Some(am) =>
         val sp = s"${path}__state_v${snapshotSeq.incrementAndGet()}"
         DynamicTables.partialize(df).write.mode("overwrite").parquet(sp)
@@ -235,10 +236,10 @@ final class GraftSession(
         record()
         // in-place append invalidates older versions (same as INSERT)
         resetHistory(f, ref)
-      case am: DynamicTables.AggMerge if am.avgs.nonEmpty =>
+      case am: DynamicTables.AggMerge if am.derived.nonEmpty =>
         DynamicTables.lastRefreshMode = modePrefix + "merge"
-        // deltaResult arrives PARTIALIZED (avg → sum/count pairs, via
-        // partialIfAvg at the call sites): merge it into the state
+        // deltaResult arrives PARTIALIZED (derived → partial columns,
+        // via partialIfDerived at the call sites): merge it into the state
         // sidecar, version the state COW-style, then re-derive the
         // visible table from the new state — O(|result| + |delta|)
         val oldState = spark.read.parquet(st.statePath.get)
@@ -258,12 +259,12 @@ final class GraftSession(
       case _: DynamicTables.JoinDelta => // nested JoinDelta never occurs
         throw new IllegalStateException("JoinDelta cannot nest")
     }
-    // AVG-bearing aggregates merge through their partial state, so the
-    // delta must be evaluated in partial form (each telescoped join part
-    // individually — a Union's children must agree on arity)
-    def partialIfAvg(plan: DynamicTables.IncPlan, df: DataFrame): DataFrame =
+    // derived-bearing aggregates merge through their partial state, so
+    // the delta must be evaluated in partial form (each telescoped join
+    // part individually — a Union's children must agree on arity)
+    def partialIfDerived(plan: DynamicTables.IncPlan, df: DataFrame): DataFrame =
       plan match {
-        case am: DynamicTables.AggMerge if am.avgs.nonEmpty =>
+        case am: DynamicTables.AggMerge if am.derived.nonEmpty =>
           DynamicTables.partialize(df)
         case _ => df
       }
@@ -282,7 +283,7 @@ final class GraftSession(
           try spark.sql(substituted)
           finally registry.load(cur).createOrReplaceTempView(viewName(b))
         DynamicTables.lastDeltaFiles = af(b).toSeq.sorted
-        applyIncrement(plan, partialIfAvg(plan, deltaResult), "incremental-")
+        applyIncrement(plan, partialIfDerived(plan, deltaResult), "incremental-")
       case (Some(DynamicTables.JoinDelta(inner)), Some(af))
           if st.bases.length >= 2 && af.values.exists(_.nonEmpty) &&
             // the old-file-set re-reads are raw file-subset scans, so
@@ -318,7 +319,7 @@ final class GraftSession(
             }
             // spark.sql analyzes eagerly, inlining the current bindings —
             // later iterations re-bind without disturbing earlier parts
-            parts += partialIfAvg(inner, spark.sql(substituted))
+            parts += partialIfDerived(inner, spark.sql(substituted))
           }
         } finally st.bases.foreach(b =>
           registry.load(curs(b)).createOrReplaceTempView(viewName(b)))
@@ -329,7 +330,7 @@ final class GraftSession(
       case _ =>
         DynamicTables.lastRefreshMode = "full"
         DynamicTables.lastDeltaFiles = Nil
-        avgSpec(st.inc) match {
+        derivedSpec(st.inc) match {
           case Some(am) =>
             // rebuild the state sidecar too, or the next incremental
             // merge would fold its delta into pre-rewrite state

@@ -1373,6 +1373,47 @@ object SnowflakeSql extends QueryPack {
         FROM dta_dt ORDER BY g;""")
     },
 
+    // DYNAMIC TABLE over EXPRESSIONS of aggregates: sum(x)+1, max-min
+    // spread, per-row unit price sum/nullif(count), round(avg, 2) —
+    // none is mergeable as a value ((sum+1) partials would double the
+    // +1), all decompose into mergeable aggregate parts. The refresh
+    // stores each contained aggregate as its own state column, merges
+    // delta partials, and re-evaluates the expression recipe over the
+    // merged state (classification + recipe from the ANALYZED plan, so
+    // every dialect spelling classifies by what it computes). Proves
+    // the recipe-derived values equal a from-scratch recompute.
+    GQuery("snow65_dynamic_table_derived", Some("""
+      WITH base AS (
+        SELECT o_custkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey <= 6000
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey > 6000)
+      SELECT k % 5 AS g,
+        CAST(sum(price) + 1 AS DOUBLE) AS sp1,
+        CAST(max(price) - min(price) AS DOUBLE) AS spread,
+        count(*) * 2 AS n2,
+        CAST(round(CAST(avg(price) AS DECIMAL(16,6)), 2) AS DOUBLE) AS ap2
+      FROM base GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE dtd_b AS
+          SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+          FROM orders WHERE o_orderkey <= 6000;
+        CREATE OR REPLACE DYNAMIC TABLE dtd_dt AS
+          SELECT k % 5 AS g, sum(price) + 1 AS sp1,
+            max(price) - min(price) AS spread,
+            count(*) * 2 AS n2,
+            round(avg(price), 2) AS ap2
+          FROM dtd_b GROUP BY 1;
+        INSERT INTO dtd_b
+          SELECT o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 6000;
+        ALTER DYNAMIC TABLE dtd_dt REFRESH;
+        SELECT g, sp1::double AS sp1, spread::double AS spread,
+          n2, ap2::double AS ap2
+        FROM dtd_dt ORDER BY g;""")
+    },
+
     // Iceberg small-file compaction: three commits leave ≥3 data files
     // (the shape streaming ingest produces — one file per micro-batch);
     // OPTIMIZE rewrites the small files into one per partition in a

@@ -380,6 +380,68 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM dyn_a10"), want)
   }
 
+  test("grouping key absent from the output forces full refresh") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_b12 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    // GROUP BY rk but rk is NOT selected: the materialization has one
+    // row per rk with only the sum — a merge re-grouped by the output
+    // keys (none) would collapse those rows into one. Must stay full.
+    s.sql("CREATE DYNAMIC TABLE dyn_a12 AS SELECT sum(k) AS sk FROM dyn_b12 GROUP BY rk")
+    s.sql("INSERT INTO dyn_b12 SELECT n_nationkey + 25, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_a12 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(
+      s.sql("SELECT * FROM dyn_a12"),
+      s.sql("SELECT sum(k) AS sk FROM dyn_b12 GROUP BY rk"))
+  }
+
+  test("derived-expression DT: arithmetic over aggregates maintains incrementally") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b13 AS
+      SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 4000""")
+    // every output is an EXPRESSION over decomposable aggregates (plus
+    // one mixing in the grouping expression): none is mergeable as a
+    // value, all are maintainable through their aggregate partials
+    val defn = """SELECT k % 5 AS g,
+        sum(price) + 1 AS sp1,
+        max(price) - min(price) AS spread,
+        sum(price) / nullif(count(*), 0) AS unit,
+        count(*) * 2 AS n2,
+        round(avg(price), 2) AS ap2,
+        sum(price) + (k % 5) AS mix
+      FROM dyn_b13 GROUP BY k % 5"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_a13 AS $defn")
+    def want = s.sql(defn)
+    assertSame(s.sql("SELECT * FROM dyn_a13"), want)
+    s.sql("""INSERT INTO dyn_b13
+      SELECT o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_a13 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(s.sql("SELECT * FROM dyn_a13"), want)
+    // second merge folds state-over-state, not state-over-create
+    s.sql("""INSERT INTO dyn_b13
+      SELECT o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 8000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_a13 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(s.sql("SELECT * FROM dyn_a13"), want)
+  }
+
+  test("non-decomposable expressions over aggregates stay full") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_b14 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    // count(DISTINCT) inside an expression is not decomposable
+    s.sql("CREATE DYNAMIC TABLE dyn_a14 AS SELECT rk, count(DISTINCT k) + 1 AS a FROM dyn_b14 GROUP BY rk")
+    s.sql("INSERT INTO dyn_b14 SELECT n_nationkey + 25, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_a14 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(
+      s.sql("SELECT * FROM dyn_a14"),
+      s.sql("SELECT rk, count(DISTINCT k) + 1 AS a FROM dyn_b14 GROUP BY rk"))
+  }
+
   test("AVG DT over a join: telescoped parts merge through the state") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_f11 AS

@@ -16,6 +16,18 @@ queries = sorted(arts[0]["heavy"].keys())
 out = {
     "what": "heavy set at SPARK_GRAFT_HEAVY_REPL 100/200/400, cpus=32, "
             "min of 3 sweeps after warm pass, same harness as BENCH_rN",
+    "finding": "the sweep's first run (8g heap, fixed 32 shuffle "
+            "partitions) killed h09 at repl=400: AQE coalesces shuffle "
+            "partitions to the 64MB advisory, so each shuffled-hash-join "
+            "build is ~200-300MB in memory at ANY scale, and 32 "
+            "concurrent unspillable builds exceeded the 8g pool ('Can't "
+            "acquire ... bytes to build hash relation'). Fixes: shuffle "
+            "partitions now scale with input (constant shuffle bytes per "
+            "partition) and the JVM is provisioned for concurrency x "
+            "bounded-build-size (24g default; DuckDB on the same box runs "
+            "uncapped). Per-task memory is scale-INVARIANT under this "
+            "sizing - the cluster analogue is executors-per-byte, not "
+            "memory-per-executor, growing with data.",
     "lineitem_rows": [a["heavy_lineitem_rows"] for a in arts],
     "events_rows": [a["heavy_events_rows"] for a in arts],
     "contended": [a.get("contended", False) for a in arts],
