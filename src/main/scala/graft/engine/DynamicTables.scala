@@ -102,13 +102,17 @@ object DynamicTables {
     * ([[stateSpec]]) and re-derive the visible materialization by one
     * O(|result|) projection ([[finalizeState]]). */
   final case class AggMerge(keys: Seq[String], merges: Seq[(String, String)],
-      derived: Seq[DerivedCol] = Nil)
+      derived: Seq[DerivedCol] = Nil,
+      having: Option[Expression] = None)
       extends IncPlan {
     /** Merge spec over the partial-state schema: visible mergeable
       * columns fold as themselves; every derived partial folds by its
-      * own function. */
+      * own function. The having filter plays no part in merging — the
+      * state holds ALL groups unfiltered (a group under the threshold
+      * in the delta may cross it after the merge, and vice versa). */
     def stateSpec: AggMerge = AggMerge(keys,
       merges ++ derived.flatMap(_.partials))
+    def needsState: Boolean = derived.nonEmpty || having.isDefined
   }
 
   /** One derived output column: `partials` name each contained
@@ -172,28 +176,51 @@ object DynamicTables {
     val leafCount = plan.collectLeaves().length
     baseViews.length match {
       case 1 if leafCount == 1 =>
-        strip(plan) match {
-          case Aggregate(groupExprs, aggExprs, child, _) if stateless(child) =>
-            classifyAgg(groupExprs, aggExprs)
-          case p if stateless(p) => Some(AppendTransform)
-          case _ => None
+        unpeel(strip(plan)) match {
+          case Some((Aggregate(groupExprs, aggExprs, child, _), cond))
+              if stateless(child) =>
+            classifyAgg(groupExprs, aggExprs, cond)
+          case _ => strip(plan) match {
+            case p if stateless(p) => Some(AppendTransform)
+            case _ => None
+          }
         }
       case n if n >= 2 && leafCount == n =>
-        val (body, agg) = strip(plan) match {
-          case Aggregate(g, a, child, _) => (child, Some((g, a)))
-          case p                          => (p, None)
+        val (body, agg) = unpeel(strip(plan)) match {
+          case Some((a: Aggregate, cond)) => (a.child, Some((a, cond)))
+          case _                          => (strip(plan), None)
         }
         val want = baseViews.map(_.toLowerCase).toSet
         joinTree(body, want) match {
           case Some(covered) if covered == want =>
             agg match {
-              case None         => Some(JoinDelta(AppendTransform))
-              case Some((g, a)) => classifyAgg(g, a).map(JoinDelta(_))
+              case None => Some(JoinDelta(AppendTransform))
+              case Some((a, cond)) =>
+                classifyAgg(a.groupingExpressions, a.aggregateExpressions,
+                  cond).map(JoinDelta(_))
             }
           case _ => None
         }
       case _ => None
     }
+  }
+
+  /** Peel the HAVING shape off the top of an analyzed aggregate query:
+    * `Aggregate`, `Filter(cond, Aggregate)` (HAVING over output
+    * aliases), or `Project(attrs, Filter(cond, Aggregate))` (the
+    * analyzer's shape when HAVING references aggregates not in the
+    * SELECT list — it adds them to the Aggregate and projects them away
+    * above). Returns the Aggregate and the optional filter condition.
+    * Attribute-only projections are admitted: they drop/reorder columns
+    * without computing, so the visible schema is just a subset of the
+    * state's finalized columns. */
+  private def unpeel(p: LogicalPlan)
+      : Option[(Aggregate, Option[Expression])] = p match {
+    case a: Aggregate => Some((a, None))
+    case Filter(cond, a: Aggregate) => Some((a, Some(cond)))
+    case Project(pl, Filter(cond, a: Aggregate))
+        if pl.forall(_.isInstanceOf[Attribute]) => Some((a, Some(cond)))
+    case _ => None
   }
 
   /** Validate `p` as a tree of INNER/CROSS joins over stateless sides,
@@ -230,10 +257,22 @@ object DynamicTables {
     * aggregate (SUM / COUNT / MIN / MAX fold in place), or a derivable
     * expression over decomposable aggregates and grouping expressions
     * (AVG, sum(x)+1, sum(a)/nullif(count(*),0), max(p)-min(p), …) —
-    * anything else (DISTINCT, FILTER, nondeterminism, subqueries,
-    * non-decomposable functions) disqualifies the whole query. */
+    * anything else (DISTINCT, FILTER-modified aggs, nondeterminism,
+    * subqueries, non-decomposable functions) disqualifies the whole
+    * query.
+    *
+    * `cond` is a HAVING predicate over the aggregate's output. With one
+    * present, every non-key output is forced through the derived path
+    * so its state column carries a positionally-generated (parquet-
+    * safe) name — analyzer-added helper columns (HAVING count(*) > n
+    * with count not selected) are named like `count(1)`, which parquet
+    * rejects — and the predicate is rewritten into a recipe over the
+    * state that [[finalizeState]] applies AFTER merging: the state
+    * keeps every group, filtered rows can re-appear once their merged
+    * aggregates cross the threshold. */
   private def classifyAgg(groupExprs: Seq[Expression],
-      aggExprs: Seq[NamedExpression]): Option[AggMerge] = {
+      aggExprs: Seq[NamedExpression],
+      cond: Option[Expression] = None): Option[AggMerge] = {
     def keyName(g: Expression): Option[String] = aggExprs.collectFirst {
       case a: Attribute if g.semanticEquals(a)     => a.name
       case al: Alias if g.semanticEquals(al.child) => al.name
@@ -297,33 +336,57 @@ object DynamicTables {
       else Some(DerivedCol(al.name, partials.toList, recipe))
     }
 
+    // with a HAVING cond, skip the plain-fold fast path: all non-key
+    // state columns need generated names the cond recipe can target
+    // (partialize mirrors this through its own `force` flag)
+    val force = cond.isDefined
     sealed trait C
-    case class K(name: String) extends C
+    case class K(name: String,
+        id: org.apache.spark.sql.catalyst.expressions.ExprId) extends C
     case class M(name: String, fn: String) extends C
-    case class D(d: DerivedCol) extends C
+    case class D(d: DerivedCol,
+        id: org.apache.spark.sql.catalyst.expressions.ExprId) extends C
     val cols: Seq[Option[C]] = aggExprs.zipWithIndex.map {
       case (a: Attribute, _) if groupExprs.exists(_.semanticEquals(a)) =>
-        Some(K(a.name))
+        Some(K(a.name, a.exprId))
       case (al: Alias, _) if groupExprs.exists(_.semanticEquals(al.child)) =>
-        Some(K(al.name))
+        Some(K(al.name, al.exprId))
       case (al: Alias, i) => al.child match {
         // fast path: a bare mergeable aggregate folds in place, no state
         case ae: AggregateExpression
-            if !ae.isDistinct && ae.filter.isEmpty &&
+            if !force && !ae.isDistinct && ae.filter.isEmpty &&
               ae.aggregateFunction.children.forall(exprOk) &&
               plainFold(ae.aggregateFunction).isDefined =>
           Some(M(al.name, plainFold(ae.aggregateFunction).get))
-        case _ => derive(al, i).map(D(_))
+        case _ => derive(al, i).map(D(_, al.exprId))
       }
       case _ => None
     }
-    if (cols.exists(_.isEmpty)) None
-    else {
-      val cs = cols.flatten
-      Some(AggMerge(cs.collect { case K(n) => n },
-        cs.collect { case M(n, f) => (n, f) },
-        cs.collect { case D(d) => d }))
+    if (cols.exists(_.isEmpty)) return None
+    val cs = cols.flatten
+    // rewrite the HAVING predicate into a recipe over the state: key
+    // references → key columns, aggregate-output references → that
+    // column's derived recipe
+    val recipeById = cs.collect {
+      case K(n, id) => id -> (UnresolvedAttribute.quoted(n): Expression)
+      case D(d, id) => id -> d.recipe
+    }.toMap
+    val having: Option[Expression] = cond match {
+      case None => None
+      case Some(c0) =>
+        val c = inlineWith(c0)
+        if (!exprOk(c) ||
+            !c.references.forall(a => recipeById.contains(a.exprId)))
+          return None
+        Some(c.transformUp {
+          case a: Attribute if recipeById.contains(a.exprId) =>
+            recipeById(a.exprId)
+        })
     }
+    Some(AggMerge(cs.collect { case K(n, _) => n },
+      cs.collect { case M(n, f) => (n, f) },
+      cs.collect { case D(d, _) => d },
+      having))
   }
 
   /** Fold function of a directly-mergeable aggregate, None otherwise
@@ -347,8 +410,17 @@ object DynamicTables {
     * holds no nested Aggregate — the join-delta caller partializes each
     * telescoped part BEFORE unioning for the same reason (a Union's
     * children must agree on arity). */
-  def partialize(df: DataFrame): DataFrame = {
-    val plan = df.queryExecution.analyzed transform {
+  def partialize(df: DataFrame, force: Boolean = false): DataFrame = {
+    // drop the HAVING filter (and the attribute projection above it) so
+    // the delta state is UNFILTERED — a group below the threshold in
+    // the delta may cross it after the merge, and vice versa
+    val analyzed = df.queryExecution.analyzed match {
+      case Filter(_, a: Aggregate) => a
+      case Project(pl, Filter(_, a: Aggregate))
+          if pl.forall(_.isInstanceOf[Attribute]) => a
+      case p => p
+    }
+    val plan = analyzed transform {
       case a: Aggregate =>
         val g = a.groupingExpressions
         val newExprs: Seq[NamedExpression] =
@@ -359,7 +431,7 @@ object DynamicTables {
               Seq(al)
             case (al: Alias, i) => al.child match {
               case ae: AggregateExpression
-                  if plainFold(ae.aggregateFunction).isDefined =>
+                  if !force && plainFold(ae.aggregateFunction).isDefined =>
                 Seq(al)
               case _ =>
                 // derived: emit partials in the SAME pre-order the
@@ -399,7 +471,11 @@ object DynamicTables {
   def finalizeState(state: DataFrame, am: AggMerge,
       schema: StructType): DataFrame = {
     val byName = am.derived.map(d => d.name -> d).toMap
-    state.select(schema.fields.map { f =>
+    // HAVING applies over the merged state, BEFORE the projection —
+    // its recipe may reference helper aggregates the SELECT dropped
+    val filtered = am.having.fold(state)(h =>
+      state.filter(GraftColumns.ofExpr(h)))
+    filtered.select(schema.fields.map { f =>
       byName.get(f.name) match {
         case Some(d) =>
           GraftColumns.ofExpr(d.recipe).cast(f.dataType).as(f.name)

@@ -108,9 +108,9 @@ final class GraftSession(
     * sidecar (see [[DynamicTables.AggMerge]]). */
   private def derivedSpec(inc: Option[DynamicTables.IncPlan])
       : Option[DynamicTables.AggMerge] = inc.flatMap {
-    case am: DynamicTables.AggMerge if am.derived.nonEmpty => Some(am)
+    case am: DynamicTables.AggMerge if am.needsState => Some(am)
     case DynamicTables.JoinDelta(am: DynamicTables.AggMerge)
-        if am.derived.nonEmpty => Some(am)
+        if am.needsState => Some(am)
     case _ => None
   }
   private val dynamicTables =
@@ -167,7 +167,8 @@ final class GraftSession(
     val (matDf, statePath) = derivedSpec(inc) match {
       case Some(am) =>
         val sp = s"${path}__state_v${snapshotSeq.incrementAndGet()}"
-        DynamicTables.partialize(df).write.mode("overwrite").parquet(sp)
+        DynamicTables.partialize(df, force = am.having.isDefined)
+          .write.mode("overwrite").parquet(sp)
         (DynamicTables.finalizeState(spark.read.parquet(sp), am, df.schema),
           Some(sp))
       case None => (df, None)
@@ -236,7 +237,7 @@ final class GraftSession(
         record()
         // in-place append invalidates older versions (same as INSERT)
         resetHistory(f, ref)
-      case am: DynamicTables.AggMerge if am.derived.nonEmpty =>
+      case am: DynamicTables.AggMerge if am.needsState =>
         DynamicTables.lastRefreshMode = modePrefix + "merge"
         // deltaResult arrives PARTIALIZED (derived → partial columns,
         // via partialIfDerived at the call sites): merge it into the state
@@ -264,8 +265,8 @@ final class GraftSession(
     // part individually — a Union's children must agree on arity)
     def partialIfDerived(plan: DynamicTables.IncPlan, df: DataFrame): DataFrame =
       plan match {
-        case am: DynamicTables.AggMerge if am.derived.nonEmpty =>
-          DynamicTables.partialize(df)
+        case am: DynamicTables.AggMerge if am.needsState =>
+          DynamicTables.partialize(df, force = am.having.isDefined)
         case _ => df
       }
     (st.inc, addedPerBase) match {
@@ -336,7 +337,8 @@ final class GraftSession(
             // merge would fold its delta into pre-rewrite state
             val newSp = st.statePath.get.split("__state_v").head +
               s"__state_v${snapshotSeq.incrementAndGet()}"
-            DynamicTables.partialize(runQuery(st.query))
+            DynamicTables.partialize(runQuery(st.query),
+                force = am.having.isDefined)
               .write.mode("overwrite").parquet(newSp)
             st.statePath = Some(newSp)
             swapMaterialization(f, ref, DynamicTables.finalizeState(

@@ -1414,6 +1414,49 @@ object SnowflakeSql extends QueryPack {
         FROM dtd_dt ORDER BY g;""")
     },
 
+    // DYNAMIC TABLE with HAVING: the state keeps EVERY group unfiltered
+    // and the predicate re-applies after each merge — groups cross the
+    // threshold in both directions across refreshes (count(*) >= n
+    // admits new groups as rows accumulate; the avg(price) bound
+    // references an aggregate the SELECT list drops, the analyzer's
+    // Project-over-Filter-over-Aggregate shape, maintained through a
+    // generated helper state column). Proves the filtered
+    // materialization equals a from-scratch recompute after two
+    // incremental merges.
+    GQuery("snow66_dynamic_table_having", Some("""
+      WITH base AS (
+        SELECT o_custkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey <= 4000
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey > 8000)
+      SELECT k % 7 AS g, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+      FROM base GROUP BY 1
+      HAVING count(*) >= 40 AND CAST(avg(price) AS DOUBLE) > 100000
+      ORDER BY g""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE dth_b AS
+          SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+          FROM orders WHERE o_orderkey <= 4000;
+        CREATE OR REPLACE DYNAMIC TABLE dth_dt AS
+          SELECT k % 7 AS g, count(*) AS n, sum(price) AS total
+          FROM dth_b GROUP BY 1
+          HAVING count(*) >= 40 AND avg(price) > 100000;
+        INSERT INTO dth_b
+          SELECT o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000;
+        ALTER DYNAMIC TABLE dth_dt REFRESH;
+        INSERT INTO dth_b
+          SELECT o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 8000;
+        ALTER DYNAMIC TABLE dth_dt REFRESH;
+        SELECT g, n, total::double AS total
+        FROM dth_dt ORDER BY g;""")
+    },
+
     // Iceberg small-file compaction: three commits leave ≥3 data files
     // (the shape streaming ingest produces — one file per micro-batch);
     // OPTIMIZE rewrites the small files into one per partition in a

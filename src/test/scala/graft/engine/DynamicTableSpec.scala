@@ -442,6 +442,100 @@ class DynamicTableSpec extends AnyFunSuite {
       s.sql("SELECT rk, count(DISTINCT k) + 1 AS a FROM dyn_b14 GROUP BY rk"))
   }
 
+  test("fuzz: random insert/delete/refresh sequences keep a derived DT exact") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b15 AS
+      SELECT o_orderkey AS ok, o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 2000""")
+    val defn = """SELECT k % 4 AS g, count(*) AS n,
+        sum(price) + 1 AS sp1, round(avg(price), 2) AS ap,
+        max(price) - min(price) AS spread
+      FROM dyn_b15 GROUP BY k % 4"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_a15 AS $defn")
+    val rnd = new scala.util.Random(42)
+    var merges = 0
+    for (step <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => // append a pseudo-random slice (dupes are fine)
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          s.sql(s"""INSERT INTO dyn_b15
+            SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+            FROM orders WHERE o_orderkey % $m = $r AND o_orderkey <= 4000""")
+        case 1 => // base rewrite: degrades the NEXT refresh to full
+          s.sql(s"DELETE FROM dyn_b15 WHERE ok % ${7 + rnd.nextInt(6)} = 1")
+        case _ => () // refresh with no base change: no-op path
+      }
+      s.sql("ALTER DYNAMIC TABLE dyn_a15 REFRESH")
+      if (DynamicTables.lastRefreshMode == "incremental-merge") merges += 1
+      assertSame(s.sql("SELECT * FROM dyn_a15"), s.sql(defn))
+    }
+    // the sequence must actually exercise the incremental path, or this
+    // fuzz silently degenerates into full-refresh-only coverage
+    assert(merges >= 2, s"only $merges incremental merges in 12 steps")
+  }
+
+  test("HAVING DT: threshold crossings in both directions stay exact") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b16 AS
+      SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 2000""")
+    // sum(price) < N: appends push groups OVER it (rows disappear);
+    // count(*) >= N: appends pull groups over it (rows appear) — the
+    // state must keep every group unfiltered for either to be sound
+    val defn = """SELECT k % 7 AS g, count(*) AS n, sum(price) AS total
+      FROM dyn_b16 GROUP BY k % 7
+      HAVING count(*) >= 40 AND sum(price) < 9000000"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_a16 AS $defn")
+    def want = s.sql(defn)
+    assertSame(s.sql("SELECT * FROM dyn_a16"), want)
+    for (lo <- Seq(2000, 4000, 6000)) {
+      s.sql(s"""INSERT INTO dyn_b16
+        SELECT o_custkey, o_totalprice::number(12,2)
+        FROM orders WHERE o_orderkey > $lo AND o_orderkey <= ${lo + 2000}""")
+      s.sql("ALTER DYNAMIC TABLE dyn_a16 REFRESH")
+      assert(DynamicTables.lastRefreshMode == "incremental-merge")
+      assertSame(s.sql("SELECT * FROM dyn_a16"), want)
+    }
+  }
+
+  test("HAVING over an aggregate NOT in the SELECT list stays incremental") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_b17 AS
+      SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 4000""")
+    // the analyzer adds avg(price) to the Aggregate and projects it
+    // away above the Filter — the Project(attrs, Filter(_, Aggregate))
+    // shape; the helper's recipe lives only in the HAVING predicate
+    val defn = """SELECT k % 5 AS g, count(*) AS n
+      FROM dyn_b17 GROUP BY k % 5 HAVING avg(price) > 140000"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_a17 AS $defn")
+    assertSame(s.sql("SELECT * FROM dyn_a17"), s.sql(defn))
+    s.sql("""INSERT INTO dyn_b17
+      SELECT o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 4000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_a17 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(s.sql("SELECT * FROM dyn_a17"), s.sql(defn))
+    // a second merge folds state-over-state with the filter re-applied
+    s.sql("""INSERT INTO dyn_b17
+      SELECT o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_a17 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(s.sql("SELECT * FROM dyn_a17"), s.sql(defn))
+  }
+
+  test("HAVING over a non-decomposable aggregate stays full") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE dyn_b18 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
+    val defn = "SELECT rk, count(*) AS n FROM dyn_b18 GROUP BY rk HAVING count(DISTINCT k) > 3"
+    s.sql(s"CREATE DYNAMIC TABLE dyn_a18 AS $defn")
+    s.sql("INSERT INTO dyn_b18 SELECT n_nationkey + 25, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE dyn_a18 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(s.sql("SELECT * FROM dyn_a18"), s.sql(defn))
+  }
+
   test("AVG DT over a join: telescoped parts merge through the state") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_f11 AS
