@@ -15,6 +15,19 @@ import org.apache.spark.sql.DataFrame
   * place, the whole rewrite is a single distributed Spark job (joins get
   * broadcast/AQE treatment from Catalyst), and a failed write leaves the
   * old snapshot intact (atomic swap at the pointer).
+  *
+  * **Iceberg targets go file-granular**: UPDATE/DELETE with a predicate
+  * first detect the affected data files (one scan selecting
+  * `input_file_name()` — the standard Delta/Iceberg COW first pass),
+  * rewrite ONLY those files, and commit a replace snapshot that carries
+  * every untouched file forward by path
+  * ([[graft.sources.IcebergLite.replaceFiles]]). At 100 TB that turns a
+  * DELETE touching 0.1% of files from a table rewrite into an
+  * O(changed-files) job — and it is what lets table STREAMs diff, and
+  * DYNAMIC TABLEs retract, at O(changed files) after DML. MERGE stays a
+  * whole-table rewrite (its matched set needs the source join; a
+  * granular variant would detect matched files through the same
+  * input_file_name pass — future work).
   */
 object Dml {
 
@@ -37,10 +50,68 @@ object Dml {
     case other => throw new IllegalArgumentException(s"cannot parse DML: $other")
   }
 
+  // ── file-granular COW (Iceberg targets) ────────────────────────────────
+  /** First pass of a file-granular row-level operation: the data files
+    * holding at least one row matching `pred` — the same
+    * affected-file detection Delta Lake and Iceberg COW use
+    * (`input_file_name()` over ONE scan of the table; predicate pushdown
+    * and partition pruning cut it further). Returns manifest paths.
+    * None = the table has pending row-level delete files (the scan plan
+    * is then a union of anti-joins where file attribution is unsafe —
+    * the whole-table COW rewrite folds them instead) or a path failed to
+    * normalize back to a manifest entry. At 100 TB this is the
+    * difference between rewriting the 0.1% of files a DELETE touches and
+    * rewriting the table. */
+  private def affectedFiles(s: GraftSession, f: FQN, ref: TableRef,
+      pred: String): Option[Set[String]] = {
+    import graft.sources.IcebergLite
+    val mp = ref.path.get
+    if (IcebergLite.deleteFiles(s.spark, mp).nonEmpty) return None
+    val known = IcebergLite.dataFiles(s.spark, mp).toSet
+    def norm(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val got = s.runQuery(
+      s"SELECT DISTINCT input_file_name() AS p " +
+      s"FROM ${f.database}.${f.schema}.${f.table} WHERE COALESCE(($pred), FALSE)")
+      .collect().map(r => norm(r.getString(0))).toSet
+    if (got.forall(known.contains)) Some(got) else None
+  }
+
   // ── DELETE ─────────────────────────────────────────────────────────────
   private def doDelete(s: GraftSession, rawName: String,
       where: Option[String]): DataFrame = {
     val (f, ref) = managedTarget(s, rawName)
+    // Iceberg + predicate: rewrite ONLY the affected files, one replace
+    // commit; unchanged files carry forward by path. Falls back to the
+    // whole-table COW swap when every file is touched (no benefit, and
+    // the guard keeps `replaceFiles` from committing an all-carry-none
+    // table when the predicate deletes everything) or when pending
+    // delete files make attribution unsafe.
+    if (ref.format == "iceberg" && where.isDefined) {
+      import graft.sources.IcebergLite
+      import org.apache.spark.sql.functions.{col, sum, when}
+      affectedFiles(s, f, ref, where.get) match {
+        case Some(aff) if aff.isEmpty =>
+          return s.countStatus("number of rows deleted", 0)
+        case Some(aff)
+            if aff != IcebergLite.dataFiles(s.spark, ref.path.get).toSet =>
+          val subset = IcebergLite.scanSubset(s.spark, ref.path.get, aff)
+          val obs = org.apache.spark.sql.Observation()
+          val survivors = s.runQueryOver(
+            s"SELECT *, (NOT COALESCE((${where.get}), FALSE)) AS __graft_keep " +
+            s"FROM ${f.database}.${f.schema}.${f.table}", f, ref, subset)
+            .observe(obs,
+              sum(when(col("__graft_keep"), 0L).otherwise(1L)).as("deleted"))
+            .where(col("__graft_keep")).drop("__graft_keep")
+          val newMeta = IcebergLite.replaceFiles(
+            s.spark, ref.path.get, aff, survivors)
+          s.commitIcebergReplace(f, ref, newMeta)
+          val deleted = obs.get.get("deleted")
+            .collect { case n: Number => n.longValue }.getOrElse(0L)
+          return s.countStatus("number of rows deleted", deleted)
+        case _ => // fall through to the whole-table rewrite
+      }
+    }
     val before = s.registry.load(ref).count()
     val survivors = where match {
       case Some(w) => s.runQuery(
@@ -66,6 +137,34 @@ object Dml {
         case None => q(fd.name)
       }
     }.mkString(", ")
+    // Iceberg + predicate: rewrite only the files holding matched rows
+    // (their unmatched rows pass through the CASE unchanged), replace
+    // commit, everything else carries forward — see doDelete
+    if (ref.format == "iceberg" && where.isDefined) {
+      import graft.sources.IcebergLite
+      affectedFiles(s, f, ref, pred) match {
+        case Some(aff) if aff.isEmpty =>
+          return s.countStatus("number of rows updated", 0)
+        case Some(aff)
+            if aff != IcebergLite.dataFiles(s.spark, ref.path.get).toSet =>
+          val subset = IcebergLite.scanSubset(s.spark, ref.path.get, aff)
+          val obs = org.apache.spark.sql.Observation()
+          val rewritten = s.runQueryOver(
+            s"SELECT $proj, ($pred) AS __graft_upd " +
+            s"FROM ${f.database}.${f.schema}.${f.table}", f, ref, subset)
+            .observe(obs, org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("__graft_upd").cast("long"))
+              .as("updated"))
+            .drop("__graft_upd")
+          val newMeta = IcebergLite.replaceFiles(
+            s.spark, ref.path.get, aff, rewritten)
+          s.commitIcebergReplace(f, ref, newMeta)
+          val updated = obs.get.get("updated")
+            .collect { case n: Number => n.longValue }.getOrElse(0L)
+          return s.countStatus("number of rows updated", updated)
+        case _ => // fall through to the whole-table rewrite
+      }
+    }
     // updated-row count piggybacks on the snapshot write via an Observation
     // (CollectMetrics) — no separate count(*) scan of the table
     val obs = org.apache.spark.sql.Observation()

@@ -65,12 +65,20 @@ import org.apache.spark.sql.types.StructType
   *     another dynamic table and keep the chain incremental (its
   *     refresh is an in-place file append, indistinguishable from an
   *     INSERT to the change detector).
-  *  5. '''full''' — anything else (outer joins, windows, DISTINCT
-  *     aggregates, deletes/rewrites on a base, a base DT that
-  *     merge-refreshes — its file set is swapped, not appended):
-  *     re-run the defining query. Deletes break append-only deltas and
-  *     MIN/MAX merging, so this fallback is what keeps every mode
-  *     above sound.
+  *  5. '''incremental-retract''' — a single base's file set changed
+  *     NON-append (a file-granular Iceberg COW UPDATE/DELETE,
+  *     [[graft.engine.Dml]]) and every state column folds linearly
+  *     (SUM/COUNT/AVG shapes — [[AggMerge.retractable]]): the merge is
+  *     invertible, so the refresh folds `+agg(added files)` and
+  *     `−agg(removed files)` into the state, reading only the files
+  *     the DML touched. Groups whose hidden row count reaches zero
+  *     drop from the materialization. MIN/MAX are not invertible and
+  *     disqualify this mode (not the ones above).
+  *  6. '''full''' — anything else (outer joins, windows, DISTINCT
+  *     aggregates, whole-table rewrites on a base, MIN/MAX under
+  *     deletes, a base DT that merge-refreshes — its file set is
+  *     swapped, not appended): re-run the defining query. This
+  *     fallback is what keeps every mode above sound.
   *
   * The mode is decided per refresh, so one DELETE on the base degrades
   * that one refresh to full — subsequent appends resume incremental
@@ -107,13 +115,32 @@ object DynamicTables {
       extends IncPlan {
     /** Merge spec over the partial-state schema: visible mergeable
       * columns fold as themselves; every derived partial folds by its
-      * own function. The having filter plays no part in merging — the
-      * state holds ALL groups unfiltered (a group under the threshold
-      * in the delta may cross it after the merge, and vice versa). */
+      * own function; the hidden [[RowCountCol]] group-cardinality
+      * partial folds by sum. The having filter plays no part in
+      * merging — the state holds ALL groups unfiltered (a group under
+      * the threshold in the delta may cross it after the merge, and
+      * vice versa). */
     def stateSpec: AggMerge = AggMerge(keys,
-      merges ++ derived.flatMap(_.partials))
-    def needsState: Boolean = derived.nonEmpty || having.isDefined
+      merges ++ derived.flatMap(_.partials) :+ (RowCountCol -> "sum"))
+    /** Every state column folds LINEARLY (sum — i.e. SUM/COUNT/AVG
+      * shapes, no MIN/MAX anywhere): the merge is then invertible, so a
+      * file-granular base rewrite (Iceberg COW UPDATE/DELETE,
+      * [[graft.engine.Dml]]) refreshes by folding +agg(added files) and
+      * −agg(removed files) instead of recomputing — groups whose hidden
+      * row count reaches zero drop out in [[finalizeState]]. Vacuously
+      * true for key-only (DISTINCT-shaped) plans, which retract through
+      * the row count alone. */
+    def retractable: Boolean =
+      (merges ++ derived.flatMap(_.partials)).forall(_._2 == "sum")
+    def needsState: Boolean =
+      derived.nonEmpty || having.isDefined || retractable
   }
+
+  /** Hidden partial-state column counting the rows behind each group —
+    * what lets a retraction know a group emptied out (its aggregates
+    * read 0/NULL then, but only rn = 0 distinguishes "no rows" from
+    * "rows summing to zero"). Maintained in every state sidecar. */
+  val RowCountCol = "__graft_rn"
 
   /** One derived output column: `partials` name each contained
     * aggregate's state column and its fold function (an AVG contributes
@@ -458,9 +485,29 @@ object DynamicTables {
             }
             case (other, _) => Seq(other)
           }
-        a.copy(aggregateExpressions = newExprs)
+        // hidden group-cardinality partial, present in every state
+        // sidecar — folds by sum, negates under retraction, and lets
+        // finalizeState drop groups whose last row was retracted
+        a.copy(aggregateExpressions = newExprs :+ Alias(
+          AggregateExpression(
+            Count(org.apache.spark.sql.catalyst.expressions.Literal(1)),
+            Complete, isDistinct = false), RowCountCol)())
     }
     GraftPlans.ofRows(df.sparkSession, plan)
+  }
+
+  /** Negate a partialized delta: every state column folds by SUM when
+    * this is called (guarded by [[AggMerge.retractable]]), so flipping
+    * the sign turns the fold into a retraction — the refresh merges
+    * `old ⊎ (+Δadded) ⊎ (−Δremoved)`. Keys pass through. */
+  def negateState(delta: DataFrame, am: AggMerge): DataFrame = {
+    val neg = am.stateSpec.merges.map(_._1).toSet
+    delta.select(delta.schema.fields.map { f =>
+      if (neg.contains(f.name))
+        (col(f.name) * org.apache.spark.sql.functions.lit(-1))
+          .cast(f.dataType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Derive the visible materialization from the merged partial state:
@@ -471,10 +518,18 @@ object DynamicTables {
   def finalizeState(state: DataFrame, am: AggMerge,
       schema: StructType): DataFrame = {
     val byName = am.derived.map(d => d.name -> d).toMap
+    // groups whose hidden row count was retracted to zero have no rows
+    // behind them — they must vanish from the materialization (their
+    // sum/count columns read 0, not absent). Append-only refreshes
+    // never drive rn to 0, so the filter is the identity there.
+    val live =
+      if (state.columns.contains(RowCountCol))
+        state.filter(col(RowCountCol) > 0)
+      else state
     // HAVING applies over the merged state, BEFORE the projection —
     // its recipe may reference helper aggregates the SELECT dropped
-    val filtered = am.having.fold(state)(h =>
-      state.filter(GraftColumns.ofExpr(h)))
+    val filtered = am.having.fold(live)(h =>
+      live.filter(GraftColumns.ofExpr(h)))
     filtered.select(schema.fields.map { f =>
       byName.get(f.name) match {
         case Some(d) =>

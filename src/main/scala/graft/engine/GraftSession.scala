@@ -269,6 +269,35 @@ final class GraftSession(
           DynamicTables.partialize(df, force = am.having.isDefined)
         case _ => df
       }
+    // file-granular rewrite retraction probe: a single base whose file
+    // set changed NON-append — an Iceberg COW UPDATE/DELETE replaced
+    // some files ([[Dml]]/[[graft.sources.IcebergLite.replaceFiles]])
+    // — still refreshes incrementally when every state column folds
+    // linearly ([[DynamicTables.AggMerge.retractable]]): the merge is
+    // invertible, so the refresh folds `+agg(added) ⊎ −agg(removed)`
+    // reading ONLY the differing files. Carried-forward files
+    // contribute identically before and after the rewrite, so their
+    // groups never leave the state. Pure metadata decision.
+    def rewriteDelta: Option[(Set[String], Set[String])] = st.inc match {
+      case Some(am: DynamicTables.AggMerge)
+          if am.retractable && st.bases.length == 1 =>
+        val b = st.bases.head
+        st.offsets.get(b).flatMap { case (oref, ofs, ods) =>
+          val (cfs, cds) = Streams.filesOf(spark, curs(b))
+          (ofs, cfs) match {
+            case (Some(of), Some(cf))
+                if curs(b).format == oref.format &&
+                  ods.exists(_.isEmpty) && cds.exists(_.isEmpty) &&
+                  (of & cf).nonEmpty && (of -- cf).nonEmpty &&
+                  // retraction reads the replaced files from the
+                  // retained pre-rewrite snapshot
+                  (of -- cf).forall(p => new java.io.File(p).exists()) =>
+              Some((cf -- of, of -- cf))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
     (st.inc, addedPerBase) match {
       case (Some(plan), Some(af)) if st.bases.length == 1 &&
           af(st.bases.head).nonEmpty =>
@@ -328,6 +357,30 @@ final class GraftSession(
           st.bases.flatMap(af(_)).distinct.sorted
         applyIncrement(inner, parts.reduce(_ unionByName _),
           "incremental-join-")
+      case (Some(am: DynamicTables.AggMerge), None)
+          if rewriteDelta.isDefined =>
+        val (added, removed) = rewriteDelta.get
+        val b = st.bases.head
+        val cur = curs(b)
+        val oref = st.offsets(b)._1
+        val baseSchema = registry.load(cur).schema
+        val substituted = rewriteAndSubstitute(st.query)
+        // evaluate the defining query over ONLY `files`, partialized —
+        // `removed` reads under the offset-time ref (its metadata still
+        // lists those files), `added` under the current one
+        def evalOver(files: Set[String], fileRef: TableRef): DataFrame = {
+          Streams.readFiles(spark, fileRef, files, baseSchema)
+            .createOrReplaceTempView(viewName(b))
+          try DynamicTables.partialize(spark.sql(substituted),
+            force = am.having.isDefined)
+          finally registry.load(cur).createOrReplaceTempView(viewName(b))
+        }
+        val dNeg = DynamicTables.negateState(evalOver(removed, oref), am)
+        val delta =
+          if (added.isEmpty) dNeg
+          else evalOver(added, cur).unionByName(dNeg)
+        DynamicTables.lastDeltaFiles = (added ++ removed).toSeq.sorted
+        applyIncrement(am, delta, "incremental-retract-")
       case _ =>
         DynamicTables.lastRefreshMode = "full"
         DynamicTables.lastDeltaFiles = Nil
@@ -1103,6 +1156,32 @@ final class GraftSession(
   // ── SELECT path (A3/A5: resolve + register + run) ──────────────────────
   def runQuery(snowflakeSql: String): DataFrame =
     spark.sql(rewriteAndSubstitute(snowflakeSql))
+
+  /** Run `snowflakeSql` with table `f`'s references bound to `bound`
+    * instead of the table's full contents — the view re-binding trick
+    * dynamic-table refresh uses, exposed for file-granular DML
+    * ([[Dml]]): the same rewritten statement evaluates over just the
+    * affected-file subset. The table's real binding is restored after
+    * analysis (spark.sql analyzes eagerly, inlining the view's plan). */
+  private[engine] def runQueryOver(snowflakeSql: String, f: FQN,
+      ref: TableRef, bound: DataFrame): DataFrame = {
+    val substituted = rewriteAndSubstitute(snowflakeSql)
+    bound.createOrReplaceTempView(viewName(f))
+    try spark.sql(substituted)
+    finally registry.load(ref).createOrReplaceTempView(viewName(f))
+  }
+
+  /** Register a file-granular Iceberg COW commit
+    * ([[graft.sources.IcebergLite.replaceFiles]]) — same bookkeeping as
+    * a whole-table snapshot swap: re-point the ref, record the version
+    * (which also evicts result-reuse entries covering the base), keep
+    * the prior metadata time-travelable. */
+  private[engine] def commitIcebergReplace(f: FQN, ref: TableRef,
+      newMeta: String): Unit = {
+    val newRef = ref.copy(path = Some(newMeta))
+    registry.register(newRef)
+    recordVersion(f, newRef)
+  }
 
   /** The full rewrite pipeline WITHOUT execution — dynamic-table refresh
     * re-binds a base's temp view to its delta between substitution and

@@ -64,7 +64,8 @@ object Streams {
   val RowId    = "METADATA$ROW_ID"
 
   /** Last delta computation's chosen path, for plan-shape assertions in
-    * specs: "empty" | "incremental-files" | "insert-history" | "cow-diff". */
+    * specs: "empty" | "incremental-files" | "insert-history" |
+    * "cow-diff-pruned" | "cow-diff". */
   @volatile private[graft] var lastMode: String = ""
 
   private def listDataFiles(dir: String): Set[String] = {
@@ -187,6 +188,40 @@ object Streams {
               schema), "INSERT")
         } // a snapshot was physically removed → net-diff fallback
       case None =>
+    }
+    // pruned diff: a FILE-GRANULAR rewrite (Iceberg COW UPDATE/DELETE,
+    // [[graft.sources.IcebergLite.replaceFiles]]) changed only some
+    // files. Rows in carried-forward files appear identically on both
+    // sides of the multiset difference and cancel, so diffing ONLY the
+    // differing files is exact:
+    //   cur ∖ base = (shared ⊎ A) ∖ (shared ⊎ R) = A ∖ R
+    // O(changed files) instead of O(table) — at 100 TB the difference
+    // between a stream read costing the DML's own footprint and one
+    // costing two full-table scans. The replaced files read from the
+    // retained pre-rewrite snapshot (offset ref's metadata still lists
+    // them).
+    {
+      val (curFiles, curDeletes) = filesOf(spark, cur)
+      (st.offsetFiles, curFiles) match {
+        case (Some(of), Some(cf))
+            if cur.format == st.offsetRef.format &&
+              st.offsetDeleteFiles.exists(_.isEmpty) &&
+              curDeletes.exists(_.isEmpty) &&
+              (of & cf).nonEmpty && (of -- cf).nonEmpty &&
+              (of -- cf).forall(p => new java.io.File(p).exists()) =>
+          val removed = of -- cf
+          val added = cf -- of
+          lastMode = "cow-diff-pruned"
+          val oldSide =
+            align(readFiles(spark, st.offsetRef, removed, schema), schema)
+          val newSide =
+            if (added.isEmpty) curDf.filter(lit(false))
+            else align(readFiles(spark, cur, added, schema), schema)
+          val ins = withMeta(newSide.exceptAll(oldSide), "INSERT")
+          return if (st.appendOnly) ins
+            else ins.unionByName(withMeta(oldSide.exceptAll(newSide), "DELETE"))
+        case _ =>
+      }
     }
     // files were rewritten: diff the two snapshots. The base side is the
     // OFFSET-TIME state, reconstructed exactly:

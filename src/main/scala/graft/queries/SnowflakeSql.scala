@@ -1483,6 +1483,93 @@ object SnowflakeSql extends QueryPack {
         FROM ice_cmp GROUP BY rk ORDER BY rk;""")
     },
 
+    // File-granular COW DML: UPDATE/DELETE on an Iceberg table rewrite
+    // ONLY the data files holding matched rows and commit a replace
+    // snapshot carrying every other file forward by path (DmlSpec
+    // asserts the file sets; this gate proves the visible contents
+    // stay exact through a delete + an update that each touch one
+    // snapshot's files). At 100 TB this is the difference between a
+    // DELETE costing its own footprint and one rewriting the table.
+    GQuery("snow67_iceberg_granular_dml", Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders WHERE o_orderkey <= 1000
+          AND NOT (o_orderkey % 3 = 0 AND o_orderkey > 500))
+      SELECT c % 7 AS g, count(*) AS n,
+        CAST(sum(CASE WHEN k <= 250
+          THEN CAST(p * 2 AS DECIMAL(12,2)) ELSE p END) AS DOUBLE) AS total
+      FROM base GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE gdml AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 500;
+        INSERT INTO gdml
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000;
+        DELETE FROM gdml WHERE k % 3 = 0 AND k > 500;
+        UPDATE gdml SET p = p * 2 WHERE k <= 250;
+        SELECT c % 7 AS g, count(*) AS n, sum(p)::double AS total
+        FROM gdml GROUP BY 1 ORDER BY g;""")
+    },
+
+    // Table STREAM over a file-granular DML: the CDC read diffs ONLY
+    // the replaced files (carried-forward rows cancel in the multiset
+    // identity cur∖base = A∖R), so the stream read costs O(changed
+    // files), not two table scans — StreamsSpec asserts the
+    // "cow-diff-pruned" mode; this gate proves the emitted net rows.
+    GQuery("snow68_stream_pruned_diff", Some("""
+      SELECT 'DELETE' AS act, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey > 600
+        AND o_orderkey <= 1200""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE sdml AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 600;
+        INSERT INTO sdml
+          SELECT o_orderkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200;
+        CREATE OR REPLACE STREAM sdml_strm ON TABLE sdml;
+        DELETE FROM sdml WHERE k % 4 = 1 AND k > 600;
+        SELECT METADATA$ACTION AS act, count(*) AS n, sum(p)::double AS total
+        FROM sdml_strm GROUP BY 1 ORDER BY 1;""")
+    },
+
+    // DYNAMIC TABLE retraction: a file-granular DELETE on the base
+    // refreshes the DT by folding −agg(removed files) / +agg(replaced
+    // files) into the linear (SUM/COUNT/AVG) state — never recomputing
+    // and never rereading untouched files (DynamicTableSpec asserts the
+    // "incremental-retract-merge" mode and the delta file set; this
+    // gate proves the materialization equals a from-scratch recompute,
+    // including a group the delete empties out entirely).
+    GQuery("snow69_dynamic_table_retract", Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders WHERE o_orderkey <= 1200
+          AND NOT (o_orderkey > 600 AND o_orderkey % 4 = 0))
+      SELECT c % 5 AS g, count(*) AS n, CAST(sum(p) AS DOUBLE) AS total,
+        round(CAST(CAST(avg(p) AS DECIMAL(16,6)) AS DOUBLE), 4) AS ap
+      FROM base GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE rdt_b AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 600;
+        INSERT INTO rdt_b
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200;
+        CREATE OR REPLACE DYNAMIC TABLE rdt AS
+          SELECT c % 5 AS g, count(*) AS n, sum(p) AS total, avg(p) AS ap
+          FROM rdt_b GROUP BY 1;
+        DELETE FROM rdt_b WHERE k > 600 AND k % 4 = 0;
+        ALTER DYNAMIC TABLE rdt REFRESH;
+        SELECT g, n, total::double AS total, round(ap::double, 4) AS ap
+        FROM rdt ORDER BY g;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

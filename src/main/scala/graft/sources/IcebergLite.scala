@@ -641,6 +641,34 @@ object IcebergLite {
     }
   }
 
+  /** Copy-on-write file replacement — the snapshot primitive behind
+    * file-granular UPDATE/DELETE ([[graft.engine.Dml]]): swap exactly
+    * `affected` data files for the contents of `next` in ONE snapshot
+    * commit; every other data file carries forward untouched (same
+    * path, same bytes). This is how Iceberg's own COW row-level
+    * operations commit (spec: a REPLACE snapshot lists removed and
+    * added files; unchanged manifests are reused) — at 100 TB a DELETE
+    * touching 0.1% of files must not rewrite the other 99.9%. The
+    * pre-replacement version stays time-travelable. Tables with pending
+    * row-level delete files are rejected (fold them via the whole-table
+    * COW path instead — a replace commit must not resurrect rows). */
+  def replaceFiles(spark: SparkSession, metadataPath: String,
+      affected: Set[String], next: DataFrame): String = {
+    val (entries, deletes) = planFiles(spark, metadataPath)
+    require(deletes.isEmpty,
+      "replaceFiles with pending row-level deletes is unsupported")
+    require(affected.subsetOf(entries.map(_.path).toSet),
+      "affected paths must be current data files of the table")
+    val keep = entries.filterNot(e => affected.contains(e.path))
+      .map(e => e.path -> e.partition).distinct
+    val dir = Paths.get(stripScheme(metadataPath)).getParent.getParent.toString
+    val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(metadataPath)
+      .map(_.group(1).toInt).getOrElse(1)
+    commit(spark, next, dir, version + 1, carryForward = keep,
+      partitionBy = partitionColumns(metadataPath),
+      baseMeta = Some(metadataPath))
+  }
+
   def compact(spark: SparkSession, metadataPath: String,
       smallBytes: Long = 128L << 20): String = {
     val (entries, deletes) = planFiles(spark, metadataPath)

@@ -136,4 +136,105 @@ class DmlSpec extends AnyFunSuite {
     assert(s.sql("SELECT nm FROM t_ok WHERE k = 1").collect()(0).getString(0) == "x")
     s.sql("DROP TABLE t_ok")
   }
+
+  // ── file-granular COW on Iceberg targets ───────────────────────────────
+
+  private def iceFiles(s: GraftSession, name: String): (TableRef, Set[String]) = {
+    val f = Identifiers.fullQualifier(name, "GRAFT", "PUBLIC")
+    val ref = s.registry.resolve(f).get
+    (ref, graft.sources.IcebergLite.dataFiles(spark, ref.path.get).toSet)
+  }
+
+  /** Three snapshots with disjoint key ranges → affected-file detection
+    * can be asserted down to the snapshot data dir. */
+  private def buildIceberg3(s: GraftSession, name: String): Unit = {
+    s.sql(s"CREATE OR REPLACE ICEBERG TABLE $name AS " +
+      "SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey <= 500")
+    s.sql(s"INSERT INTO $name SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_orderkey > 500 AND o_orderkey <= 1000")
+    s.sql(s"INSERT INTO $name SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_orderkey > 1000")
+  }
+
+  test("Iceberg DELETE replaces only affected files; rest carry forward by path") {
+    val s = newSession()
+    buildIceberg3(s, "ice_gd")
+    val (ref0, before) = iceFiles(s, "ice_gd")
+    val total = s.sql("SELECT count(*) AS n FROM ice_gd").collect()(0).getLong(0)
+    val hit = s.sql("SELECT count(*) AS n FROM ice_gd WHERE k > 500 AND k <= 1000")
+      .collect()(0).getLong(0)
+    assert(hit > 0)
+    val res = s.sql("DELETE FROM ice_gd WHERE k > 500 AND k <= 1000")
+    assert(res.collect()(0).getLong(0) == hit)
+    val (ref1, after) = iceFiles(s, "ice_gd")
+    assert(ref1.path.get != ref0.path.get) // replace commit = new version
+    // only snapshot-2's files (the key range's home) were swapped out;
+    // snapshot-1 and snapshot-3 files survive at their exact paths
+    val s2 = before.filter(_.contains("/data/s2/"))
+    assert(s2.nonEmpty && (after & s2).isEmpty)
+    assert((before -- s2).subsetOf(after))
+    assert(s.sql("SELECT count(*) AS n FROM ice_gd").collect()(0).getLong(0)
+      == total - hit)
+    assert(s.sql("SELECT count(*) AS n FROM ice_gd WHERE k > 500 AND k <= 1000")
+      .collect()(0).getLong(0) == 0)
+    // pre-delete metadata stays time-travelable
+    assert(graft.sources.IcebergLite.scan(spark, ref0.path.get).count() == total)
+    s.sql("DROP TABLE ice_gd")
+  }
+
+  test("Iceberg DELETE with partial-file matches keeps survivors of rewritten files") {
+    val s = newSession()
+    buildIceberg3(s, "ice_gp")
+    val (_, before) = iceFiles(s, "ice_gp")
+    val hit = s.sql("SELECT count(*) AS n FROM ice_gp WHERE k % 7 = 0 AND k <= 500")
+      .collect()(0).getLong(0)
+    val keepInS1 = s.sql("SELECT count(*) AS n FROM ice_gp WHERE k % 7 <> 0 AND k <= 500")
+      .collect()(0).getLong(0)
+    assert(hit > 0 && keepInS1 > 0)
+    s.sql("DELETE FROM ice_gp WHERE k % 7 = 0 AND k <= 500")
+    val (_, after) = iceFiles(s, "ice_gp")
+    // s2/s3 untouched by path; s1 replaced but its non-matching rows kept
+    assert((before.filterNot(_.contains("/data/s1/"))).subsetOf(after))
+    assert(s.sql("SELECT count(*) AS n FROM ice_gp WHERE k <= 500")
+      .collect()(0).getLong(0) == keepInS1)
+    s.sql("DROP TABLE ice_gp")
+  }
+
+  test("Iceberg UPDATE rewrites only files holding matched rows") {
+    val s = newSession()
+    buildIceberg3(s, "ice_gu")
+    val (_, before) = iceFiles(s, "ice_gu")
+    val sumLow = s.sql(
+      "SELECT CAST(sum(p) AS DOUBLE) AS v FROM ice_gu WHERE k <= 500")
+      .collect()(0).getDouble(0)
+    val sumHigh = s.sql(
+      "SELECT CAST(sum(p) AS DOUBLE) AS v FROM ice_gu WHERE k > 500")
+      .collect()(0).getDouble(0)
+    val n = s.sql("UPDATE ice_gu SET p = p * 2 WHERE k <= 500")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    val (_, after) = iceFiles(s, "ice_gu")
+    assert(before.filterNot(_.contains("/data/s1/")).subsetOf(after))
+    assert((after & before.filter(_.contains("/data/s1/"))).isEmpty)
+    val sumLow2 = s.sql(
+      "SELECT CAST(sum(p) AS DOUBLE) AS v FROM ice_gu WHERE k <= 500")
+      .collect()(0).getDouble(0)
+    val sumHigh2 = s.sql(
+      "SELECT CAST(sum(p) AS DOUBLE) AS v FROM ice_gu WHERE k > 500")
+      .collect()(0).getDouble(0)
+    assert(math.abs(sumLow2 - 2 * sumLow) < 1e-6 * math.abs(sumLow))
+    assert(math.abs(sumHigh2 - sumHigh) < 1e-9)
+    s.sql("DROP TABLE ice_gu")
+  }
+
+  test("Iceberg DELETE matching no rows commits nothing") {
+    val s = newSession()
+    buildIceberg3(s, "ice_gn")
+    val (ref0, before) = iceFiles(s, "ice_gn")
+    val res = s.sql("DELETE FROM ice_gn WHERE k < 0")
+    assert(res.collect()(0).getLong(0) == 0)
+    val (ref1, after) = iceFiles(s, "ice_gn")
+    assert(ref1.path.get == ref0.path.get && after == before)
+    s.sql("DROP TABLE ice_gn")
+  }
 }

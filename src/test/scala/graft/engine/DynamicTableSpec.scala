@@ -39,7 +39,7 @@ class DynamicTableSpec extends AnyFunSuite {
       FROM dyn_base GROUP BY k""")
     s.sql("""INSERT INTO dyn_base
       SELECT o_custkey, o_totalprice::number(12,2)
-      FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000""")
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 8000""")
     s.sql("ALTER DYNAMIC TABLE dyn_agg REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-merge")
     assert(DynamicTables.lastDeltaFiles.nonEmpty)
@@ -80,14 +80,14 @@ class DynamicTableSpec extends AnyFunSuite {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_b3 AS
       SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
-      FROM orders WHERE o_orderkey <= 2000""")
+      FROM orders WHERE o_orderkey <= 500""")
     s.sql("""CREATE DYNAMIC TABLE dyn_f3 AS
       SELECT k, price * 2 AS p2 FROM dyn_b3 WHERE st = 'O'""")
     s.sql("ALTER DYNAMIC TABLE dyn_f3 REFRESH")
     assert(DynamicTables.lastRefreshMode == "no-op")
     s.sql("""INSERT INTO dyn_b3
       SELECT o_orderkey, o_totalprice, o_orderstatus
-      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000""")
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
     s.sql("ALTER DYNAMIC TABLE dyn_f3 REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-append")
     assertSame(
@@ -291,12 +291,12 @@ class DynamicTableSpec extends AnyFunSuite {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_b7 AS
       SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS price
-      FROM orders WHERE o_orderkey <= 2000""")
+      FROM orders WHERE o_orderkey <= 500""")
     // dt1 stateless → refresh APPENDS in place → dt2 sees a pure append
     s.sql("CREATE DYNAMIC TABLE dyn_d7a AS SELECT ck, price FROM dyn_b7 WHERE price > 1000")
     s.sql("CREATE DYNAMIC TABLE dyn_d7b AS SELECT ck, count(*) AS n FROM dyn_d7a GROUP BY ck")
     s.sql("""INSERT INTO dyn_b7 SELECT o_orderkey, o_custkey, o_totalprice
-      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000""")
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
     s.sql("ALTER DYNAMIC TABLE dyn_d7a REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-append")
     s.sql("ALTER DYNAMIC TABLE dyn_d7b REFRESH")
@@ -353,7 +353,7 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM dyn_a10"), want)
     s.sql("""INSERT INTO dyn_b10
       SELECT o_custkey, o_totalprice::number(12,2)
-      FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000""")
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 8000""")
     s.sql("ALTER DYNAMIC TABLE dyn_a10 REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-merge")
     assert(DynamicTables.lastDeltaFiles.nonEmpty)
@@ -374,7 +374,7 @@ class DynamicTableSpec extends AnyFunSuite {
     s.sql("ALTER DYNAMIC TABLE dyn_a10 REFRESH")
     assert(DynamicTables.lastRefreshMode == "full")
     assertSame(s.sql("SELECT * FROM dyn_a10"), want)
-    s.sql("INSERT INTO dyn_b10 SELECT o_custkey, o_totalprice::number(12,2) FROM orders WHERE o_orderkey <= 2000")
+    s.sql("INSERT INTO dyn_b10 SELECT o_custkey, o_totalprice::number(12,2) FROM orders WHERE o_orderkey <= 500")
     s.sql("ALTER DYNAMIC TABLE dyn_a10 REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-merge")
     assertSame(s.sql("SELECT * FROM dyn_a10"), want)
@@ -416,7 +416,7 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM dyn_a13"), want)
     s.sql("""INSERT INTO dyn_b13
       SELECT o_custkey, o_totalprice::number(12,2)
-      FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 8000""")
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 8000""")
     s.sql("ALTER DYNAMIC TABLE dyn_a13 REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-merge")
     assertSame(s.sql("SELECT * FROM dyn_a13"), want)
@@ -446,7 +446,7 @@ class DynamicTableSpec extends AnyFunSuite {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_b15 AS
       SELECT o_orderkey AS ok, o_custkey AS k, o_totalprice::number(12,2) AS price
-      FROM orders WHERE o_orderkey <= 2000""")
+      FROM orders WHERE o_orderkey <= 500""")
     val defn = """SELECT k % 4 AS g, count(*) AS n,
         sum(price) + 1 AS sp1, round(avg(price), 2) AS ap,
         max(price) - min(price) AS spread
@@ -478,7 +478,7 @@ class DynamicTableSpec extends AnyFunSuite {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_b16 AS
       SELECT o_custkey AS k, o_totalprice::number(12,2) AS price
-      FROM orders WHERE o_orderkey <= 2000""")
+      FROM orders WHERE o_orderkey <= 500""")
     // sum(price) < N: appends push groups OVER it (rows disappear);
     // count(*) >= N: appends pull groups over it (rows appear) — the
     // state must keep every group unfiltered for either to be sound
@@ -512,7 +512,7 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM dyn_a17"), s.sql(defn))
     s.sql("""INSERT INTO dyn_b17
       SELECT o_custkey, o_totalprice::number(12,2)
-      FROM orders WHERE o_orderkey > 4000""")
+      FROM orders WHERE o_orderkey > 1000""")
     s.sql("ALTER DYNAMIC TABLE dyn_a17 REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-merge")
     assertSame(s.sql("SELECT * FROM dyn_a17"), s.sql(defn))
@@ -558,5 +558,89 @@ class DynamicTableSpec extends AnyFunSuite {
     s.sql("ALTER DYNAMIC TABLE dyn_a11 REFRESH")
     assert(DynamicTables.lastRefreshMode == "incremental-join-merge")
     assertSame(s.sql("SELECT * FROM dyn_a11"), want)
+  }
+
+  // ── retraction: file-granular DML on an Iceberg base ───────────────────
+
+  test("retraction: Iceberg granular DELETE refreshes by ±fold, not recompute") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_ib AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 500""")
+    s.sql("""INSERT INTO dyn_ib
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_ret AS
+      SELECT c % 10 AS g, count(*) AS n, sum(p) AS total, avg(p) AS ap
+      FROM dyn_ib GROUP BY 1""")
+    def want = s.sql("""SELECT c % 10 AS g, count(*) AS n, sum(p) AS total,
+      avg(p) AS ap FROM dyn_ib GROUP BY 1""")
+    // granular DELETE replaces only snapshot-2's files
+    s.sql("DELETE FROM dyn_ib WHERE k > 500 AND k <= 750")
+    s.sql("ALTER DYNAMIC TABLE dyn_ret REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-retract-merge",
+      DynamicTables.lastRefreshMode)
+    // the retraction read the replaced/removed files only — never s1
+    assert(DynamicTables.lastDeltaFiles.nonEmpty &&
+      DynamicTables.lastDeltaFiles.forall(!_.contains("/data/s1/")),
+      DynamicTables.lastDeltaFiles.toString)
+    assertSame(s.sql("SELECT * FROM dyn_ret"), want)
+    // appends after a retraction resume the plain merge path
+    s.sql("""INSERT INTO dyn_ib
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1200""")
+    s.sql("ALTER DYNAMIC TABLE dyn_ret REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(s.sql("SELECT * FROM dyn_ret"), want)
+  }
+
+  test("retraction: a group whose last row is deleted vanishes") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_ib2 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("INSERT INTO dyn_ib2 SELECT 99, 9") // lone group rk=9, snapshot 2
+    s.sql("""CREATE DYNAMIC TABLE dyn_ret2 AS
+      SELECT rk, count(*) AS n, sum(k) AS sk FROM dyn_ib2 GROUP BY rk""")
+    assert(s.sql("SELECT * FROM dyn_ret2 WHERE rk = 9").count() == 1)
+    s.sql("DELETE FROM dyn_ib2 WHERE rk = 9")
+    s.sql("ALTER DYNAMIC TABLE dyn_ret2 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-retract-merge",
+      DynamicTables.lastRefreshMode)
+    // rn hit 0: the group must vanish, not read n=0/sk=0
+    assert(s.sql("SELECT * FROM dyn_ret2 WHERE rk = 9").count() == 0)
+    assertSame(s.sql("SELECT * FROM dyn_ret2"),
+      s.sql("SELECT rk, count(*) AS n, sum(k) AS sk FROM dyn_ib2 GROUP BY rk"))
+  }
+
+  test("retraction: MIN/MAX disqualifies — Iceberg DELETE goes full") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_ib3 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("INSERT INTO dyn_ib3 SELECT n_nationkey + 100, n_regionkey FROM nation")
+    s.sql("""CREATE DYNAMIC TABLE dyn_ret3 AS
+      SELECT rk, max(k) AS hi FROM dyn_ib3 GROUP BY rk""")
+    s.sql("DELETE FROM dyn_ib3 WHERE k > 100")
+    s.sql("ALTER DYNAMIC TABLE dyn_ret3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(s.sql("SELECT * FROM dyn_ret3"),
+      s.sql("SELECT rk, max(k) AS hi FROM dyn_ib3 GROUP BY rk"))
+  }
+
+  test("retraction: Iceberg granular UPDATE re-aggregates through ±fold") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_ib4 AS
+      SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 500""")
+    s.sql("""INSERT INTO dyn_ib4 SELECT o_orderkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_ret4 AS
+      SELECT k % 5 AS g, sum(p) AS total, count(*) AS n
+      FROM dyn_ib4 GROUP BY 1""")
+    s.sql("UPDATE dyn_ib4 SET p = p * 2 WHERE k > 500")
+    s.sql("ALTER DYNAMIC TABLE dyn_ret4 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-retract-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM dyn_ret4"),
+      s.sql("SELECT k % 5 AS g, sum(p) AS total, count(*) AS n FROM dyn_ib4 GROUP BY 1"))
   }
 }

@@ -171,4 +171,34 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(d == Map("INSERT" -> 3L, "DELETE" -> 3L))
   }
+
+  test("pruned cow-diff: Iceberg granular DELETE diffs only the replaced files") {
+    val s = newSession()
+    // two snapshots with disjoint key ranges
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE st_ti AS
+      SELECT n_nationkey AS k, n_name AS name FROM nation""")
+    s.sql("INSERT INTO st_ti SELECT n_nationkey + 100, n_name FROM nation")
+    s.sql("CREATE OR REPLACE STREAM st_si ON TABLE st_ti")
+    // granular DELETE replaces only snapshot-2's files; snapshot-1
+    // carries forward and must never enter the diff
+    s.sql("DELETE FROM st_ti WHERE k >= 100 AND k < 103")
+    val d = s.sql("SELECT METADATA$ACTION AS a, k FROM st_si ORDER BY k").collect()
+    assert(Streams.lastMode == "cow-diff-pruned", Streams.lastMode)
+    assert(d.forall(_.getString(0) == "DELETE"))
+    assert(d.map(_.getAs[Number](1).longValue()).toSeq == Seq(100L, 101L, 102L))
+  }
+
+  test("pruned cow-diff: Iceberg granular UPDATE pairs INSERT+DELETE") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE st_tu AS
+      SELECT n_nationkey AS k, n_nationkey * 10 AS v FROM nation""")
+    s.sql("INSERT INTO st_tu SELECT n_nationkey + 100, n_nationkey FROM nation")
+    s.sql("CREATE OR REPLACE STREAM st_su ON TABLE st_tu")
+    s.sql("UPDATE st_tu SET v = v + 1 WHERE k >= 100 AND k < 104")
+    val d = s.sql(
+      "SELECT METADATA$ACTION AS a, count(*) AS n FROM st_su GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(Streams.lastMode == "cow-diff-pruned", Streams.lastMode)
+    assert(d == Map("INSERT" -> 4L, "DELETE" -> 4L), d.toString)
+  }
 }

@@ -719,18 +719,26 @@ class IcebergLiteSpec extends AnyFunSuite {
         v2.replace("v2.metadata.json", "v1.metadata.json")).count()
     }
 
-    // session-level: a COW UPDATE leaves the old table dir behind;
-    // EXPIRE SNAPSHOTS reclaims it and resets time travel to now
-    s.sql("UPDATE evo_exp SET nm = lower(nm) WHERE k < 3")
+    // a PREDICATED UPDATE goes file-granular: the replace snapshot
+    // commits INTO the same table dir (continuous metadata chain) —
+    // no orphan dir to reclaim
+    s.sql("UPDATE evo_exp SET nm = upper(nm) WHERE k < 3")
+    val refGran = s.registry.resolve(fqn).get
+    assert(Paths.get(refGran.path.get).getParent.getParent ==
+      Paths.get(v3).getParent.getParent)
+    // session-level: a WHOLE-TABLE COW rewrite (no predicate → every
+    // file affected) leaves the old table dir behind; EXPIRE SNAPSHOTS
+    // reclaims it and resets time travel to now
+    s.sql("UPDATE evo_exp SET nm = lower(nm)")
     val refCow = s.registry.resolve(fqn).get
-    val oldDir = Paths.get(refIns.path.get).getParent.getParent
+    val oldDir = Paths.get(refGran.path.get).getParent.getParent
     val cowDir = Paths.get(refCow.path.get).getParent.getParent
     assert(oldDir != cowDir && Files.isDirectory(oldDir))
     s.sql("ALTER TABLE evo_exp EXPIRE SNAPSHOTS")
     assert(!Files.exists(oldDir), "expired COW source dir must be reclaimed")
     val rows = s.sql("SELECT k, nm FROM evo_exp ORDER BY k").collect()
     assert(rows.length == 15)
-    assert(rows.take(3).forall(r => r.getString(1) == r.getString(1).toLowerCase))
+    assert(rows.forall(r => r.getString(1) == r.getString(1).toLowerCase))
     s.sql("DROP TABLE evo_exp")
   }
 
