@@ -63,17 +63,31 @@ object Dml {
     * difference between rewriting the 0.1% of files a DELETE touches and
     * rewriting the table. */
   private def affectedFiles(s: GraftSession, f: FQN, ref: TableRef,
-      pred: String): Option[Set[String]] = {
+      pred: String): Option[Set[String]] =
+    detectFiles(s, ref,
+      // file attribution is materialized BELOW the filter (input_file_name
+      // is only valid in the scan's own stage — a subquery predicate
+      // compiles to a join, and a post-exchange evaluation would read an
+      // unset thread-local), then the predicate filters above it
+      s"SELECT DISTINCT __graft_p AS p FROM (" +
+      s"SELECT ${f.table}.*, input_file_name() AS __graft_p " +
+      s"FROM ${f.database}.${f.schema}.${f.table} AS ${f.table}) AS ${f.table} " +
+      s"WHERE COALESCE(($pred), FALSE)")
+
+  /** Run a file-attribution query and normalize the returned paths to
+    * manifest entries. None = pending row-level delete files (the scan
+    * plan is a union of anti-joins where attribution is unsafe) or a
+    * path failed to normalize (e.g. "" from a post-shuffle evaluation)
+    * — callers fall back to the whole-table rewrite. */
+  private def detectFiles(s: GraftSession, ref: TableRef,
+      sql: String): Option[Set[String]] = {
     import graft.sources.IcebergLite
     val mp = ref.path.get
     if (IcebergLite.deleteFiles(s.spark, mp).nonEmpty) return None
     val known = IcebergLite.dataFiles(s.spark, mp).toSet
     def norm(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
-    val got = s.runQuery(
-      s"SELECT DISTINCT input_file_name() AS p " +
-      s"FROM ${f.database}.${f.schema}.${f.table} WHERE COALESCE(($pred), FALSE)")
-      .collect().map(r => norm(r.getString(0))).toSet
+    val got = s.runQuery(sql).collect().map(r => norm(r.getString(0))).toSet
     if (got.forall(known.contains)) Some(got) else None
   }
 
@@ -280,6 +294,45 @@ object Dml {
         s"LEFT ANTI JOIN ${f.database}.${f.schema}.${f.table} ${q(tAlias)} ON ($onCond)$cond"
     }.mkString
 
+    // Iceberg targets go file-granular: detect the target files holding
+    // MATCHED rows (scan-level input_file_name + EXISTS against the
+    // source — the same first pass as UPDATE/DELETE), rewrite only
+    // those through the update/delete projection, append NOT MATCHED
+    // inserts as new files, one replace commit. The anti-join for
+    // inserts still reads the full target (matching needs it), but the
+    // dominant cost — rewriting unmatched data files — drops to
+    // O(matched files).
+    if (ref.format == "iceberg") {
+      import graft.sources.IcebergLite
+      val matchedSql =
+        s"SELECT DISTINCT __graft_p AS p FROM (" +
+        s"SELECT ${q(tAlias)}.*, input_file_name() AS __graft_p " +
+        s"FROM ${f.database}.${f.schema}.${f.table} AS ${q(tAlias)}) AS ${q(tAlias)} " +
+        s"WHERE EXISTS (SELECT 1 FROM $srcBody AS ${q(sAlias)} WHERE ($onCond))"
+      detectFiles(s, ref, matchedSql) match {
+        case Some(aff)
+            if aff != IcebergLite.dataFiles(s.spark, ref.path.get).toSet =>
+          val insertOnly =
+            if (inserts.isEmpty) None
+            else Some(s.runQuery(insertSql.stripPrefix(" UNION ALL ")))
+          val newMeta =
+            if (aff.isEmpty) insertOnly match {
+              case None => // no matches, no inserts: nothing to commit
+                return s.countStatus("number of rows merged",
+                  s.registry.load(ref).count())
+              case Some(ins) => IcebergLite.append(s.spark, ins, ref.path.get)
+            } else {
+              val subset = IcebergLite.scanSubset(s.spark, ref.path.get, aff)
+              val survivors = s.runQueryOver(survivorsSql, f, ref, subset)
+              val next = insertOnly.fold(survivors)(survivors.unionByName(_))
+              IcebergLite.replaceFiles(s.spark, ref.path.get, aff, next)
+            }
+          s.commitIcebergReplace(f, ref, newMeta)
+          return s.countStatus("number of rows merged",
+            s.registry.load(s.registry.resolve(f).get).count())
+        case _ => // fall through to the whole-table rewrite
+      }
+    }
     val next = s.runQuery(survivorsSql + insertSql)
     val after = s.swapSnapshot(f, ref, next)
     s.countStatus("number of rows merged", after)

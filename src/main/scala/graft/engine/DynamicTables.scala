@@ -73,7 +73,11 @@ import org.apache.spark.sql.types.StructType
   *     `−agg(removed files)` into the state, reading only the files
   *     the DML touched. Groups whose hidden row count reaches zero
   *     drop from the materialization. MIN/MAX are not invertible and
-  *     disqualify this mode (not the ones above).
+  *     disqualify this mode (not the ones above). Join trees retract
+  *     too ('''incremental-join-retract'''): the telescoped identity
+  *     holds with SIGNED deltas — each changed base contributes a
+  *     +part over its added files and a −part over its removed files,
+  *     under the same old/new bindings of the other bases.
   *  6. '''full''' — anything else (outer joins, windows, DISTINCT
   *     aggregates, whole-table rewrites on a base, MIN/MAX under
   *     deletes, a base DT that merge-refreshes — its file set is

@@ -298,6 +298,44 @@ final class GraftSession(
         }
       case _ => None
     }
+    // join-tree variant of the rewrite-retraction probe: per base the
+    // signed file delta (added, removed) — removed non-empty on the
+    // base(s) a file-granular DML touched. The telescoped identity
+    // holds with SIGNED deltas (A_new = A_old ⊎ ΔA with ΔA = added −
+    // removed), and linear aggregates distribute over the sign:
+    //   Δ(⋈ᵢAᵢ) = Σᵢ old₁…ᵢ₋₁ ⋈ (addedᵢ − removedᵢ) ⋈ newᵢ₊₁…ₙ
+    // so each changed base contributes a +part and a −part, both read
+    // at O(its changed files) (dimension sides at O(dim), never the
+    // old fact files). Bases rewritten WHOLESALE (no file carried
+    // forward) are excluded — two full-join evaluations would cost
+    // more than the full refresh they'd replace.
+    def joinRewriteDelta: Option[Map[FQN, (Set[String], Set[String])]] =
+      st.inc match {
+        case Some(DynamicTables.JoinDelta(am: DynamicTables.AggMerge))
+            if am.retractable && st.bases.length >= 2 =>
+          val per = st.bases.map { b =>
+            st.offsets.get(b).flatMap { case (oref, ofs, ods) =>
+              val (cfs, cds) = Streams.filesOf(spark, curs(b))
+              (ofs, cfs) match {
+                case (Some(of), Some(cf))
+                    if curs(b).format == oref.format &&
+                      ods.exists(_.isEmpty) && cds.exists(_.isEmpty) &&
+                      ((of -- cf).isEmpty || (of & cf).nonEmpty) &&
+                      of.forall(p => new java.io.File(p).exists()) =>
+                  Some(b -> ((cf -- of, of -- cf)))
+                case _ => None
+              }
+            }
+          }
+          if (!per.forall(_.isDefined)) None
+          else {
+            val m = per.flatten.toMap
+            // pure appends take the plain join path; this one exists
+            // for the replaced-file case
+            if (m.values.exists(_._2.nonEmpty)) Some(m) else None
+          }
+        case _ => None
+      }
     (st.inc, addedPerBase) match {
       case (Some(plan), Some(af)) if st.bases.length == 1 &&
           af(st.bases.head).nonEmpty =>
@@ -381,6 +419,51 @@ final class GraftSession(
           else evalOver(added, cur).unionByName(dNeg)
         DynamicTables.lastDeltaFiles = (added ++ removed).toSeq.sorted
         applyIncrement(am, delta, "incremental-retract-")
+      case (Some(DynamicTables.JoinDelta(am: DynamicTables.AggMerge)), None)
+          if joinRewriteDelta.isDefined =>
+        val chg = joinRewriteDelta.get
+        val schemaOf = st.bases.map(b =>
+          b -> registry.load(curs(b)).schema).toMap
+        def oldView(b: FQN): DataFrame = {
+          val old = st.offsets(b)._2.get
+          if (old.isEmpty)
+            registry.load(curs(b))
+              .filter(org.apache.spark.sql.functions.lit(false))
+          else Streams.readFiles(spark, st.offsets(b)._1, old, schemaOf(b))
+        }
+        val substituted = rewriteAndSubstitute(st.query)
+        val parts = scala.collection.mutable.Buffer.empty[DataFrame]
+        try {
+          for (i <- st.bases.indices) {
+            val (addedI, removedI) = chg(st.bases(i))
+            // signed delta of base i: a +part over its added files and
+            // a −part over its removed files, both under the SAME
+            // old/new bindings of the other bases
+            for ((files, neg) <- Seq((addedI, false), (removedI, true))
+                 if files.nonEmpty) {
+              for (j <- st.bases.indices) {
+                val b = st.bases(j)
+                val bound =
+                  if (j < i) oldView(b)
+                  else if (j == i)
+                    Streams.readFiles(spark,
+                      if (neg) st.offsets(b)._1 else curs(b),
+                      files, schemaOf(b))
+                  else registry.load(curs(b))
+                bound.createOrReplaceTempView(viewName(b))
+              }
+              val part = DynamicTables.partialize(spark.sql(substituted),
+                force = am.having.isDefined)
+              parts += (if (neg) DynamicTables.negateState(part, am)
+                        else part)
+            }
+          }
+        } finally st.bases.foreach(b =>
+          registry.load(curs(b)).createOrReplaceTempView(viewName(b)))
+        DynamicTables.lastDeltaFiles =
+          st.bases.flatMap(b => chg(b)._1 ++ chg(b)._2).distinct.sorted
+        applyIncrement(am, parts.reduce(_ unionByName _),
+          "incremental-join-retract-")
       case _ =>
         DynamicTables.lastRefreshMode = "full"
         DynamicTables.lastDeltaFiles = Nil

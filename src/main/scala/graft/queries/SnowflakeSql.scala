@@ -1570,6 +1570,79 @@ object SnowflakeSql extends QueryPack {
         FROM rdt ORDER BY g;""")
     },
 
+    // Join-DT retraction: a file-granular DELETE on the FACT side of a
+    // fact⋈dim aggregate DT refreshes through the signed telescoped
+    // identity (+part over added files, −part over removed files, dim
+    // at O(dim)) — the star-schema rollup stays incremental through
+    // row-level DML, the shape that matters at 100 TB where a full
+    // refresh re-joins the whole fact table. DynamicTableSpec asserts
+    // the "incremental-join-retract-merge" mode and the delta file set.
+    GQuery("snow70_dynamic_table_join_retract", Some("""
+      SELECT d.c_nationkey AS nk, count(*) AS n,
+        CAST(sum(CAST(f.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders f JOIN customer d ON f.o_custkey = d.c_custkey
+      WHERE f.o_orderkey <= 1200
+        AND NOT (f.o_orderkey > 600 AND f.o_orderkey % 3 = 0)
+      GROUP BY 1 ORDER BY nk""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE jr_f AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 600;
+        INSERT INTO jr_f
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200;
+        CREATE OR REPLACE TABLE jr_d AS
+          SELECT c_custkey AS c, c_nationkey AS nk FROM customer;
+        CREATE OR REPLACE DYNAMIC TABLE jr_dt AS
+          SELECT d.nk, count(*) AS n, sum(f.p) AS total
+          FROM jr_f f JOIN jr_d d ON f.c = d.c
+          GROUP BY d.nk;
+        DELETE FROM jr_f WHERE k > 600 AND k % 3 = 0;
+        ALTER DYNAMIC TABLE jr_dt REFRESH;
+        SELECT nk, n, total::double AS total FROM jr_dt ORDER BY nk;""")
+    },
+
+    // File-granular MERGE on Iceberg: matched-file detection through the
+    // source join, update-projection rewrite of ONLY those files,
+    // NOT MATCHED inserts appended in the same replace commit (DmlSpec
+    // asserts the carried-forward file paths; this gate proves the
+    // merged contents).
+    GQuery("snow71_iceberg_granular_merge", Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+          CAST(CASE WHEN o_orderkey > 600 AND o_orderkey <= 700
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+            AS DECIMAL(12,2)) AS p
+        FROM orders WHERE o_orderkey <= 1200
+        UNION ALL
+        SELECT o_orderkey + 20000, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey <= 20)
+      SELECT CASE WHEN k >= 20000 THEN 1 ELSE 0 END AS grp,
+        count(*) AS n, CAST(sum(p) AS DOUBLE) AS total
+      FROM base GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE gm_t AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 600;
+        INSERT INTO gm_t
+          SELECT o_orderkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200;
+        MERGE INTO gm_t t USING (
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 700
+          UNION ALL
+          SELECT o_orderkey + 20000, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey <= 20
+        ) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET p = s.p * 2
+        WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.p);
+        SELECT CASE WHEN k >= 20000 THEN 1 ELSE 0 END AS grp,
+          count(*) AS n, sum(p)::double AS total
+        FROM gm_t GROUP BY 1 ORDER BY 1;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -227,6 +227,59 @@ class DmlSpec extends AnyFunSuite {
     s.sql("DROP TABLE ice_gu")
   }
 
+  test("Iceberg MERGE rewrites only matched files; inserts append in the same commit") {
+    val s = newSession()
+    buildIceberg3(s, "ice_gm")
+    val (_, before) = iceFiles(s, "ice_gm")
+    // matches land only in snapshot-2's key range; inserts are new keys
+    s.sql("""CREATE OR REPLACE TABLE src_gm AS
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey > 600 AND o_orderkey <= 700
+      UNION ALL
+      SELECT o_orderkey + 10000, o_totalprice FROM orders WHERE o_orderkey <= 20""")
+    s.sql("""MERGE INTO ice_gm t USING src_gm s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET p = s.p + 1
+      WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.p)""")
+    val (_, after) = iceFiles(s, "ice_gm")
+    // snapshot-1/3 files carried forward by path; snapshot-2 replaced
+    assert(before.filter(p =>
+      p.contains("/data/s1/") || p.contains("/data/s3/")).subsetOf(after))
+    assert((after & before.filter(_.contains("/data/s2/"))).isEmpty)
+    // matched rows updated to source value + 1
+    val matched = s.sql("""SELECT count(*) AS n FROM ice_gm m
+      JOIN orders o ON m.k = o.o_orderkey
+      WHERE m.k > 600 AND m.k <= 700 AND m.p = o.o_totalprice + 1""")
+      .collect()(0).getLong(0)
+    val expect = s.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 700")
+      .collect()(0).getLong(0)
+    assert(matched == expect && matched > 0)
+    // inserts landed
+    assert(s.sql("SELECT count(*) AS n FROM ice_gm WHERE k >= 10000")
+      .collect()(0).getLong(0) == 21)
+    // unmatched rows in carried files untouched
+    val untouched = s.sql("""SELECT count(*) AS n FROM ice_gm m
+      JOIN orders o ON m.k = o.o_orderkey
+      WHERE m.k <= 600 AND m.p = o.o_totalprice""").collect()(0).getLong(0)
+    assert(untouched == 601)
+    s.sql("DROP TABLE ice_gm"); s.sql("DROP TABLE src_gm")
+  }
+
+  test("Iceberg MERGE with no matches appends inserts without touching data files") {
+    val s = newSession()
+    buildIceberg3(s, "ice_gi")
+    val (_, before) = iceFiles(s, "ice_gi")
+    s.sql("""MERGE INTO ice_gi t
+      USING (SELECT 99999 AS k, 1.00 AS p) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET p = s.p
+      WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.p)""")
+    val (_, after) = iceFiles(s, "ice_gi")
+    assert(before.subsetOf(after) && after.size > before.size)
+    assert(s.sql("SELECT count(*) AS n FROM ice_gi WHERE k = 99999")
+      .collect()(0).getLong(0) == 1)
+    s.sql("DROP TABLE ice_gi")
+  }
+
   test("Iceberg DELETE matching no rows commits nothing") {
     val s = newSession()
     buildIceberg3(s, "ice_gn")

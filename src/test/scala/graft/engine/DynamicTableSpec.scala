@@ -626,6 +626,42 @@ class DynamicTableSpec extends AnyFunSuite {
       s.sql("SELECT rk, max(k) AS hi FROM dyn_ib3 GROUP BY rk"))
   }
 
+  test("join retraction: granular DELETE on the fact keeps the join DT incremental") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_jfact AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 500""")
+    s.sql("""INSERT INTO dyn_jfact
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
+    s.sql("""CREATE OR REPLACE TABLE dyn_jdim AS
+      SELECT c_custkey AS c, c_nationkey AS nk FROM customer""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_jret AS
+      SELECT d.nk, count(*) AS n, sum(f.p) AS total
+      FROM dyn_jfact f JOIN dyn_jdim d ON f.c = d.c
+      GROUP BY d.nk""")
+    def want = s.sql("""SELECT d.nk, count(*) AS n, sum(f.p) AS total
+      FROM dyn_jfact f JOIN dyn_jdim d ON f.c = d.c GROUP BY d.nk""")
+    // granular DELETE on the fact: only snapshot-2's files replaced
+    s.sql("DELETE FROM dyn_jfact WHERE k > 500 AND k <= 750")
+    s.sql("ALTER DYNAMIC TABLE dyn_jret REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-retract-merge",
+      DynamicTables.lastRefreshMode)
+    // the signed delta reads only the fact's replaced/removed files
+    assert(DynamicTables.lastDeltaFiles.nonEmpty &&
+      DynamicTables.lastDeltaFiles.forall(p =>
+        p.toUpperCase.contains("DYN_JFACT") && !p.contains("/data/s1/")),
+      DynamicTables.lastDeltaFiles.toString)
+    assertSame(s.sql("SELECT * FROM dyn_jret"), want)
+    // appends resume the plain telescoped path afterwards
+    s.sql("""INSERT INTO dyn_jfact
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1200""")
+    s.sql("ALTER DYNAMIC TABLE dyn_jret REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-merge")
+    assertSame(s.sql("SELECT * FROM dyn_jret"), want)
+  }
+
   test("retraction: Iceberg granular UPDATE re-aggregates through ±fold") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_ib4 AS
