@@ -24,10 +24,10 @@ import org.apache.spark.sql.DataFrame
   * ([[graft.sources.IcebergLite.replaceFiles]]). At 100 TB that turns a
   * DELETE touching 0.1% of files from a table rewrite into an
   * O(changed-files) job — and it is what lets table STREAMs diff, and
-  * DYNAMIC TABLEs retract, at O(changed files) after DML. MERGE stays a
-  * whole-table rewrite (its matched set needs the source join; a
-  * granular variant would detect matched files through the same
-  * input_file_name pass — future work).
+  * DYNAMIC TABLEs retract, at O(changed files) after DML. MERGE detects
+  * MATCHED files through the source join (same scan-level
+  * input_file_name pass), rewrites only those, and appends NOT MATCHED
+  * inserts in the same replace commit.
   */
 object Dml {
 
@@ -42,6 +42,13 @@ object Dml {
     val t = stmt.trim.toUpperCase
     t.startsWith("DELETE") || t.startsWith("UPDATE") || t.startsWith("MERGE")
   }
+
+  /** Probe knob: `-Dgraft.dml.granular=false` forces every Iceberg DML
+    * through the whole-table COW rewrite — the A/B evidence harness
+    * behind probes/granular_dml.json ([[graft.tools.GranularDmlProbe]]).
+    * Defaults on; read per statement so one JVM can interleave modes. */
+  private def granularEnabled: Boolean =
+    sys.props.getOrElse("graft.dml.granular", "true").toBoolean
 
   def execute(session: GraftSession, stmt: String): DataFrame = stmt.trim match {
     case deleteRe(name, where) => doDelete(session, name, Option(where))
@@ -63,16 +70,35 @@ object Dml {
     * difference between rewriting the 0.1% of files a DELETE touches and
     * rewriting the table. */
   private def affectedFiles(s: GraftSession, f: FQN, ref: TableRef,
-      pred: String): Option[Set[String]] =
-    detectFiles(s, ref,
-      // file attribution is materialized BELOW the filter (input_file_name
-      // is only valid in the scan's own stage — a subquery predicate
-      // compiles to a join, and a post-exchange evaluation would read an
-      // unset thread-local), then the predicate filters above it
-      s"SELECT DISTINCT __graft_p AS p FROM (" +
-      s"SELECT ${f.table}.*, input_file_name() AS __graft_p " +
-      s"FROM ${f.database}.${f.schema}.${f.table} AS ${f.table}) AS ${f.table} " +
-      s"WHERE COALESCE(($pred), FALSE)")
+      pred: String): Option[Set[String]] = {
+    // Plain predicates filter DIRECTLY on the scan: input_file_name()
+    // sits ABOVE the filter (same stage, still valid), so the predicate
+    // pushes into the parquet reader — non-matching files are skipped
+    // on row-group min/max stats, footer-only, and detection costs
+    // O(matched files), not a table scan. input_file_name() is
+    // nondeterministic to Catalyst, so putting it UNDER the filter
+    // would block that pushdown.
+    // Subquery predicates compile to a join the filter cannot cross —
+    // for those the attribution is materialized below the filter
+    // instead (a post-exchange input_file_name would read an unset
+    // thread-local: "" fails normalization → loud-safe fallback).
+    val hasSubquery = "(?i)\\bselect\\b".r.findFirstIn(pred).isDefined
+    val sql =
+      if (!hasSubquery)
+        // WHERE (pred) not COALESCE(pred, FALSE): WHERE already
+        // excludes NULL, and the bare conjuncts stay pushable — a
+        // COALESCE wrapper is a black-box function to the reader and
+        // forces a full scan (measured 2.3 s vs 0.1 s at 24 M rows)
+        s"SELECT DISTINCT input_file_name() AS p " +
+        s"FROM ${f.database}.${f.schema}.${f.table} AS ${f.table} " +
+        s"WHERE ($pred)"
+      else
+        s"SELECT DISTINCT __graft_p AS p FROM (" +
+        s"SELECT ${f.table}.*, input_file_name() AS __graft_p " +
+        s"FROM ${f.database}.${f.schema}.${f.table} AS ${f.table}) AS ${f.table} " +
+        s"WHERE ($pred)"
+    detectFiles(s, ref, sql)
+  }
 
   /** Run a file-attribution query and normalize the returned paths to
     * manifest entries. None = pending row-level delete files (the scan
@@ -101,7 +127,7 @@ object Dml {
     // the guard keeps `replaceFiles` from committing an all-carry-none
     // table when the predicate deletes everything) or when pending
     // delete files make attribution unsafe.
-    if (ref.format == "iceberg" && where.isDefined) {
+    if (granularEnabled && ref.format == "iceberg" && where.isDefined) {
       import graft.sources.IcebergLite
       import org.apache.spark.sql.functions.{col, sum, when}
       affectedFiles(s, f, ref, where.get) match {
@@ -154,7 +180,7 @@ object Dml {
     // Iceberg + predicate: rewrite only the files holding matched rows
     // (their unmatched rows pass through the CASE unchanged), replace
     // commit, everything else carries forward — see doDelete
-    if (ref.format == "iceberg" && where.isDefined) {
+    if (granularEnabled && ref.format == "iceberg" && where.isDefined) {
       import graft.sources.IcebergLite
       affectedFiles(s, f, ref, pred) match {
         case Some(aff) if aff.isEmpty =>
@@ -302,7 +328,7 @@ object Dml {
     // inserts still reads the full target (matching needs it), but the
     // dominant cost — rewriting unmatched data files — drops to
     // O(matched files).
-    if (ref.format == "iceberg") {
+    if (granularEnabled && ref.format == "iceberg") {
       import graft.sources.IcebergLite
       val matchedSql =
         s"SELECT DISTINCT __graft_p AS p FROM (" +

@@ -276,6 +276,11 @@ object IcebergLite {
     * contract for expiration. */
   def expireSnapshots(spark: SparkSession, metadataPath: String): String = {
     val mp = stripScheme(metadataPath)
+    // expired snapshots' manifests are deleted below — drop every cached
+    // plan of this table so a scan of an expired metadata version fails
+    // loudly instead of serving the memoized plan ([[planCache]])
+    val tableMetaDir = Paths.get(mp).getParent.toString
+    planCache.keySet.removeIf(_._1.startsWith(tableMetaDir))
     val tree = mapper.readTree(Files.readAllBytes(Paths.get(mp)))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val snapId = tree.path("current-snapshot-id").asLong(-1)
@@ -511,7 +516,28 @@ object IcebergLite {
     * and delete-file entries with their data sequence numbers (entry
     * sequence number, inherited from the manifest list when null — the
     * v2 inheritance rule). */
+  /** Memo over [[planFilesUncached]]. A metadata.json is immutable once
+    * written (commits land at a NEW version path), so (path, mtime,
+    * size) keys it safely even across DROP + re-CREATE of the same
+    * table dir. Kills the repeated manifest-read Spark jobs a
+    * file-granular DML statement would otherwise pay (detection, the
+    * subset scan, the replace commit, and the registry reloads all plan
+    * the same snapshot — ~7 plans × 2 avro jobs ≈ 1.5 s of flat
+    * metadata overhead at local; on a real cluster the same round
+    * trips). Bounded: cleared wholesale past 256 snapshots. */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), (Seq[DataEntry], Seq[DeleteEntry])]()
   private def planFiles(spark: SparkSession, metadataPath: String)
+      : (Seq[DataEntry], Seq[DeleteEntry]) = {
+    val p = Paths.get(stripScheme(metadataPath))
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (p.toString, attrs.lastModifiedTime.toMillis, attrs.size)
+    if (planCache.size > 256) planCache.clear()
+    planCache.computeIfAbsent(key, _ => planFilesUncached(spark, metadataPath))
+  }
+
+  private def planFilesUncached(spark: SparkSession, metadataPath: String)
       : (Seq[DataEntry], Seq[DeleteEntry]) = {
     val meta = mapper.readTree(
       Files.readAllBytes(Paths.get(stripScheme(metadataPath))))
