@@ -474,6 +474,42 @@ class DynamicTableSpec extends AnyFunSuite {
     assert(merges >= 2, s"only $merges incremental merges in 12 steps")
   }
 
+  test("fuzz: random granular DML + refresh keeps a retractable Iceberg DT exact") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_bf AS
+      SELECT o_orderkey AS ok, o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 500""")
+    // linear aggregates + HAVING: retraction-eligible, threshold-crossing
+    val defn = """SELECT k % 4 AS g, count(*) AS n,
+        sum(price) AS total, round(avg(price), 2) AS ap
+      FROM dyn_bf GROUP BY k % 4 HAVING count(*) >= 10"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_af AS $defn")
+    val rnd = new scala.util.Random(7)
+    var retracts = 0
+    var lo = 500 // appended slices use fresh key ranges
+    for (step <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => // append a fresh slice (new snapshot)
+          val hi = lo + 50 + rnd.nextInt(150)
+          s.sql(s"""INSERT INTO dyn_bf
+            SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+            FROM orders WHERE o_orderkey > $lo AND o_orderkey <= $hi""")
+          lo = hi
+        case 1 => // granular DELETE inside an existing range
+          val m = 5 + rnd.nextInt(8)
+          s.sql(s"DELETE FROM dyn_bf WHERE ok % $m = 1 AND ok <= $lo")
+        case _ => // granular UPDATE of a random stripe
+          val m = 6 + rnd.nextInt(7)
+          s.sql(s"UPDATE dyn_bf SET price = price + 1 WHERE ok % $m = 2")
+      }
+      s.sql("ALTER DYNAMIC TABLE dyn_af REFRESH")
+      if (DynamicTables.lastRefreshMode == "incremental-retract-merge")
+        retracts += 1
+      assertSame(s.sql("SELECT * FROM dyn_af"), s.sql(defn))
+    }
+    assert(retracts >= 2, s"only $retracts retractions in 12 steps")
+  }
+
   test("HAVING DT: threshold crossings in both directions stay exact") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE dyn_b16 AS
