@@ -33,8 +33,10 @@ object Dml {
 
   private val deleteRe =
     "(?is)^DELETE\\s+FROM\\s+([\\w$\".]+)(?:\\s+WHERE\\s+(.*))?$".r
+  // SET/WHERE split happens paren-aware in execute(): a regex split at
+  // the first WHERE would cut inside a SET subquery's own WHERE clause
   private val updateRe =
-    "(?is)^UPDATE\\s+([\\w$\".]+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$".r
+    "(?is)^UPDATE\\s+([\\w$\".]+)\\s+SET\\s+(.*)$".r
   private val mergeRe =
     "(?is)^MERGE\\s+INTO\\s+([\\w$\".]+)(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+(.*)$".r
 
@@ -52,7 +54,12 @@ object Dml {
 
   def execute(session: GraftSession, stmt: String): DataFrame = stmt.trim match {
     case deleteRe(name, where) => doDelete(session, name, Option(where))
-    case updateRe(name, sets, where) => doUpdate(session, name, sets, Option(where))
+    case updateRe(name, rest) =>
+      val wIdx = topLevelKeyword(rest, "WHERE")
+      val (sets, where) =
+        if (wIdx < 0) (rest, None)
+        else (rest.substring(0, wIdx), Some(rest.substring(wIdx + 5)))
+      doUpdate(session, name, sets, where)
     case mergeRe(name, alias, rest) => doMerge(session, name, Option(alias), rest)
     case other => throw new IllegalArgumentException(s"cannot parse DML: $other")
   }
@@ -100,6 +107,26 @@ object Dml {
     detectFiles(s, ref, sql)
   }
 
+  /** Bind `subset` (the affected-file scan) under a DEDICATED temp view
+    * and hand its name to `body` for the OUTER scan only. The target's
+    * normal session view stays bound to the full table, so any
+    * self-reference to the target inside the statement — a subquery in
+    * the DELETE/UPDATE WHERE (`DELETE FROM t WHERE p > (SELECT avg(p)
+    * FROM t)`), an UPDATE SET expression, or a MERGE source — still
+    * evaluates over the statement-start table snapshot, matching
+    * Snowflake semantics and the full-table scan the affected-file
+    * detection used. (Rebinding the session view itself — the old
+    * approach — silently evaluated such subqueries over only the
+    * affected files.) The view is dropped after analysis; `spark.sql`
+    * inlines it eagerly so downstream execution is unaffected. */
+  private def overSubset[T](s: GraftSession, f: FQN, subset: DataFrame)
+      (body: String => T): T = {
+    val vn = s.viewName(f) + "_gsub"
+    subset.createOrReplaceTempView(vn)
+    try body(vn)
+    finally s.spark.catalog.dropTempView(vn)
+  }
+
   /** Run a file-attribution query and normalize the returned paths to
     * manifest entries. None = pending row-level delete files (the scan
     * plan is a union of anti-joins where attribution is unsafe) or a
@@ -137,9 +164,11 @@ object Dml {
             if aff != IcebergLite.dataFiles(s.spark, ref.path.get).toSet =>
           val subset = IcebergLite.scanSubset(s.spark, ref.path.get, aff)
           val obs = org.apache.spark.sql.Observation()
-          val survivors = s.runQueryOver(
-            s"SELECT *, (NOT COALESCE((${where.get}), FALSE)) AS __graft_keep " +
-            s"FROM ${f.database}.${f.schema}.${f.table}", f, ref, subset)
+          val survivors = overSubset(s, f, subset) { vn =>
+            s.runQuery(
+              s"SELECT *, (NOT COALESCE((${where.get}), FALSE)) AS __graft_keep " +
+              s"FROM $vn AS ${f.table}")
+          }
             .observe(obs,
               sum(when(col("__graft_keep"), 0L).otherwise(1L)).as("deleted"))
             .where(col("__graft_keep")).drop("__graft_keep")
@@ -182,16 +211,23 @@ object Dml {
     // commit, everything else carries forward — see doDelete
     if (granularEnabled && ref.format == "iceberg" && where.isDefined) {
       import graft.sources.IcebergLite
-      affectedFiles(s, f, ref, pred) match {
+      // detection takes the UNWRAPPED predicate: WHERE already excludes
+      // NULL, and the bare conjuncts stay pushable into the parquet
+      // reader — the COALESCE wrapper (still used row-level in the CASE
+      // projection) is a black-box to the scan and forces O(table)
+      // detection (measured 2.3 s vs 0.1 s at 24 M rows)
+      affectedFiles(s, f, ref, where.get) match {
         case Some(aff) if aff.isEmpty =>
           return s.countStatus("number of rows updated", 0)
         case Some(aff)
             if aff != IcebergLite.dataFiles(s.spark, ref.path.get).toSet =>
           val subset = IcebergLite.scanSubset(s.spark, ref.path.get, aff)
           val obs = org.apache.spark.sql.Observation()
-          val rewritten = s.runQueryOver(
-            s"SELECT $proj, ($pred) AS __graft_upd " +
-            s"FROM ${f.database}.${f.schema}.${f.table}", f, ref, subset)
+          val rewritten = overSubset(s, f, subset) { vn =>
+            s.runQuery(
+              s"SELECT $proj, ($pred) AS __graft_upd " +
+              s"FROM $vn AS ${f.table}")
+          }
             .observe(obs, org.apache.spark.sql.functions.sum(
               org.apache.spark.sql.functions.col("__graft_upd").cast("long"))
               .as("updated"))
@@ -296,13 +332,13 @@ object Dml {
     // detect via a per-target-row match count (window over a synthetic row
     // id) and raise inside the same job — no extra scan. The tid window
     // adds one shuffle, the price of the duplicate check.
-    val survivorsSql =
+    def survivorsSql(targetFrom: String) =
       s"SELECT ${schema.fieldNames.map(q).mkString(", ")} FROM (" +
         s"SELECT $proj, ($deleteFilter) AS __graft_keep, " +
         s"count(CASE WHEN $matchedFlag THEN 1 END) " +
         s"OVER (PARTITION BY ${q(tAlias)}.__graft_tid) AS __graft_mcnt " +
         s"FROM (SELECT *, monotonically_increasing_id() AS __graft_tid " +
-        s"FROM ${f.database}.${f.schema}.${f.table}) ${q(tAlias)} " +
+        s"FROM $targetFrom) ${q(tAlias)} " +
         s"LEFT JOIN $marked ON ($onCond)) " +
       "WHERE __graft_keep AND assert_true(__graft_mcnt <= 1, " +
         "'MERGE: multiple source rows match the same target row " +
@@ -349,7 +385,9 @@ object Dml {
               case Some(ins) => IcebergLite.append(s.spark, ins, ref.path.get)
             } else {
               val subset = IcebergLite.scanSubset(s.spark, ref.path.get, aff)
-              val survivors = s.runQueryOver(survivorsSql, f, ref, subset)
+              val survivors = overSubset(s, f, subset) { vn =>
+                s.runQuery(survivorsSql(vn))
+              }
               val next = insertOnly.fold(survivors)(survivors.unionByName(_))
               IcebergLite.replaceFiles(s.spark, ref.path.get, aff, next)
             }
@@ -359,7 +397,8 @@ object Dml {
         case _ => // fall through to the whole-table rewrite
       }
     }
-    val next = s.runQuery(survivorsSql + insertSql)
+    val next = s.runQuery(
+      survivorsSql(s"${f.database}.${f.schema}.${f.table}") + insertSql)
     val after = s.swapSnapshot(f, ref, next)
     s.countStatus("number of rows merged", after)
   }

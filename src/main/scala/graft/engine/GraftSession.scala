@@ -1246,13 +1246,11 @@ final class GraftSession(
     * ([[Dml]]): the same rewritten statement evaluates over just the
     * affected-file subset. The table's real binding is restored after
     * analysis (spark.sql analyzes eagerly, inlining the view's plan). */
-  private[engine] def runQueryOver(snowflakeSql: String, f: FQN,
-      ref: TableRef, bound: DataFrame): DataFrame = {
-    val substituted = rewriteAndSubstitute(snowflakeSql)
-    bound.createOrReplaceTempView(viewName(f))
-    try spark.sql(substituted)
-    finally registry.load(ref).createOrReplaceTempView(viewName(f))
-  }
+  // (runQueryOver — which rebound the target's OWN session view to a
+  // subset for the duration of one statement — was removed: any
+  // self-reference to the target inside the statement silently saw the
+  // subset too. Granular DML now binds subsets under a dedicated view,
+  // Dml.overSubset.)
 
   /** Register a file-granular Iceberg COW commit
     * ([[graft.sources.IcebergLite.replaceFiles]]) — same bookkeeping as

@@ -280,6 +280,76 @@ class DmlSpec extends AnyFunSuite {
     s.sql("DROP TABLE ice_gi")
   }
 
+  test("Iceberg granular DELETE: self-referencing subquery sees the full table") {
+    val s = newSession()
+    buildIceberg3(s, "ice_sd")
+    // inner aggregate ranges over k > 1000 — rows that live OUTSIDE the
+    // affected files (k <= 500). If the granular rewrite rebound the
+    // target to the file subset, the subquery would be empty → NULL
+    // predicate → zero rows deleted.
+    val expDel = s.sql(
+      """SELECT count(*) AS n FROM ice_sd
+        | WHERE k <= 500 AND p > (SELECT avg(p) FROM ice_sd WHERE k > 1000)"""
+        .stripMargin).collect()(0).getLong(0)
+    assert(expDel > 0)
+    val total = s.sql("SELECT count(*) AS n FROM ice_sd").collect()(0).getLong(0)
+    val (_, before) = iceFiles(s, "ice_sd")
+    val res = s.sql(
+      "DELETE FROM ice_sd WHERE k <= 500 AND p > (SELECT avg(p) FROM ice_sd WHERE k > 1000)")
+    assert(res.collect()(0).getLong(0) == expDel)
+    assert(s.sql("SELECT count(*) AS n FROM ice_sd").collect()(0).getLong(0)
+      == total - expDel)
+    // and the granular path DID run: s2/s3 files carried forward by path
+    val (_, after) = iceFiles(s, "ice_sd")
+    assert(before.filter(p =>
+      p.contains("/data/s2/") || p.contains("/data/s3/")).subsetOf(after))
+    s.sql("DROP TABLE ice_sd")
+  }
+
+  test("Iceberg granular UPDATE: self-referencing SET sees the full table") {
+    val s = newSession()
+    buildIceberg3(s, "ice_su")
+    val maxHigh = s.sql(
+      "SELECT CAST(max(p) AS DOUBLE) AS v FROM ice_su WHERE k > 1000")
+      .collect()(0).getDouble(0)
+    val expN = s.sql("SELECT count(*) AS n FROM ice_su WHERE k <= 100")
+      .collect()(0).getLong(0)
+    val n = s.sql(
+      "UPDATE ice_su SET p = (SELECT max(p) FROM ice_su WHERE k > 1000) WHERE k <= 100")
+      .collect()(0).getLong(0)
+    assert(n == expN && n > 0)
+    val (_, after0) = iceFiles(s, "ice_su")
+    assert(after0.exists(_.contains("/data/s2/"))) // granular: s2 untouched
+    val vals = s.sql(
+      "SELECT CAST(min(p) AS DOUBLE) AS lo, CAST(max(p) AS DOUBLE) AS hi " +
+      "FROM ice_su WHERE k <= 100").collect()(0)
+    assert(math.abs(vals.getDouble(0) - maxHigh) < 1e-9)
+    assert(math.abs(vals.getDouble(1) - maxHigh) < 1e-9)
+    s.sql("DROP TABLE ice_su")
+  }
+
+  test("Iceberg granular MERGE: source subquery over the target sees the full table") {
+    val s = newSession()
+    buildIceberg3(s, "ice_sm")
+    val maxHigh = s.sql(
+      "SELECT CAST(max(p) AS DOUBLE) AS v FROM ice_sm WHERE k > 1000")
+      .collect()(0).getDouble(0)
+    s.sql(
+      """MERGE INTO ice_sm t USING (
+        |  SELECT k, (SELECT max(p) FROM ice_sm WHERE k > 1000) AS mp
+        |  FROM ice_sm WHERE k <= 50) src
+        |ON t.k = src.k
+        |WHEN MATCHED THEN UPDATE SET p = src.mp""".stripMargin)
+    val (_, after) = iceFiles(s, "ice_sm")
+    assert(after.exists(_.contains("/data/s2/"))) // granular: s2 untouched
+    val got = s.sql(
+      "SELECT CAST(min(p) AS DOUBLE) AS lo, CAST(max(p) AS DOUBLE) AS hi " +
+      "FROM ice_sm WHERE k <= 50").collect()(0)
+    assert(math.abs(got.getDouble(0) - maxHigh) < 1e-9)
+    assert(math.abs(got.getDouble(1) - maxHigh) < 1e-9)
+    s.sql("DROP TABLE ice_sm")
+  }
+
   test("Iceberg DELETE matching no rows commits nothing") {
     val s = newSession()
     buildIceberg3(s, "ice_gn")
