@@ -227,15 +227,14 @@ object Bench {
     // did not save it). Each sweep runs h01..h09b once, so contention
     // spreads across all queries instead of poisoning one; per-sweep
     // /proc/loadavg is recorded so the artifact carries its own evidence.
-    // After the base sweeps, if any query's max/min rep spread exceeds
-    // 2.5× AND its absolute rep delta is material (≥ spreadFloor s), the
-    // harness runs extra sweeps (cap 7 total); if that persists the
-    // artifact is stamped "contended":true with the worst spread — a
-    // recorded number that can silently lie is worse than no number.
+    // After the base sweeps, any query whose reported min is not
+    // REPRODUCED by a second sample (see `unconfirmed` below) triggers
+    // extra sweeps (cap 7 total); if it persists the artifact is stamped
+    // "contended":true with the offending queries — a recorded number
+    // that can silently lie is worse than no number.
     val baseSweeps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "3").toInt
     val maxSweeps = math.max(baseSweeps,
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_MAX_REPS", "7").toInt)
-    val spreadBar = 2.5
     // a query only counts toward the contention signal when its rep
     // delta is material in absolute terms: a 0.1 s query jittering to
     // 0.4 s is scheduler/GC noise that says nothing about external load
@@ -271,14 +270,35 @@ object Bench {
       if (s.size < 2 || s.min <= 0 || s.max - s.min < spreadFloor) 1.0
       else s.max / s.min
     }.max
+    // The REPORTED value is each query's min — so the `contended` stamp
+    // asks whether that min is REPRODUCED, not whether every sweep was
+    // quiet. Max/min spread (rounds 5-7) had a poison-forever property:
+    // one transient outlier in the steady set kept the spread above the
+    // bar no matter how many clean extra sweeps followed (r7 official:
+    // worst_spread 35.78 from a single sweep while the eventual mins
+    // were reproduced to within a few %). A query is UNCONFIRMED when
+    // its two smallest steady samples disagree by >confirmBar with a
+    // material absolute gap; extra sweeps then add a chance to confirm
+    // (heal) instead of being unable to shrink a max. Sustained external
+    // load still trips this — it inflates every sample, so no two agree
+    // near a true min only when the load varies, and the uniform case is
+    // covered by the loadavg gate + per-sweep loadavg in the artifact.
+    val confirmBar =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_CONFIRM_BAR", "1.5").toDouble
+    def unconfirmed(): Seq[String] = heavy.collect { case (name, _, _)
+        if {
+          val st = steady(samples(name)).sorted
+          st.size >= 2 && st(0) > 0 &&
+            st(1) - st(0) >= spreadFloor && st(1) / st(0) > confirmBar
+        } => name }
     (1 to baseSweeps).foreach(_ => runSweep())
     var sweeps = baseSweeps
-    while (worstSpread() > spreadBar && sweeps < maxSweeps) {
+    while (unconfirmed().nonEmpty && sweeps < maxSweeps) {
       System.err.println(
-        f"heavy spread ${worstSpread()}%.2f > $spreadBar — extra sweep")
+        s"heavy min unconfirmed for ${unconfirmed().mkString(",")} — extra sweep")
       runSweep(); sweeps += 1
     }
-    val contended = worstSpread() > spreadBar
+    val contended = unconfirmed().nonEmpty
     val timed = heavy.map { case (name, _, rows) =>
       val ok = !failedQ(name) && samples(name).nonEmpty
       val sec = if (ok) samples(name).min else Double.NaN
@@ -304,7 +324,8 @@ object Bench {
       if (failed.isEmpty) "" else s""","heavy_failed":[${failed.mkString(",")}]"""
     val contendedJson =
       s""","contended":$contended""" + (if (contended)
-        s""","heavy_worst_spread":${f"${worstSpread()}%.2f"}""" else "")
+        s""","heavy_unconfirmed":[${unconfirmed().map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""heavy_worst_spread":${f"${worstSpread()}%.2f"}""" else "")
     val full =
       s""","heavy":$hq,"heavy_total":$hTotal,"heavy_sweeps":$sweeps,""" +
       s""""heavy_spread":$spreads,"heavy_samples":$raw,""" +
