@@ -269,18 +269,41 @@ final class GraftSession(
           DynamicTables.partialize(df, force = am.having.isDefined)
         case _ => df
       }
+    def fullRefresh(): Unit = {
+      DynamicTables.lastRefreshMode = "full"
+      DynamicTables.lastDeltaFiles = Nil
+      derivedSpec(st.inc) match {
+        case Some(am) =>
+          // rebuild the state sidecar too, or the next incremental
+          // merge would fold its delta into pre-rewrite state
+          val newSp = st.statePath.get.split("__state_v").head +
+            s"__state_v${snapshotSeq.incrementAndGet()}"
+          DynamicTables.partialize(runQuery(st.query),
+              force = am.having.isDefined)
+            .write.mode("overwrite").parquet(newSp)
+          st.statePath = Some(newSp)
+          swapMaterialization(f, ref, DynamicTables.finalizeState(
+            spark.read.parquet(newSp), am, st.schema))
+        case None =>
+          swapMaterialization(f, ref, runQuery(st.query))
+      }
+    }
     // file-granular rewrite retraction probe: a single base whose file
     // set changed NON-append — an Iceberg COW UPDATE/DELETE replaced
     // some files ([[Dml]]/[[graft.sources.IcebergLite.replaceFiles]])
-    // — still refreshes incrementally when every state column folds
-    // linearly ([[DynamicTables.AggMerge.retractable]]): the merge is
+    // — still refreshes incrementally. When every state column folds
+    // linearly ([[DynamicTables.AggMerge.retractable]]) the merge is
     // invertible, so the refresh folds `+agg(added) ⊎ −agg(removed)`
-    // reading ONLY the differing files. Carried-forward files
+    // reading ONLY the differing files. With MIN/MAX in the state the
+    // fold is not invertible, but the refresh is still not full: the
+    // delta files name the GROUPS the rewrite touched, and only those
+    // groups are recomputed from the base (keyed, so grouped plans
+    // qualify) — see the regroup branch below. Carried-forward files
     // contribute identically before and after the rewrite, so their
     // groups never leave the state. Pure metadata decision.
     def rewriteDelta: Option[(Set[String], Set[String])] = st.inc match {
       case Some(am: DynamicTables.AggMerge)
-          if am.retractable && st.bases.length == 1 =>
+          if (am.retractable || am.keys.nonEmpty) && st.bases.length == 1 =>
         val b = st.bases.head
         st.offsets.get(b).flatMap { case (oref, ofs, ods) =>
           val (cfs, cds) = Streams.filesOf(spark, curs(b))
@@ -413,12 +436,70 @@ final class GraftSession(
             force = am.having.isDefined)
           finally registry.load(cur).createOrReplaceTempView(viewName(b))
         }
-        val dNeg = DynamicTables.negateState(evalOver(removed, oref), am)
-        val delta =
-          if (added.isEmpty) dNeg
-          else evalOver(added, cur).unionByName(dNeg)
-        DynamicTables.lastDeltaFiles = (added ++ removed).toSeq.sorted
-        applyIncrement(am, delta, "incremental-retract-")
+        if (am.retractable) {
+          val dNeg = DynamicTables.negateState(evalOver(removed, oref), am)
+          val delta =
+            if (added.isEmpty) dNeg
+            else evalOver(added, cur).unionByName(dNeg)
+          DynamicTables.lastDeltaFiles = (added ++ removed).toSeq.sorted
+          applyIncrement(am, delta, "incremental-retract-")
+        } else {
+          // MIN/MAX state columns don't fold invertibly, but the rewrite
+          // still refreshes incrementally: the delta files name every
+          // group the DML could have changed (a group with no row in a
+          // replaced file contributes identically before and after), so
+          // ONLY those groups are recomputed — the defining query
+          // re-runs under a key-IN-(touched) filter that Catalyst
+          // pushes through the aggregate into the base scan (O(touched
+          // groups' data), with row-group skipping when the key is
+          // clustered) — and splices over the previous result. Groups
+          // that emptied out don't reappear, so no hidden row count is
+          // consulted. Guarded by am.keys.nonEmpty in rewriteDelta: a
+          // global MIN/MAX has one group = the whole base = full anyway.
+          import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+          val keyCols = am.keys.map(col)
+          val remKeys = evalOver(removed, oref).select(keyCols: _*)
+          val touched = (if (added.isEmpty) remKeys
+            else remKeys.unionByName(
+              evalOver(added, cur).select(keyCols: _*))).distinct()
+          val cap = sys.props.getOrElse("graft.dt.regroupKeyCap", "100000").toInt
+          val keyRows = touched.limit(cap + 1).collect()
+          if (keyRows.length > cap) fullRefresh() // IN-plan stops paying
+          else {
+            val pred = am.keys.map { k =>
+              val vals = keyRows.map(_.getAs[Any](k)).toSeq
+              val nn = vals.filter(_ != null).distinct
+              val in = if (nn.isEmpty) lit(false) else col(k).isin(nn: _*)
+              coalesce(if (vals.contains(null)) in || col(k).isNull else in,
+                lit(false))
+            }.reduce(_ && _)
+            DynamicTables.lastDeltaFiles = (added ++ removed).toSeq.sorted
+            DynamicTables.lastRefreshMode = "incremental-regroup-merge"
+            st.statePath match {
+              case Some(sp) =>
+                val oldState = spark.read.parquet(sp)
+                val recomputed = DynamicTables.partialize(runQuery(st.query),
+                    force = am.having.isDefined).filter(pred)
+                  .select(oldState.schema.fields.map(sf =>
+                    col(sf.name).cast(sf.dataType).as(sf.name)).toIndexedSeq: _*)
+                val newSp = sp.split("__state_v").head +
+                  s"__state_v${snapshotSeq.incrementAndGet()}"
+                oldState.filter(not(pred)).unionByName(recomputed)
+                  .write.mode("overwrite").parquet(newSp)
+                st.statePath = Some(newSp)
+                swapMaterialization(f, ref, DynamicTables.finalizeState(
+                  spark.read.parquet(newSp), am, st.schema))
+              case None =>
+                val oldMat = registry.load(ref)
+                val recomputed = runQuery(st.query).filter(pred)
+                swapMaterialization(f, ref,
+                  oldMat.filter(not(pred)).unionByName(recomputed)
+                    .select(st.schema.fields.map(sf =>
+                      col(sf.name).cast(sf.dataType).as(sf.name))
+                      .toIndexedSeq: _*))
+            }
+          }
+        }
       case (Some(DynamicTables.JoinDelta(am: DynamicTables.AggMerge)), None)
           if joinRewriteDelta.isDefined =>
         val chg = joinRewriteDelta.get
@@ -464,24 +545,7 @@ final class GraftSession(
           st.bases.flatMap(b => chg(b)._1 ++ chg(b)._2).distinct.sorted
         applyIncrement(am, parts.reduce(_ unionByName _),
           "incremental-join-retract-")
-      case _ =>
-        DynamicTables.lastRefreshMode = "full"
-        DynamicTables.lastDeltaFiles = Nil
-        derivedSpec(st.inc) match {
-          case Some(am) =>
-            // rebuild the state sidecar too, or the next incremental
-            // merge would fold its delta into pre-rewrite state
-            val newSp = st.statePath.get.split("__state_v").head +
-              s"__state_v${snapshotSeq.incrementAndGet()}"
-            DynamicTables.partialize(runQuery(st.query),
-                force = am.having.isDefined)
-              .write.mode("overwrite").parquet(newSp)
-            st.statePath = Some(newSp)
-            swapMaterialization(f, ref, DynamicTables.finalizeState(
-              spark.read.parquet(newSp), am, st.schema))
-          case None =>
-            swapMaterialization(f, ref, runQuery(st.query))
-        }
+      case _ => fullRefresh()
     }
     st.offsets = snapshotOffsets(st.bases)
     status(s"Dynamic table ${f.table} successfully refreshed " +

@@ -1643,6 +1643,43 @@ object SnowflakeSql extends QueryPack {
         FROM gm_t GROUP BY 1 ORDER BY 1;""")
     },
 
+    // DYNAMIC TABLE regroup: MIN/MAX state columns don't fold
+    // invertibly, so a file-granular DELETE refreshes by recomputing
+    // ONLY the groups named by the replaced files (a key-IN filter
+    // pushed through the aggregate into the base scan) and splicing
+    // them over the previous result — never a full recompute
+    // (DynamicTableSpec asserts the "incremental-regroup-merge" mode
+    // and the delta file set; this gate proves the spliced
+    // materialization, including maxima that DROP when their
+    // supporting rows are deleted).
+    GQuery("snow72_dynamic_table_regroup", Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders WHERE o_orderkey <= 1200
+          AND NOT (o_orderkey > 600 AND o_orderkey % 4 = 0))
+      SELECT c % 5 AS g, count(*) AS n,
+        CAST(min(p) AS DOUBLE) AS lo, CAST(max(p) AS DOUBLE) AS hi,
+        CAST(sum(p) AS DOUBLE) AS total
+      FROM base GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE mmdt_b AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 600;
+        INSERT INTO mmdt_b
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200;
+        CREATE OR REPLACE DYNAMIC TABLE mmdt AS
+          SELECT c % 5 AS g, count(*) AS n, min(p) AS lo, max(p) AS hi,
+                 sum(p) AS total
+          FROM mmdt_b GROUP BY 1;
+        DELETE FROM mmdt_b WHERE k > 600 AND k % 4 = 0;
+        ALTER DYNAMIC TABLE mmdt REFRESH;
+        SELECT g, n, lo::double AS lo, hi::double AS hi,
+          total::double AS total FROM mmdt ORDER BY g;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -648,18 +648,100 @@ class DynamicTableSpec extends AnyFunSuite {
       s.sql("SELECT rk, count(*) AS n, sum(k) AS sk FROM dyn_ib2 GROUP BY rk"))
   }
 
-  test("retraction: MIN/MAX disqualifies — Iceberg DELETE goes full") {
+  test("regroup: MIN/MAX under a granular DELETE recomputes touched groups only") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_ib3 AS
       SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
     s.sql("INSERT INTO dyn_ib3 SELECT n_nationkey + 100, n_regionkey FROM nation")
     s.sql("""CREATE DYNAMIC TABLE dyn_ret3 AS
       SELECT rk, max(k) AS hi FROM dyn_ib3 GROUP BY rk""")
+    // the DELETE removes exactly snapshot-2's rows: the current maxima
+    // all drop — the case no fold can maintain, but the touched groups
+    // are named by the removed files, so the refresh recomputes only
+    // those (here: all groups, since every region has a k > 100 row)
     s.sql("DELETE FROM dyn_ib3 WHERE k > 100")
     s.sql("ALTER DYNAMIC TABLE dyn_ret3 REFRESH")
-    assert(DynamicTables.lastRefreshMode == "full")
+    assert(DynamicTables.lastRefreshMode == "incremental-regroup-merge",
+      DynamicTables.lastRefreshMode)
     assertSame(s.sql("SELECT * FROM dyn_ret3"),
       s.sql("SELECT rk, max(k) AS hi FROM dyn_ib3 GROUP BY rk"))
+  }
+
+  test("regroup: MIN/MAX + SUM mix stays exact through granular DELETE and UPDATE") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_mm AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 500""")
+    s.sql("""INSERT INTO dyn_mm
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_mmd AS
+      SELECT c % 10 AS g, count(*) AS n, min(p) AS lo, max(p) AS hi,
+        sum(p) AS total
+      FROM dyn_mm GROUP BY 1""")
+    def want = s.sql("""SELECT c % 10 AS g, count(*) AS n, min(p) AS lo,
+      max(p) AS hi, sum(p) AS total FROM dyn_mm GROUP BY 1""")
+    // partial-file granular DELETE: replaces only snapshot-2's files
+    s.sql("DELETE FROM dyn_mm WHERE k > 500 AND k <= 750")
+    s.sql("ALTER DYNAMIC TABLE dyn_mmd REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-regroup-merge",
+      DynamicTables.lastRefreshMode)
+    // touched-group discovery read only the replaced/removed files
+    assert(DynamicTables.lastDeltaFiles.nonEmpty &&
+      DynamicTables.lastDeltaFiles.forall(!_.contains("/data/s1/")),
+      DynamicTables.lastDeltaFiles.toString)
+    assertSame(s.sql("SELECT * FROM dyn_mmd"), want)
+    // an UPDATE that halves prices above the median lowers current
+    // maxima in place — regroup again, still exact
+    s.sql("UPDATE dyn_mm SET p = p / 2 WHERE k <= 300")
+    s.sql("ALTER DYNAMIC TABLE dyn_mmd REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-regroup-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM dyn_mmd"), want)
+    // appends afterwards resume the plain merge path
+    s.sql("""INSERT INTO dyn_mm
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1200""")
+    s.sql("ALTER DYNAMIC TABLE dyn_mmd REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    assertSame(s.sql("SELECT * FROM dyn_mmd"), want)
+  }
+
+  test("regroup: a MIN/MAX group whose last row is deleted vanishes") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_mm2 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("INSERT INTO dyn_mm2 SELECT 99, 9") // lone group rk=9, snapshot 2
+    s.sql("""CREATE DYNAMIC TABLE dyn_mmd2 AS
+      SELECT rk, max(k) AS hi, count(*) AS n FROM dyn_mm2 GROUP BY rk""")
+    assert(s.sql("SELECT * FROM dyn_mmd2 WHERE rk = 9").count() == 1)
+    s.sql("DELETE FROM dyn_mm2 WHERE rk = 9")
+    s.sql("ALTER DYNAMIC TABLE dyn_mmd2 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-regroup-merge",
+      DynamicTables.lastRefreshMode)
+    assert(s.sql("SELECT * FROM dyn_mmd2 WHERE rk = 9").count() == 0)
+    assertSame(s.sql("SELECT * FROM dyn_mmd2"),
+      s.sql("SELECT rk, max(k) AS hi, count(*) AS n FROM dyn_mm2 GROUP BY rk"))
+  }
+
+  test("regroup: derived MIN/MAX expression with HAVING splices the state sidecar") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_mm3 AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 500""")
+    s.sql("""INSERT INTO dyn_mm3
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_mmd3 AS
+      SELECT c % 7 AS g, max(p) - min(p) AS spread, count(*) AS n
+      FROM dyn_mm3 GROUP BY 1 HAVING count(*) > 20""")
+    def want = s.sql("""SELECT c % 7 AS g, max(p) - min(p) AS spread,
+      count(*) AS n FROM dyn_mm3 GROUP BY 1 HAVING count(*) > 20""")
+    s.sql("DELETE FROM dyn_mm3 WHERE k > 500 AND k <= 750")
+    s.sql("ALTER DYNAMIC TABLE dyn_mmd3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-regroup-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM dyn_mmd3"), want)
   }
 
   test("join retraction: granular DELETE on the fact keeps the join DT incremental") {
