@@ -543,6 +543,29 @@ object DynamicTables {
     }.toIndexedSeq: _*)
   }
 
+  /** Exact multiset splice `old ⊖ minus ⊕ plus` for a stateless
+    * transform consuming a base's signed row delta: rows group by ALL
+    * columns (null-safe, as groupBy is), net count = old − minus,
+    * survivors re-expand to their net multiplicity, `plus` appends.
+    * One shuffle over the materialization — downstream of an aggregate
+    * that is O(groups), never O(base). */
+  def spliceMultiset(old: DataFrame, minus: DataFrame, plus: DataFrame,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, lit, sequence}
+    val c = "__graft_mc"
+    val names = schema.fieldNames.toIndexedSeq
+    def aligned(df: DataFrame) = df.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    aligned(old).withColumn(c, lit(1L))
+      .unionByName(aligned(minus).withColumn(c, lit(-1L)))
+      .groupBy(names.map(col): _*)
+      .agg(sum(col(c)).as(c))
+      .filter(col(c) > 0)
+      .withColumn("__graft_rep", explode(sequence(lit(1L), col(c))))
+      .select(names.map(col): _*)
+      .unionByName(aligned(plus))
+  }
+
   private def exprOk(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])
 

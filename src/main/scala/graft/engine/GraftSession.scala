@@ -116,6 +116,47 @@ final class GraftSession(
   private val dynamicTables =
     scala.collection.concurrent.TrieMap.empty[FQN, DynState]
 
+  /** One published refresh delta of a dynamic table: the signed row
+    * change of the materialization swap `from` → `to`, as parquet
+    * sidecars (`addDir` = touched groups' rows after, `delDir` = the
+    * same groups' rows before). A DOWNSTREAM dynamic table reading
+    * this one as a base chains entries across its own refresh gap and
+    * consumes the rows directly — see dtChainDelta in
+    * [[doRefreshDynamic]]. Any unlogged transition (full refresh,
+    * DROP + re-CREATE, log cap overflow) breaks the chain and the
+    * downstream falls back to full. */
+  private final case class DtDelta(from: String, to: String,
+      addDir: String, delDir: String)
+  private val dtDeltaLog =
+    scala.collection.concurrent.TrieMap.empty[FQN, List[DtDelta]]
+
+  /** Publish a merge-refresh's signed row delta (see [[DtDelta]]):
+    * `restrict` filters a materialization to the touched groups;
+    * `oldVisible` must read the pre-swap path (the captured ref keeps
+    * doing so after the swap — COW retains it). Cost: two
+    * O(|result|)-scan, O(|changed groups|)-write jobs per merge
+    * refresh — result-sized, never base-sized. */
+  private def publishDtDelta(f: FQN, oldPath: String, oldVisible: DataFrame,
+      restrict: DataFrame => DataFrame): Unit = {
+    val newRef = registry.resolve(f).get
+    val newPath = newRef.path.get
+    val seq = snapshotSeq.incrementAndGet()
+    val delDir = s"${newPath}__dtdel_$seq"
+    val addDir = s"${newPath}__dtadd_$seq"
+    restrict(oldVisible).write.mode("overwrite").parquet(delDir)
+    restrict(registry.load(newRef)).write.mode("overwrite").parquet(addDir)
+    val entry = DtDelta(oldPath, newPath, addDir, delDir)
+    dtDeltaLog(f) = (dtDeltaLog.getOrElse(f, Nil) :+ entry).takeRight(32)
+  }
+
+  /** Touched-group restriction: null-safe semi join on the output key
+    * columns (empty keys = a global aggregate = every row touched). */
+  private def keyRestrict(keys: Seq[String], keysDf: DataFrame)
+      (side: DataFrame): DataFrame =
+    if (keys.isEmpty) side
+    else side.join(keysDf,
+      keys.map(k => side(k) <=> keysDf(k)).reduce(_ && _), "left_semi")
+
   private def snapshotOffsets(bases: Seq[FQN])
       : Map[FQN, (TableRef, Option[Set[String]], Option[Set[String]])] =
     bases.flatMap { b =>
@@ -180,6 +221,7 @@ final class GraftSession(
     val ref = TableRef(f, TableKind.Lake, Some(path))
     registry.register(ref)
     resetHistory(f, ref)
+    dtDeltaLog.remove(f) // a re-created DT starts a fresh delta chain
     dynamicTables.put(f,
       new DynState(select, lag, bases, snapshotOffsets(bases), inc, df.schema,
         statePath))
@@ -250,13 +292,23 @@ final class GraftSession(
           s"__state_v${snapshotSeq.incrementAndGet()}"
         mergedState.write.mode("overwrite").parquet(newSp)
         st.statePath = Some(newSp)
+        val oldVisible = registry.load(ref)
         swapMaterialization(f, ref,
           DynamicTables.finalizeState(spark.read.parquet(newSp), am, st.schema))
+        publishDtDelta(f, ref.path.get, oldVisible, keyRestrict(am.keys,
+          if (am.keys.isEmpty) deltaResult
+          else deltaResult.select(am.keys.map(
+            org.apache.spark.sql.functions.col): _*).distinct()))
       case am: DynamicTables.AggMerge =>
         DynamicTables.lastRefreshMode = modePrefix + "merge"
+        val oldVisible = registry.load(ref)
         val merged = DynamicTables.merge(
-          registry.load(ref), deltaResult, am, st.schema)
+          oldVisible, deltaResult, am, st.schema)
         swapMaterialization(f, ref, merged)
+        publishDtDelta(f, ref.path.get, oldVisible, keyRestrict(am.keys,
+          if (am.keys.isEmpty) deltaResult
+          else deltaResult.select(am.keys.map(
+            org.apache.spark.sql.functions.col): _*).distinct()))
       case _: DynamicTables.JoinDelta => // nested JoinDelta never occurs
         throw new IllegalStateException("JoinDelta cannot nest")
     }
@@ -359,6 +411,40 @@ final class GraftSession(
           }
         case _ => None
       }
+    // DT-over-DT across a merge-refreshing base: the base's merge
+    // refresh SWAPS its materialization path, so file-set change
+    // detection sees a wholesale rewrite — but the base published its
+    // signed row delta ([[DtDelta]]): chain the log entries covering
+    // this DT's recorded base path → the current one and consume the
+    // sidecar rows directly. Sound for a retractable aggregate (fold
+    // +Q(added rows) ⊎ −Q(removed rows)) and for a stateless transform
+    // (multiset splice old ⊖ T(removed) ⊕ T(added)); anything else —
+    // join trees, MIN/MAX states — still degrades to full here.
+    def dtChainDelta: Option[(Seq[String], Seq[String])] = {
+      if (st.bases.length != 1) return None
+      val okShape = st.inc match {
+        case Some(am: DynamicTables.AggMerge)   => am.retractable
+        case Some(DynamicTables.AppendTransform) => true
+        case _                                   => false
+      }
+      if (!okShape) return None
+      val b = st.bases.head
+      val fromPath = st.offsets.get(b).flatMap(_._1.path).getOrElse(return None)
+      val toPath = curs(b).path.getOrElse(return None)
+      if (fromPath == toPath) return None
+      val entries = dtDeltaLog.getOrElse(b, Nil)
+      val adds = Seq.newBuilder[String]; val dels = Seq.newBuilder[String]
+      var at = fromPath; var steps = 0
+      while (at != toPath) {
+        if (steps > entries.length) return None
+        entries.find(_.from == at) match {
+          case Some(e) => adds += e.addDir; dels += e.delDir; at = e.to
+          case None    => return None
+        }
+        steps += 1
+      }
+      Some((adds.result(), dels.result()))
+    }
     (st.inc, addedPerBase) match {
       case (Some(plan), Some(af)) if st.bases.length == 1 &&
           af(st.bases.head).nonEmpty =>
@@ -498,6 +584,8 @@ final class GraftSession(
                       col(sf.name).cast(sf.dataType).as(sf.name))
                       .toIndexedSeq: _*))
             }
+            publishDtDelta(f, ref.path.get, registry.load(ref),
+              _.filter(pred))
           }
         }
       case (Some(DynamicTables.JoinDelta(am: DynamicTables.AggMerge)), None)
@@ -545,6 +633,38 @@ final class GraftSession(
           st.bases.flatMap(b => chg(b)._1 ++ chg(b)._2).distinct.sorted
         applyIncrement(am, parts.reduce(_ unionByName _),
           "incremental-join-retract-")
+      case (Some(plan), None) if dtChainDelta.isDefined =>
+        val (addDirs, delDirs) = dtChainDelta.get
+        val b = st.bases.head
+        val cur = curs(b)
+        val baseSchema = registry.load(cur).schema
+        val substituted = rewriteAndSubstitute(st.query)
+        // evaluate the defining query with the base view bound to the
+        // published sidecar rows (explicit schema: a side with no
+        // touched rows is an empty dir)
+        def evalDirs(dirs: Seq[String], partialOf:
+            Option[DynamicTables.AggMerge]): DataFrame = {
+          spark.read.schema(baseSchema).parquet(dirs: _*)
+            .createOrReplaceTempView(viewName(b))
+          try {
+            val r = spark.sql(substituted)
+            partialOf.fold(r)(am =>
+              DynamicTables.partialize(r, force = am.having.isDefined))
+          } finally registry.load(cur).createOrReplaceTempView(viewName(b))
+        }
+        DynamicTables.lastDeltaFiles = (addDirs ++ delDirs).sorted
+        plan match {
+          case am: DynamicTables.AggMerge => // retractable ⇒ has state
+            val delta = evalDirs(addDirs, Some(am)).unionByName(
+              DynamicTables.negateState(evalDirs(delDirs, Some(am)), am))
+            applyIncrement(am, delta, "incremental-dtdelta-")
+          case _ => // AppendTransform: multiset splice, O(|result|)
+            val tAdd = evalDirs(addDirs, None)
+            val tDel = evalDirs(delDirs, None)
+            DynamicTables.lastRefreshMode = "incremental-dtdelta-transform"
+            swapMaterialization(f, ref, DynamicTables.spliceMultiset(
+              registry.load(ref), tDel, tAdd, st.schema))
+        }
       case _ => fullRefresh()
     }
     st.offsets = snapshotOffsets(st.bases)
@@ -1082,7 +1202,8 @@ final class GraftSession(
     }
     case dropDynRe(ifExists, name) =>
       val f = fqn(name)
-      if (dynamicTables.remove(f).isEmpty && ifExists == null)
+      if ({ dtDeltaLog.remove(f); dynamicTables.remove(f) }.isEmpty &&
+          ifExists == null)
         throw new IllegalArgumentException(s"unknown dynamic table ${f.flat}")
       doDrop(ifExists = true, name)
     case createStreamRe(orReplace, ifNotExists, name, target, rest) =>
@@ -2006,6 +2127,7 @@ final class GraftSession(
     insertLog.remove(f)
     invalidateResultReuse(f)
     dynamicTables.remove(f) // DROP TABLE on a dynamic table ends its refresh
+    dtDeltaLog.remove(f)
     status(s"${f.table} successfully dropped.")
   }
 

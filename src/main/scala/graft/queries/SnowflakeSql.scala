@@ -1680,6 +1680,45 @@ object SnowflakeSql extends QueryPack {
           total::double AS total FROM mmdt ORDER BY g;""")
     },
 
+    // DT-over-DT across a MERGE-refreshing base: the base DT's merge
+    // refresh swaps its materialization path, which used to degrade
+    // every downstream DT to full — now the base publishes its signed
+    // row delta (touched groups' rows before/after, parquet sidecars)
+    // and the downstream consumes the chain of entries across its
+    // refresh gap: a retractable aggregate folds ±Q(delta rows), a
+    // stateless transform multiset-splices (DynamicTableSpec asserts
+    // the "incremental-dtdelta-*" modes, sidecar-only delta reads, and
+    // a 2-entry chain; this gate proves the end state after two full
+    // cycles through an agg→transform chain).
+    GQuery("snow73_dynamic_table_chain", Some("""
+      WITH a AS (
+        SELECT o_custkey AS c, count(*) AS n,
+          sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+        FROM orders WHERE o_orderkey <= 3000 GROUP BY 1)
+      SELECT c, CAST(total * 2 AS DOUBLE) AS dbl
+      FROM a WHERE n >= 2 ORDER BY c""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE cht AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 1000;
+        CREATE OR REPLACE DYNAMIC TABLE cha AS
+          SELECT c, count(*) AS n, sum(p) AS total FROM cht GROUP BY c;
+        CREATE OR REPLACE DYNAMIC TABLE chb AS
+          SELECT c, total * 2 AS dbl FROM cha WHERE n >= 2;
+        INSERT INTO cht
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000;
+        ALTER DYNAMIC TABLE cha REFRESH;
+        ALTER DYNAMIC TABLE chb REFRESH;
+        INSERT INTO cht
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000;
+        ALTER DYNAMIC TABLE cha REFRESH;
+        ALTER DYNAMIC TABLE chb REFRESH;
+        SELECT c, dbl::double AS dbl FROM chb ORDER BY c;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -596,6 +596,107 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM dyn_a11"), want)
   }
 
+  // ── DT-over-DT across a merge-refreshing base ──────────────────────────
+
+  test("DT chain: retractable agg downstream stays incremental across base merges") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chain_t AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE chain_a AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM chain_t GROUP BY c""")
+    s.sql("""CREATE DYNAMIC TABLE chain_b AS
+      SELECT c % 5 AS g, sum(n) AS n, sum(total) AS total,
+        count(*) AS groups
+      FROM chain_a GROUP BY 1""")
+    def want = s.sql("""WITH a AS (
+        SELECT c, count(*) AS n, sum(p) AS total FROM chain_t GROUP BY c)
+      SELECT c % 5 AS g, sum(n) AS n, sum(total) AS total,
+        count(*) AS groups FROM a GROUP BY 1""")
+    // cycle 1: base merge-refreshes (materialization path swap), then
+    // the downstream consumes the published signed row delta
+    s.sql("""INSERT INTO chain_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    s.sql("ALTER DYNAMIC TABLE chain_b REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-merge",
+      DynamicTables.lastRefreshMode)
+    // the downstream read sidecar dirs, not the base materialization
+    assert(DynamicTables.lastDeltaFiles.nonEmpty &&
+      DynamicTables.lastDeltaFiles.forall(p =>
+        p.contains("__dtadd_") || p.contains("__dtdel_")),
+      DynamicTables.lastDeltaFiles.toString)
+    assertSame(s.sql("SELECT * FROM chain_b"), want)
+    // cycle 2: TWO base refreshes before the downstream catches up —
+    // the log entries chain across the gap
+    s.sql("""INSERT INTO chain_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 2500""")
+    s.sql("ALTER DYNAMIC TABLE chain_a REFRESH")
+    s.sql("""INSERT INTO chain_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2500 AND o_orderkey <= 3000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a REFRESH")
+    s.sql("ALTER DYNAMIC TABLE chain_b REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM chain_b"), want)
+  }
+
+  test("DT chain: stateless transform downstream splices the published delta") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chain_t2 AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE chain_a2 AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM chain_t2 GROUP BY c""")
+    s.sql("""CREATE DYNAMIC TABLE chain_c AS
+      SELECT c, total * 2 AS dbl FROM chain_a2 WHERE n >= 2""")
+    def want = s.sql("""WITH a AS (
+        SELECT c, count(*) AS n, sum(p) AS total FROM chain_t2 GROUP BY c)
+      SELECT c, total * 2 AS dbl FROM a WHERE n >= 2""")
+    s.sql("""INSERT INTO chain_t2
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a2 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    s.sql("ALTER DYNAMIC TABLE chain_c REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-transform",
+      DynamicTables.lastRefreshMode)
+    // groups whose n crossed the >= 2 threshold enter; changed totals
+    // replace their old transformed row (the splice retracts it)
+    assertSame(s.sql("SELECT * FROM chain_c"), want)
+    // second cycle
+    s.sql("""INSERT INTO chain_t2
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a2 REFRESH")
+    s.sql("ALTER DYNAMIC TABLE chain_c REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-transform",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM chain_c"), want)
+  }
+
+  test("DT chain: a full base refresh breaks the chain — downstream goes full once") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chain_t3 AS
+      SELECT n_nationkey AS k, n_regionkey AS rk FROM nation""")
+    s.sql("""CREATE DYNAMIC TABLE chain_a3 REFRESH_MODE = FULL AS
+      SELECT rk, count(*) AS n FROM chain_t3 GROUP BY rk""")
+    s.sql("""CREATE DYNAMIC TABLE chain_b3 AS
+      SELECT rk % 2 AS g, sum(n) AS n FROM chain_a3 GROUP BY 1""")
+    s.sql("INSERT INTO chain_t3 SELECT n_nationkey + 100, n_regionkey FROM nation")
+    s.sql("ALTER DYNAMIC TABLE chain_a3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    s.sql("ALTER DYNAMIC TABLE chain_b3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assertSame(s.sql("SELECT * FROM chain_b3"),
+      s.sql("""WITH a AS (SELECT rk, count(*) AS n FROM chain_t3 GROUP BY rk)
+        SELECT rk % 2 AS g, sum(n) AS n FROM a GROUP BY 1"""))
+  }
+
   // ── retraction: file-granular DML on an Iceberg base ───────────────────
 
   test("retraction: Iceberg granular DELETE refreshes by ±fold, not recompute") {
