@@ -195,6 +195,10 @@ object Dml {
   private def doUpdate(s: GraftSession, rawName: String, sets: String,
       where: Option[String]): DataFrame = {
     val (f, ref) = managedTarget(s, rawName)
+    // captured before the commit: the (before, after) file-set pair is
+    // logged so streams can attribute the transition as an UPDATE and
+    // emit METADATA$ISUPDATE pairs ([[GraftSession.logUpdateTransition]])
+    val beforeFiles = Streams.filesOf(s.spark, ref)._1
     val schema = s.registry.load(ref).schema
     val assigns = parseAssignments(sets, schema.fieldNames.toSet)
     val pred = where.map(w => s"COALESCE(($w), FALSE)").getOrElse("TRUE")
@@ -235,6 +239,7 @@ object Dml {
           val newMeta = IcebergLite.replaceFiles(
             s.spark, ref.path.get, aff, rewritten)
           s.commitIcebergReplace(f, ref, newMeta)
+          s.logUpdateTransition(f, beforeFiles)
           val updated = obs.get.get("updated")
             .collect { case n: Number => n.longValue }.getOrElse(0L)
           return s.countStatus("number of rows updated", updated)
@@ -251,6 +256,7 @@ object Dml {
         org.apache.spark.sql.functions.col("__graft_upd").cast("long")).as("updated"))
       .drop("__graft_upd")
     s.swapSnapshot(f, ref, next)
+    s.logUpdateTransition(f, beforeFiles)
     val updated = obs.get.get("updated")
       .collect { case n: Number => n.longValue }.getOrElse(0L)
     s.countStatus("number of rows updated", updated)

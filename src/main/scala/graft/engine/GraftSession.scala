@@ -723,6 +723,48 @@ final class GraftSession(
     * inserts) instead of silently omitting them. Called by [[Dml]]. */
   private[engine] def clearInsertLog(f: FQN): Unit = insertLog.remove(f)
 
+  /** Per-table UPDATE transition log: the (before, after) data-file
+    * sets of each UPDATE statement's COW commit — O(metadata) per
+    * statement. A stream whose offset → current transition is exactly
+    * a chain of these knows every net row is an update pair and emits
+    * Snowflake's `METADATA$ISUPDATE = true` DELETE/INSERT pairs
+    * ([[Streams.delta]]). Any interleaved non-UPDATE statement breaks
+    * the chain (its file sets don't link), falling back to plain
+    * net-change rows — conservative by construction. */
+  private val updateLog = scala.collection.concurrent.TrieMap
+    .empty[FQN, Vector[(Set[String], Set[String])]]
+
+  /** Record an UPDATE's file-set transition; `before` captured before
+    * the commit. Non-file-addressable outcomes clear the log. */
+  private[engine] def logUpdateTransition(f: FQN,
+      before: Option[Set[String]]): Unit = {
+    val after = registry.resolve(f).flatMap(r => Streams.filesOf(spark, r)._1)
+    (before, after) match {
+      case (Some(b), Some(a)) if b != a =>
+        updateLog.updateWith(f)(v =>
+          Some((v.getOrElse(Vector.empty) :+ ((b, a))).takeRight(64)))
+      case (Some(_), Some(_)) => // no files changed: nothing to record
+      case _ => updateLog.remove(f)
+    }
+  }
+
+  /** True when the transition `of` → `cf` is exactly a chain of logged
+    * UPDATE commits. */
+  private def isUpdateChain(f: FQN, of: Set[String], cf: Set[String]): Boolean = {
+    if (of == cf) return false
+    val entries = updateLog.getOrElse(f, Vector.empty)
+    var at = of; var steps = 0
+    while (at != cf) {
+      if (steps >= entries.length) return false
+      entries.find(_._1 == at) match {
+        case Some((_, to)) => at = to
+        case None          => return false
+      }
+      steps += 1
+    }
+    true
+  }
+
   private def doCreateStream(orReplace: Boolean, ifNotExists: Boolean,
       name: String, target: String, rest: String): DataFrame = {
     val f = fqn(name)
@@ -1618,7 +1660,8 @@ final class GraftSession(
         if (st.appendOnly && st.offsetSeq >= 0)
           insertHistorySince(st.target, st.offsetSeq)
         else None
-      Streams.delta(spark, registry, st, history)
+      Streams.delta(spark, registry, st, history,
+          (of, cf) => isUpdateChain(st.target, of, cf))
         .createOrReplaceTempView(vn)
       Some(vn)
     } else if (f.schema == "INFORMATION_SCHEMA") {
@@ -1699,6 +1742,7 @@ final class GraftSession(
       throw new IllegalArgumentException(s"object $f already exists")
     }
     insertLog.remove(f) // new table identity — no inherited insert history
+    updateLog.remove(f)
     val asIdx = "(?is)^(?:\\([^)]*\\)\\s*)?AS\\s+(.*)$".r
     val cloneRe = "(?is)^CLONE\\s+([\\w$\".]+)\\s*$".r
     // CREATE ICEBERG TABLE t PARTITION BY (col | day(col)[, …]) AS … —
@@ -2128,6 +2172,7 @@ final class GraftSession(
     invalidateResultReuse(f)
     dynamicTables.remove(f) // DROP TABLE on a dynamic table ends its refresh
     dtDeltaLog.remove(f)
+    updateLog.remove(f)
     status(s"${f.table} successfully dropped.")
   }
 
@@ -2147,6 +2192,7 @@ final class GraftSession(
     droppedTables.remove(f)
     resetHistory(f, ref)
     insertLog.remove(f) // pre-drop insert history does not survive UNDROP
+    updateLog.remove(f)
     status(s"Table ${f.table} successfully restored.")
   }
 

@@ -40,13 +40,20 @@ import org.apache.spark.sql.types.StructType
   * describe (INSERT OVERWRITE, CREATE OR REPLACE), does the read fall
   * back to the net multiset diff.
   *
-  * Documented deviations (both conservative, both loud in scaladoc):
-  *  - UPDATEs surface as their net INSERT+DELETE row pair with
-  *    `METADATA$ISUPDATE = false` — net-change semantics without
-  *    row-identity change tracking.
-  *  - a stream whose offset snapshot was rewritten IN PLACE (a non-append
-  *    load into the same storage path) fails loudly as stale instead of
-  *    returning a wrong diff.
+  * UPDATE statements surface Snowflake-style: when the offset → current
+  * file-set transition is exactly a chain of logged UPDATE commits (the
+  * session records each UPDATE's before/after file sets — see
+  * `isUpdateTransition` below), every net-diff row is an update pair and
+  * both its DELETE (old values) and INSERT (new values) rows carry
+  * `METADATA$ISUPDATE = true`; APPEND_ONLY streams suppress such
+  * transitions entirely, as documented. A transition any non-UPDATE
+  * statement participated in breaks the chain and falls back to
+  * `ISUPDATE = false` net rows — conservative, never wrong-positive.
+  *
+  * Documented deviation (conservative, loud): a stream whose offset
+  * snapshot was rewritten IN PLACE (a non-append load into the same
+  * storage path) fails loudly as stale instead of returning a wrong
+  * diff.
   */
 final class StreamState(
     val target: FQN,
@@ -114,9 +121,10 @@ object Streams {
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
 
-  private def withMeta(df: DataFrame, action: String): DataFrame =
+  private def withMeta(df: DataFrame, action: String,
+      isUpdate: Boolean = false): DataFrame =
     df.withColumn(Action, lit(action))
-      .withColumn(IsUpdate, lit(false))
+      .withColumn(IsUpdate, lit(isUpdate))
       .withColumn(RowId, sha2(to_json(struct(
         df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)), 256))
 
@@ -156,7 +164,9 @@ object Streams {
     * set reads back at O(inserted data). None = no complete log (a
     * statement the log cannot describe intervened) → net-diff fallback. */
   def delta(spark: SparkSession, registry: TableRegistry,
-      st: StreamState, insertHistory: Option[Seq[Set[String]]] = None): DataFrame = {
+      st: StreamState, insertHistory: Option[Seq[Set[String]]] = None,
+      isUpdateTransition: (Set[String], Set[String]) => Boolean =
+        (_, _) => false): DataFrame = {
     val cur = registry.resolve(st.target).getOrElse(
       throw new IllegalArgumentException(
         s"stream target ${st.target.flat} no longer exists"))
@@ -200,6 +210,20 @@ object Streams {
     // costing two full-table scans. The replaced files read from the
     // retained pre-rewrite snapshot (offset ref's metadata still lists
     // them).
+    // UPDATE attribution: when every statement between the offset and
+    // the current snapshot was an UPDATE (the session's per-table log
+    // chains their before/after file sets), the net rows are update
+    // pairs — DELETE/INSERT both marked ISUPDATE, and APPEND_ONLY
+    // streams (which record only inserts) see nothing at all.
+    val isUpd = {
+      val (curFiles, _) = filesOf(spark, cur)
+      (st.offsetFiles, curFiles) match {
+        case (Some(of), Some(cf)) if cur.format == st.offsetRef.format =>
+          isUpdateTransition(of, cf)
+        case _ => false
+      }
+    }
+    if (isUpd && st.appendOnly) { return empty }
     {
       val (curFiles, curDeletes) = filesOf(spark, cur)
       (st.offsetFiles, curFiles) match {
@@ -217,9 +241,10 @@ object Streams {
           val newSide =
             if (added.isEmpty) curDf.filter(lit(false))
             else align(readFiles(spark, cur, added, schema), schema)
-          val ins = withMeta(newSide.exceptAll(oldSide), "INSERT")
+          val ins = withMeta(newSide.exceptAll(oldSide), "INSERT", isUpd)
           return if (st.appendOnly) ins
-            else ins.unionByName(withMeta(oldSide.exceptAll(newSide), "DELETE"))
+            else ins.unionByName(
+              withMeta(oldSide.exceptAll(newSide), "DELETE", isUpd))
         case _ =>
       }
     }
@@ -251,9 +276,9 @@ object Streams {
           stale("the table was rewritten in place over the offset snapshot")
         align(registry.load(st.offsetRef), schema)
     }
-    val ins = withMeta(curDf.exceptAll(base), "INSERT")
+    val ins = withMeta(curDf.exceptAll(base), "INSERT", isUpd)
     if (st.appendOnly) ins
-    else ins.unionByName(withMeta(base.exceptAll(curDf), "DELETE"))
+    else ins.unionByName(withMeta(base.exceptAll(curDf), "DELETE", isUpd))
   }
 
   /** SYSTEM$STREAM_HAS_DATA: file-set comparison when both snapshots are

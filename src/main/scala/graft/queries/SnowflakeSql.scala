@@ -1719,6 +1719,40 @@ object SnowflakeSql extends QueryPack {
         SELECT c, dbl::double AS dbl FROM chb ORDER BY c;""")
     },
 
+    // Stream UPDATE attribution: the session logs each UPDATE's
+    // before/after file sets; a stream whose offset → current
+    // transition chains only UPDATE commits emits Snowflake's
+    // METADATA$ISUPDATE = true on both the DELETE (old values) and
+    // INSERT (new values) rows — closing the last documented stream
+    // deviation (StreamsSpec asserts chain/break/APPEND_ONLY-suppress
+    // behavior; this gate proves the emitted pairs over a granular
+    // Iceberg UPDATE whose diff reads only the replaced files).
+    GQuery("snow74_stream_update_pairs", Some("""
+      WITH m AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 600
+          AND o_orderkey % 5 = 0)
+      SELECT * FROM (
+        SELECT 'DELETE' AS act, TRUE AS isupd, count(*) AS n,
+          CAST(sum(p) AS DOUBLE) AS total FROM m
+        UNION ALL
+        SELECT 'INSERT' AS act, TRUE AS isupd, count(*) AS n,
+          CAST(sum(CAST(p * 2 AS DECIMAL(12,2))) AS DOUBLE) AS total FROM m)
+      ORDER BY act""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE ust AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 300;
+        INSERT INTO ust
+          SELECT o_orderkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 600;
+        CREATE OR REPLACE STREAM ust_s ON TABLE ust;
+        UPDATE ust SET p = p * 2 WHERE k > 300 AND k % 5 = 0;
+        SELECT METADATA$ACTION AS act, METADATA$ISUPDATE AS isupd,
+          count(*) AS n, sum(p)::double AS total
+        FROM ust_s GROUP BY 1, 2 ORDER BY act;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -160,16 +160,49 @@ class StreamsSpec extends AnyFunSuite {
     assert(d2 == Seq(300L, 301L), d2.toString)
   }
 
-  test("UPDATE surfaces as paired INSERT+DELETE (net-change)") {
+  test("UPDATE surfaces as paired INSERT+DELETE with METADATA$ISUPDATE = true") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE st_t7 AS
       SELECT n_nationkey AS k, n_nationkey * 10 AS v FROM nation""")
     s.sql("CREATE OR REPLACE STREAM st_s7 ON TABLE st_t7")
     s.sql("UPDATE st_t7 SET v = v + 1 WHERE k < 3")
     val d = s.sql(
-      "SELECT METADATA$ACTION AS a, count(*) AS n FROM st_s7 GROUP BY 1 ORDER BY 1")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(d == Map("INSERT" -> 3L, "DELETE" -> 3L))
+      """SELECT METADATA$ACTION AS a, METADATA$ISUPDATE AS u, count(*) AS n
+        |FROM st_s7 GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    assert(d == Map(("INSERT", true) -> 3L, ("DELETE", true) -> 3L), d.toString)
+  }
+
+  test("chained UPDATEs keep ISUPDATE; a DELETE in between clears it") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE st_t8 AS
+      SELECT n_nationkey AS k, n_nationkey * 10 AS v FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s8 ON TABLE st_t8")
+    // two consecutive UPDATEs: transition chain is all-UPDATE
+    s.sql("UPDATE st_t8 SET v = v + 1 WHERE k < 3")
+    s.sql("UPDATE st_t8 SET v = v + 10 WHERE k < 5")
+    val d = s.sql(
+      """SELECT METADATA$ACTION AS a, METADATA$ISUPDATE AS u, count(*) AS n
+        |FROM st_s8 GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    assert(d == Map(("INSERT", true) -> 5L, ("DELETE", true) -> 5L), d.toString)
+    // a DELETE statement breaks the chain: rows revert to plain
+    // net-change attribution (ISUPDATE = false) — never wrong-positive
+    s.sql("DELETE FROM st_t8 WHERE k = 20")
+    val d2 = s.sql(
+      """SELECT METADATA$ACTION AS a, METADATA$ISUPDATE AS u, count(*) AS n
+        |FROM st_s8 GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    assert(d2 == Map(("INSERT", false) -> 5L, ("DELETE", false) -> 6L), d2.toString)
+  }
+
+  test("APPEND_ONLY stream suppresses an UPDATE-only transition") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE st_t9 AS
+      SELECT n_nationkey AS k, n_nationkey * 10 AS v FROM nation""")
+    s.sql("CREATE OR REPLACE STREAM st_s9 ON TABLE st_t9 APPEND_ONLY = TRUE")
+    s.sql("UPDATE st_t9 SET v = v + 1 WHERE k < 3")
+    assert(s.sql("SELECT * FROM st_s9").count() == 0)
   }
 
   test("pruned cow-diff: Iceberg granular DELETE diffs only the replaced files") {
@@ -188,7 +221,7 @@ class StreamsSpec extends AnyFunSuite {
     assert(d.map(_.getAs[Number](1).longValue()).toSeq == Seq(100L, 101L, 102L))
   }
 
-  test("pruned cow-diff: Iceberg granular UPDATE pairs INSERT+DELETE") {
+  test("pruned cow-diff: Iceberg granular UPDATE pairs INSERT+DELETE, ISUPDATE") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE ICEBERG TABLE st_tu AS
       SELECT n_nationkey AS k, n_nationkey * 10 AS v FROM nation""")
@@ -196,9 +229,10 @@ class StreamsSpec extends AnyFunSuite {
     s.sql("CREATE OR REPLACE STREAM st_su ON TABLE st_tu")
     s.sql("UPDATE st_tu SET v = v + 1 WHERE k >= 100 AND k < 104")
     val d = s.sql(
-      "SELECT METADATA$ACTION AS a, count(*) AS n FROM st_su GROUP BY 1 ORDER BY 1")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      """SELECT METADATA$ACTION AS a, METADATA$ISUPDATE AS u, count(*) AS n
+        |FROM st_su GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
     assert(Streams.lastMode == "cow-diff-pruned", Streams.lastMode)
-    assert(d == Map("INSERT" -> 4L, "DELETE" -> 4L), d.toString)
+    assert(d == Map(("INSERT", true) -> 4L, ("DELETE", true) -> 4L), d.toString)
   }
 }
