@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, GraftColumns, GraftPlans}
 import org.apache.spark.sql.functions.{col, max, min, sum}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, CommonExpressionRef, Divide, Expression, NamedExpression, PlanExpression, With}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CommonExpressionRef, Expression, NamedExpression, PlanExpression, With}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -351,9 +351,22 @@ object DynamicTables {
         case e if groupExprs.exists(_.semanticEquals(e)) =>
           UnresolvedAttribute.quoted(keyName(e).get)
         case ae: AggregateExpression => ae.aggregateFunction match {
-          case _: Average =>
-            Cast(Divide(UnresolvedAttribute.quoted(fresh("sum")),
-              UnresolvedAttribute.quoted(fresh("sum"))), ae.dataType)
+          case avg: Average =>
+            // re-derive through Average's OWN finalizer with its sum /
+            // count buffer attributes substituted by the state columns
+            // (the stored partials have exactly the buffer types:
+            // Sum(child) = Average's widened sumDataType, Count = long)
+            // — a hand-built Divide reproduced the value but not
+            // Average's decimal precision/rounding rules, so a DT's
+            // low-order digits could depend on whether a refresh ran
+            // incrementally or full
+            val sumRef = UnresolvedAttribute.quoted(fresh("sum"))
+            val cntRef = UnresolvedAttribute.quoted(fresh("sum"))
+            val Seq(bufSum, bufCnt) = avg.aggBufferAttributes
+            avg.evaluateExpression.transformUp {
+              case a: Attribute if a.exprId == bufSum.exprId => sumRef
+              case a: Attribute if a.exprId == bufCnt.exprId => cntRef
+            }
           case f =>
             val fold = f match {
               case _: Sum | _: Count => "sum"

@@ -526,13 +526,21 @@ object IcebergLite {
     * metadata overhead at local; on a real cluster the same round
     * trips). Bounded: cleared wholesale past 256 snapshots. */
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), (Seq[DataEntry], Seq[DeleteEntry])]()
+    (String, Long, Long, Long), (Seq[DataEntry], Seq[DeleteEntry])]()
   private def planFiles(spark: SparkSession, metadataPath: String)
       : (Seq[DataEntry], Seq[DeleteEntry]) = {
     val p = Paths.get(stripScheme(metadataPath))
     val attrs = Files.readAttributes(p,
       classOf[java.nio.file.attribute.BasicFileAttributes])
-    val key = (p.toString, attrs.lastModifiedTime.toMillis, attrs.size)
+    // nanosecond mtime + creation time + size: a DROP + re-CREATE that
+    // lands the same path with the same byte size can no longer collide
+    // within a millisecond bucket (the old millis key theoretically
+    // could) — recreating a file with identical size in the same
+    // nanosecond with the same crtime is not a physical scenario
+    val key = (p.toString,
+      attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+      attrs.creationTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+      attrs.size)
     if (planCache.size > 256) planCache.clear()
     planCache.computeIfAbsent(key, _ => planFilesUncached(spark, metadataPath))
   }
