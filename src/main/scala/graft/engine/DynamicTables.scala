@@ -78,11 +78,25 @@ import org.apache.spark.sql.types.StructType
   *     holds with SIGNED deltas — each changed base contributes a
   *     +part over its added files and a −part over its removed files,
   *     under the same old/new bindings of the other bases.
-  *  6. '''full''' — anything else (outer joins, windows, DISTINCT
-  *     aggregates, whole-table rewrites on a base, MIN/MAX under
-  *     deletes, a base DT that merge-refreshes — its file set is
-  *     swapped, not appended): re-run the defining query. This
-  *     fallback is what keeps every mode above sound.
+  *  6. '''incremental-regroup''' — a single base's file set changed
+  *     non-append and the state holds MIN/MAX (not invertible): the
+  *     replaced files name every group the DML could have touched, so
+  *     ONLY those groups are recomputed — the defining query re-runs
+  *     under a key-IN-(touched) filter the optimizer pushes through
+  *     the aggregate into the base scan — and spliced over the
+  *     previous result. O(touched groups' data), keyed plans only.
+  *  7. '''incremental-dtdelta''' — the single base is itself a
+  *     DYNAMIC TABLE whose merge refresh swapped its materialization
+  *     path: the base published its signed row delta (touched groups'
+  *     rows before/after, chained per refresh), and this table
+  *     consumes the chain directly — a retractable aggregate folds
+  *     ±Q(delta rows), a stateless transform splices
+  *     old ⊖ T(removed) ⊕ T(added) by exact multiset counting
+  *     ([[spliceMultiset]]). O(changed groups), never O(base).
+  *  8. '''full''' — anything else (outer joins, windows, DISTINCT
+  *     aggregates, whole-table rewrites on a base, a broken delta
+  *     chain): re-run the defining query. This fallback is what keeps
+  *     every mode above sound.
   *
   * The mode is decided per refresh, so one DELETE on the base degrades
   * that one refresh to full — subsequent appends resume incremental
