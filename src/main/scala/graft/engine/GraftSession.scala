@@ -138,6 +138,15 @@ final class GraftSession(
     * refresh — result-sized, never base-sized. */
   private def publishDtDelta(f: FQN, oldPath: String, oldVisible: DataFrame,
       restrict: DataFrame => DataFrame): Unit = {
+    // publication costs two O(|result|) jobs per merge refresh — skip
+    // when no OTHER dynamic table reads this one as a base. Sound: a
+    // downstream created LATER materializes from the base's state at
+    // creation, so its refresh gap never reaches back before its own
+    // creation; only a downstream alive NOW can ever consume this
+    // entry, and an unpublished transition merely breaks the chain
+    // (→ full refresh), never corrupts it.
+    if (!dynamicTables.exists { case (g, s2) => g != f && s2.bases.contains(f) })
+      return
     val newRef = registry.resolve(f).get
     val newPath = newRef.path.get
     val seq = snapshotSeq.incrementAndGet()
