@@ -596,6 +596,106 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM dyn_a11"), want)
   }
 
+  test("fuzz: random granular DML keeps a MIN/MAX (regroup) Iceberg DT exact") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_bmm AS
+      SELECT o_orderkey AS ok, o_custkey AS k, o_totalprice::number(12,2) AS price
+      FROM orders WHERE o_orderkey <= 500""")
+    // min/max in the state: retraction-ineligible, regroup-eligible
+    val defn = """SELECT k % 6 AS g, count(*) AS n, min(price) AS lo,
+        max(price) AS hi, sum(price) AS total
+      FROM dyn_bmm GROUP BY k % 6"""
+    s.sql(s"CREATE DYNAMIC TABLE dyn_amm AS $defn")
+    val rnd = new scala.util.Random(13)
+    var regroups = 0
+    var lo = 500
+    // slice-bounded DML: each INSERT lands a key range in its own
+    // snapshot files, and later DELETE/UPDATEs target ONE recorded
+    // slice, so the granular path replaces only that slice's files —
+    // the shape that exercises regroup instead of the full fallback
+    val slices = scala.collection.mutable.ArrayBuffer((0, 500))
+    for (step <- 1 to 12) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append a fresh slice (new snapshot)
+          val hi = lo + 50 + rnd.nextInt(150)
+          s.sql(s"""INSERT INTO dyn_bmm
+            SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+            FROM orders WHERE o_orderkey > $lo AND o_orderkey <= $hi""")
+          slices += ((lo, hi)); lo = hi
+        case 2 => // granular DELETE — may remove current minima/maxima
+          val (a, b) = slices(rnd.nextInt(slices.length))
+          val m = 3 + rnd.nextInt(5)
+          s.sql(s"DELETE FROM dyn_bmm WHERE ok % $m = 1 AND ok > $a AND ok <= $b")
+        case _ => // granular UPDATE — moves extrema in both directions
+          val (a, b) = slices(rnd.nextInt(slices.length))
+          val m = 3 + rnd.nextInt(5)
+          val expr = if (rnd.nextBoolean()) "price * 3" else "price / 2"
+          s.sql(s"UPDATE dyn_bmm SET price = $expr WHERE ok % $m = 2 AND ok > $a AND ok <= $b")
+      }
+      s.sql("ALTER DYNAMIC TABLE dyn_amm REFRESH")
+      if (DynamicTables.lastRefreshMode == "incremental-regroup-merge")
+        regroups += 1
+      assertSame(s.sql("SELECT * FROM dyn_amm"), s.sql(defn))
+    }
+    assert(regroups >= 3, s"only $regroups regroup refreshes in 12 steps")
+  }
+
+  test("fuzz: random base activity keeps a DT-over-DT chain exact") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chf_t AS
+      SELECT o_orderkey AS ok, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 500""")
+    val defA = "SELECT c, count(*) AS n, sum(p) AS total FROM chf_t GROUP BY c"
+    s.sql(s"CREATE DYNAMIC TABLE chf_a AS $defA")
+    s.sql("""CREATE DYNAMIC TABLE chf_b AS
+      SELECT c % 5 AS g, sum(n) AS n, sum(total) AS total, count(*) AS groups
+      FROM chf_a GROUP BY 1""")
+    s.sql("CREATE DYNAMIC TABLE chf_c AS SELECT c, total * 2 AS dbl FROM chf_a WHERE n >= 2")
+    def wantB = s.sql(s"""WITH a AS ($defA)
+      SELECT c % 5 AS g, sum(n) AS n, sum(total) AS total, count(*) AS groups
+      FROM a GROUP BY 1""")
+    def wantC = s.sql(s"WITH a AS ($defA) SELECT c, total * 2 AS dbl FROM a WHERE n >= 2")
+    val rnd = new scala.util.Random(99)
+    var dtdeltaB = 0; var dtdeltaC = 0
+    var lo = 500
+    for (step <- 1 to 14) {
+      rnd.nextInt(6) match {
+        case 0 | 1 | 2 | 3 => // append to the root, advance the base DT only
+          val hi = lo + 100 + rnd.nextInt(300)
+          s.sql(s"""INSERT INTO chf_t
+            SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+            FROM orders WHERE o_orderkey > $lo AND o_orderkey <= $hi""")
+          lo = hi
+          s.sql("ALTER DYNAMIC TABLE chf_a REFRESH")
+        case 4 => // root rewrite: base DT goes full, chain breaks once
+          s.sql(s"DELETE FROM chf_t WHERE ok % ${9 + rnd.nextInt(5)} = 3")
+          s.sql("ALTER DYNAMIC TABLE chf_a REFRESH")
+        case _ => () // downstreams catch up on an unchanged base
+      }
+      // downstreams refresh on a random cadence — sometimes after two
+      // base swaps (chained entries), sometimes with nothing new
+      if (rnd.nextInt(4) != 0) {
+        s.sql("ALTER DYNAMIC TABLE chf_b REFRESH")
+        if (DynamicTables.lastRefreshMode == "incremental-dtdelta-merge")
+          dtdeltaB += 1
+        assertSame(s.sql("SELECT * FROM chf_b"), wantB)
+      }
+      if (rnd.nextInt(4) != 0) {
+        s.sql("ALTER DYNAMIC TABLE chf_c REFRESH")
+        if (DynamicTables.lastRefreshMode == "incremental-dtdelta-transform")
+          dtdeltaC += 1
+        assertSame(s.sql("SELECT * FROM chf_c"), wantC)
+      }
+    }
+    // final catch-up: both downstreams must converge exactly
+    s.sql("ALTER DYNAMIC TABLE chf_b REFRESH")
+    assertSame(s.sql("SELECT * FROM chf_b"), wantB)
+    s.sql("ALTER DYNAMIC TABLE chf_c REFRESH")
+    assertSame(s.sql("SELECT * FROM chf_c"), wantC)
+    assert(dtdeltaB >= 2 && dtdeltaC >= 2,
+      s"dtdelta coverage too thin: merge=$dtdeltaB transform=$dtdeltaC")
+  }
+
   // ── DT-over-DT across a merge-refreshing base ──────────────────────────
 
   test("DT chain: retractable agg downstream stays incremental across base merges") {
