@@ -349,6 +349,57 @@ final class GraftSession(
           swapMaterialization(f, ref, runQuery(st.query))
       }
     }
+    // Recompute-splice for non-invertible (MIN/MAX-bearing) states:
+    // `touched` carries the key columns of every group the change could
+    // have affected; the defining query re-runs under a key-IN filter —
+    // which Catalyst pushes through the aggregate into the base scan
+    // (O(touched groups' data), row-group skipping when the key is
+    // clustered) — and the result splices over the previous
+    // materialization (or state sidecar, HAVING/derived shapes).
+    // Groups that emptied out don't reappear, so no hidden row count
+    // is consulted. Returns false when the touched-key set exceeds the
+    // cap (the IN-plan stops paying) — callers go full.
+    def regroupSplice(am: DynamicTables.AggMerge, touched: DataFrame,
+        deltaFiles: Seq[String], mode: String): Boolean = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+      val cap = sys.props.getOrElse("graft.dt.regroupKeyCap", "100000").toInt
+      val keyRows = touched.limit(cap + 1).collect()
+      if (keyRows.length > cap) return false
+      val pred = am.keys.map { k =>
+        val vals = keyRows.map(_.getAs[Any](k)).toSeq
+        val nn = vals.filter(_ != null).distinct
+        val in = if (nn.isEmpty) lit(false) else col(k).isin(nn: _*)
+        coalesce(if (vals.contains(null)) in || col(k).isNull else in,
+          lit(false))
+      }.reduce(_ && _)
+      DynamicTables.lastDeltaFiles = deltaFiles
+      DynamicTables.lastRefreshMode = mode
+      st.statePath match {
+        case Some(sp) =>
+          val oldState = spark.read.parquet(sp)
+          val recomputed = DynamicTables.partialize(runQuery(st.query),
+              force = am.having.isDefined).filter(pred)
+            .select(oldState.schema.fields.map(sf =>
+              col(sf.name).cast(sf.dataType).as(sf.name)).toIndexedSeq: _*)
+          val newSp = sp.split("__state_v").head +
+            s"__state_v${snapshotSeq.incrementAndGet()}"
+          oldState.filter(not(pred)).unionByName(recomputed)
+            .write.mode("overwrite").parquet(newSp)
+          st.statePath = Some(newSp)
+          swapMaterialization(f, ref, DynamicTables.finalizeState(
+            spark.read.parquet(newSp), am, st.schema))
+        case None =>
+          val oldMat = registry.load(ref)
+          val recomputed = runQuery(st.query).filter(pred)
+          swapMaterialization(f, ref,
+            oldMat.filter(not(pred)).unionByName(recomputed)
+              .select(st.schema.fields.map(sf =>
+                col(sf.name).cast(sf.dataType).as(sf.name))
+                .toIndexedSeq: _*))
+      }
+      publishDtDelta(f, ref.path.get, registry.load(ref), _.filter(pred))
+      true
+    }
     // file-granular rewrite retraction probe: a single base whose file
     // set changed NON-append — an Iceberg COW UPDATE/DELETE replaced
     // some files ([[Dml]]/[[graft.sources.IcebergLite.replaceFiles]])
@@ -426,13 +477,16 @@ final class GraftSession(
     // signed row delta ([[DtDelta]]): chain the log entries covering
     // this DT's recorded base path → the current one and consume the
     // sidecar rows directly. Sound for a retractable aggregate (fold
-    // +Q(added rows) ⊎ −Q(removed rows)) and for a stateless transform
-    // (multiset splice old ⊖ T(removed) ⊕ T(added)); anything else —
-    // join trees, MIN/MAX states — still degrades to full here.
+    // +Q(added rows) ⊎ −Q(removed rows)), for a MIN/MAX-bearing keyed
+    // aggregate (the sidecar rows name the touched groups —
+    // [[regroupSplice]] recomputes only those), and for a stateless
+    // transform (multiset splice old ⊖ T(removed) ⊕ T(added));
+    // join trees still degrade to full here.
     def dtChainDelta: Option[(Seq[String], Seq[String])] = {
       if (st.bases.length != 1) return None
       val okShape = st.inc match {
-        case Some(am: DynamicTables.AggMerge)   => am.retractable
+        case Some(am: DynamicTables.AggMerge) =>
+          am.retractable || am.keys.nonEmpty
         case Some(DynamicTables.AppendTransform) => true
         case _                                   => false
       }
@@ -543,59 +597,17 @@ final class GraftSession(
           // still refreshes incrementally: the delta files name every
           // group the DML could have changed (a group with no row in a
           // replaced file contributes identically before and after), so
-          // ONLY those groups are recomputed — the defining query
-          // re-runs under a key-IN-(touched) filter that Catalyst
-          // pushes through the aggregate into the base scan (O(touched
-          // groups' data), with row-group skipping when the key is
-          // clustered) — and splices over the previous result. Groups
-          // that emptied out don't reappear, so no hidden row count is
-          // consulted. Guarded by am.keys.nonEmpty in rewriteDelta: a
-          // global MIN/MAX has one group = the whole base = full anyway.
-          import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-          val keyCols = am.keys.map(col)
+          // ONLY those groups are recomputed and spliced over the
+          // previous result — see [[regroupSplice]]. Guarded by
+          // am.keys.nonEmpty in rewriteDelta: a global MIN/MAX has one
+          // group = the whole base = full anyway.
+          val keyCols = am.keys.map(org.apache.spark.sql.functions.col)
           val remKeys = evalOver(removed, oref).select(keyCols: _*)
           val touched = (if (added.isEmpty) remKeys
             else remKeys.unionByName(
               evalOver(added, cur).select(keyCols: _*))).distinct()
-          val cap = sys.props.getOrElse("graft.dt.regroupKeyCap", "100000").toInt
-          val keyRows = touched.limit(cap + 1).collect()
-          if (keyRows.length > cap) fullRefresh() // IN-plan stops paying
-          else {
-            val pred = am.keys.map { k =>
-              val vals = keyRows.map(_.getAs[Any](k)).toSeq
-              val nn = vals.filter(_ != null).distinct
-              val in = if (nn.isEmpty) lit(false) else col(k).isin(nn: _*)
-              coalesce(if (vals.contains(null)) in || col(k).isNull else in,
-                lit(false))
-            }.reduce(_ && _)
-            DynamicTables.lastDeltaFiles = (added ++ removed).toSeq.sorted
-            DynamicTables.lastRefreshMode = "incremental-regroup-merge"
-            st.statePath match {
-              case Some(sp) =>
-                val oldState = spark.read.parquet(sp)
-                val recomputed = DynamicTables.partialize(runQuery(st.query),
-                    force = am.having.isDefined).filter(pred)
-                  .select(oldState.schema.fields.map(sf =>
-                    col(sf.name).cast(sf.dataType).as(sf.name)).toIndexedSeq: _*)
-                val newSp = sp.split("__state_v").head +
-                  s"__state_v${snapshotSeq.incrementAndGet()}"
-                oldState.filter(not(pred)).unionByName(recomputed)
-                  .write.mode("overwrite").parquet(newSp)
-                st.statePath = Some(newSp)
-                swapMaterialization(f, ref, DynamicTables.finalizeState(
-                  spark.read.parquet(newSp), am, st.schema))
-              case None =>
-                val oldMat = registry.load(ref)
-                val recomputed = runQuery(st.query).filter(pred)
-                swapMaterialization(f, ref,
-                  oldMat.filter(not(pred)).unionByName(recomputed)
-                    .select(st.schema.fields.map(sf =>
-                      col(sf.name).cast(sf.dataType).as(sf.name))
-                      .toIndexedSeq: _*))
-            }
-            publishDtDelta(f, ref.path.get, registry.load(ref),
-              _.filter(pred))
-          }
+          if (!regroupSplice(am, touched, (added ++ removed).toSeq.sorted,
+              "incremental-regroup-merge")) fullRefresh()
         }
       case (Some(DynamicTables.JoinDelta(am: DynamicTables.AggMerge)), None)
           if joinRewriteDelta.isDefined =>
@@ -663,10 +675,19 @@ final class GraftSession(
         }
         DynamicTables.lastDeltaFiles = (addDirs ++ delDirs).sorted
         plan match {
-          case am: DynamicTables.AggMerge => // retractable ⇒ has state
+          case am: DynamicTables.AggMerge if am.retractable => // has state
             val delta = evalDirs(addDirs, Some(am)).unionByName(
               DynamicTables.negateState(evalDirs(delDirs, Some(am)), am))
             applyIncrement(am, delta, "incremental-dtdelta-")
+          case am: DynamicTables.AggMerge =>
+            // MIN/MAX downstream of a merge-refreshing DT base: the
+            // sidecar rows name the touched groups — recompute and
+            // splice only those (regroupSplice)
+            val keyCols = am.keys.map(org.apache.spark.sql.functions.col)
+            val touched = evalDirs(addDirs ++ delDirs, Some(am))
+              .select(keyCols: _*).distinct()
+            if (!regroupSplice(am, touched, (addDirs ++ delDirs).sorted,
+                "incremental-dtdelta-regroup")) fullRefresh()
           case _ => // AppendTransform: multiset splice, O(|result|)
             val tAdd = evalDirs(addDirs, None)
             val tDel = evalDirs(delDirs, None)

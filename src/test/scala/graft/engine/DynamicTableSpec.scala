@@ -779,6 +779,46 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM chain_c"), want)
   }
 
+  test("DT chain: MIN/MAX downstream regroups off the published sidecar") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chain_t4 AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE chain_a4 AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM chain_t4 GROUP BY c""")
+    // max over the base DT's totals: not retractable, but keyed —
+    // the sidecar rows name the touched groups, which regroup-splice
+    s.sql("""CREATE DYNAMIC TABLE chain_d AS
+      SELECT c % 5 AS g, max(total) AS hi, min(total) AS lo, count(*) AS n
+      FROM chain_a4 GROUP BY 1""")
+    def want = s.sql("""WITH a AS (
+        SELECT c, count(*) AS n, sum(p) AS total FROM chain_t4 GROUP BY c)
+      SELECT c % 5 AS g, max(total) AS hi, min(total) AS lo, count(*) AS n
+      FROM a GROUP BY 1""")
+    s.sql("""INSERT INTO chain_t4
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a4 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    s.sql("ALTER DYNAMIC TABLE chain_d REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-regroup",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM chain_d"), want)
+    // second cycle: two base merges, one downstream catch-up
+    s.sql("""INSERT INTO chain_t4
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 2500""")
+    s.sql("ALTER DYNAMIC TABLE chain_a4 REFRESH")
+    s.sql("""INSERT INTO chain_t4
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2500 AND o_orderkey <= 3000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a4 REFRESH")
+    s.sql("ALTER DYNAMIC TABLE chain_d REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-regroup",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM chain_d"), want)
+  }
+
   test("DT chain: a full base refresh breaks the chain — downstream goes full once") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE chain_t3 AS
