@@ -444,6 +444,41 @@ final class GraftSession(
     // old fact files). Bases rewritten WHOLESALE (no file carried
     // forward) are excluded — two full-join evaluations would cost
     // more than the full refresh they'd replace.
+    // Chain walk over a DT base's published delta log ([[DtDelta]]):
+    // the sidecar (addDirs, delDirs) covering this DT's recorded base
+    // path → the base's current path. None when any transition is
+    // unlogged (full refresh, re-CREATE, cap overflow) — the caller
+    // then treats the base as wholesale-rewritten.
+    def dtChainDirs(b: FQN): Option[(Seq[String], Seq[String])] = {
+      val fromPath = st.offsets.get(b).flatMap(_._1.path).getOrElse(return None)
+      val toPath = curs(b).path.getOrElse(return None)
+      if (fromPath == toPath) return None
+      val entries = dtDeltaLog.getOrElse(b, Nil)
+      val adds = Seq.newBuilder[String]; val dels = Seq.newBuilder[String]
+      var at = fromPath; var steps = 0
+      while (at != toPath) {
+        if (steps > entries.length) return None
+        entries.find(_.from == at) match {
+          case Some(e) => adds += e.addDir; dels += e.delDir; at = e.to
+          case None    => return None
+        }
+        steps += 1
+      }
+      Some((adds.result(), dels.result()))
+    }
+    // the same chain as data-file sets, for the telescoped join loop
+    // (Streams.readFiles reads explicit parquet file lists with the
+    // base's schema, so sidecar part-files slot straight in)
+    def dtChainFiles(b: FQN): Option[(Set[String], Set[String])] =
+      dtChainDirs(b).map { case (adds, dels) =>
+        def parts(dirs: Seq[String]): Set[String] = dirs.flatMap { d =>
+          Option(new java.io.File(d).listFiles()).toSeq.flatten
+            .filter(fl => fl.isFile && !fl.getName.startsWith("_") &&
+              !fl.getName.startsWith("."))
+            .map(_.getAbsolutePath)
+        }.toSet
+        (parts(adds), parts(dels))
+      }
     def joinRewriteDelta: Option[Map[FQN, (Set[String], Set[String])]] =
       st.inc match {
         case Some(DynamicTables.JoinDelta(am: DynamicTables.AggMerge))
@@ -458,6 +493,15 @@ final class GraftSession(
                       ((of -- cf).isEmpty || (of & cf).nonEmpty) &&
                       of.forall(p => new java.io.File(p).exists()) =>
                   Some(b -> ((cf -- of, of -- cf)))
+                case (Some(of), Some(_))
+                    if of.forall(p => new java.io.File(p).exists()) =>
+                  // a merge-refreshing DT base inside the join tree:
+                  // its published sidecar chain IS the signed row delta
+                  // (unchanged rows of touched groups appear on both
+                  // sides and cancel in the linear folds), and the old
+                  // binding for bases left of the delta reads the
+                  // offset-time file set, which COW retains
+                  dtChainFiles(b).map(b -> _)
                 case _ => None
               }
             }
@@ -491,22 +535,7 @@ final class GraftSession(
         case _                                   => false
       }
       if (!okShape) return None
-      val b = st.bases.head
-      val fromPath = st.offsets.get(b).flatMap(_._1.path).getOrElse(return None)
-      val toPath = curs(b).path.getOrElse(return None)
-      if (fromPath == toPath) return None
-      val entries = dtDeltaLog.getOrElse(b, Nil)
-      val adds = Seq.newBuilder[String]; val dels = Seq.newBuilder[String]
-      var at = fromPath; var steps = 0
-      while (at != toPath) {
-        if (steps > entries.length) return None
-        entries.find(_.from == at) match {
-          case Some(e) => adds += e.addDir; dels += e.delDir; at = e.to
-          case None    => return None
-        }
-        steps += 1
-      }
-      Some((adds.result(), dels.result()))
+      dtChainDirs(st.bases.head)
     }
     (st.inc, addedPerBase) match {
       case (Some(plan), Some(af)) if st.bases.length == 1 &&

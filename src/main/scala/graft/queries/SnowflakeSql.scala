@@ -1753,6 +1753,48 @@ object SnowflakeSql extends QueryPack {
         FROM ust_s GROUP BY 1, 2 ORDER BY act;""")
     },
 
+    // Star rollup over a DT chain: a join-DT whose FACT side is itself
+    // a merge-refreshing dynamic table consumes the base's published
+    // signed sidecar chain through the telescoped join-retract
+    // identity — the rollup stays incremental even though the base's
+    // materialization path swaps every refresh (DynamicTableSpec
+    // asserts the incremental-join-retract-merge mode and
+    // sidecar-only delta reads across a 2-entry chain; this gate
+    // proves the end state after two cycles).
+    GQuery("snow75_dynamic_table_join_chain", Some("""
+      WITH a AS (
+        SELECT o_custkey AS c, count(*) AS n,
+          sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+        FROM orders WHERE o_orderkey <= 3000 GROUP BY 1)
+      SELECT d.c_nationkey AS nk, CAST(sum(a.total) AS DOUBLE) AS total,
+        CAST(sum(a.n) AS BIGINT) AS n
+      FROM a JOIN customer d ON a.c = d.c_custkey
+      GROUP BY 1 ORDER BY nk""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE jct AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 1000;
+        CREATE OR REPLACE DYNAMIC TABLE jca AS
+          SELECT c, count(*) AS n, sum(p) AS total FROM jct GROUP BY c;
+        CREATE OR REPLACE TABLE jcd AS
+          SELECT c_custkey AS c, c_nationkey AS nk FROM customer;
+        CREATE OR REPLACE DYNAMIC TABLE jcj AS
+          SELECT d.nk, sum(a.total) AS total, sum(a.n) AS n
+          FROM jca a JOIN jcd d ON a.c = d.c GROUP BY d.nk;
+        INSERT INTO jct
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000;
+        ALTER DYNAMIC TABLE jca REFRESH;
+        ALTER DYNAMIC TABLE jcj REFRESH;
+        INSERT INTO jct
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000;
+        ALTER DYNAMIC TABLE jca REFRESH;
+        ALTER DYNAMIC TABLE jcj REFRESH;
+        SELECT nk, total::double AS total, n FROM jcj ORDER BY nk;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -819,6 +819,54 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM chain_d"), want)
   }
 
+  test("DT chain: join-DT over a merge-refreshing DT base stays incremental") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chain_t5 AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE chain_a5 AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM chain_t5 GROUP BY c""")
+    s.sql("""CREATE OR REPLACE TABLE chain_dim AS
+      SELECT c_custkey AS c, c_nationkey AS nk FROM customer""")
+    // star rollup over the chain: agg DT joined to a dim, downstream agg
+    s.sql("""CREATE DYNAMIC TABLE chain_j AS
+      SELECT d.nk, sum(a.total) AS total, sum(a.n) AS n
+      FROM chain_a5 a JOIN chain_dim d ON a.c = d.c
+      GROUP BY d.nk""")
+    def want = s.sql("""WITH a AS (
+        SELECT c, count(*) AS n, sum(p) AS total FROM chain_t5 GROUP BY c)
+      SELECT d.nk, sum(a.total) AS total, sum(a.n) AS n
+      FROM a JOIN chain_dim d ON a.c = d.c GROUP BY d.nk""")
+    s.sql("""INSERT INTO chain_t5
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a5 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    s.sql("ALTER DYNAMIC TABLE chain_j REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-retract-merge",
+      DynamicTables.lastRefreshMode)
+    // the signed delta read the base DT's sidecar files, never its
+    // swapped materialization wholesale
+    assert(DynamicTables.lastDeltaFiles.nonEmpty &&
+      DynamicTables.lastDeltaFiles.forall(p =>
+        p.contains("__dtadd_") || p.contains("__dtdel_")),
+      DynamicTables.lastDeltaFiles.toString)
+    assertSame(s.sql("SELECT * FROM chain_j"), want)
+    // two more base merges before the join catches up — chained entries
+    s.sql("""INSERT INTO chain_t5
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 2500""")
+    s.sql("ALTER DYNAMIC TABLE chain_a5 REFRESH")
+    s.sql("""INSERT INTO chain_t5
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2500 AND o_orderkey <= 3000""")
+    s.sql("ALTER DYNAMIC TABLE chain_a5 REFRESH")
+    s.sql("ALTER DYNAMIC TABLE chain_j REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-join-retract-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM chain_j"), want)
+  }
+
   test("DT chain: a full base refresh breaks the chain — downstream goes full once") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE chain_t3 AS
