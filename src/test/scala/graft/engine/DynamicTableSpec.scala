@@ -867,6 +867,41 @@ class DynamicTableSpec extends AnyFunSuite {
     assertSame(s.sql("SELECT * FROM chain_j"), want)
   }
 
+  test("DT chain: three levels deep — the middle DT republishes its own delta") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chain_t6 AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE chain_l1 AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM chain_t6 GROUP BY c""")
+    s.sql("""CREATE DYNAMIC TABLE chain_l2 AS
+      SELECT c % 10 AS g, sum(n) AS n, sum(total) AS total
+      FROM chain_l1 GROUP BY 1""")
+    s.sql("""CREATE DYNAMIC TABLE chain_l3 AS
+      SELECT g % 2 AS h, sum(n) AS n, sum(total) AS total
+      FROM chain_l2 GROUP BY 1""")
+    def want = s.sql("""WITH l1 AS (
+        SELECT c, count(*) AS n, sum(p) AS total FROM chain_t6 GROUP BY c),
+      l2 AS (SELECT c % 10 AS g, sum(n) AS n, sum(total) AS total
+        FROM l1 GROUP BY 1)
+      SELECT g % 2 AS h, sum(n) AS n, sum(total) AS total
+      FROM l2 GROUP BY 1""")
+    s.sql("""INSERT INTO chain_t6
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE chain_l1 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge")
+    s.sql("ALTER DYNAMIC TABLE chain_l2 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-merge",
+      DynamicTables.lastRefreshMode)
+    // l2's dtdelta-merge itself swapped its materialization AND
+    // republished — l3 consumes the second-hop chain
+    s.sql("ALTER DYNAMIC TABLE chain_l3 REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-dtdelta-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM chain_l3"), want)
+  }
+
   test("DT chain: a full base refresh breaks the chain — downstream goes full once") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE chain_t3 AS
