@@ -130,6 +130,36 @@ final class GraftSession(
   private val dtDeltaLog =
     scala.collection.concurrent.TrieMap.empty[FQN, List[DtDelta]]
 
+  /** Walk `f`'s delta log from one materialization path to another:
+    * the sidecar (addDirs, delDirs) covering every logged transition
+    * in between; None when any hop is unlogged. */
+  private def dtLogChainDirs(f: FQN, fromPath: String,
+      toPath: String): Option[(Seq[String], Seq[String])] = {
+    if (fromPath == toPath) return None
+    val entries = dtDeltaLog.getOrElse(f, Nil)
+    val adds = Seq.newBuilder[String]; val dels = Seq.newBuilder[String]
+    var at = fromPath; var steps = 0
+    while (at != toPath) {
+      if (steps > entries.length) return None
+      entries.find(_.from == at) match {
+        case Some(e) => adds += e.addDir; dels += e.delDir; at = e.to
+        case None    => return None
+      }
+      steps += 1
+    }
+    Some((adds.result(), dels.result()))
+  }
+
+  /** Data part-files under sidecar dirs (a side with no touched rows
+    * may be an empty dir — callers read with an explicit schema). */
+  private def listSidecarFiles(dirs: Seq[String]): Set[String] =
+    dirs.flatMap { d =>
+      Option(new java.io.File(d).listFiles()).toSeq.flatten
+        .filter(fl => fl.isFile && !fl.getName.startsWith("_") &&
+          !fl.getName.startsWith("."))
+        .map(_.getAbsolutePath)
+    }.toSet
+
   /** Publish a merge-refresh's signed row delta (see [[DtDelta]]):
     * `restrict` filters a materialization to the touched groups;
     * `oldVisible` must read the pre-swap path (the captured ref keeps
@@ -139,13 +169,15 @@ final class GraftSession(
   private def publishDtDelta(f: FQN, oldPath: String, oldVisible: DataFrame,
       restrict: DataFrame => DataFrame): Unit = {
     // publication costs two O(|result|) jobs per merge refresh — skip
-    // when no OTHER dynamic table reads this one as a base. Sound: a
-    // downstream created LATER materializes from the base's state at
-    // creation, so its refresh gap never reaches back before its own
-    // creation; only a downstream alive NOW can ever consume this
-    // entry, and an unpublished transition merely breaks the chain
-    // (→ full refresh), never corrupts it.
-    if (!dynamicTables.exists { case (g, s2) => g != f && s2.bases.contains(f) })
+    // when no OTHER dynamic table reads this one as a base and no
+    // stream watches it. Sound: a downstream created LATER
+    // materializes from the base's state at creation (and a stream
+    // created later offsets at creation), so neither can have a
+    // refresh gap reaching back before now; an unpublished transition
+    // merely breaks the chain (→ full refresh / full diff), never
+    // corrupts it.
+    if (!dynamicTables.exists { case (g, s2) => g != f && s2.bases.contains(f) }
+        && !streams.values.exists(_.target == f))
       return
     val newRef = registry.resolve(f).get
     val newPath = newRef.path.get
@@ -449,35 +481,18 @@ final class GraftSession(
     // path → the base's current path. None when any transition is
     // unlogged (full refresh, re-CREATE, cap overflow) — the caller
     // then treats the base as wholesale-rewritten.
-    def dtChainDirs(b: FQN): Option[(Seq[String], Seq[String])] = {
-      val fromPath = st.offsets.get(b).flatMap(_._1.path).getOrElse(return None)
-      val toPath = curs(b).path.getOrElse(return None)
-      if (fromPath == toPath) return None
-      val entries = dtDeltaLog.getOrElse(b, Nil)
-      val adds = Seq.newBuilder[String]; val dels = Seq.newBuilder[String]
-      var at = fromPath; var steps = 0
-      while (at != toPath) {
-        if (steps > entries.length) return None
-        entries.find(_.from == at) match {
-          case Some(e) => adds += e.addDir; dels += e.delDir; at = e.to
-          case None    => return None
-        }
-        steps += 1
-      }
-      Some((adds.result(), dels.result()))
-    }
+    def dtChainDirs(b: FQN): Option[(Seq[String], Seq[String])] =
+      for {
+        fromPath <- st.offsets.get(b).flatMap(_._1.path)
+        toPath <- curs(b).path
+        dirs <- dtLogChainDirs(b, fromPath, toPath)
+      } yield dirs
     // the same chain as data-file sets, for the telescoped join loop
     // (Streams.readFiles reads explicit parquet file lists with the
     // base's schema, so sidecar part-files slot straight in)
     def dtChainFiles(b: FQN): Option[(Set[String], Set[String])] =
       dtChainDirs(b).map { case (adds, dels) =>
-        def parts(dirs: Seq[String]): Set[String] = dirs.flatMap { d =>
-          Option(new java.io.File(d).listFiles()).toSeq.flatten
-            .filter(fl => fl.isFile && !fl.getName.startsWith("_") &&
-              !fl.getName.startsWith("."))
-            .map(_.getAbsolutePath)
-        }.toSet
-        (parts(adds), parts(dels))
+        (listSidecarFiles(adds), listSidecarFiles(dels))
       }
     def joinRewriteDelta: Option[Map[FQN, (Set[String], Set[String])]] =
       st.inc match {
@@ -1719,8 +1734,17 @@ final class GraftSession(
         if (st.appendOnly && st.offsetSeq >= 0)
           insertHistorySince(st.target, st.offsetSeq)
         else None
+      // a DT target that merge-refreshed since this stream's offset:
+      // the published sidecar chain is the exact net change
+      val dtChain: Option[(Set[String], Set[String])] =
+        for {
+          cur <- registry.resolve(st.target)
+          fromPath <- st.offsetRef.path
+          toPath <- cur.path
+          dirs <- dtLogChainDirs(st.target, fromPath, toPath)
+        } yield (listSidecarFiles(dirs._1), listSidecarFiles(dirs._2))
       Streams.delta(spark, registry, st, history,
-          (of, cf) => isUpdateChain(st.target, of, cf))
+          (of, cf) => isUpdateChain(st.target, of, cf), dtChain)
         .createOrReplaceTempView(vn)
       Some(vn)
     } else if (f.schema == "INFORMATION_SCHEMA") {

@@ -166,7 +166,8 @@ object Streams {
   def delta(spark: SparkSession, registry: TableRegistry,
       st: StreamState, insertHistory: Option[Seq[Set[String]]] = None,
       isUpdateTransition: (Set[String], Set[String]) => Boolean =
-        (_, _) => false): DataFrame = {
+        (_, _) => false,
+      dtChainFiles: Option[(Set[String], Set[String])] = None): DataFrame = {
     val cur = registry.resolve(st.target).getOrElse(
       throw new IllegalArgumentException(
         s"stream target ${st.target.flat} no longer exists"))
@@ -210,6 +211,27 @@ object Streams {
     // costing two full-table scans. The replaced files read from the
     // retained pre-rewrite snapshot (offset ref's metadata still lists
     // them).
+    // stream on a DYNAMIC TABLE whose merge refreshes swapped its
+    // materialization: the session passes the published sidecar chain
+    // covering offset → current — the touched groups' rows before and
+    // after. Diffing JUST those is exact (untouched groups' rows are
+    // bit-identical on both sides of the swap and would cancel), so
+    // the CDC read costs O(changed groups), not a two-full-snapshot
+    // multiset diff of the swapped materialization.
+    dtChainFiles match {
+      case Some((addF, delF)) =>
+        lastMode = "dt-chain-diff"
+        def side(files: Set[String]): DataFrame =
+          if (files.isEmpty) curDf.filter(lit(false))
+          else align(spark.read.schema(schema)
+            .parquet(files.toSeq.sorted: _*), schema)
+        val newSide = side(addF)
+        val oldSide = side(delF)
+        val ins = withMeta(newSide.exceptAll(oldSide), "INSERT")
+        return if (st.appendOnly) ins
+          else ins.unionByName(withMeta(oldSide.exceptAll(newSide), "DELETE"))
+      case None =>
+    }
     // UPDATE attribution: when every statement between the offset and
     // the current snapshot was an UPDATE (the session's per-table log
     // chains their before/after file sets), the net rows are update

@@ -1795,6 +1795,54 @@ object SnowflakeSql extends QueryPack {
         SELECT nk, total::double AS total, n FROM jcj ORDER BY nk;""")
     },
 
+    // Stream on a DYNAMIC TABLE: a merge refresh swaps the DT's
+    // materialization, which would force a CDC read into a
+    // two-full-snapshot multiset diff — instead the stream consumes
+    // the DT's published sidecar chain (touched groups' rows
+    // before/after), costing O(changed groups) (StreamsSpec asserts
+    // the "dt-chain-diff" mode across two chained refreshes; this
+    // gate proves the emitted net rows).
+    GQuery("snow76_stream_on_dynamic_table", Some("""
+      WITH oldv AS (
+        SELECT o_custkey AS c, count(*) AS n,
+          sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+        FROM orders WHERE o_orderkey <= 1000 GROUP BY 1),
+      newv AS (
+        SELECT o_custkey AS c, count(*) AS n,
+          sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+        FROM orders WHERE o_orderkey <= 3000 GROUP BY 1)
+      SELECT * FROM (
+        SELECT 'DELETE' AS act, count(*) AS n,
+          CAST(sum(oldv.total) AS DOUBLE) AS tot
+        FROM oldv JOIN newv ON oldv.c = newv.c
+        WHERE oldv.n <> newv.n OR oldv.total <> newv.total
+        UNION ALL
+        SELECT 'INSERT' AS act, count(*) AS n,
+          CAST(sum(newv.total) AS DOUBLE) AS tot
+        FROM newv LEFT JOIN oldv ON oldv.c = newv.c
+        WHERE oldv.c IS NULL OR oldv.n <> newv.n OR oldv.total <> newv.total)
+      ORDER BY act""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE TABLE sot AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 1000;
+        CREATE OR REPLACE DYNAMIC TABLE soa AS
+          SELECT c, count(*) AS n, sum(p) AS total FROM sot GROUP BY c;
+        CREATE OR REPLACE STREAM sos ON TABLE soa;
+        INSERT INTO sot
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000;
+        ALTER DYNAMIC TABLE soa REFRESH;
+        INSERT INTO sot
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000;
+        ALTER DYNAMIC TABLE soa REFRESH;
+        SELECT METADATA$ACTION AS act, count(*) AS n,
+          sum(total)::double AS tot
+        FROM sos GROUP BY 1 ORDER BY act;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -205,6 +205,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(s.sql("SELECT * FROM st_s9").count() == 0)
   }
 
+  test("stream on a DYNAMIC TABLE: merge refreshes diff only the sidecar chain") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE sdt_t AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE sdt_a AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM sdt_t GROUP BY c""")
+    s.sql("CREATE OR REPLACE STREAM sdt_s ON TABLE sdt_a")
+    assert(s.sql("SELECT * FROM sdt_s").count() == 0)
+    // two merge refreshes between reads: the chain covers both swaps
+    s.sql("""INSERT INTO sdt_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE sdt_a REFRESH")
+    s.sql("""INSERT INTO sdt_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000""")
+    s.sql("ALTER DYNAMIC TABLE sdt_a REFRESH")
+    // expected net change: per-custkey rows whose (n, total) changed —
+    // old version DELETEd, new version INSERTed; untouched groups absent
+    val changed = s.sql("""
+      WITH oldv AS (SELECT c, count(*) AS n FROM sdt_t
+        WHERE k <= 1000 GROUP BY c),
+      newv AS (SELECT c, count(*) AS n FROM sdt_t GROUP BY c)
+      SELECT count(*) AS x FROM newv LEFT JOIN oldv ON newv.c = oldv.c
+      WHERE oldv.c IS NULL OR oldv.n <> newv.n""").collect()(0).getLong(0)
+    val d = s.sql(
+      "SELECT METADATA$ACTION AS a, count(*) AS n FROM sdt_s GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(Streams.lastMode == "dt-chain-diff", Streams.lastMode)
+    assert(d("INSERT") == changed, s"$d vs changed=$changed")
+    // DELETE side: only groups that existed before AND changed
+    assert(d.getOrElse("DELETE", 0L) <= changed)
+    // rows match a recompute of the DT exactly on the INSERT side
+    val insRows = s.sql(
+      """SELECT c, n, total FROM sdt_s WHERE METADATA$ACTION = 'INSERT'""")
+    val wantChanged = s.sql("""
+      WITH oldv AS (SELECT c, count(*) AS n, sum(p) AS total FROM sdt_t
+        WHERE k <= 1000 GROUP BY c),
+      newv AS (SELECT c, count(*) AS n, sum(p) AS total FROM sdt_t GROUP BY c)
+      SELECT newv.c, newv.n, newv.total FROM newv LEFT JOIN oldv ON newv.c = oldv.c
+      WHERE oldv.c IS NULL OR oldv.n <> newv.n OR oldv.total <> newv.total""")
+    assert(insRows.exceptAll(wantChanged).count() == 0 &&
+      wantChanged.exceptAll(insRows).count() == 0)
+  }
+
   test("pruned cow-diff: Iceberg granular DELETE diffs only the replaced files") {
     val s = newSession()
     // two snapshots with disjoint key ranges
