@@ -175,4 +175,25 @@ object Components {
      else connected(pairs, d1, d2))
       .select(col("id").as("doc_id"), col("comp").as("component"),
         (col("id") === col("comp")).as("keep"))
+
+  /** Canonicalization: ONE representative per duplicate cluster, chosen
+    * by QUALITY rather than by minimum id — the step after pair finding
+    * and clustering where the pipeline decides WHICH near-duplicate to
+    * keep (longest/cleanest doc wins; id breaks ties). Docs in no pair
+    * are their own cluster and survive. Cost: components (O(log n)
+    * rounds over the PAIRS, which are sparse) plus one window over the
+    * corpus keyed by cluster — a single corpus shuffle. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String,
+      qualityCol: String, d1: String = "d1", d2: String = "d2"): DataFrame = {
+    val comp = dedupClusters(pairs, d1, d2)
+      .select(col("doc_id").as("__cid"), col("component"))
+    val joined = docs.join(comp, docs(idCol) === col("__cid"), "left_outer")
+      .withColumn("__comp", coalesce(col("component"), docs(idCol)))
+      .drop("__cid", "component")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__comp")
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__comp")
+  }
 }

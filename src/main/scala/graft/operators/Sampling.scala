@@ -37,4 +37,42 @@ object Sampling {
       conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
         .cast("long") < (fraction * 65536).toLong)
   }
+
+  /** Domain-balanced mixture sampling: per-domain deterministic
+    * hash-sample rates chosen so the selected corpus approaches EQUAL
+    * token share per domain within `budgetFraction` of the total —
+    * `rate_d = min(1, total·budget / #domains / tokens_d)` — the
+    * mixture-rebalancing step every pretraining pipeline runs before
+    * tokenization (downweight the dominant crawl, keep all of the
+    * scarce domains).
+    *
+    * Scale shape: one tiny aggregate (per-domain token totals,
+    * O(#domains) rows), broadcast back onto the corpus, then a pure
+    * per-row hash filter — the 100 TB corpus is read once and never
+    * shuffled. `tokensCol` must be integral so the rate arithmetic is
+    * exact-integer → double in a fixed operation order, making the
+    * selection bit-reproducible across engines and reruns (the same
+    * property the other samplers here guarantee). */
+  def domainBalanced(df: DataFrame, domainCol: String, idCol: String,
+      tokensCol: String, budgetFraction: Double): DataFrame = {
+    val dom = df.groupBy(domainCol)
+      .agg(sum(col(tokensCol)).cast("long").as("__dt"))
+    val tot = dom.agg(sum(col("__dt")).as("__all"),
+      count(lit(1)).as("__nd"))
+    val rates = dom.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        least(lit(1.0),
+          col("__all").cast("double") * lit(budgetFraction) /
+            col("__nd").cast("double") / col("__dt").cast("double"))
+          .as("__rate"))
+    // threshold = first 8 md5 hex digits vs floor(rate · 2^32), capped
+    // at ffffffff so rate = 1 keeps every row; fixed-width lowercase
+    // hex compares lexicographically == numerically
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(substring(md5(col(idCol).cast("string")), 1, 8) <=
+        lpad(lower(hex(least(
+          floor(col("__rate") * lit(4294967296.0)).cast("long"),
+          lit(4294967295L)))), 8, "0"))
+      .drop("__rate")
+  }
 }

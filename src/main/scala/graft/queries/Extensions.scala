@@ -788,6 +788,81 @@ object Extensions extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Domain-balanced mixture sampling: per-domain deterministic
+    // hash-rates targeting equal token share per domain within half the
+    // total token budget — the mixture-rebalancing step before
+    // tokenization (one O(#domains) aggregate broadcast onto a
+    // never-shuffled corpus scan). Rates derive from exact-integer token
+    // sums in a fixed operation order, so both engines select the
+    // bit-identical sample.
+    GQuery("x38_domain_balanced_sample", Some("""
+      WITH tok AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents),
+      dom AS (SELECT source, sum(t) AS dt FROM tok GROUP BY 1),
+      tot AS (SELECT sum(dt) AS all_t, count(*) AS nd FROM dom),
+      rates AS (
+        SELECT source,
+          least(1.0, CAST((SELECT all_t FROM tot) AS DOUBLE) * 0.5
+            / CAST((SELECT nd FROM tot) AS DOUBLE)
+            / CAST(dt AS DOUBLE)) AS rate
+        FROM dom)
+      SELECT t.source, t.doc_id
+      FROM tok t JOIN rates r USING (source)
+      WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) <=
+        lpad(lower(to_hex(least(CAST(floor(r.rate * 4294967296) AS BIGINT),
+          4294967295))), 8, '0')
+      ORDER BY source, doc_id""")) { (s, dir) =>
+      graft.operators.Sampling.domainBalanced(
+          docs(s, dir).select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("t")),
+          "source", "doc_id", "t", budgetFraction = 0.5)
+        .select("source", "doc_id").orderBy("source", "doc_id")
+    },
+
+    // Canonicalization: after pair finding (x02/x03) and clustering
+    // (x21), keep the highest-QUALITY doc per duplicate cluster
+    // (longest text, id tie-break) instead of the minimum id — the
+    // decision step a curation pipeline actually ships. Oracle rebuilds
+    // clusters by recursive transitive closure and picks per-cluster
+    // winners with a window.
+    GQuery("x39_dedup_canonicalize", Some("""
+      WITH RECURSIVE pairs AS (
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh0 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+                FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i) g),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+        p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT d1, d2
+        FROM p0 JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+      e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a WHERE e2.b <> r.a),
+      comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+               FROM reach GROUP BY a),
+      fc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS comp,
+               length(d.text) AS q
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      SELECT doc_id FROM (
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn
+        FROM fc)
+      WHERE rn = 1 ORDER BY doc_id""")) { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.5)
+      Components.canonicalize(
+          docs(s, dir).select(col("doc_id"), length(col("text")).as("q")),
+          pairs, "doc_id", "q")
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // Composed curation pipeline — quality gate ∘ exact dedup ∘ near-dup
     // removal, each stage an already-oracled operator; the oracle
     // recomposes them in SQL. This is the end-to-end "clean the corpus"
