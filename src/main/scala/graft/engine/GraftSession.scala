@@ -1190,6 +1190,35 @@ final class GraftSession(
       vn
     }
 
+  /** `t CHANGES (INFORMATION => DEFAULT | APPEND_ONLY) AT|BEFORE (…)` —
+    * Snowflake's stream-semantics-without-a-stream surface: the net row
+    * changes between a historical version and the table's current
+    * state, with the same METADATA$ columns a STREAM emits. Implemented
+    * as a synthetic stream offset at the resolved version feeding the
+    * SAME delta engine, so every read path applies — pure-append
+    * incremental, insert-history, pruned cow-diff, UPDATE-chain
+    * ISUPDATE attribution, and DT sidecar chains. */
+  private[engine] def ensureChangesView(f: FQN, info: String, kind: String,
+      spec: String): Option[String] =
+    registry.resolve(f).map { _ =>
+      val oref = resolveAsOf(f, kind.toUpperCase, spec)
+      val (ofs, ods) = Streams.filesOf(spark, oref)
+      val st = new StreamState(f, info.equalsIgnoreCase("APPEND_ONLY"),
+        oref, ofs, ods, offsetSeq = -1L)
+      val dtChain = for {
+        cur <- registry.resolve(f)
+        fromPath <- oref.path
+        toPath <- cur.path
+        dirs <- dtLogChainDirs(f, fromPath, toPath)
+      } yield (listSidecarFiles(dirs._1), listSidecarFiles(dirs._2))
+      val vn = viewName(f) + "_chg" + java.lang.Integer.toHexString(
+        (info + kind + spec).hashCode)
+      Streams.delta(spark, registry, st, None,
+          (of, cf) => isUpdateChain(f, of, cf), dtChain)
+        .createOrReplaceTempView(vn)
+      vn
+    }
+
   private val createRe =
     ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(TEMP\\s+|TEMPORARY\\s+)?(ICEBERG\\s+)?" +
      "(TABLE|VIEW)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w$\".]+)\\s*(.*)$").r

@@ -57,10 +57,44 @@ object TableResolver {
                   val bare = chain.length == 1 && !cteAliases.contains(
                     Identifiers.normalizePart(name))
                   val qualified = chain.length > 1
-                  // time-travel clause directly after the table name:
+                  // CHANGES ( INFORMATION => DEFAULT|APPEND_ONLY )
+                  // directly after the table name — Snowflake's
+                  // stream-semantics query over a time-travel span; the
+                  // mandatory AT/BEFORE clause follows it
+                  val changes: Option[(String, Int)] = {
+                    var a = k + 1
+                    while (a < toks.length && (toks(a).isInstanceOf[Ws] ||
+                           toks(a).isInstanceOf[Comment])) a += 1
+                    toks.lift(a) match {
+                      case Some(Ident(w)) if w.equalsIgnoreCase("CHANGES") =>
+                        var p = a + 1
+                        while (p < toks.length && (toks(p).isInstanceOf[Ws] ||
+                               toks(p).isInstanceOf[Comment])) p += 1
+                        if (p < toks.length && toks(p) == Op("(")) {
+                          var depth = 0; var q = p; var close = -1
+                          while (q < toks.length && close < 0) {
+                            toks(q) match {
+                              case Op("(") => depth += 1
+                              case Op(")") =>
+                                depth -= 1; if (depth == 0) close = q
+                              case _ =>
+                            }
+                            q += 1
+                          }
+                          if (close > p)
+                            "(?is)INFORMATION\\s*=>\\s*(DEFAULT|APPEND_ONLY)".r
+                              .findFirstMatchIn(render(toks.slice(p + 1, close)))
+                              .map(m => (m.group(1).toUpperCase, close))
+                          else None
+                        } else None
+                      case _ => None
+                    }
+                  }
+                  // time-travel clause directly after the table name
+                  // (or after its CHANGES clause):
                   // AT | BEFORE ( OFFSET|TIMESTAMP|STATEMENT => … )
                   val travel: Option[(String, String, Int)] = {
-                    var a = k + 1
+                    var a = changes.map(_._2 + 1).getOrElse(k + 1)
                     while (a < toks.length && (toks(a).isInstanceOf[Ws] ||
                            toks(a).isInstanceOf[Comment])) a += 1
                     toks.lift(a) match {
@@ -93,10 +127,15 @@ object TableResolver {
                   if (bare || qualified) {
                     val f = Identifiers.fullQualifier(name,
                       session.currentDatabase, session.currentSchema)
-                    val resolved = travel match {
-                      case Some((kind, spec, _)) =>
+                    val resolved = (changes, travel) match {
+                      case (Some((info, _)), Some((kind, spec, _))) =>
+                        session.ensureChangesView(f, info, kind, spec)
+                      case (Some(_), None) =>
+                        throw new IllegalArgumentException(
+                          s"CHANGES on $name requires an AT or BEFORE clause")
+                      case (None, Some((kind, spec, _))) =>
                         session.ensureAsOfView(f, kind, spec)
-                      case None => session.ensureView(f)
+                      case (None, None) => session.ensureView(f)
                     }
                     resolved match {
                       case Some(flat) =>

@@ -1843,6 +1843,32 @@ object SnowflakeSql extends QueryPack {
         FROM sos GROUP BY 1 ORDER BY act;""")
     },
 
+    // CHANGES clause: stream semantics over a time-travel span without
+    // a stream object — a synthetic offset at the resolved version
+    // feeds the SAME delta engine as STREAMs, so the read here rides
+    // the pruned cow-diff (the DELETE replaced only some files;
+    // StreamsSpec additionally covers UPDATE-chain ISUPDATE,
+    // APPEND_ONLY suppression, and the DT sidecar-chain path under
+    // CHANGES).
+    GQuery("snow77_changes_clause", Some("""
+      SELECT 'DELETE' AS act, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey > 600
+        AND o_orderkey <= 1200""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE chv_t AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 600;
+        INSERT INTO chv_t
+          SELECT o_orderkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200;
+        DELETE FROM chv_t WHERE k % 4 = 1 AND k > 600;
+        SELECT METADATA$ACTION AS act, count(*) AS n, sum(p)::double AS total
+        FROM chv_t CHANGES (INFORMATION => DEFAULT)
+          BEFORE(STATEMENT => LAST_QUERY_ID())
+        GROUP BY 1 ORDER BY 1;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

@@ -251,6 +251,65 @@ class StreamsSpec extends AnyFunSuite {
       wantChanged.exceptAll(insRows).count() == 0)
   }
 
+  test("CHANGES clause: stream semantics over a time-travel span") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE chg_t AS
+      SELECT n_nationkey AS k, n_nationkey * 10 AS v FROM nation""")
+    s.sql("INSERT INTO chg_t SELECT n_nationkey + 100, n_nationkey FROM nation")
+    // DEFAULT: inserts since the pre-INSERT version
+    val d = s.sql(
+      """SELECT METADATA$ACTION AS a, count(*) AS n
+        |FROM chg_t CHANGES (INFORMATION => DEFAULT)
+        |  BEFORE(STATEMENT => LAST_QUERY_ID())
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d == Map("INSERT" -> 25L), d.toString)
+    // UPDATE span: the chain marks both sides ISUPDATE
+    s.sql("UPDATE chg_t SET v = v + 1 WHERE k >= 100 AND k < 103")
+    val u = s.sql(
+      """SELECT METADATA$ACTION AS a, METADATA$ISUPDATE AS u, count(*) AS n
+        |FROM chg_t CHANGES (INFORMATION => DEFAULT)
+        |  BEFORE(STATEMENT => LAST_QUERY_ID())
+        |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    assert(u == Map(("INSERT", true) -> 3L, ("DELETE", true) -> 3L), u.toString)
+    // APPEND_ONLY over a delete span surfaces nothing
+    s.sql("DELETE FROM chg_t WHERE k = 101")
+    val a = s.sql(
+      """SELECT count(*) AS n
+        |FROM chg_t CHANGES (INFORMATION => APPEND_ONLY)
+        |  BEFORE(STATEMENT => LAST_QUERY_ID())""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(a == 0L, s"append_only over a pure delete span returned $a rows")
+    // CHANGES without AT/BEFORE is rejected loudly
+    val e = intercept[Exception] {
+      s.sql("SELECT * FROM chg_t CHANGES (INFORMATION => DEFAULT)").collect()
+    }
+    assert(e.getMessage.contains("CHANGES"), e.getMessage)
+  }
+
+  test("CHANGES clause on a DYNAMIC TABLE rides the sidecar chain") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE chg_b AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE chg_d AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM chg_b GROUP BY c""")
+    // a stream exists so the DT publishes (streams count as consumers)
+    s.sql("CREATE OR REPLACE STREAM chg_ds ON TABLE chg_d")
+    s.sql("""INSERT INTO chg_b
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE chg_d REFRESH")
+    val n = s.sql(
+      """SELECT count(*) AS n
+        |FROM chg_d CHANGES (INFORMATION => DEFAULT)
+        |  BEFORE(STATEMENT => LAST_QUERY_ID())""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(Streams.lastMode == "dt-chain-diff", Streams.lastMode)
+    assert(n > 0)
+  }
+
   test("pruned cow-diff: Iceberg granular DELETE diffs only the replaced files") {
     val s = newSession()
     // two snapshots with disjoint key ranges
