@@ -176,16 +176,28 @@ final class GraftSession(
     // refresh gap reaching back before now; an unpublished transition
     // merely breaks the chain (→ full refresh / full diff), never
     // corrupts it.
-    if (!dynamicTables.exists { case (g, s2) => g != f && s2.bases.contains(f) }
-        && !streams.values.exists(_.target == f))
-      return
+    if (!dtHasDeltaConsumer(f)) return
     val newRef = registry.resolve(f).get
-    val newPath = newRef.path.get
+    publishDtDeltaRows(f, oldPath, restrict(oldVisible),
+      restrict(registry.load(newRef)))
+  }
+
+  private def dtHasDeltaConsumer(f: FQN): Boolean =
+    dynamicTables.exists { case (g, s2) => g != f && s2.bases.contains(f) } ||
+      streams.values.exists(_.target == f)
+
+  /** Row-level publication variant: `delRows`/`addRows` ARE the signed
+    * delta (a dtdelta-transform refresh has them directly — the
+    * transformed sidecar rows it spliced out/in). */
+  private def publishDtDeltaRows(f: FQN, oldPath: String,
+      delRows: DataFrame, addRows: DataFrame): Unit = {
+    if (!dtHasDeltaConsumer(f)) return
+    val newPath = registry.resolve(f).get.path.get
     val seq = snapshotSeq.incrementAndGet()
     val delDir = s"${newPath}__dtdel_$seq"
     val addDir = s"${newPath}__dtadd_$seq"
-    restrict(oldVisible).write.mode("overwrite").parquet(delDir)
-    restrict(registry.load(newRef)).write.mode("overwrite").parquet(addDir)
+    delRows.write.mode("overwrite").parquet(delDir)
+    addRows.write.mode("overwrite").parquet(addDir)
     val entry = DtDelta(oldPath, newPath, addDir, delDir)
     dtDeltaLog(f) = (dtDeltaLog.getOrElse(f, Nil) :+ entry).takeRight(32)
   }
@@ -733,11 +745,17 @@ final class GraftSession(
             if (!regroupSplice(am, touched, (addDirs ++ delDirs).sorted,
                 "incremental-dtdelta-regroup")) fullRefresh()
           case _ => // AppendTransform: multiset splice, O(|result|)
-            val tAdd = evalDirs(addDirs, None)
-            val tDel = evalDirs(delDirs, None)
+            def aligned(df: DataFrame) = df.select(st.schema.fields.map(sf =>
+              org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)
+                .as(sf.name)).toIndexedSeq: _*)
+            val tAdd = aligned(evalDirs(addDirs, None))
+            val tDel = aligned(evalDirs(delDirs, None))
             DynamicTables.lastRefreshMode = "incremental-dtdelta-transform"
             swapMaterialization(f, ref, DynamicTables.spliceMultiset(
               registry.load(ref), tDel, tAdd, st.schema))
+            // the transformed sidecar rows ARE this table's own signed
+            // delta — republish so a transform DT can sit mid-chain
+            publishDtDeltaRows(f, ref.path.get, tDel, tAdd)
         }
       case _ => fullRefresh()
     }
