@@ -470,10 +470,15 @@ object Dml {
 
   // ── text utilities (string/paren-aware) ────────────────────────────────
 
-  /** Column/alias names come from parquet schemas (plain identifiers);
-    * emitted unquoted because the Snowflake-dialect rewriter treats
-    * double quotes as case-preserving and Spark treats them as strings. */
-  private def q(name: String): String = name
+  /** Column/alias names usually come from parquet schemas as plain
+    * identifiers and pass through unquoted; anything else (spaces,
+    * punctuation — names born from quoted DDL) renders double-quoted,
+    * which the Snowflake-dialect rewriter treats as a case-preserving
+    * identifier and backtick-renders for Spark. */
+  private val plainIdentRe = "^[A-Za-z_][A-Za-z0-9_$]*$".r
+  private def q(name: String): String =
+    if (plainIdentRe.findFirstIn(name).isDefined) name
+    else "\"" + name.replace("\"", "\"\"") + "\""
 
   private def managedTarget(s: GraftSession, rawName: String): (FQN, TableRef) = {
     val f = s.qualify(rawName)
@@ -486,12 +491,14 @@ object Dml {
 
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false; var start = 0; var i = 0
+    var depth = 0; var inStr = false; var inDq = false; var start = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case x if x == sep && depth == 0 =>
@@ -505,12 +512,14 @@ object Dml {
   }
 
   private def topLevelIndexOf(s: String, ch: Char): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inDq = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case x if x == ch && depth == 0 => return i
@@ -527,12 +536,14 @@ object Dml {
   private def allTopLevelKeywords(s: String, kw: String): Seq[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     val upper = s.toUpperCase; val k = kw.toUpperCase
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inDq = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -550,12 +561,14 @@ object Dml {
   }
 
   private def matchingParen(s: String, open: Int): Int = {
-    var depth = 0; var inStr = false; var i = open
+    var depth = 0; var inStr = false; var inDq = false; var i = open
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' =>
           depth -= 1

@@ -129,16 +129,25 @@ object DynamicTables {
     * O(|result|) projection ([[finalizeState]]). */
   final case class AggMerge(keys: Seq[String], merges: Seq[(String, String)],
       derived: Seq[DerivedCol] = Nil,
-      having: Option[Expression] = None)
+      having: Option[Expression] = None,
+      distincts: Seq[DistinctCol] = Nil)
       extends IncPlan {
+    /** The distinct-aggregate children as state key columns (deduped,
+      * first-occurrence order — [[dkName]] indices). */
+    def distinctStateKeys: Seq[String] =
+      distincts.flatMap(_.stateKeys).distinct
     /** Merge spec over the partial-state schema: visible mergeable
       * columns fold as themselves; every derived partial folds by its
       * own function; the hidden [[RowCountCol]] group-cardinality
-      * partial folds by sum. The having filter plays no part in
-      * merging — the state holds ALL groups unfiltered (a group under
-      * the threshold in the delta may cross it after the merge, and
-      * vice versa). */
-    def stateSpec: AggMerge = AggMerge(keys,
+      * partial folds by sum. COUNT(DISTINCT x) refines the state
+      * granularity instead of adding a partial: x joins the state KEYS
+      * (one state row per (group, x)), so the state stays sum-foldable
+      * and retractable — the visible distinct count is re-aggregated
+      * from the state by [[finalizeState]]. The having filter plays no
+      * part in merging — the state holds ALL groups unfiltered (a group
+      * under the threshold in the delta may cross it after the merge,
+      * and vice versa). */
+    def stateSpec: AggMerge = AggMerge(keys ++ distinctStateKeys,
       merges ++ derived.flatMap(_.partials) :+ (RowCountCol -> "sum"))
     /** Every state column folds LINEARLY (sum — i.e. SUM/COUNT/AVG
       * shapes, no MIN/MAX anywhere): the merge is then invertible, so a
@@ -147,11 +156,44 @@ object DynamicTables {
       * −agg(removed files) instead of recomputing — groups whose hidden
       * row count reaches zero drop out in [[finalizeState]]. Vacuously
       * true for key-only (DISTINCT-shaped) plans, which retract through
-      * the row count alone. */
+      * the row count alone; COUNT(DISTINCT) plans retract the same way
+      * at their finer state granularity (a (group, x) state row whose
+      * rows are all deleted drops, decrementing the distinct count). */
     def retractable: Boolean =
       (merges ++ derived.flatMap(_.partials)).forall(_._2 == "sum")
     def needsState: Boolean =
-      derived.nonEmpty || having.isDefined || retractable
+      derived.nonEmpty || having.isDefined || retractable ||
+        distincts.nonEmpty
+  }
+
+  /** One COUNT(DISTINCT …) output column: `stateKeys` name the state
+    * key columns holding its child expressions ([[dkName]]); the
+    * visible value is `count(distinct stateKeys)` over the group's
+    * live state rows. */
+  final case class DistinctCol(name: String, stateKeys: Seq[String])
+
+  /** Deterministic state-key column name for the m-th distinct
+    * semantically-unique distinct-aggregate child (first-occurrence
+    * order over the output columns) — position-based so classify and
+    * every later [[partialize]] of the re-analyzed delta query agree. */
+  private def dkName(m: Int) = s"__graft_dk$m"
+
+  /** Distinct-aggregate children across the output, deduped
+    * semantically in first-occurrence order — the state key extension
+    * shared by [[classifyAgg]] and [[partialize]]. */
+  private def distinctChildren(aggExprs: Seq[NamedExpression]): Seq[Expression] = {
+    val out = scala.collection.mutable.Buffer.empty[Expression]
+    aggExprs.foreach {
+      case al: Alias => inlineWith(al.child).foreach {
+        case ae: AggregateExpression if ae.isDistinct =>
+          ae.aggregateFunction.children.foreach { ch =>
+            if (!out.exists(_.semanticEquals(ch))) out += ch
+          }
+        case _ =>
+      }
+      case _ =>
+    }
+    out.toSeq
   }
 
   /** Hidden partial-state column counting the rows behind each group —

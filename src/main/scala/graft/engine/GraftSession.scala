@@ -116,6 +116,16 @@ final class GraftSession(
   private val dynamicTables =
     scala.collection.concurrent.TrieMap.empty[FQN, DynState]
 
+  /** Grouping keys of a dynamic table's incremental plan, for streams
+    * reading the DT through its delta chain: matched-key changed groups
+    * report as ISUPDATE pairs (Snowflake standard-stream semantics). */
+  private def dtGroupKeys(f: FQN): Seq[String] =
+    dynamicTables.get(f).flatMap(_.inc).toSeq.flatMap {
+      case am: DynamicTables.AggMerge => am.keys
+      case DynamicTables.JoinDelta(am: DynamicTables.AggMerge) => am.keys
+      case _ => Nil
+    }
+
   /** One published refresh delta of a dynamic table: the signed row
     * change of the materialization swap `from` → `to`, as parquet
     * sidecars (`addDir` = touched groups' rows after, `delDir` = the
@@ -199,8 +209,25 @@ final class GraftSession(
     delRows.write.mode("overwrite").parquet(delDir)
     addRows.write.mode("overwrite").parquet(addDir)
     val entry = DtDelta(oldPath, newPath, addDir, delDir)
-    dtDeltaLog(f) = (dtDeltaLog.getOrElse(f, Nil) :+ entry).takeRight(32)
+    val all = dtDeltaLog.getOrElse(f, Nil) :+ entry
+    val kept = all.takeRight(32)
+    dtDeltaLog(f) = kept
+    // evicted entries are unreachable through the chain walker; their
+    // sidecar dirs are session-private (unlike COW table snapshots) —
+    // delete them so a long-running session's disk use stays bounded
+    dropSidecars(all.dropRight(32))
   }
+
+  /** Delete the parquet sidecar directories of delta-log entries that
+    * left the log (cap eviction, DROP, re-CREATE, full refresh). */
+  private def dropSidecars(entries: Seq[DtDelta]): Unit =
+    entries.foreach { e =>
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm)
+        p.delete()
+      }
+      rm(new java.io.File(e.addDir)); rm(new java.io.File(e.delDir))
+    }
 
   /** Touched-group restriction: null-safe semi join on the output key
     * columns (empty keys = a global aggregate = every row touched). */
@@ -274,7 +301,7 @@ final class GraftSession(
     val ref = TableRef(f, TableKind.Lake, Some(path))
     registry.register(ref)
     resetHistory(f, ref)
-    dtDeltaLog.remove(f) // a re-created DT starts a fresh delta chain
+    dtDeltaLog.remove(f).foreach(dropSidecars) // re-created DT: fresh chain
     dynamicTables.put(f,
       new DynState(select, lag, bases, snapshotOffsets(bases), inc, df.schema,
         statePath))
@@ -377,6 +404,9 @@ final class GraftSession(
     def fullRefresh(): Unit = {
       DynamicTables.lastRefreshMode = "full"
       DynamicTables.lastDeltaFiles = Nil
+      // an unlogged transition: downstream chains can no longer connect
+      // through prior entries — GC their sidecars
+      dtDeltaLog.remove(f).foreach(dropSidecars)
       derivedSpec(st.inc) match {
         case Some(am) =>
           // rebuild the state sidecar too, or the next incremental
@@ -1217,22 +1247,27 @@ final class GraftSession(
     * incremental, insert-history, pruned cow-diff, UPDATE-chain
     * ISUPDATE attribution, and DT sidecar chains. */
   private[engine] def ensureChangesView(f: FQN, info: String, kind: String,
-      spec: String): Option[String] =
+      spec: String, endSpec: Option[String] = None): Option[String] =
     registry.resolve(f).map { _ =>
       val oref = resolveAsOf(f, kind.toUpperCase, spec)
+      // optional END (TIMESTAMP|STATEMENT => …) closes the span at a
+      // historical version — resolved like AT (state as of that point);
+      // absent END means "to the current state"
+      val endRef = endSpec.map(e => resolveAsOf(f, "AT", e))
       val (ofs, ods) = Streams.filesOf(spark, oref)
       val st = new StreamState(f, info.equalsIgnoreCase("APPEND_ONLY"),
         oref, ofs, ods, offsetSeq = -1L)
       val dtChain = for {
-        cur <- registry.resolve(f)
+        cur <- endRef.orElse(registry.resolve(f))
         fromPath <- oref.path
         toPath <- cur.path
         dirs <- dtLogChainDirs(f, fromPath, toPath)
       } yield (listSidecarFiles(dirs._1), listSidecarFiles(dirs._2))
       val vn = viewName(f) + "_chg" + java.lang.Integer.toHexString(
-        (info + kind + spec).hashCode)
+        (info + kind + spec + endSpec.getOrElse("")).hashCode)
       Streams.delta(spark, registry, st, None,
-          (of, cf) => isUpdateChain(f, of, cf), dtChain)
+          (of, cf) => isUpdateChain(f, of, cf), dtChain, dtGroupKeys(f),
+          endRef)
         .createOrReplaceTempView(vn)
       vn
     }
@@ -1365,7 +1400,8 @@ final class GraftSession(
     }
     case dropDynRe(ifExists, name) =>
       val f = fqn(name)
-      if ({ dtDeltaLog.remove(f); dynamicTables.remove(f) }.isEmpty &&
+      if ({ dtDeltaLog.remove(f).foreach(dropSidecars)
+            dynamicTables.remove(f) }.isEmpty &&
           ifExists == null)
         throw new IllegalArgumentException(s"unknown dynamic table ${f.flat}")
       doDrop(ifExists = true, name)
@@ -1791,7 +1827,8 @@ final class GraftSession(
           dirs <- dtLogChainDirs(st.target, fromPath, toPath)
         } yield (listSidecarFiles(dirs._1), listSidecarFiles(dirs._2))
       Streams.delta(spark, registry, st, history,
-          (of, cf) => isUpdateChain(st.target, of, cf), dtChain)
+          (of, cf) => isUpdateChain(st.target, of, cf), dtChain,
+          dtGroupKeys(st.target))
         .createOrReplaceTempView(vn)
       Some(vn)
     } else if (f.schema == "INFORMATION_SCHEMA") {
@@ -2301,7 +2338,7 @@ final class GraftSession(
     insertLog.remove(f)
     invalidateResultReuse(f)
     dynamicTables.remove(f) // DROP TABLE on a dynamic table ends its refresh
-    dtDeltaLog.remove(f)
+    dtDeltaLog.remove(f).foreach(dropSidecars)
     updateLog.remove(f)
     status(s"${f.table} successfully dropped.")
   }

@@ -12,11 +12,15 @@ package graft.engine
 object Identifiers {
 
   /** Fold one part: `"Quoted"` keeps case (quotes stripped, doubled quotes
-    * unescaped), anything else upper-cases. */
+    * unescaped), anything else upper-cases. Backtick-quoted parts (the
+    * rewriter's own Spark-side rendering of quoted identifiers) fold
+    * like double-quoted ones. */
   def normalizePart(part: String): String = {
     val p = part.trim
     if (p.length >= 2 && p.startsWith("\"") && p.endsWith("\""))
       p.substring(1, p.length - 1).replace("\"\"", "\"")
+    else if (p.length >= 2 && p.startsWith("`") && p.endsWith("`"))
+      p.substring(1, p.length - 1).replace("``", "`")
     else p.toUpperCase
   }
 

@@ -183,9 +183,25 @@ object SnowflakeRewriter {
     toks = rewriteSample(toks)
     toks = rewriteQualify(toks)
     toks = rewriteTop(toks)
+    toks = quotedIdentsToBackticks(toks)
     toks = quoteMetadataIdents(toks)
     render(toks)
   }
+
+  /** Snowflake double-quoted identifiers are case-preserving IDENTIFIERS
+    * (never string literals); Spark's parser reads `"…"` as a string.
+    * Render every quoted identifier still in the stream backtick-quoted
+    * — passes that need the raw text (member refs, the ASOF emitter,
+    * table resolution) all run earlier. */
+  private def quotedIdentsToBackticks(toks: Vector[Tok]): Vector[Tok] =
+    toks.map {
+      case QIdent(t) if t.length >= 2 =>
+        val name = t.substring(1, t.length - 1).replace("\"\"", "\"")
+        require(!name.contains("`"),
+          s"identifier cannot contain a backtick: $name")
+        Ident("`" + name + "`")
+      case t => t
+    }
 
   /** Snowflake stream metadata columns (METADATA$ACTION, METADATA$ISUPDATE,
     * METADATA$ROW_ID) are legal unquoted in Snowflake, but `$` is not an

@@ -50,6 +50,17 @@ import org.apache.spark.sql.types.StructType
   * statement participated in breaks the chain and falls back to
   * `ISUPDATE = false` net rows — conservative, never wrong-positive.
   *
+  * Streams on DYNAMIC TABLEs consume the DT's published sidecar delta
+  * chain (`dtChainFiles`) instead of diffing swapped materializations.
+  * For a keyed-aggregate DT the grouping keys (`dtChainKeys`, from the
+  * DT's AggMerge plan) identify changed groups: a group present on both
+  * sides of the chain diff reports as an update pair with
+  * `METADATA$ISUPDATE = true`, matching Snowflake's standard-stream
+  * semantics on DTs. Remaining documented deviation: a KEYLESS DT chain
+  * (stateless transform — no grouping keys to match on) reports changed
+  * rows as plain DELETE/INSERT with `ISUPDATE = false` — conservative,
+  * never wrong-positive.
+  *
   * Documented deviation (conservative, loud): a stream whose offset
   * snapshot was rewritten IN PLACE (a non-append load into the same
   * storage path) fails loudly as stale instead of returning a wrong
@@ -167,10 +178,16 @@ object Streams {
       st: StreamState, insertHistory: Option[Seq[Set[String]]] = None,
       isUpdateTransition: (Set[String], Set[String]) => Boolean =
         (_, _) => false,
-      dtChainFiles: Option[(Set[String], Set[String])] = None): DataFrame = {
-    val cur = registry.resolve(st.target).getOrElse(
+      dtChainFiles: Option[(Set[String], Set[String])] = None,
+      dtChainKeys: Seq[String] = Nil,
+      endRef: Option[TableRef] = None): DataFrame = {
+    // endRef closes the span at a HISTORICAL version instead of the
+    // table's current state — the CHANGES clause's END bound. Every
+    // read path below diffs offset → `cur` identically; COW retains
+    // the end version's files.
+    val cur = endRef.getOrElse(registry.resolve(st.target).getOrElse(
       throw new IllegalArgumentException(
-        s"stream target ${st.target.flat} no longer exists"))
+        s"stream target ${st.target.flat} no longer exists")))
     val curDf = registry.load(cur)
     val schema = curDf.schema
     def empty = { lastMode = "empty"; withMeta(curDf.filter(lit(false)), "INSERT") }
@@ -227,9 +244,32 @@ object Streams {
             .parquet(files.toSeq.sorted: _*), schema)
         val newSide = side(addF)
         val oldSide = side(delF)
-        val ins = withMeta(newSide.exceptAll(oldSide), "INSERT")
-        return if (st.appendOnly) ins
-          else ins.unionByName(withMeta(oldSide.exceptAll(newSide), "DELETE"))
+        val insRows = newSide.exceptAll(oldSide)
+        if (st.appendOnly) return withMeta(insRows, "INSERT")
+        val delRows = oldSide.exceptAll(newSide)
+        val keys = dtChainKeys.filter(schema.fieldNames.contains)
+        if (keys.isEmpty)
+          return withMeta(insRows, "INSERT")
+            .unionByName(withMeta(delRows, "DELETE"))
+        // Snowflake semantics on streams over dynamic tables: a group
+        // whose aggregate value CHANGED across a merge refresh reports
+        // as an update pair — its DELETE (old value) and INSERT (new
+        // value) rows both carry METADATA$ISUPDATE = true; groups
+        // appearing on only one side are plain inserts/deletes. The
+        // grouping keys come from the DT's AggMerge plan; the matched
+        // key set is O(changed groups) — delta-scale, never the table.
+        val kcols = keys.map(c => col(s"`$c`"))
+        val both = insRows.select(kcols: _*).intersect(delRows.select(kcols: _*))
+          .withColumn("__graft_updkey", lit(true))
+        def mark(df: DataFrame, action: String): DataFrame =
+          df.join(both, keys, "left").select(
+            (schema.fieldNames.map(c => col(s"`$c`")) ++ Seq(
+              lit(action).as(Action),
+              coalesce(col("__graft_updkey"), lit(false)).as(IsUpdate),
+              sha2(to_json(struct(schema.fieldNames.map(c =>
+                col(s"`$c`")).toIndexedSeq: _*)), 256).as(RowId)
+            )).toIndexedSeq: _*)
+        return mark(insRows, "INSERT").unionByName(mark(delRows, "DELETE"))
       case None =>
     }
     // UPDATE attribution: when every statement between the offset and

@@ -123,13 +123,48 @@ object TableResolver {
                       case _ => None
                     }
                   }
+                  // optional END ( TIMESTAMP|STATEMENT => … ) closing a
+                  // CHANGES span at a historical version (Snowflake's
+                  // full CHANGES grammar); only looked for right after
+                  // the AT/BEFORE clause of a CHANGES query, so CASE…END
+                  // never reaches here
+                  val endClause: Option[(String, Int)] =
+                    if (changes.isEmpty || travel.isEmpty) None
+                    else {
+                      var a = travel.get._3 + 1
+                      while (a < toks.length && (toks(a).isInstanceOf[Ws] ||
+                             toks(a).isInstanceOf[Comment])) a += 1
+                      toks.lift(a) match {
+                        case Some(Ident(w)) if w.equalsIgnoreCase("END") =>
+                          var p = a + 1
+                          while (p < toks.length && (toks(p).isInstanceOf[Ws] ||
+                                 toks(p).isInstanceOf[Comment])) p += 1
+                          if (p < toks.length && toks(p) == Op("(")) {
+                            var depth = 0; var q = p; var close = -1
+                            while (q < toks.length && close < 0) {
+                              toks(q) match {
+                                case Op("(") => depth += 1
+                                case Op(")") =>
+                                  depth -= 1; if (depth == 0) close = q
+                                case _ =>
+                              }
+                              q += 1
+                            }
+                            if (close > p)
+                              Some((render(toks.slice(p + 1, close)), close))
+                            else None
+                          } else None
+                        case _ => None
+                      }
+                    }
                   var substituted = false
                   if (bare || qualified) {
                     val f = Identifiers.fullQualifier(name,
                       session.currentDatabase, session.currentSchema)
                     val resolved = (changes, travel) match {
                       case (Some((info, _)), Some((kind, spec, _))) =>
-                        session.ensureChangesView(f, info, kind, spec)
+                        session.ensureChangesView(f, info, kind, spec,
+                          endClause.map(_._1))
                       case (Some(_), None) =>
                         throw new IllegalArgumentException(
                           s"CHANGES on $name requires an AT or BEFORE clause")
@@ -143,8 +178,9 @@ object TableResolver {
                       case None => out ++= chain
                     }
                   } else out ++= chain
-                  j = travel match {
-                    case Some((_, _, close)) if substituted => close + 1
+                  j = (endClause, travel) match {
+                    case (Some((_, close)), _) if substituted => close + 1
+                    case (_, Some((_, _, close))) if substituted => close + 1
                     case _ => k + 1
                   }
                   // skip optional alias: [AS] ident

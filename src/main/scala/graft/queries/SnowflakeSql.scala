@@ -1869,6 +1869,33 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY 1;""")
     },
 
+    // CHANGES with BOTH bounds: AT(…) END(…) closes the span at a
+    // historical version — the two INSERTs are inside the span, the
+    // later DELETE is outside and must not appear. The span is
+    // pure-append, so the read rides the O(delta) incremental-files
+    // path (no snapshot diff).
+    GQuery("snow80_changes_end_bound", Some("""
+      SELECT 'INSERT' AS act, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1800""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE chv2_t AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 600;
+        INSERT INTO chv2_t
+          SELECT o_orderkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200;
+        INSERT INTO chv2_t
+          SELECT o_orderkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 1200 AND o_orderkey <= 1800;
+        DELETE FROM chv2_t WHERE k % 3 = 0;
+        SELECT METADATA$ACTION AS act, count(*) AS n, sum(p)::double AS total
+        FROM chv2_t CHANGES (INFORMATION => DEFAULT)
+          AT(STATEMENT => LAST_QUERY_ID(-4))
+          END(STATEMENT => LAST_QUERY_ID(-2))
+        GROUP BY 1 ORDER BY 1;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

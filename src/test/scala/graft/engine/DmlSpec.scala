@@ -350,6 +350,26 @@ class DmlSpec extends AnyFunSuite {
     s.sql("DROP TABLE ice_sm")
   }
 
+  test("double-quoted identifier containing WHERE doesn't break the SET/WHERE split") {
+    val s = newSession()
+    s.sql("CREATE OR REPLACE TABLE t_dq AS SELECT o_orderkey AS k, " +
+      "'x' AS \"SEL WHERE COL\" FROM orders WHERE o_orderkey <= 50")
+    // the SET target is a quoted identifier containing the bare word
+    // WHERE — the statement split must find the real WHERE after it
+    val res = s.sql("UPDATE t_dq SET \"SEL WHERE COL\" = 'y' WHERE k <= 10")
+    val n = res.collect()(0).getLong(0)
+    assert(n > 0)
+    val changed = s.sql(
+      "SELECT count(*) AS n FROM t_dq WHERE \"SEL WHERE COL\" = 'y'")
+      .collect()(0).getLong(0)
+    assert(changed == n)
+    val untouched = s.sql(
+      "SELECT count(*) AS n FROM t_dq WHERE \"SEL WHERE COL\" = 'x'")
+      .collect()(0).getLong(0)
+    assert(untouched > 0)
+    s.sql("DROP TABLE t_dq")
+  }
+
   test("Iceberg DELETE matching no rows commits nothing") {
     val s = newSession()
     buildIceberg3(s, "ice_gn")

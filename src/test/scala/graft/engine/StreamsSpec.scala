@@ -251,6 +251,70 @@ class StreamsSpec extends AnyFunSuite {
       wantChanged.exceptAll(insRows).count() == 0)
   }
 
+  test("stream on a DYNAMIC TABLE: changed groups report as ISUPDATE pairs") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE sdtu_t AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE sdtu_a AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM sdtu_t GROUP BY c""")
+    s.sql("CREATE OR REPLACE STREAM sdtu_s ON TABLE sdtu_a")
+    s.sql("""INSERT INTO sdtu_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    // a guaranteed brand-new group → must surface as a PLAIN insert
+    s.sql("INSERT INTO sdtu_t SELECT 999999, -1, 1.00::number(12,2)")
+    s.sql("ALTER DYNAMIC TABLE sdtu_a REFRESH")
+    val rows = s.sql(
+      """SELECT c, METADATA$ACTION AS a, METADATA$ISUPDATE AS u FROM sdtu_s""")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getBoolean(2)))
+    assert(Streams.lastMode == "dt-chain-diff", Streams.lastMode)
+    // an insert-only append never removes a group, so every DELETE-side
+    // row belongs to a group still present → must be half of an update
+    // pair (ISUPDATE = true)
+    val delKeys = rows.collect { case (c, "DELETE", u) => assert(u); c }.toSet
+    assert(delKeys.nonEmpty)
+    // INSERT rows: ISUPDATE exactly when the group also has a DELETE row
+    rows.collect { case (c, "INSERT", u) =>
+      assert(u == delKeys.contains(c), s"group $c isupdate=$u") }
+    // and brand-new groups exist in this span → at least one plain INSERT
+    assert(rows.exists { case (c, a, u) => a == "INSERT" && !u })
+  }
+
+  test("DROP and full refresh GC the dynamic table's delta sidecars") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE sgc_t AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE sgc_a AS
+      SELECT c, count(*) AS n FROM sgc_t GROUP BY c""")
+    s.sql("CREATE OR REPLACE STREAM sgc_s ON TABLE sgc_a")
+    s.sql("""INSERT INTO sgc_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE sgc_a REFRESH") // merge refresh → publishes
+    val ref = s.registry.resolve(s.qualify("sgc_a")).get
+    val parent = new java.io.File(ref.path.get).getParentFile
+    def sidecars = parent.listFiles().filter { f =>
+      val n = f.getName.toLowerCase
+      n.contains("sgc_a") && (n.contains("__dtadd_") || n.contains("__dtdel_"))
+    }
+    assert(sidecars.nonEmpty)
+    // a full refresh is an unlogged transition: prior sidecars unreachable
+    s.sql("DELETE FROM sgc_t WHERE k <= 10") // parquet COW → breaks incr
+    s.sql("ALTER DYNAMIC TABLE sgc_a REFRESH")
+    assert(DynamicTables.lastRefreshMode == "full")
+    assert(sidecars.isEmpty, sidecars.map(_.getName).mkString(","))
+    // publish again, then DROP must clean up too
+    s.sql("""INSERT INTO sgc_t
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000""")
+    s.sql("ALTER DYNAMIC TABLE sgc_a REFRESH")
+    assert(sidecars.nonEmpty)
+    s.sql("DROP DYNAMIC TABLE sgc_a")
+    assert(sidecars.isEmpty, sidecars.map(_.getName).mkString(","))
+  }
+
   test("CHANGES clause: stream semantics over a time-travel span") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE ICEBERG TABLE chg_t AS
@@ -308,6 +372,38 @@ class StreamsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(Streams.lastMode == "dt-chain-diff", Streams.lastMode)
     assert(n > 0)
+  }
+
+  test("CHANGES with END bound: span closes at a historical version") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE chend_t AS
+      SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 600""")
+    s.sql("""INSERT INTO chend_t
+      SELECT o_orderkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200""")
+    s.sql("DELETE FROM chend_t WHERE k % 3 = 0")
+    // span = create → post-insert: the insert shows, the delete doesn't
+    val rows = s.sql("""
+      SELECT METADATA$ACTION AS a, count(*) AS n
+      FROM chend_t CHANGES (INFORMATION => DEFAULT)
+        AT(STATEMENT => LAST_QUERY_ID(-3))
+        END(STATEMENT => LAST_QUERY_ID(-2))
+      GROUP BY 1""").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the span is pure-append → O(delta) incremental read, no diff
+    assert(Streams.lastMode == "incremental-files", Streams.lastMode)
+    val want = s.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200")
+      .collect()(0).getLong(0)
+    assert(rows == Map("INSERT" -> want), s"$rows vs $want")
+    // without END the delete's rows surface too
+    val open = s.sql("""
+      SELECT METADATA$ACTION AS a, count(*) AS n
+      FROM chend_t CHANGES (INFORMATION => DEFAULT)
+        AT(STATEMENT => LAST_QUERY_ID(-4))
+      GROUP BY 1""").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(open.contains("DELETE") || open("INSERT") < want, s"$open")
+    s.sql("DROP TABLE chend_t")
   }
 
   test("pruned cow-diff: Iceberg granular DELETE diffs only the replaced files") {
