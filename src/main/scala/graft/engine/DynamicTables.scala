@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, GraftColumns, GraftPlans}
-import org.apache.spark.sql.functions.{col, max, min, sum}
+import org.apache.spark.sql.functions.{col, count_distinct, max, min, sum}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CommonExpressionRef, Expression, NamedExpression, PlanExpression, With}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.StructType
   *     is appended to the materialization. O(delta) I/O, zero shuffle.
   *  3. '''incremental-merge''' — the defining query is a single-level
   *     aggregate whose functions are decomposable (SUM / COUNT / MIN /
-  *     MAX / AVG, no DISTINCT or FILTER) over one base that only gained
+  *     MAX / AVG / COUNT(DISTINCT), no FILTER clause) over one base that only gained
   *     files: the aggregate runs over ONLY the added files and merges
   *     into the previous result (counts add, sums add, mins/maxes
   *     fold) — O(|result| + |delta|), one small shuffle. This is the
@@ -42,7 +42,11 @@ import org.apache.spark.sql.types.StructType
   *     expressions OVER aggregates (sum(x)+1, sum(a)/nullif(count(*),0))
   *     are not mergeable as values; they are maintained through a
   *     partial-state sidecar table holding each contained aggregate as
-  *     its own column — see [[AggMerge]].
+  *     its own column — see [[AggMerge]]. COUNT(DISTINCT x) is
+  *     maintained by REFINING the sidecar's key granularity instead:
+  *     x joins the state keys (one state row per (group, x), each
+  *     sum-foldable and retractable), and the visible distinct count
+  *     re-aggregates from the live state rows — see [[DistinctCol]].
   *  4. '''incremental-join-append / incremental-join-merge''' — the
   *     defining query is a stateless transform (or a decomposable
   *     aggregate) over a tree of INNER joins of n ≥ 2 bases, and every
@@ -93,10 +97,10 @@ import org.apache.spark.sql.types.StructType
   *     ±Q(delta rows), a stateless transform splices
   *     old ⊖ T(removed) ⊕ T(added) by exact multiset counting
   *     ([[spliceMultiset]]). O(changed groups), never O(base).
-  *  8. '''full''' — anything else (outer joins, windows, DISTINCT
-  *     aggregates, whole-table rewrites on a base, a broken delta
-  *     chain): re-run the defining query. This fallback is what keeps
-  *     every mode above sound.
+  *  8. '''full''' — anything else (outer joins, windows, expressions
+  *     OVER a DISTINCT aggregate, whole-table rewrites on a base, a
+  *     broken delta chain): re-run the defining query. This fallback is
+  *     what keeps every mode above sound.
   *
   * The mode is decided per refresh, so one DELETE on the base degrades
   * that one refresh to full — subsequent appends resume incremental
@@ -440,18 +444,37 @@ object DynamicTables {
     // state columns need generated names the cond recipe can target
     // (partialize mirrors this through its own `force` flag)
     val force = cond.isDefined
+    // COUNT(DISTINCT …) columns: their children become extra state KEY
+    // columns (one state row per (group, children)) — [[dkName]] indices
+    // shared with [[partialize]] via [[distinctChildren]]
+    val dks = distinctChildren(aggExprs)
+    def dkOf(e: Expression): String =
+      dkName(dks.indexWhere(_.semanticEquals(e)))
     sealed trait C
     case class K(name: String,
         id: org.apache.spark.sql.catalyst.expressions.ExprId) extends C
     case class M(name: String, fn: String) extends C
     case class D(d: DerivedCol,
         id: org.apache.spark.sql.catalyst.expressions.ExprId) extends C
+    case class DK(d: DistinctCol,
+        id: org.apache.spark.sql.catalyst.expressions.ExprId) extends C
     val cols: Seq[Option[C]] = aggExprs.zipWithIndex.map {
       case (a: Attribute, _) if groupExprs.exists(_.semanticEquals(a)) =>
         Some(K(a.name, a.exprId))
       case (al: Alias, _) if groupExprs.exists(_.semanticEquals(al.child)) =>
         Some(K(al.name, al.exprId))
-      case (al: Alias, i) => al.child match {
+      case (al: Alias, i) => inlineWith(al.child) match {
+        // bare COUNT(DISTINCT …): the children name state key columns;
+        // the visible value re-aggregates from the state in
+        // [[finalizeState]] — exact at any refresh mode, including
+        // retraction (a (group, x) state row emptying out decrements it)
+        case ae: AggregateExpression
+            if ae.isDistinct && ae.filter.isEmpty &&
+              ae.aggregateFunction.isInstanceOf[Count] &&
+              ae.aggregateFunction.children.nonEmpty &&
+              ae.aggregateFunction.children.forall(exprOk) =>
+          Some(DK(DistinctCol(al.name,
+            ae.aggregateFunction.children.map(dkOf)), al.exprId))
         // fast path: a bare mergeable aggregate folds in place, no state
         case ae: AggregateExpression
             if !force && !ae.isDistinct && ae.filter.isEmpty &&
@@ -466,10 +489,13 @@ object DynamicTables {
     val cs = cols.flatten
     // rewrite the HAVING predicate into a recipe over the state: key
     // references → key columns, aggregate-output references → that
-    // column's derived recipe
+    // column's derived recipe; a distinct column's value exists only
+    // after finalize's outer re-aggregation, where it carries its own
+    // visible name
     val recipeById = cs.collect {
-      case K(n, id) => id -> (UnresolvedAttribute.quoted(n): Expression)
-      case D(d, id) => id -> d.recipe
+      case K(n, id)  => id -> (UnresolvedAttribute.quoted(n): Expression)
+      case D(d, id)  => id -> d.recipe
+      case DK(d, id) => id -> (UnresolvedAttribute.quoted(d.name): Expression)
     }.toMap
     val having: Option[Expression] = cond match {
       case None => None
@@ -483,10 +509,17 @@ object DynamicTables {
             recipeById(a.exprId)
         })
     }
+    // HAVING over a distinct aggregate's value would need the filter
+    // applied after finalize's outer aggregation referencing the
+    // distinct column — finalizeState does exactly that, but only in
+    // the distinct path; a HAVING with distincts about and NO distinct
+    // references is fine either way. Conservatively reject only the
+    // unimplementable combination: none (both orders are handled).
     Some(AggMerge(cs.collect { case K(n, _) => n },
       cs.collect { case M(n, f) => (n, f) },
       cs.collect { case D(d, _) => d },
-      having))
+      having,
+      cs.collect { case DK(d, _) => d }))
   }
 
   /** Fold function of a directly-mergeable aggregate, None otherwise
@@ -523,13 +556,20 @@ object DynamicTables {
     val plan = analyzed transform {
       case a: Aggregate =>
         val g = a.groupingExpressions
+        // COUNT(DISTINCT …) children refine the state granularity: they
+        // join the GROUPING expressions (one state row per (group,
+        // children)) under [[dkName]] aliases, and the distinct output
+        // columns themselves emit NO partial — finalizeState
+        // re-aggregates them from the state keys
+        val dks = distinctChildren(a.aggregateExpressions)
         val newExprs: Seq[NamedExpression] =
           a.aggregateExpressions.zipWithIndex.flatMap {
             case (ne, _) if ne.isInstanceOf[Attribute] ||
                 g.exists(_.semanticEquals(ne)) => Seq(ne)
             case (al: Alias, _) if g.exists(_.semanticEquals(al.child)) =>
               Seq(al)
-            case (al: Alias, i) => al.child match {
+            case (al: Alias, i) => inlineWith(al.child) match {
+              case ae: AggregateExpression if ae.isDistinct => Nil
               case ae: AggregateExpression
                   if !force && plainFold(ae.aggregateFunction).isDefined =>
                 Seq(al)
@@ -558,10 +598,13 @@ object DynamicTables {
             }
             case (other, _) => Seq(other)
           }
+        val dkAliases: Seq[NamedExpression] =
+          dks.zipWithIndex.map { case (e, m) => Alias(e, dkName(m))() }
         // hidden group-cardinality partial, present in every state
         // sidecar — folds by sum, negates under retraction, and lets
         // finalizeState drop groups whose last row was retracted
-        a.copy(aggregateExpressions = newExprs :+ Alias(
+        a.copy(groupingExpressions = g ++ dks,
+          aggregateExpressions = newExprs ++ dkAliases :+ Alias(
           AggregateExpression(
             Count(org.apache.spark.sql.catalyst.expressions.Literal(1)),
             Complete, isDistinct = false), RowCountCol)())
@@ -599,6 +642,8 @@ object DynamicTables {
       if (state.columns.contains(RowCountCol))
         state.filter(col(RowCountCol) > 0)
       else state
+    if (am.distincts.nonEmpty)
+      return finalizeDistinct(live, am, schema)
     // HAVING applies over the merged state, BEFORE the projection —
     // its recipe may reference helper aggregates the SELECT dropped
     val filtered = am.having.fold(live)(h =>
@@ -608,6 +653,44 @@ object DynamicTables {
         case Some(d) =>
           GraftColumns.ofExpr(d.recipe).cast(f.dataType).as(f.name)
         case None => col(f.name).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Distinct-bearing finalize: the state is one row per (group,
+    * distinct children), so the visible table re-aggregates by the
+    * output keys — every stored partial folds by its own function
+    * (exactly the cross-refresh merge identity, applied across state
+    * rows of one group), each COUNT(DISTINCT …) counts its distinct
+    * state-key tuples over live rows, and derived recipes/HAVING
+    * evaluate over the re-aggregated columns (same names). One
+    * O(|state|) job — state is O(distinct pairs), never the base. */
+  private def finalizeDistinct(live: DataFrame, am: AggMerge,
+      schema: StructType): DataFrame = {
+    def bq(n: String) = col(s"`$n`")
+    def fold(n: String, fn: String) = (fn match {
+      case "sum" => sum(bq(n))
+      case "min" => min(bq(n))
+      case "max" => max(bq(n))
+    }).as(n)
+    val outer: Seq[org.apache.spark.sql.Column] =
+      am.merges.map { case (n, fn) => fold(n, fn) } ++
+      am.derived.flatMap(_.partials).map { case (n, fn) => fold(n, fn) } ++
+      am.distincts.map { d =>
+        count_distinct(bq(d.stateKeys.head),
+          d.stateKeys.tail.map(bq): _*).as(d.name)
+      }
+    val agged =
+      if (am.keys.isEmpty) live.agg(outer.head, outer.tail: _*)
+      else live.groupBy(am.keys.map(bq): _*).agg(outer.head, outer.tail: _*)
+    val filtered = am.having.fold(agged)(h =>
+      agged.filter(GraftColumns.ofExpr(h)))
+    val byName = am.derived.map(d => d.name -> d).toMap
+    filtered.select(schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(d) =>
+          GraftColumns.ofExpr(d.recipe).cast(f.dataType).as(f.name)
+        case None => bq(f.name).cast(f.dataType).as(f.name)
       }
     }.toIndexedSeq: _*)
   }

@@ -1238,6 +1238,42 @@ object SnowflakeSql extends QueryPack {
         FROM dt_sum ORDER BY k LIMIT 100;""")
     },
 
+    // COUNT(DISTINCT) DYNAMIC TABLE maintained incrementally: the
+    // distinct child refines the state sidecar's KEY granularity (one
+    // state row per (group, c)), so the append refreshes by state merge
+    // and the granular DELETE by ±fold retraction — both non-full
+    // (mode-asserted in DynamicTableSpec); this gate proves the final
+    // contents equal a from-scratch recompute.
+    GQuery("snow79_dynamic_table_count_distinct", Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders WHERE o_orderkey <= 1000
+        UNION ALL
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000),
+      survivors AS (SELECT * FROM base WHERE NOT (k % 4 = 1 AND k > 1000))
+      SELECT c % 10 AS g, count(DISTINCT c) AS dc, count(*) AS n,
+        CAST(sum(p) AS DOUBLE) AS total
+      FROM survivors GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE dtd_base AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+            o_totalprice::number(12,2) AS p
+          FROM orders WHERE o_orderkey <= 1000;
+        CREATE OR REPLACE DYNAMIC TABLE dtd_dt AS
+          SELECT c % 10 AS g, count(DISTINCT c) AS dc, count(*) AS n,
+            sum(p) AS total
+          FROM dtd_base GROUP BY 1;
+        INSERT INTO dtd_base
+          SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+          FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000;
+        ALTER DYNAMIC TABLE dtd_dt REFRESH;
+        DELETE FROM dtd_base WHERE k % 4 = 1 AND k > 1000;
+        ALTER DYNAMIC TABLE dtd_dt REFRESH;
+        SELECT g, dc, n, total::double AS total FROM dtd_dt ORDER BY g;""")
+    },
+
     // DYNAMIC TABLE over an INNER join: the fact-side INSERT refreshes
     // via the join-delta decomposition Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB —
     // agg(delta) merges into the previous result, so the old fact files

@@ -322,16 +322,133 @@ class DynamicTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { s.sql("ALTER DYNAMIC TABLE dyn_a8 REFRESH") }
   }
 
-  test("DISTINCT aggregates are not claimed incremental") {
+  test("COUNT(DISTINCT) DT refreshes incrementally through the keyed state") {
     val s = newSession()
     s.sql("CREATE OR REPLACE TABLE dyn_b9 AS SELECT n_nationkey AS k, n_regionkey AS rk FROM nation")
     s.sql("CREATE DYNAMIC TABLE dyn_a9 AS SELECT rk, count(DISTINCT k) AS a FROM dyn_b9 GROUP BY rk")
-    s.sql("INSERT INTO dyn_b9 SELECT n_nationkey + 25, n_regionkey FROM nation")
+    // overlapping distinct values: half the inserted keys already exist
+    s.sql("INSERT INTO dyn_b9 SELECT CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey ELSE n_nationkey + 25 END, n_regionkey FROM nation")
     s.sql("ALTER DYNAMIC TABLE dyn_a9 REFRESH")
-    assert(DynamicTables.lastRefreshMode == "full")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge",
+      DynamicTables.lastRefreshMode)
     assertSame(
       s.sql("SELECT * FROM dyn_a9"),
       s.sql("SELECT rk, count(DISTINCT k) AS a FROM dyn_b9 GROUP BY rk"))
+  }
+
+  test("COUNT(DISTINCT) mixed with SUM/AVG: append merges, granular DELETE retracts") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_db AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 500""")
+    s.sql("""INSERT INTO dyn_db
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_dcd AS
+      SELECT c % 10 AS g, count(DISTINCT c) AS dc, count(*) AS n,
+        sum(p) AS total, avg(p) AS ap
+      FROM dyn_db GROUP BY 1""")
+    def want = s.sql("""SELECT c % 10 AS g, count(DISTINCT c) AS dc,
+      count(*) AS n, sum(p) AS total, avg(p) AS ap FROM dyn_db GROUP BY 1""")
+    assertSame(s.sql("SELECT * FROM dyn_dcd"), want)
+    // append → state merge at (g, c) granularity
+    s.sql("""INSERT INTO dyn_db
+      SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1500""")
+    s.sql("ALTER DYNAMIC TABLE dyn_dcd REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM dyn_dcd"), want)
+    // granular DELETE → ±fold retraction; distinct counts must drop
+    // where a custkey's last order in the span is removed
+    s.sql("DELETE FROM dyn_db WHERE k > 500 AND k <= 900")
+    s.sql("ALTER DYNAMIC TABLE dyn_dcd REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-retract-merge",
+      DynamicTables.lastRefreshMode)
+    assert(DynamicTables.lastDeltaFiles.nonEmpty &&
+      DynamicTables.lastDeltaFiles.forall(!_.contains("/data/s1/")),
+      DynamicTables.lastDeltaFiles.toString)
+    assertSame(s.sql("SELECT * FROM dyn_dcd"), want)
+  }
+
+  test("COUNT(DISTINCT) with HAVING filters over the re-aggregated state") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE dyn_dh AS
+      SELECT o_custkey AS c, o_orderpriority AS pr
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_dhd AS
+      SELECT pr, count(DISTINCT c) AS dc FROM dyn_dh GROUP BY pr
+      HAVING count(DISTINCT c) > 50""")
+    def want = s.sql("""SELECT pr, count(DISTINCT c) AS dc FROM dyn_dh
+      GROUP BY pr HAVING count(DISTINCT c) > 50""")
+    assertSame(s.sql("SELECT * FROM dyn_dhd"), want)
+    s.sql("""INSERT INTO dyn_dh
+      SELECT o_custkey, o_orderpriority
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""")
+    s.sql("ALTER DYNAMIC TABLE dyn_dhd REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM dyn_dhd"), want)
+  }
+
+  test("multi-column and multiple COUNT(DISTINCT) stay exact across DML") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_dm AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_orderpriority AS pr,
+        o_orderstatus AS st FROM orders WHERE o_orderkey <= 800""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_dmd AS
+      SELECT st, count(DISTINCT c) AS dc, count(DISTINCT c, pr) AS dcp,
+        count(*) AS n
+      FROM dyn_dm GROUP BY st""")
+    def want = s.sql("""SELECT st, count(DISTINCT c) AS dc,
+      count(DISTINCT c, pr) AS dcp, count(*) AS n FROM dyn_dm GROUP BY st""")
+    s.sql("""INSERT INTO dyn_dm
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 1600""")
+    s.sql("ALTER DYNAMIC TABLE dyn_dmd REFRESH")
+    assert(DynamicTables.lastRefreshMode == "incremental-merge",
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM dyn_dmd"), want)
+    s.sql("DELETE FROM dyn_dm WHERE k % 5 = 0 AND k > 800")
+    s.sql("ALTER DYNAMIC TABLE dyn_dmd REFRESH")
+    assert(DynamicTables.lastRefreshMode.startsWith("incremental"),
+      DynamicTables.lastRefreshMode)
+    assertSame(s.sql("SELECT * FROM dyn_dmd"), want)
+  }
+
+  test("fuzz: random granular DML keeps a COUNT(DISTINCT) DT exact") {
+    val s = newSession()
+    val rnd = new scala.util.Random(0xD157)
+    s.sql("""CREATE OR REPLACE ICEBERG TABLE dyn_df AS
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 400""")
+    s.sql("""CREATE DYNAMIC TABLE dyn_dfd AS
+      SELECT c % 7 AS g, count(DISTINCT c) AS dc, sum(p) AS total
+      FROM dyn_df GROUP BY 1""")
+    def want = s.sql("""SELECT c % 7 AS g, count(DISTINCT c) AS dc,
+      sum(p) AS total FROM dyn_df GROUP BY 1""")
+    var lo = 400
+    val modes = scala.collection.mutable.Set.empty[String]
+    for (round <- 1 to 6) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          s.sql(s"""INSERT INTO dyn_df
+            SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+            FROM orders WHERE o_orderkey > $lo AND o_orderkey <= ${lo + 300}""")
+          lo += 300
+        case 1 =>
+          val m = 2 + rnd.nextInt(5)
+          s.sql(s"DELETE FROM dyn_df WHERE k % $m = 1 AND k > ${rnd.nextInt(lo)}")
+        case 2 =>
+          val m = 2 + rnd.nextInt(4)
+          s.sql(s"UPDATE dyn_df SET c = c + 1 WHERE k % $m = 0")
+      }
+      s.sql("ALTER DYNAMIC TABLE dyn_dfd REFRESH")
+      modes += DynamicTables.lastRefreshMode
+      assertSame(s.sql("SELECT * FROM dyn_dfd"), want)
+    }
+    // coverage: the sequence must actually exercise incremental paths
+    assert(modes.exists(_.startsWith("incremental")), modes.toString)
   }
 
   test("AVG DT: incremental-merge through the sum/count state sidecar") {
