@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.engine.AutoStats.AttachStats)
     ext.injectOptimizerRule(_ => TruncToFloor)
     ext.injectOptimizerRule(_ => PartitionFilterMirror)
+    ext.injectOptimizerRule(_ => BoundsFilePrune)
     ext.injectOptimizerRule(_ => EagerProjection)
     ext.injectOptimizerRule(_ => EagerAggregation)
     // physical: bypass near-useless partial aggregation (off by default;

@@ -1238,6 +1238,23 @@ object SnowflakeSql extends QueryPack {
         FROM dt_sum ORDER BY k LIMIT 100;""")
     },
 
+    // Manifest column-bounds file pruning: the Iceberg commit records
+    // each data file's column min/max from its parquet footer; a
+    // selective predicate on a NON-partition column then skips files at
+    // plan time (BoundsFilePrune — file-level skip asserted in
+    // IcebergLiteSpec; this gate proves the pruned read's VALUES).
+    GQuery("snow78_iceberg_bounds_pruning", Some("""
+      SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey BETWEEN 500 AND 600""")) { (s, dir) =>
+      session(s, dir).sql("""
+        CREATE OR REPLACE ICEBERG TABLE ib_t AS
+          SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p
+          FROM orders;
+        SELECT count(*) AS n, sum(p)::double AS total
+        FROM ib_t WHERE k BETWEEN 500 AND 600;""")
+    },
+
     // COUNT(DISTINCT) DYNAMIC TABLE maintained incrementally: the
     // distinct child refines the state sidecar's KEY granularity (one
     // state row per (group, c)), so the append refreshes by state merge

@@ -44,8 +44,13 @@ object IcebergLite {
   /** Data-file entry status in manifests: 0=EXISTING 1=ADDED 2=DELETED. */
   private val StatusDeleted = 2
 
+  /** `bounds`: compact JSON of per-column min/max recorded at write from
+    * the parquet footers (the spec's lower_bounds/upper_bounds idea) —
+    * `{"col":["<domain>","<lo>","<hi>"],…}`, domains "long" (ints,
+    * dates as epoch-day, timestamps as micros), "double", "string".
+    * None on manifests written before bounds existed — never prunes. */
   private final case class DataEntry(path: String, seq: Long,
-      partition: Option[String] = None)
+      partition: Option[String] = None, bounds: Option[String] = None)
   /** content: 1 = position deletes, 2 = equality deletes. */
   private final case class DeleteEntry(path: String, content: Int, seq: Long)
 
@@ -420,7 +425,8 @@ object IcebergLite {
       return clean(readFiles(spark, Seq(allData.head.path), declared))
         .filter(lit(false))
     if (deleteEntries.isEmpty)
-      return clean(readFiles(spark, dataEntries.map(_.path), declared))
+      return clean(readFiles(spark, dataEntries.map(_.path), declared,
+        meta = Some(metadataPath)))
 
     val posFiles = deleteEntries.filter(_.content == 1)
     val eqFiles = deleteEntries.filter(_.content == 2)
@@ -428,7 +434,7 @@ object IcebergLite {
       regexp_replace(c, "^file:/+", "/")
 
     def readGroup(paths: Seq[String]): DataFrame = {
-      val df = readFiles(spark, paths, declared)
+      val df = readFiles(spark, paths, declared, meta = Some(metadataPath))
       if (posFiles.isEmpty) df
       else {
         // pos deletes name explicit (file, row) targets → safe globally
@@ -475,23 +481,30 @@ object IcebergLite {
     * user-visible schema is unchanged apart from the trailing shadow
     * column, which the session layer projects away. */
   private[graft] def readFiles(spark: SparkSession,
-      paths: Seq[String], declared: Option[StructType] = None): DataFrame = {
+      paths: Seq[String], declared: Option[StructType] = None,
+      meta: Option[String] = None): DataFrame = {
     val byBase = paths.groupBy(p => "(.*)/__part_[^=/]+=".r
       .findFirstMatchIn(p).map(_.group(1)))
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(inferKey)
     spark.conf.set(inferKey, "false")
+    // `meta` tags the relation with its metadata.json so the optimizer's
+    // bounds-prune rule ([[graft.plans.BoundsFilePrune]]) can re-plan the
+    // file list under a pushed-down predicate from manifest bounds
+    def tag(r: org.apache.spark.sql.DataFrameReader) =
+      meta.fold(r)(m => r.option("graft.iceberg.meta", m))
     try {
       byBase.toSeq.sortBy(_._1.getOrElse("")).map {
         case (None, fs) =>
-          declared.fold(spark.read)(s => spark.read.schema(s)).parquet(fs: _*)
+          tag(declared.fold(spark.read)(s => spark.read.schema(s)))
+            .parquet(fs: _*)
         case (Some(base), fs) =>
           // the declared schema covers the DATA columns only; the shadow
           // partition columns are directory-derived and appended by
           // partition discovery (inference disabled → STRING, as before).
           // Declaring them explicitly makes Spark source them from the
           // file content instead — all-NULL, breaking the mirror rule.
-          declared.fold(spark.read)(s => spark.read.schema(s))
+          tag(declared.fold(spark.read)(s => spark.read.schema(s)))
             .option("basePath", base).parquet(fs: _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     } finally {
@@ -586,9 +599,14 @@ object IcebergLite {
                 !dataFile.isNullAt(dataFile.fieldIndex("partition")))
               Some(dataFile.getAs[String]("partition"))
             else None
+          val bounds =
+            if (dataFile.schema.fieldNames.contains("bounds") &&
+                !dataFile.isNullAt(dataFile.fieldIndex("bounds")))
+              Some(dataFile.getAs[String]("bounds"))
+            else None
           if (isDeleteManifest || fileContent > 0)
             delOut += DeleteEntry(path, math.max(fileContent, 1), eSeq)
-          else dataOut += DataEntry(path, eSeq, part)
+          else dataOut += DataEntry(path, eSeq, part, bounds)
         }
       }
     }
@@ -597,6 +615,161 @@ object IcebergLite {
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file://")) p.stripPrefix("file://") else p
+
+  // ── per-file column bounds (manifest-level skipping) ───────────────────
+
+  /** Unsigned-byte (UTF-8) string comparison — parquet's binary stat
+    * order, used on BOTH the record and prune sides so truncible row
+    * groups combine consistently. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def domCompare(dom: String, a: String, b: String): Int = dom match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _        => utf8Compare(a, b)
+  }
+
+  /** Column min/max of one parquet file, read from its FOOTER (no data
+    * read) — the engine's lower_bounds/upper_bounds (Iceberg spec §
+    * data-file fields). Domains: "long" (signed ints, DATE epoch-day,
+    * TIMESTAMP micros), "double" (fp, NaN-poisoned stats skipped),
+    * "string" (UTF-8 byte order). A column missing stats in ANY row
+    * group records no bound. None when nothing is recordable. */
+  private def footerBoundsJson(spark: SparkSession,
+      path: String): Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      var acc = Map.empty[String, Option[(String, String, String)]]
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!name.contains('.')) {
+            val st = cc.getStatistics
+            val pt = cc.getPrimitiveType
+            val cur: Option[(String, String, String)] =
+              if (st == null || !st.hasNonNullValue) None
+              else pt.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                  pt.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                      None
+                    case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                        if ts.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS =>
+                      None
+                    case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                        if !it.isSigned => None
+                    case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation =>
+                      None
+                    case _ => Some(("long",
+                      st.genericGetMin.toString, st.genericGetMax.toString))
+                  }
+                case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                  val lo = st.genericGetMin.toString
+                  val hi = st.genericGetMax.toString
+                  if (lo == "NaN" || hi == "NaN") None
+                  else Some(("double", lo, hi))
+                case PrimitiveTypeName.BINARY =>
+                  pt.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                      Some(("string",
+                        st.genericGetMin
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8,
+                        st.genericGetMax
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8))
+                    case _ => None
+                  }
+                case _ => None
+              }
+            acc += (name -> (acc.get(name) match {
+              case None => cur
+              case Some(None) => None
+              case Some(Some((d, lo, hi))) => cur match {
+                case Some((d2, lo2, hi2)) if d2 == d =>
+                  Some((d,
+                    if (domCompare(d, lo2, lo) < 0) lo2 else lo,
+                    if (domCompare(d, hi2, hi) > 0) hi2 else hi))
+                case _ => None
+              }
+            }))
+          }
+        }
+      }
+      val root = mapper.createObjectNode()
+      acc.toSeq.sortBy(_._1).foreach {
+        case (n, Some((d, lo, hi))) =>
+          val arr = root.putArray(n); arr.add(d); arr.add(lo); arr.add(hi)
+        case _ =>
+      }
+      if (root.size() == 0) None else Some(mapper.writeValueAsString(root))
+    } finally reader.close()
+  } catch { case _: Throwable => None }
+
+  private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Long), Map[String, Map[String, (String, String, String)]]]()
+
+  /** Per-file column bounds of the table's current snapshot:
+    * path → column → (domain, lo, hi). Parsed once per metadata
+    * identity; files without recorded bounds are absent (never prune). */
+  def fileBounds(spark: SparkSession, metadataPath: String)
+      : Map[String, Map[String, (String, String, String)]] = {
+    val p = Paths.get(stripScheme(metadataPath))
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (p.toString,
+      attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+      attrs.creationTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+      attrs.size)
+    if (boundsCache.size > 256) boundsCache.clear()
+    boundsCache.computeIfAbsent(key, _ =>
+      planFiles(spark, metadataPath)._1.flatMap { e =>
+        e.bounds.flatMap { js =>
+          try {
+            val node = mapper.readTree(js)
+            val m = node.fields().asScala.map { f =>
+              val a = f.getValue
+              f.getKey -> ((a.get(0).asText(), a.get(1).asText(),
+                a.get(2).asText()))
+            }.toMap
+            if (m.isEmpty) None else Some(e.path -> m)
+          } catch { case _: Throwable => None }
+        }
+      }.toMap)
+  }
+
+  /** Can a file whose column bounds are `b` hold a row matching
+    * `col <cmp> v` in domain `dom`? cmp ∈ {"=", "<", "<=", ">", ">="}.
+    * Unknown column/domain mismatch → true (never wrong-prune). */
+  def boundsAdmit(b: Map[String, (String, String, String)], col: String,
+      dom: String, cmp: String, v: String): Boolean =
+    b.get(col) match {
+      case Some((d, lo, hi)) if d == dom =>
+        try cmp match {
+          case "="  => domCompare(d, v, lo) >= 0 && domCompare(d, v, hi) <= 0
+          case "<"  => domCompare(d, lo, v) < 0
+          case "<=" => domCompare(d, lo, v) <= 0
+          case ">"  => domCompare(d, hi, v) > 0
+          case ">=" => domCompare(d, hi, v) >= 0
+          case _    => true
+        } catch { case _: Throwable => true }
+      case _ => true
+    }
 
   // ── write path (A9/A12: CREATE ICEBERG TABLE AS / INSERT append) ───────
 
@@ -628,7 +801,7 @@ object IcebergLite {
       .map(_.group(1).toInt).getOrElse(1)
     commit(spark, df, dir, version + 1,
       carryForward = planFiles(spark, metadataPath)._1
-        .map(e => e.path -> e.partition).distinct,
+        .map(e => (e.path, e.partition, e.bounds)).distinct,
       partitionBy = partitionColumns(metadataPath),
       baseMeta = Some(metadataPath))
   }
@@ -694,7 +867,7 @@ object IcebergLite {
     require(affected.subsetOf(entries.map(_.path).toSet),
       "affected paths must be current data files of the table")
     val keep = entries.filterNot(e => affected.contains(e.path))
-      .map(e => e.path -> e.partition).distinct
+      .map(e => (e.path, e.partition, e.bounds)).distinct
     val dir = Paths.get(stripScheme(metadataPath)).getParent.getParent.toString
     val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(metadataPath)
       .map(_.group(1).toInt).getOrElse(1)
@@ -717,7 +890,7 @@ object IcebergLite {
     }.toSeq
     if (toCompact.isEmpty) return metadataPath
     val keep = entries.filterNot(toCompact.contains)
-      .map(e => e.path -> e.partition).distinct
+      .map(e => (e.path, e.partition, e.bounds)).distinct
     val smallTotal = toCompact.map(e => sizeOf(e.path)).sum
     val outParts = math.max(1L, smallTotal / math.max(1L, smallBytes)).toInt
     val parts = partitionColumns(metadataPath)
@@ -744,7 +917,8 @@ object IcebergLite {
   }
 
   private def commit(spark: SparkSession, df0: DataFrame, tableDir: String,
-      newVersion: Int, carryForward: Seq[(String, Option[String])],
+      newVersion: Int,
+      carryForward: Seq[(String, Option[String], Option[String])],
       partitionBy: Seq[String] = Nil,
       baseMeta: Option[String] = None): String = {
     import org.apache.spark.sql.functions._
@@ -837,12 +1011,16 @@ object IcebergLite {
 
     import spark.implicits._
     val manifestDir = s"$tableDir/metadata/manifest-s$snapId"
-    (carryForward.map { case (f, p) => (0, f, p.orNull) } ++
-        newFiles.map(f => (1, f, partOf(f).orNull)))  // 0=EXISTING 1=ADDED
-      .toDF("status", "file_path", "partition")
+    // per-file column bounds from the freshly written parquet FOOTERS —
+    // O(new files) metadata reads, no data scan; carried-forward files
+    // keep the bounds their own commit recorded
+    (carryForward.map { case (f, p, b) => (0, f, p.orNull, b.orNull) } ++
+        newFiles.map(f =>                       // 0=EXISTING 1=ADDED
+          (1, f, partOf(f).orNull, footerBoundsJson(spark, f).orNull)))
+      .toDF("status", "file_path", "partition", "bounds")
       .select(col("status"),
         struct(col("file_path"), lit("PARQUET").as("file_format"),
-          col("partition")).as("data_file"))
+          col("partition"), col("bounds")).as("data_file"))
       .coalesce(1).write.mode("overwrite").format(avroFmt).save(manifestDir)
 
     val listDir = s"$tableDir/metadata/manifest-list-s$snapId"

@@ -25,8 +25,18 @@ class IcebergLiteSpec extends AnyFunSuite {
         graft.plans.PartitionFilterMirror))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.PartitionFilterMirror
+    if (!s.experimental.extraOptimizations.contains(
+        graft.plans.BoundsFilePrune))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BoundsFilePrune
     s
   }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
 
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
@@ -822,5 +832,79 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(files5.length == 5)
     val untouched = after.filterNot(_.contains("__part_zi__n_regionkey=" + zi(2)))
     assert(untouched.forall(files5.contains), "untouched partitions must carry forward")
+  }
+
+  test("column bounds: selective non-partition predicates skip files at plan time") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_bounds").toString
+    // 4 files with disjoint k ranges (range partitioning at write) —
+    // long, double, and string columns all carry footer bounds
+    val base = spark.range(0, 4000).select(
+      col("id").as("k"),
+      (col("id") % 97).cast("double").as("d"),
+      concat(lit("s"), lpad(col("id").cast("string"), 6, "0")).as("s"))
+    val meta = IcebergLite.write(spark,
+      base.repartitionByRange(4, col("k")), root)
+    val scan = IcebergLite.scan(spark, meta)
+    val all = scan.inputFiles.length
+    assert(all == 4, s"expected 4 data files, got $all")
+
+    // point lookup on the long column: one file
+    val q1 = scan.filter(col("k") === 1234L)
+    assert(q1.count() == 1)
+    assert(scannedFiles(q1).length == 1, scannedFiles(q1).toString)
+    // range on the long column: only upper files
+    val q2 = scan.filter(col("k") >= 3100L)
+    assert(q2.count() == 900)
+    assert(scannedFiles(q2).length == 1, scannedFiles(q2).toString)
+    // string bounds prune too (files are range-split on k, and s embeds k)
+    val q3 = scan.filter(col("s") === "s001234")
+    assert(q3.count() == 1)
+    assert(scannedFiles(q3).length == 1, scannedFiles(q3).toString)
+    // IN-list across two files
+    val q4 = scan.filter(col("k").isin(100L, 3900L))
+    assert(q4.count() == 2)
+    assert(scannedFiles(q4).length == 2, scannedFiles(q4).toString)
+    // a predicate the bounds can't decide keeps every file (never wrong)
+    val q5 = scan.filter(col("d") < 1000.0)
+    assert(q5.count() == 4000 && scannedFiles(q5).length == all)
+
+    // appended files record their own bounds; carried files keep theirs
+    val meta2 = IcebergLite.append(spark,
+      spark.range(4000, 5000).select(col("id").as("k"),
+        (col("id") % 97).cast("double").as("d"),
+        concat(lit("s"), lpad(col("id").cast("string"), 6, "0")).as("s")),
+      meta)
+    val scan2 = IcebergLite.scan(spark, meta2)
+    val q6 = scan2.filter(col("k") === 4500L)
+    assert(q6.count() == 1)
+    assert(scannedFiles(q6).length == 1, scannedFiles(q6).toString)
+  }
+
+  test("column bounds fuzz: pruned results equal the unpruned scan") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_bfuzz").toString
+    val rnd = new scala.util.Random(0xB0 )
+    val base = spark.range(0, 3000).select(
+      col("id").as("k"), (col("id") % 53).cast("double").as("d"),
+      concat(lit("p"), (col("id") % 11).cast("string")).as("s"))
+    val meta = IcebergLite.write(spark,
+      base.repartitionByRange(5, col("k")), root)
+    val scan = IcebergLite.scan(spark, meta)
+    for (_ <- 1 to 25) {
+      val lo = rnd.nextInt(3000); val hi = lo + rnd.nextInt(800)
+      val pred = rnd.nextInt(4) match {
+        case 0 => col("k") === lo.toLong
+        case 1 => col("k") >= lo.toLong && col("k") < hi.toLong
+        case 2 => col("s") === s"p${rnd.nextInt(13)}"
+        case 3 => col("d") > (rnd.nextDouble() * 60) && col("k") <= hi.toLong
+      }
+      val got = scan.filter(pred).agg(count(lit(1)), sum(col("k"))).collect()(0)
+      spark.conf.set("spark.graft.boundsPrune", "false")
+      val want = try scan.filter(pred)
+        .agg(count(lit(1)), sum(col("k"))).collect()(0)
+      finally spark.conf.set("spark.graft.boundsPrune", "true")
+      assert(got == want, s"pred=$pred got=$got want=$want")
+    }
   }
 }
