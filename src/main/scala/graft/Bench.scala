@@ -54,6 +54,11 @@ object Bench {
       // no longer leaks into this session — round 5's h09b numbers
       // silently depended on that leak)
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // columnar low-cardinality partial aggregation (LowCardAgg): the
+      // engine's recommended setting for the ClickBench-shape heavy
+      // queries; A/B lever for probes/lowcard_agg.json
+      .config("spark.graft.lowCardAgg",
+        sys.env.getOrElse("SPARK_GRAFT_LOWCARD", "force"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -56,5 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // physical: bypass near-useless partial aggregation (off by default;
     // stats-gated in auto mode — see SkipPartialAggregation)
     ext.injectQueryStagePrepRule(_ => SkipPartialAggregation)
+    // physical: columnar low-cardinality partial aggregation (see
+    // LowCardAgg — off by default, NDV-stats-gated in auto mode)
+    ext.injectQueryStagePrepRule(_ => LowCardAgg)
   }
 }

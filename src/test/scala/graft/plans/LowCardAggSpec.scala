@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential correctness for the columnar low-cardinality partial
+  * aggregate ([[LowCardAgg]]): every query runs force-vs-off over the
+  * same parquet and must produce identical rows — including NULL keys,
+  * NULL aggregate inputs, strings beyond the 8-byte packing, date keys,
+  * the flush-on-overflow path, and empty scans. */
+class LowCardAggSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    if (!s.experimental.extraOptimizations.contains(TruncToFloor))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ TruncToFloor
+    injectPrepRule(s)
+    s
+  }
+
+  /** The shared test JVM's session may predate this suite, and AQE
+    * query-stage-prep rules are builder-time only — splice [[LowCardAgg]]
+    * into the session's AdaptiveRulesHolder reflectively (test-only). */
+  private def injectPrepRule(s: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveRulesHolder
+    val ss = s.sessionState
+    val holder = ss.adaptiveRulesHolder
+    if (!holder.queryStagePrepRules.contains(LowCardAgg)) {
+      val patched = new AdaptiveRulesHolder(
+        holder.queryStagePrepRules :+ LowCardAgg,
+        holder.runtimeOptimizerRules,
+        holder.queryStageOptimizerRules,
+        holder.queryPostPlannerStrategyRules)
+      val f = ss.getClass.getDeclaredFields
+        .find(_.getName.contains("adaptiveRulesHolder"))
+        .getOrElse(throw new IllegalStateException(
+          "no adaptiveRulesHolder field on SessionState"))
+      f.setAccessible(true)
+      f.set(ss, patched)
+    }
+  }
+
+  // queryStagePrepRules from extensions are builder-time only; register
+  // through the adaptive prep seam used by the session-shared JVM
+  private def withLowCard[T](extra: Map[String, String] = Map.empty)(
+      f: => T): T = {
+    spark.conf.set("spark.graft.lowCardAgg", "force")
+    extra.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally {
+      spark.conf.set("spark.graft.lowCardAgg", "off")
+      extra.keys.foreach(spark.conf.unset)
+    }
+  }
+
+  private lazy val dataDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lowcard").toString
+    val df = spark.range(0, 50000).select(
+      col("id").as("rid"),
+      when(col("id") % 97 === 0, lit(null))
+        .otherwise(col("id") % 23).as("klong"),
+      (col("id") % 7).cast("int").as("kint"),
+      when(col("id") % 89 === 0, lit(null)).otherwise(
+        concat(lit("grp_"), (col("id") % 5).cast("string"))).as("kshort"),
+      concat(lit("a_longer_key_"), (col("id") % 6).cast("string")).as("klongstr"),
+      date_add(lit("2024-01-01").cast("date"),
+        (col("id") % 11).cast("int")).as("kdate"),
+      (lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+        + make_dt_interval(lit(0), lit(0), (col("id") % 500).cast("long")))
+        .as("ts"),
+      when(col("id") % 13 === 0, lit(null))
+        .otherwise((col("id") % 1000).cast("double") / 3).as("vd"),
+      when(col("id") % 17 === 0, lit(null))
+        .otherwise(col("id") % 500).as("vl"),
+      (col("id") % 100).cast("float").as("vf"))
+    df.repartition(7).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def t: DataFrame = spark.read.parquet(dataDir)
+
+  private def assertSame(q: => DataFrame,
+      extra: Map[String, String] = Map.empty,
+      expectFire: Boolean = true): Unit = {
+    val base = q.collect().map(_.toString).sorted
+    withLowCard(extra) {
+      val df = q
+      val got = df.collect().map(_.toString).sorted
+      val plan = df.queryExecution.executedPlan.toString
+      if (expectFire)
+        assert(plan.contains("LowCardAgg"), s"rule did not fire:\n$plan")
+      assert(got.sameElements(base),
+        s"diverged:\nbase=${base.take(6).mkString("\n")}\n" +
+        s"got=${got.take(6).mkString("\n")}")
+    }
+  }
+
+  test("long key with NULLs: count/sum/avg/min/max") {
+    assertSame(t.groupBy("klong").agg(
+      count(lit(1)).as("n"), count(col("vl")).as("nv"),
+      sum(col("vl")).as("sl"), sum(col("vd")).as("sd"),
+      avg(col("vd")).as("ad"), min(col("vl")).as("mn"),
+      max(col("vd")).as("mx")))
+  }
+
+  test("short-string key with NULLs (packed path)") {
+    assertSame(t.groupBy("kshort").agg(
+      count(lit(1)).as("n"), sum(col("vd")).as("s"), avg(col("vl")).as("a")))
+  }
+
+  test("string key beyond the 8-byte packing") {
+    assertSame(t.groupBy("klongstr").agg(
+      count(lit(1)).as("n"), sum(col("vl")).as("s")))
+  }
+
+  test("multi-key: int + date; float inputs") {
+    assertSame(t.groupBy("kint", "kdate").agg(
+      sum(col("vf")).as("sf"), avg(col("vf")).as("af"),
+      min(col("vf")).as("mn"), max(col("vf")).as("mx")))
+  }
+
+  test("mixed long + string key (one string within budget)") {
+    assertSame(t.groupBy("klong", "kshort").agg(
+      count(lit(1)).as("n"), sum(col("vd")).as("s")))
+  }
+
+  test("date_trunc hour key rides the FloorTimestamp path") {
+    assertSame(t.groupBy(date_trunc("hour", col("ts")).as("h")).agg(
+      count(lit(1)).as("n"), avg(col("vd")).as("a")))
+  }
+
+  test("flush-on-overflow: tiny cap emits mergeable partials") {
+    assertSame(t.groupBy("klong", "kint").agg(
+      count(lit(1)).as("n"), sum(col("vl")).as("s"),
+      min(col("vd")).as("mn")),
+      extra = Map("spark.graft.lowCardAgg.flushGroups" -> "3"))
+  }
+
+  test("high-cardinality key stays correct through flushes") {
+    assertSame(t.groupBy("rid").agg(sum(col("vl")).as("s")),
+      extra = Map("spark.graft.lowCardAgg.flushGroups" -> "100"))
+  }
+
+  test("empty scan produces no groups") {
+    assertSame(t.filter(col("rid") < 0)
+      .groupBy("klong").agg(count(lit(1)).as("n")), expectFire = false)
+  }
+
+  test("two string keys exceed the default budget: stock path, same rows") {
+    assertSame(t.groupBy("kshort", "klongstr").agg(
+      count(lit(1)).as("n")), expectFire = false)
+  }
+
+  test("distinct/decimal shapes bail to stock") {
+    assertSame(t.groupBy("klong").agg(
+      countDistinct(col("kint")).as("d")), expectFire = false)
+    assertSame(t.groupBy("klong").agg(
+      sum(col("vl").cast("decimal(20,2)")).as("s")), expectFire = false)
+  }
+}
