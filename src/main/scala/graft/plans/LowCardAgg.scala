@@ -607,15 +607,30 @@ private[graft] final class LowCardAggIterator(
       k += 1
     }
     tHash = mark(tHash)
-    // pass 1b: probe/insert, filling gids — single-plain-key fast path
-    // compares inline; the general path calls keysEqualTmp
+    // pass 1b: probe/insert, filling gids. One- and two-key shapes
+    // compare inline from hoisted locals (packed strings compare as
+    // (prefix, len) longs; a varlen side mismatches on len and falls to
+    // the object compare only when BOTH sides are varlen); wider key
+    // lists call the general keysEqualTmp.
     val ids = gids
-    val fastKey = nKeys == 1 && keys(0)._1.width != -2
-    val fkL = tmpL(0); val fkN = tmpN(0)
+    val str0 = keys(0)._1.width == -2
+    val fk0L = tmpL(0); val fk0N = tmpN(0)
+    val fk0Len = tmpLen(0); val fk0S = tmpS(0)
+    val two = nKeys == 2
+    val str1 = two && keys(1)._1.width == -2
+    val fk1L = if (two) tmpL(1) else null
+    val fk1N = if (two) tmpN(1) else null
+    val fk1Len = if (two) tmpLen(1) else null
+    val fk1S = if (two) tmpS(1) else null
+    val fastMode = nKeys <= 2
     var tbl = table
     var gh = groupHash
-    var kl0 = if (fastKey) keyL(0) else null
-    var kn0 = if (fastKey) keyNull(0) else null
+    var kl0 = keyL(0); var kn0 = keyNull(0)
+    var klen0 = keyLen(0); var ks0 = keyS(0)
+    var kl1 = if (two) keyL(1) else null
+    var kn1 = if (two) keyNull(1) else null
+    var klen1 = if (two) keyLen(1) else null
+    var ks1 = if (two) keyS(1) else null
     var mask = tbl.length - 1
     var i = 0
     while (i < n) {
@@ -626,9 +641,24 @@ private[graft] final class LowCardAggIterator(
       while (probing) {
         val t = tbl(s)
         if (t == -1) probing = false
-        else if (gh(t) == h && (if (fastKey)
-            fkN(i) == kn0(t) && (fkN(i) || fkL(i) == kl0(t))
-          else keysEqualTmp(i, t))) {
+        else if (gh(t) == h && {
+          if (!fastMode) keysEqualTmp(i, t)
+          else {
+            var ok = fk0N(i) == kn0(t) && (fk0N(i) || {
+              if (!str0) fk0L(i) == kl0(t)
+              else if (fk0Len(i) >= 0 || klen0(t) >= 0)
+                fk0Len(i) == klen0(t) && fk0L(i) == kl0(t)
+              else fk0S(i).equals(ks0(t))
+            })
+            if (ok && two) ok = fk1N(i) == kn1(t) && (fk1N(i) || {
+              if (!str1) fk1L(i) == kl1(t)
+              else if (fk1Len(i) >= 0 || klen1(t) >= 0)
+                fk1Len(i) == klen1(t) && fk1L(i) == kl1(t)
+              else fk1S(i).equals(ks1(t))
+            })
+            ok
+          }
+        }) {
           g = t; probing = false
         } else s = (s + 1) & mask
       }
@@ -638,7 +668,10 @@ private[graft] final class LowCardAggIterator(
         if (nGroups * 3 > tbl.length * 2) rehash()
         // growth/rehash replaced the arrays — refresh the locals
         tbl = table; gh = groupHash; mask = tbl.length - 1
-        if (fastKey) { kl0 = keyL(0); kn0 = keyNull(0) }
+        kl0 = keyL(0); kn0 = keyNull(0); klen0 = keyLen(0); ks0 = keyS(0)
+        if (two) {
+          kl1 = keyL(1); kn1 = keyNull(1); klen1 = keyLen(1); ks1 = keyS(1)
+        }
       }
       ids(i) = g
       i += 1

@@ -319,6 +319,11 @@ object ColAggProbe {
       "h07_global" -> (() => h07global()),
       "h07_colbatch" -> (() => h07col()),
       "h02_lowcard" -> (() => withForce(h02base())),
+      "h02_lowcard2" -> (() => {
+        spark.conf.set("spark.graft.lowCardAgg.maxStringKeys", "2")
+        try withForce(h02base())
+        finally spark.conf.unset("spark.graft.lowCardAgg.maxStringKeys")
+      }),
       "h06_lowcard" -> (() => withForce(h06base())),
       "h07_lowcard" -> (() => withForce(h07base())),
       "h03_base" -> (() => li.groupBy("l_partkey")
