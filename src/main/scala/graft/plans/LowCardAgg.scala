@@ -39,7 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * are scan columns or [[FloorTimestamp]] of one (what
   * [[TruncToFloor]] emits for `date_trunc`), key types in {int-family,
   * date, timestamp, string}, aggregates in {COUNT, SUM, AVG, MIN, MAX}
-  * over non-decimal numeric/temporal inputs, no DISTINCT / FILTER.
+  * over non-decimal numeric/temporal inputs, no DISTINCT / FILTER
+  * clause. A WHERE between scan and aggregate is supported: the scan's
+  * residual predicate evaluates per row through Spark's own generated
+  * Predicate into a selection mask (stock FilterExec cost), so the
+  * commonest filtered-group-by shape rides the columnar path too.
   *
   * `spark.graft.lowCardAgg`: off (default) | force | auto — auto fires
   * when CBO/AutoStats column stats bound the key NDV under
@@ -112,19 +116,37 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
   }
 
-  private def unwrap(p: SparkPlan)
-      : Option[(Seq[NamedExpression], FileSourceScanExec)] = p match {
-    case s: FileSourceScanExec => Some((Nil, s))
-    case ColumnarToRowExec(s: FileSourceScanExec) => Some((Nil, s))
-    case ProjectExec(list, s: FileSourceScanExec) => Some((list, s))
-    case ProjectExec(list, ColumnarToRowExec(s: FileSourceScanExec)) =>
-      Some((list, s))
-    case _ => None
+  /** Peel (project?, filter?, transitions) down to the columnar scan.
+    * The filter condition (the scan's residual predicate) is evaluated
+    * per row by the operator through Spark's own generated Predicate —
+    * the same work the stock FilterExec would do — so WHERE + GROUP BY,
+    * the commonest aggregate shape, rides the columnar path too. */
+  private def unwrap(p: SparkPlan): Option[(Seq[NamedExpression],
+      Option[Expression], FileSourceScanExec)] = {
+    def scanOf(q: SparkPlan): Option[FileSourceScanExec] = q match {
+      case s: FileSourceScanExec => Some(s)
+      case ColumnarToRowExec(s: FileSourceScanExec) => Some(s)
+      case _ => None
+    }
+    p match {
+      case ProjectExec(list,
+          org.apache.spark.sql.execution.FilterExec(cond, q)) =>
+        scanOf(q).map((list, Some(cond), _))
+      case org.apache.spark.sql.execution.FilterExec(cond, q) =>
+        scanOf(q).map((Nil, Some(cond), _))
+      case ProjectExec(list, q) => scanOf(q).map((list, None, _))
+      case q => scanOf(q).map((Nil, None, _))
+    }
   }
 
   private def tryRewrite(agg: HashAggregateExec): Option[SparkPlan] = {
-    val (projList, scan) = unwrap(agg.child).getOrElse(return None)
+    val (projList, filterCond, scan) = unwrap(agg.child).getOrElse(return None)
     if (!scan.supportsColumnar) return None
+    // the filter must be evaluable over the scan's output alone
+    if (filterCond.exists(c => !c.deterministic ||
+        !c.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(scan.output))))
+      return None
     val aliasMap: Map[Long, Expression] = projList.collect {
       case a: org.apache.spark.sql.catalyst.expressions.Alias =>
         a.exprId.id -> a.child
@@ -263,7 +285,7 @@ object LowCardAgg extends Rule[SparkPlan] {
     if (keySpecs.flatten.count(_._1.width == -2) > maxStr) return None
     val flush = conf.getConfString(FlushConf, (1 << 20).toString).toInt
     Some(LowCardAggExec(agg.output, keySpecs.flatten, aggSpecs.flatten,
-      outCols.flatten, flush, scan))
+      outCols.flatten, flush, filterCond, scan))
   }
 }
 
@@ -275,6 +297,7 @@ final case class LowCardAggExec(
     aggSpecs: Seq[LowCardAgg.AggSpec],
     outCols: Seq[LowCardAgg.OutCol],
     flushGroups: Int,
+    filterCond: Option[Expression],
     child: SparkPlan) extends UnaryExecNode {
 
   import LowCardAgg._
@@ -288,6 +311,7 @@ final case class LowCardAggExec(
     val outs = outCols.toArray
     val outTypes = output.map(_.dataType).toArray
     val flushCap = flushGroups
+    val cond = filterCond
     // transition + codegen rules may wrap the scan in ColumnarToRow /
     // WholeStageCodegen / InputAdapter shells below this operator —
     // unwrap to the columnar source and consume its batches directly
@@ -299,8 +323,19 @@ final case class LowCardAggExec(
         findColumnar(i.child)
       case s => s
     }
-    findColumnar(child).executeColumnar().mapPartitions { batches =>
-      new LowCardAggIterator(batches, keys, aggs, outs, outTypes, flushCap)
+    val columnar = findColumnar(child)
+    val scanOutput = columnar.output
+    columnar.executeColumnar().mapPartitionsWithIndex { (pi, batches) =>
+      // the scan's residual predicate, via Spark's own generated
+      // Predicate over reused batch-row views — stock FilterExec cost
+      val pred = cond.map { c =>
+        val p = org.apache.spark.sql.catalyst.expressions.Predicate
+          .create(c, scanOutput)
+        p.initialize(pi)
+        p
+      }.orNull
+      new LowCardAggIterator(batches, keys, aggs, outs, outTypes, flushCap,
+        pred)
     }
   }
 }
@@ -313,7 +348,9 @@ private[graft] final class LowCardAggIterator(
     aggs: Array[LowCardAgg.AggSpec],
     outs: Array[LowCardAgg.OutCol],
     outTypes: Array[DataType],
-    flushCap: Int) extends Iterator[InternalRow] {
+    flushCap: Int,
+    pred: org.apache.spark.sql.catalyst.expressions.BasePredicate = null)
+    extends Iterator[InternalRow] {
 
   import LowCardAgg._
 
@@ -410,7 +447,10 @@ private[graft] final class LowCardAggIterator(
     tmpN = Array.fill(nKeys)(new Array[Boolean](tmpCap))
     tmpS = Array.fill(nKeys)(new Array[UTF8String](tmpCap))
     tmpLen = Array.fill(nKeys)(new Array[Int](tmpCap))
+    sel = new Array[Boolean](tmpCap)
   }
+
+  private var sel: Array[Boolean] = null
 
   /** Materialize key `k` of the batch into the temp arrays. */
   private def extractKey(b: ColumnarBatch, k: Int, n: Int): Unit = {
@@ -575,6 +615,13 @@ private[graft] final class LowCardAggIterator(
     def mark(acc: Long): Long = if (dbg) {
       val now = System.nanoTime(); val d = now - tMark; tMark = now; acc + d
     } else acc
+    // residual-filter selection mask (batch.getRow reuses one row view)
+    val hasFilter = pred != null
+    val sl = sel
+    if (hasFilter) {
+      var i = 0
+      while (i < n) { sl(i) = pred.eval(b.getRow(i)); i += 1 }
+    }
     // pass 1a: key materialization + hashing. Loop state lives in LOCAL
     // vals throughout this method: the JIT cannot hoist instance-field
     // array loads across the vectors' virtual calls, and leaving them as
@@ -634,6 +681,8 @@ private[graft] final class LowCardAggIterator(
     var mask = tbl.length - 1
     var i = 0
     while (i < n) {
+      if (hasFilter && !sl(i)) { ids(i) = -1; i += 1 }
+      else {
       val h = hsh(i) & 0x7fffffff
       var s = h & mask
       var g = -1
@@ -675,6 +724,7 @@ private[graft] final class LowCardAggIterator(
       }
       ids(i) = g
       i += 1
+      }
     }
     tProbe = mark(tProbe)
     // pass 2: one tight loop per aggregate, accumulators in locals (the
@@ -688,14 +738,17 @@ private[graft] final class LowCardAggIterator(
       aggs(a) match {
         case CountStar =>
           var i = 0
-          while (i < n) { aL(ids(i) * ns + off) += 1; i += 1 }
+          while (i < n) {
+            val gi = ids(i)
+            if (gi >= 0) aL(gi * ns + off) += 1
+            i += 1
+          }
         case CountCol(get) =>
           val c = b.column(get.idx)
           var i = 0
-          if (!c.hasNull) while (i < n) {
-            aL(ids(i) * ns + off) += 1; i += 1
-          } else while (i < n) {
-            if (!c.isNullAt(i)) aL(ids(i) * ns + off) += 1
+          while (i < n) {
+            val gi = ids(i)
+            if (gi >= 0 && !c.isNullAt(i)) aL(gi * ns + off) += 1
             i += 1
           }
         case SumLong(get) =>
@@ -703,12 +756,16 @@ private[graft] final class LowCardAggIterator(
           val w = get.width
           var i = 0
           if (!c.hasNull && w == 8) while (i < n) {
-            val o = ids(i) * ns + off
-            aL(o) += c.getLong(i); aH(o) = true
+            val gi = ids(i)
+            if (gi >= 0) {
+              val o = gi * ns + off
+              aL(o) += c.getLong(i); aH(o) = true
+            }
             i += 1
           } else while (i < n) {
-            if (!c.isNullAt(i)) {
-              val o = ids(i) * ns + off
+            val gi = ids(i)
+            if (gi >= 0 && !c.isNullAt(i)) {
+              val o = gi * ns + off
               aL(o) += lngAt(c, w, i)
               aH(o) = true
             }
@@ -719,12 +776,16 @@ private[graft] final class LowCardAggIterator(
           val w = get.width
           var i = 0
           if (!c.hasNull && w == 0) while (i < n) {
-            val o = ids(i) * ns + off
-            aD(o) += c.getDouble(i); aH(o) = true
+            val gi = ids(i)
+            if (gi >= 0) {
+              val o = gi * ns + off
+              aD(o) += c.getDouble(i); aH(o) = true
+            }
             i += 1
           } else while (i < n) {
-            if (!c.isNullAt(i)) {
-              val o = ids(i) * ns + off
+            val gi = ids(i)
+            if (gi >= 0 && !c.isNullAt(i)) {
+              val o = gi * ns + off
               aD(o) += dblAt(c, w, i)
               aH(o) = true
             }
@@ -735,12 +796,16 @@ private[graft] final class LowCardAggIterator(
           val w = get.width
           var i = 0
           if (!c.hasNull && w == 0) while (i < n) {
-            val o = ids(i) * ns + off
-            aD(o) += c.getDouble(i); aL(o + 1) += 1
+            val gi = ids(i)
+            if (gi >= 0) {
+              val o = gi * ns + off
+              aD(o) += c.getDouble(i); aL(o + 1) += 1
+            }
             i += 1
           } else while (i < n) {
-            if (!c.isNullAt(i)) {
-              val o = ids(i) * ns + off
+            val gi = ids(i)
+            if (gi >= 0 && !c.isNullAt(i)) {
+              val o = gi * ns + off
               aD(o) += dblAt(c, w, i)
               aL(o + 1) += 1
             }
@@ -751,8 +816,9 @@ private[graft] final class LowCardAggIterator(
           val w = get.width
           var i = 0
           while (i < n) {
-            if (!c.isNullAt(i)) {
-              val o = ids(i) * ns + off
+            val gi = ids(i)
+            if (gi >= 0 && !c.isNullAt(i)) {
+              val o = gi * ns + off
               val v = lngAt(c, w, i)
               if (!aH(o) || (if (isMin) v < aL(o) else v > aL(o)))
                 aL(o) = v
@@ -765,8 +831,9 @@ private[graft] final class LowCardAggIterator(
           val w = get.width
           var i = 0
           while (i < n) {
-            if (!c.isNullAt(i)) {
-              val o = ids(i) * ns + off
+            val gi = ids(i)
+            if (gi >= 0 && !c.isNullAt(i)) {
+              val o = gi * ns + off
               val v = dblAt(c, w, i)
               // Double.compare order = Spark's SQL ordering (NaN
               // greatest, -0.0 < 0.0), unlike IEEE < / >

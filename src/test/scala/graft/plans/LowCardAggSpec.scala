@@ -149,9 +149,28 @@ class LowCardAggSpec extends AnyFunSuite {
       extra = Map("spark.graft.lowCardAgg.flushGroups" -> "100"))
   }
 
-  test("empty scan produces no groups") {
+  test("WHERE + GROUP BY rides the columnar path (residual predicate)") {
+    assertSame(t.filter(col("vd") > 100 && col("kshort").isNotNull)
+      .groupBy("klong").agg(
+        count(lit(1)).as("n"), sum(col("vl")).as("s"),
+        avg(col("vd")).as("a")))
+  }
+
+  test("filter excluding everything produces no groups") {
     assertSame(t.filter(col("rid") < 0)
-      .groupBy("klong").agg(count(lit(1)).as("n")), expectFire = false)
+      .groupBy("klong").agg(count(lit(1)).as("n")))
+  }
+
+  test("filter + projected floor key") {
+    assertSame(t.filter(col("kint") =!= 3)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("vl")).as("m")))
+  }
+
+  test("string-predicate filter with NULL rows") {
+    assertSame(t.filter(col("kshort").startsWith("grp_")
+        || col("klongstr").contains("_3"))
+      .groupBy("kint").agg(count(lit(1)).as("n"), max(col("vd")).as("m")))
   }
 
   test("two string keys exceed the default budget: stock path, same rows") {
