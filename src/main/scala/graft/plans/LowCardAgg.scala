@@ -56,6 +56,7 @@ object LowCardAgg extends Rule[SparkPlan] {
   private val FlushConf = "spark.graft.lowCardAgg.flushGroups"
   private val MaxNdvConf = "spark.graft.lowCardAgg.maxNdv"
   private val MaxStrConf = "spark.graft.lowCardAgg.maxStringKeys"
+  private[plans] val ShufConf = "spark.graft.lowCardAgg.shufflePartitions"
   /** Per-partition stderr timing breakdown (dev probes only). */
   private[graft] val debugTiming =
     sys.env.getOrElse("GRAFT_LOWCARD_DEBUG", "0") == "1"
@@ -286,6 +287,31 @@ object LowCardAgg extends Rule[SparkPlan] {
     val flush = conf.getConfString(FlushConf, (1 << 20).toString).toInt
     Some(LowCardAggExec(agg.output, keySpecs.flatten, aggSpecs.flatten,
       outCols.flatten, flush, filterCond, scan))
+  }
+}
+
+/** Shrink the exchange ABOVE a [[LowCardAggExec]]: its partial output is
+  * group-count-sized (the operator only fires on claimed-low-cardinality
+  * shapes), yet EnsureRequirements sized the exchange at the session's
+  * shuffle-partition count — so every map task opens that many reducer
+  * files for a few thousand rows, and AQE coalesces the reads back to
+  * one anyway. Probed (probes/small_exchange.json): the write fan-out is
+  * 70-100 ms of the small-aggregate stage floor at local[32]; cutting to
+  * 4 partitions recovers it. Hash distribution over the same keys at any
+  * partition count stays valid for the final aggregate.
+  * `spark.graft.lowCardAgg.shufflePartitions` (default 4; 0 = off). */
+object SmallAggExchange extends Rule[SparkPlan] {
+  import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    val parts = conf.getConfString(LowCardAgg.ShufConf, "4").toInt
+    if (parts <= 0) return plan
+    plan.transformUp {
+      case sh @ ShuffleExchangeExec(hp: HashPartitioning,
+          _: LowCardAggExec, _, _) if hp.numPartitions > parts =>
+        sh.copy(outputPartitioning = hp.copy(numPartitions = parts))
+    }
   }
 }
 

@@ -57,7 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // stats-gated in auto mode — see SkipPartialAggregation)
     ext.injectQueryStagePrepRule(_ => SkipPartialAggregation)
     // physical: columnar low-cardinality partial aggregation (see
-    // LowCardAgg — off by default, NDV-stats-gated in auto mode)
+    // LowCardAgg — off by default, NDV-stats-gated in auto mode), then
+    // the exchange shrink for its group-count-sized partial output
     ext.injectQueryStagePrepRule(_ => LowCardAgg)
+    ext.injectQueryStagePrepRule(_ => SmallAggExchange)
   }
 }

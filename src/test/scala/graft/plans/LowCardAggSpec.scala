@@ -36,7 +36,7 @@ class LowCardAggSpec extends AnyFunSuite {
     val holder = ss.adaptiveRulesHolder
     if (!holder.queryStagePrepRules.contains(LowCardAgg)) {
       val patched = new AdaptiveRulesHolder(
-        holder.queryStagePrepRules :+ LowCardAgg,
+        holder.queryStagePrepRules :+ LowCardAgg :+ SmallAggExchange,
         holder.runtimeOptimizerRules,
         holder.queryStageOptimizerRules,
         holder.queryPostPlannerStrategyRules)
@@ -171,6 +171,19 @@ class LowCardAggSpec extends AnyFunSuite {
     assertSame(t.filter(col("kshort").startsWith("grp_")
         || col("klongstr").contains("_3"))
       .groupBy("kint").agg(count(lit(1)).as("n"), max(col("vd")).as("m")))
+  }
+
+  test("the exchange above the operator shrinks to the configured count") {
+    withLowCard() {
+      val df = t.groupBy("klong").agg(count(lit(1)).as("n"))
+      df.collect()
+      // the adaptive node hides its stages from collect — assert on the
+      // final plan's rendered exchange partitioning
+      val plan = df.queryExecution.executedPlan.toString
+      val parts = "hashpartitioning\\([^)]*, (\\d+)\\)".r
+        .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+      assert(parts.nonEmpty && parts.forall(_ <= 4), s"$parts\n$plan")
+    }
   }
 
   test("two string keys exceed the default budget: stock path, same rows") {
