@@ -55,6 +55,15 @@ object BoundsFilePrune extends Rule[LogicalPlan] {
         val d = l.value.toString.toDouble
         if (d.isNaN) None else Some(("double", d.toString))
       case StringType => Some(("string", l.value.toString))
+      case dt: DecimalType if dt.precision <= 18 =>
+        // int-backed decimal bounds store unscaled values with the scale
+        // in the domain name — a literal at a different scale never
+        // matches the domain, which is simply "no prune"
+        l.value match {
+          case d: org.apache.spark.sql.types.Decimal if d.scale == dt.scale =>
+            Some((s"dec${dt.scale}", d.toUnscaledLong.toString))
+          case _ => None
+        }
       case _ => None
     }
 

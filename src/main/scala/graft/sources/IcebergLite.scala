@@ -635,6 +635,8 @@ object IcebergLite {
   private def domCompare(dom: String, a: String, b: String): Int = dom match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case d if d.startsWith("dec") => // unscaled longs; scale in the domain
+      java.lang.Long.compare(a.toLong, b.toLong)
     case _        => utf8Compare(a, b)
   }
 
@@ -666,8 +668,12 @@ object IcebergLite {
               else pt.getPrimitiveTypeName match {
                 case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
                   pt.getLogicalTypeAnnotation match {
-                    case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
-                      None
+                    case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                      // int-backed decimals (precision ≤ 18): stats are
+                      // the unscaled values — domain carries the scale
+                      // so only same-scale literals ever compare
+                      Some((s"dec${d.getScale}",
+                        st.genericGetMin.toString, st.genericGetMax.toString))
                     case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
                         if ts.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS =>
                       None

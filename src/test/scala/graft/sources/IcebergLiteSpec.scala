@@ -881,6 +881,25 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(scannedFiles(q6).length == 1, scannedFiles(q6).toString)
   }
 
+  test("column bounds: int-backed decimal predicates prune files") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_decb").toString
+    val base = spark.range(0, 4000).select(
+      col("id").as("k"),
+      (col("id").cast("decimal(12,2)") / 4).cast("decimal(12,2)").as("p"))
+    val meta = IcebergLite.write(spark,
+      base.repartitionByRange(4, col("k")), root)
+    val scan = IcebergLite.scan(spark, meta)
+    // p tracks k/4, so range-split files have disjoint p ranges too
+    val q = scan.filter(col("p") > org.apache.spark.sql.functions
+      .lit(BigDecimal("900.00")).cast("decimal(12,2)"))
+    assert(q.count() == base.filter(col("p") > 900).count())
+    assert(scannedFiles(q).length == 1, scannedFiles(q).toString)
+    // scale-mismatched literal (cast widens) never wrong-prunes
+    val q2 = scan.filter(col("p").cast("decimal(20,4)") === 250.0000)
+    assert(q2.count() == base.filter(col("p") === 250).count())
+  }
+
   test("column bounds fuzz: pruned results equal the unpruned scan") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_ice_bfuzz").toString
