@@ -67,6 +67,22 @@ class RewriterFuzzSpec extends AnyFunSuite {
         i => { val a = dateT(i)
           E(s"DATE_PART(year, ${a.snow})",
             s"CAST(date_part('YEAR', ${a.sparkSql}) AS INT)") },
+        i => { val a = dateT(i)
+          val u = pick(Seq("month", "day"))
+          E(s"DATE_PART($u, ${a.snow})",
+            s"CAST(date_part('${u.toUpperCase}', ${a.sparkSql}) AS INT)") },
+        i => { val a = dateT(i)
+          E(s"WEEKISO(${a.snow})", s"weekofyear(${a.sparkSql})") },
+        i => { val (a, b) = (intT(i), intT(i))
+          E(s"MOD(${a.snow}, NULLIFZERO(${b.snow}))",
+            s"mod(${a.sparkSql}, nullif(${b.sparkSql}, 0))") },
+        // Snowflake GREATEST returns NULL when ANY argument is NULL
+        // (Spark's greatest ignores nulls) — the engine rewrites to the
+        // null-propagating form; encode the same semantics here
+        i => { val (a, b) = (intT(i), intT(i))
+          E(s"GREATEST(${a.snow}, ${b.snow})",
+            s"CASE WHEN (${a.sparkSql}) IS NULL OR (${b.sparkSql}) IS NULL " +
+            s"THEN NULL ELSE greatest(${a.sparkSql}, ${b.sparkSql}) END") },
         i => { val (a, b) = (dateT(i), dateT(i))
           E(s"DATEDIFF(day, ${a.snow}, ${b.snow})",
             s"timestampdiff(DAY, ${a.sparkSql}, ${b.sparkSql})") }
@@ -166,6 +182,9 @@ class RewriterFuzzSpec extends AnyFunSuite {
         i => { val a = intT(i)
           E(s"(${a.snow} BETWEEN -10 AND 50)",
             s"(${a.sparkSql} BETWEEN -10 AND 50)") },
+        i => { val a = strT(i)
+          E(s"(NULLIF(${a.snow}, '') IS NULL)",
+            s"(nullif(${a.sparkSql}, '') IS NULL)") },
         i => { val (b, x, y) = (boolT(i), boolT(i), boolT(i))
           E(s"IFF(${b.snow}, ${x.snow}, ${y.snow})",
             s"if(${b.sparkSql}, ${x.sparkSql}, ${y.sparkSql})") }
@@ -177,6 +196,12 @@ class RewriterFuzzSpec extends AnyFunSuite {
         i => { val a = dateT(i); val n = rnd.nextInt(60) - 30
           E(s"DATEADD(day, $n, ${a.snow}) :: date",
             s"CAST(timestampadd(DAY, $n, ${a.sparkSql}) AS DATE)") },
+        i => { val a = dateT(i); val n = rnd.nextInt(25) - 12
+          val u = pick(Seq("month", "year"))
+          E(s"DATEADD($u, $n, ${a.snow}) :: date",
+            s"CAST(timestampadd(${u.toUpperCase}, $n, ${a.sparkSql}) AS DATE)") },
+        i => { val a = dateT(i)
+          E(s"LAST_DAY(${a.snow})", s"last_day(${a.sparkSql})") },
         i => { val a = dateT(i)
           E(s"(${a.snow}) :: date", s"CAST((${a.sparkSql}) AS DATE)") }
       ))(d - 1)
