@@ -616,6 +616,60 @@ object IcebergLite {
   private def stripScheme(p: String): String =
     if (p.startsWith("file://")) p.stripPrefix("file://") else p
 
+  // ── driver-side Avro manifest writing (metadata, not data) ─────────────
+
+  private val manifestSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"partition","type":["null","string"],"default":null},
+      |  {"name":"bounds","type":["null","string"],"default":null}]}}
+      |]}""".stripMargin)
+  private val manifestListSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"}]}""".stripMargin)
+
+  private def avroOut(dir: String, schema: org.apache.avro.Schema)
+      : org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = {
+    Files.createDirectories(Paths.get(dir))
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+  }
+
+  /** One manifest row per (status, file_path, partition, bounds) —
+    * nullable fields arrive null-encoded already (orNull). */
+  private def writeManifestAvro(dir: String,
+      rows: Seq[(Int, String, String, String)]): Unit = {
+    import org.apache.avro.generic.GenericData
+    val dfSchema = manifestSchema.getField("data_file").schema()
+    val w = avroOut(dir, manifestSchema)
+    try rows.foreach { case (st, path, part, bounds) =>
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("bounds", bounds)
+      val r = new GenericData.Record(manifestSchema)
+      r.put("status", st)
+      r.put("data_file", df)
+      w.append(r)
+    } finally w.close()
+  }
+
+  private def writeManifestListAvro(dir: String, paths: Seq[String]): Unit = {
+    import org.apache.avro.generic.GenericData
+    val w = avroOut(dir, manifestListSchema)
+    try paths.foreach { p =>
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", p)
+      w.append(r)
+    } finally w.close()
+  }
+
   // ── per-file column bounds (manifest-level skipping) ───────────────────
 
   /** Unsigned-byte (UTF-8) string comparison — parquet's binary stat
@@ -1015,23 +1069,21 @@ object IcebergLite {
       if (vals.isEmpty) None else Some(vals.mkString("/"))
     }
 
-    import spark.implicits._
     val manifestDir = s"$tableDir/metadata/manifest-s$snapId"
     // per-file column bounds from the freshly written parquet FOOTERS —
     // O(new files) metadata reads, no data scan; carried-forward files
-    // keep the bounds their own commit recorded
-    (carryForward.map { case (f, p, b) => (0, f, p.orNull, b.orNull) } ++
+    // keep the bounds their own commit recorded.
+    // Manifests are METADATA: written DRIVER-side with the Avro Java API
+    // (as real Iceberg writers do) — the previous coalesce(1) DataFrame
+    // writes cost two full Spark jobs (~200 ms) per commit, which
+    // dominated small appends and every lifecycle statement.
+    writeManifestAvro(manifestDir,
+      carryForward.map { case (f, p, b) => (0, f, p.orNull, b.orNull) } ++
         newFiles.map(f =>                       // 0=EXISTING 1=ADDED
           (1, f, partOf(f).orNull, footerBoundsJson(spark, f).orNull)))
-      .toDF("status", "file_path", "partition", "bounds")
-      .select(col("status"),
-        struct(col("file_path"), lit("PARQUET").as("file_format"),
-          col("partition"), col("bounds")).as("data_file"))
-      .coalesce(1).write.mode("overwrite").format(avroFmt).save(manifestDir)
 
     val listDir = s"$tableDir/metadata/manifest-list-s$snapId"
-    Seq(manifestDir).toDF("manifest_path")
-      .coalesce(1).write.mode("overwrite").format(avroFmt).save(listDir)
+    writeManifestListAvro(listDir, Seq(manifestDir))
 
     val specJson =
       if (partFields.isEmpty) ""

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: where does a GraftSession statement's fixed cost go? The
+  * gate pack's multi-statement DT/stream lifecycle gates run 2-7 s each
+  * at sf0.1 with tiny data — per-statement overhead, not data. Times a
+  * ladder of statement shapes, repeated, on one session.
+  *
+  * Usage: runMain graft.tools.StmtOverheadProbe <sfDir> [reps]
+  */
+object StmtOverheadProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val s = new graft.engine.GraftSession(spark)
+    s.attachLake(sfDir)
+    s.sql("CREATE OR REPLACE TABLE so_t AS SELECT o_orderkey AS k, " +
+      "o_custkey AS c, o_totalprice::number(12,2) AS p FROM orders " +
+      "WHERE o_orderkey <= 2000")
+    s.sql("CREATE OR REPLACE ICEBERG TABLE so_i AS SELECT * FROM so_t")
+    s.sql("CREATE DYNAMIC TABLE so_d AS SELECT c, count(*) AS n, " +
+      "sum(p) AS total FROM so_i GROUP BY c")
+
+    def timed(label: String)(f: => Any): Unit = {
+      f // warm
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      println(f"STMT $label%-34s min=${t.min}%8.1f ms  med=${t.sorted.apply(reps / 2)}%8.1f ms")
+    }
+    timed("select_literal")(s.sql("SELECT 1 AS x").collect())
+    timed("select_count_small")(
+      s.sql("SELECT count(*) AS n FROM so_t").collect())
+    timed("select_count_lineitem")(
+      s.sql("SELECT count(*) AS n FROM lineitem").collect())
+    timed("select_agg_group")(
+      s.sql("SELECT c, count(*) AS n FROM so_t GROUP BY c").collect())
+    timed("insert_100")(s.sql("INSERT INTO so_i SELECT k + 1000000, c, p " +
+      "FROM so_t WHERE k <= 100"))
+    timed("dt_refresh_noop")(s.sql("ALTER DYNAMIC TABLE so_d REFRESH"))
+    timed("iceberg_delete_none")(s.sql("DELETE FROM so_i WHERE k < 0"))
+    timed("show_tables")(s.sql("SHOW TABLES").collect())
+    spark.stop()
+  }
+}
