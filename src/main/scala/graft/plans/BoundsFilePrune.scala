@@ -30,10 +30,13 @@ import org.apache.spark.sql.types._
   * always remains, so the rewrite only ever removes provably-empty work.
   * Files or columns without recorded bounds are never pruned.
   *
-  * Scope: unpartitioned relations only (`partitionSchema.isEmpty`) — a
-  * partitioned read derives shadow partition columns from directories,
-  * and rebuilding its index risks partition-schema drift; those scans
-  * already prune via [[PartitionFilterMirror]]. Disable with
+  * Partitioned relations prune too (day-partitioned fact, lookup on a
+  * non-partition column — the canonical 100 TB shape): the rebuilt file
+  * index receives the relation's own data+partition schema as the
+  * user-specified schema, so the shadow partition columns keep their
+  * original STRING typing regardless of the session's
+  * partition-inference conf, and [[PartitionFilterMirror]]'s directory
+  * pruning composes with the file-level skip. Disable with
   * `spark.graft.boundsPrune=false` (the A/B lever the specs use).
   */
 object BoundsFilePrune extends Rule[LogicalPlan] {
@@ -112,9 +115,7 @@ object BoundsFilePrune extends Rule[LogicalPlan] {
       case f @ Filter(cond, l: LogicalRelation)
           if l.relation.isInstanceOf[HadoopFsRelation] &&
             l.relation.asInstanceOf[HadoopFsRelation]
-              .options.contains("graft.iceberg.meta") &&
-            l.relation.asInstanceOf[HadoopFsRelation]
-              .partitionSchema.isEmpty =>
+              .options.contains("graft.iceberg.meta") =>
         val rel = l.relation.asInstanceOf[HadoopFsRelation]
         val ts = tests(splitConj(cond))
         if (ts.isEmpty) f
@@ -135,9 +136,14 @@ object BoundsFilePrune extends Rule[LogicalPlan] {
             }
             if (keep.length == current.length) f
             else {
+              // the user-specified schema pins the shadow partition
+              // columns to their original (STRING) types, so the rebuilt
+              // index's discovered partition spec matches the relation's
+              val schemaForIndex = StructType(
+                rel.dataSchema.fields ++ rel.partitionSchema.fields)
               val index = new InMemoryFileIndex(spark,
                 keep.map(p => new org.apache.hadoop.fs.Path(p)).toIndexedSeq,
-                rel.options, Some(rel.dataSchema))
+                rel.options, Some(schemaForIndex))
               Filter(cond,
                 l.copy(relation = rel.copy(location = index)(rel.sparkSession)))
             }

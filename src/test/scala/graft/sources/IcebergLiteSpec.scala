@@ -900,6 +900,34 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(q2.count() == base.filter(col("p") === 250).count())
   }
 
+  test("column bounds prune WITHIN partitions (composes with the mirror)") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_ice_pbounds").toString
+    // 3 partitions (g), files range-split on k within each partition —
+    // k ranges per file are disjoint because the write sorts by k
+    val base = spark.range(0, 3000).select(
+      (col("id") % 3).cast("int").as("g"), col("id").as("k"))
+      .repartitionByRange(6, col("k")).sortWithinPartitions("k")
+    val meta = IcebergLite.write(spark, base, root, partitionBy = Seq("g"))
+    val scan = IcebergLite.scan(spark, meta)
+    val all = scan.inputFiles.length
+    assert(all >= 6, s"expected multiple files, got $all")
+    // non-partition predicate: bounds skip files inside every partition
+    val q = scan.filter(col("k") === 1500L)
+    assert(q.count() == 1)
+    assert(scannedFiles(q).length < all, scannedFiles(q).toString)
+    // combined: partition mirror prunes to one g-dir, bounds prune inside
+    val q2 = scan.filter(col("g") === 1 && col("k") >= 2500L)
+    assert(q2.count() == base.filter(col("g") === 1 && col("k") >= 2500L).count())
+    val sf2 = scannedFiles(q2)
+    assert(sf2.nonEmpty && sf2.length < all, sf2.toString)
+    // equivalence against the unpruned scan
+    spark.conf.set("spark.graft.boundsPrune", "false")
+    val want = try scan.filter(col("k") === 1500L).collect().map(_.toString).sorted
+    finally spark.conf.set("spark.graft.boundsPrune", "true")
+    assert(q.collect().map(_.toString).sorted.sameElements(want))
+  }
+
   test("column bounds fuzz: pruned results equal the unpruned scan") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_ice_bfuzz").toString
