@@ -180,6 +180,52 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Duplicated-substring spans, the substring-level (not document-level)
+    * exact dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": every maximal token range of a document
+    * covered by word-`k`-grams that occur more than once in the corpus
+    * (across documents or repeated within one). The suffix-array machinery
+    * of the paper is a single-machine construct; the distributed
+    * re-expression is sorted-k-gram grouping — equivalent output for
+    * spans detected at k-gram resolution.
+    *
+    * Plan shape at scale: positions explode to O(tokens) rows, the dup
+    * test is ONE hash-shuffle on the gram (partial-aggregated count,
+    * then a left-semi join back on the same key — co-partitioned, no
+    * second full exchange of the probe side's data), and span merging is
+    * one window per document (gaps-and-islands over positions). Nothing
+    * collects; no O(n²) pair join anywhere. `maxGramFreq` optionally
+    * drops stop-grams (Zipf head) before the join — the skew valve for
+    * web corpora, off by default for exact semantics.
+    *
+    * Output: one row per maximal duplicated span, `(doc_id, span_start,
+    * span_end)` in 0-based token indices, end inclusive. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxGramFreq: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1, "k-gram length must be >= 1")
+    val words = split(col(textCol), " ")
+    val grams = df
+      .filter(size(words) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), size(words) - k),
+          i => array_join(slice(words, i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "gram")
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1 && col("cnt") <= maxGramFreq)
+    val hits = grams.join(dup.select("gram"), Seq("gram"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      // a k-gram at p covers tokens [p, p+k-1]; consecutive duplicated
+      // grams whose ranges overlap (diff <= k-1) merge into one span
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k - 1, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + k - 1).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   /** SimHash signatures per doc (see [[graft.functions.SimHash64]]):
     * per-row, shuffle-free. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =

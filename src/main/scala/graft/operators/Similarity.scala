@@ -102,6 +102,64 @@ object Similarity {
       .select("i", "j", "sim")
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): k-means
+    * cluster the embedding space, find cosine-≥-threshold pairs only
+    * WITHIN each cluster, and keep one representative (min id) per
+    * near-duplicate group. This is the scale path that replaces the
+    * O(n²) [[thresholdPairs]] cross join: after the per-row centroid
+    * assignment (broadcast centroids, no shuffle), the pair join is
+    * keyed on `(list_id)` so each cluster self-joins independently —
+    * O(Σ c_i²) work bounded by the largest cluster instead of n², and
+    * the components run over the sparse pair graph only.
+    *
+    * Returns `(doc_id, component, keep)` for every corpus row (docs in
+    * no pair survive as their own component). Recall is sub-unity by
+    * design (near-dups sharing none of their `probes` nearest clusters
+    * are unseen); every removal is
+    * exact-verified (sim recomputed in full precision inside the
+    * cluster), so removals are always a SUBSET of the exact
+    * threshold-graph removals — precision 1 by construction. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nlist: Int,
+      iters: Int = 2, probes: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val model = IvfIndex.train(corpus, nlist, iters, idCol, vecCol)
+    // multi-probe assignment: each vector joins its `probes` nearest
+    // clusters (still per-row / shuffle-free — the standard recall lever
+    // for boundary vectors whose near-dups sit across a centroid seam)
+    val scored = model.centroids.map { case (lid, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((VectorOps.dot(col(vecCol), lit(c)) / lit(cNorm)).as("score"),
+        lit(lid).as("lid"))
+    }
+    val byScoreDesc = (l: Column, r: Column) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .otherwise(l.getField("lid") - r.getField("lid"))
+    val assigned = corpus.withColumn("list_id",
+      explode(transform(
+        slice(array_sort(array(scored.toIndexedSeq: _*), byScoreDesc),
+          1, math.min(probes, nlist)),
+        s => s.getField("lid"))))
+    val a = assigned.select(col("list_id"), col(idCol).as("i"),
+      col(vecCol).as("va"), VectorOps.normSq(col(vecCol)).as("na"))
+    val b = assigned.select(col("list_id"), col(idCol).as("j"),
+      col(vecCol).as("vb"), VectorOps.normSq(col(vecCol)).as("nb"))
+    val pairs = a.join(b, Seq("list_id"))
+      .filter(col("i") < col("j"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("va"), col("vb")) /
+          sqrt(col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("i", "j").distinct()
+    val comp = Components.dedupClusters(pairs, "i", "j")
+      .select(col("doc_id").as("__cid"), col("component"), col("keep"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(comp, col("doc_id") === col("__cid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   // ── int8 scalar quantization ──────────────────────────────────────────
   //
   // At 100 TB of embeddings the ANN probe cost is the SCAN: float64

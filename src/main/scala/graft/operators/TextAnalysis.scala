@@ -198,4 +198,52 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(k)
+
+  /** BM25-scored retrieval (Robertson–Spärck Jones idf, the k1/b
+    * saturation form) of the top-`topK` documents for a small literal
+    * term set — the keyword-retrieval / targeted-curation primitive
+    * (e.g. "pull every doc matching this probe query" over a crawl).
+    *
+    * Scale shape: term frequencies are per-row expressions over the
+    * tokenized text (no inverted-index shuffle — the index is the
+    * parquet scan itself), and the corpus statistics the formula needs
+    * (N, avgdl, per-term document frequencies) are ONE single-row global
+    * aggregate cross-joined back as a broadcast. The corpus therefore
+    * scans exactly twice (once for stats, once for scoring) and never
+    * shuffles by content; top-k is a TakeOrdered, not a global sort.
+    *
+    * Determinism: the score sums term contributions in declaration order
+    * (left-assoc `+` chain), divisions and `ln` are double-precision,
+    * and the output is rounded to 6 dp with doc-id tie-breaks — the same
+    * cross-engine conventions as the cosine operators. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    val toks = words(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, w => w === lit(t))).as(s"tf$i")
+    }
+    val base = df.select(
+      (col(idCol).as("doc_id") +: size(toks).as("dl") +: tfCols): _*)
+    val statCols =
+      count(lit(1)).cast(DoubleType).as("n") +:
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast(DoubleType)
+            .as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast(DoubleType)
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -939,6 +939,107 @@ object Extensions extends QueryPack {
              sum(col("o_totalprice").cast(DecimalType(12, 2)))
                .cast(DoubleType).as("total"))
         .orderBy("seg")
+    },
+
+    // Substring-level exact dedup (Lee et al. 2021): maximal token spans
+    // covered by corpus-duplicated 8-grams. The paper's suffix array is
+    // re-expressed as one gram hash-shuffle + a per-doc islands window.
+    GQuery("x40_dup_spans", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t
+            WHERE len(ws) >= 8),
+      c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+      d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                   THEN 0 ELSE 1 END AS brk
+            FROM d),
+      i AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM m)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos) + 7 AS BIGINT) AS span_end
+      FROM i GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""")) { (s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // BM25 keyword retrieval: per-row tf expressions + one broadcast
+    // global stats row; corpus never shuffles by content.
+    GQuery("x41_bm25_topk", Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      d AS (SELECT doc_id, len(ws) AS dl,
+              len(list_filter(ws, w -> w = 'spark')) AS tf0,
+              len(list_filter(ws, w -> w = 'join')) AS tf1,
+              len(list_filter(ws, w -> w = 'query')) AS tf2
+            FROM t),
+      g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+              CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+              CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+            FROM d)
+      SELECT doc_id, score FROM (
+        SELECT doc_id, round(
+          ln(CAST(1.0 AS DOUBLE) + (n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+            * tf0 * CAST(2.2 AS DOUBLE)
+            / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+          + ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+            * tf1 * CAST(2.2 AS DOUBLE)
+            / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+          + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+            * tf2 * CAST(2.2 AS DOUBLE)
+            / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+          6) AS score
+        FROM d, g)
+      WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 15""")) { (s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "join", "query"), topK = 15)
+    },
+
+    // SemDeDup (Abbas et al. 2023): cluster-scoped near-dup removal. The
+    // oracle computes the EXACT threshold-graph removal set (recursive
+    // closure, as x39); the Spark side reproduces that exact count, then
+    // asserts the cluster-scoped removals are a subset (precision 1 by
+    // construction) with recall >= 0.5 — the x33 recall-contract shape.
+    GQuery("x42_semantic_dedup", Some("""
+      WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+          sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) >= 0.4),
+      e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a WHERE e2.b <> r.a),
+      comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+               FROM reach GROUP BY a)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_removed,
+        TRUE AS precision_ok, TRUE AS recall_ok
+      FROM comp WHERE doc_id <> component""")) { (s, dir) =>
+      val e = embs(s, dir)
+      val exactRemoved = graft.operators.Components.dedupClusters(
+          Similarity.thresholdPairs(e, threshold = 0.4).select("i", "j"),
+          "i", "j")
+        .filter(!col("keep")).select(col("doc_id")).cache()
+      val semRemoved = Similarity.semanticDedup(e, threshold = 0.4,
+          nlist = 8, iters = 2)
+        .filter(!col("keep")).select(col("doc_id").as("rem"))
+      val joined = semRemoved.join(exactRemoved,
+        col("rem") === col("doc_id"), "left_outer")
+      val miss = joined.filter(col("doc_id").isNull).count()
+      val hit = joined.filter(col("doc_id").isNotNull).count()
+      exactRemoved.agg(count(lit(1)).cast("long").as("n_exact_removed"))
+        .select(col("n_exact_removed"),
+          lit(miss == 0).as("precision_ok"),
+          (lit(hit).cast("double") / col("n_exact_removed") >= 0.5)
+            .as("recall_ok"))
     }
   )
 }

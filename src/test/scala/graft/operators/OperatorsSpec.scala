@@ -536,4 +536,114 @@ class OperatorsSpec extends AnyFunSuite {
     val big = packed.find(_.getLong(0) == 99L).get
     assert(byPack((big.getLong(1), big.getLong(2))).length == 1)
   }
+
+  // ── duplicateSpans (substring-level exact dedup, Lee et al. 2021) ──────
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Dedup.duplicateSpans(df, "doc_id", "text", k).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+
+  test("duplicateSpans flags cross-doc duplicated k-gram ranges") {
+    val df = Seq((1L, "a b c d e f"), (2L, "x x a b c y")).toDF("doc_id", "text")
+    assert(spans(df, 3) == Set((1L, 0L, 2L), (2L, 2L, 4L)))
+  }
+
+  test("duplicateSpans merges overlapping duplicated grams into one span") {
+    val df = Seq((1L, "a b c d q"), (2L, "a b c d z")).toDF("doc_id", "text")
+    // "a b c" (pos 0) and "b c d" (pos 1) both duplicated → one span [0,3]
+    assert(spans(df, 3) == Set((1L, 0L, 3L), (2L, 0L, 3L)))
+  }
+
+  test("duplicateSpans catches WITHIN-doc repeats and splits far islands") {
+    val df = Seq((1L, "p q r s p q r t")).toDF("doc_id", "text")
+    // "p q r" at pos 0 and 4; gap 4 > k-1 → two separate spans
+    assert(spans(df, 3) == Set((1L, 0L, 2L), (1L, 4L, 6L)))
+  }
+
+  test("duplicateSpans merges islands whose token ranges touch") {
+    // dup grams at pos 0 and 2 (diff = k-1 = 2): ranges [0,2] and [2,4] overlap
+    val df = Seq((1L, "a b c b c d x"), (2L, "z a b c w"), (3L, "u c b c d v"))
+      .toDF("doc_id", "text")
+    // doc1: "a b c"@0 (shared with doc2), "b c d"@3... compute: doc1 grams:
+    // a b c@0, b c b@1, c b c@2, b c d@3, c d x@4; doc3 grams: u c b@0,
+    // c b c@1, b c d@2, c d v@3. dup: "a b c"(d1@0,d2@1), "c b c"(d1@2,d3@1),
+    // "b c d"(d1@3,d3@2). doc1 positions {0,2,3} all within diff<=2 → one
+    // span [0,5]; doc3 positions {1,2} → [1,4]; doc2 {1} → [1,3]
+    assert(spans(df, 3) == Set((1L, 0L, 5L), (3L, 1L, 4L), (2L, 1L, 3L)))
+  }
+
+  test("duplicateSpans ignores docs shorter than k and unique docs") {
+    val df = Seq((1L, "a b"), (2L, "q w e r t y")).toDF("doc_id", "text")
+    assert(spans(df, 3).isEmpty)
+  }
+
+  test("duplicateSpans frequency cap drops stop-grams") {
+    val df = Seq((1L, "s t p a b c"), (2L, "s t p d e f"), (3L, "s t p g h i"),
+      (4L, "a b c z z z")).toDF("doc_id", "text")
+    // "s t p" occurs 3× (over cap 2) → dropped; "a b c" (2×) kept
+    val out = Dedup.duplicateSpans(df, "doc_id", "text", 3, maxGramFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 3L, 5L), (4L, 0L, 2L)))
+  }
+
+  // ── BM25 retrieval ─────────────────────────────────────────────────────
+
+  test("bm25TopK matches the hand-computed formula and drops no-hit docs") {
+    val df = Seq((1L, "spark spark query x"), (2L, "spark y z w"),
+      (3L, "n o p q")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("spark", "query"), topK = 5).collect()
+    // N=3, avgdl=4, dl/avgdl=1 → denom = tf + 1.2
+    val idfSpark = math.log(1.0 + (3 - 2 + 0.5) / 2.5)
+    val idfQuery = math.log(1.0 + (3 - 1 + 0.5) / 1.5)
+    val s1 = idfSpark * 2 * 2.2 / 3.2 + idfQuery * 1 * 2.2 / 2.2
+    val s2 = idfSpark * 1 * 2.2 / 2.2
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc3 filtered
+    assert(out(0).getDouble(1) == math.rint(s1 * 1e6) / 1e6 ||
+      math.abs(out(0).getDouble(1) - s1) < 1e-6)
+    assert(math.abs(out(1).getDouble(1) - s2) < 1e-6)
+  }
+
+  test("bm25TopK rewards rarer terms (idf) and saturates tf") {
+    val df = (1L to 20L).map { i =>
+      (i, if (i == 1) "rare common a b" else "common c d e")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("rare", "common"), topK = 3).collect()
+    assert(out.head.getLong(0) == 1L) // the rare-term doc dominates
+    assert(out.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  // ── semantic dedup (SemDeDup shape) ───────────────────────────────────
+
+  test("semanticDedup removals are exact-verified and complete here") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.001f)),   // near-dups
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.001f, 0.999f)),   // near-dups
+      (5L, Seq(0.7f, 0.7f)), (6L, Seq(-1.0f, 0.0f)))       // singletons
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, threshold = 0.99, nlist = 2,
+      iters = 2, probes = 2).collect()
+    val removed = out.filter(!_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    assert(removed == Set(2L, 4L))
+    // every row present; survivors carry their own id as component
+    assert(out.map(_.getLong(0)).toSet == (1L to 6L).toSet)
+    assert(out.filter(_.getLong(0) == 2L).head.getAs[Long]("component") == 1L)
+    // subset-of-exact (precision 1) against the O(n²) baseline
+    val exact = Components.dedupClusters(
+        Similarity.thresholdPairs(df, 0.99).select("i", "j"), "i", "j")
+      .filter(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(removed.subsetOf(exact))
+  }
+
+  test("semanticDedup single-probe stays a subset of multi-probe") {
+    val df = (1L to 12L).map { i =>
+      val a = (i % 4).toFloat; (i, Seq(a, 1f, (i / 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def removed(p: Int) = Similarity.semanticDedup(df, 0.95, nlist = 3,
+      iters = 2, probes = p).filter(!col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    assert(removed(1).subsetOf(removed(2)))
+  }
 }
