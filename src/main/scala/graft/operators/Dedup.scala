@@ -226,6 +226,56 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Substring-level dedup REMOVAL — the end goal of the Lee et al.
+    * pass: rewrite each document with duplicated content deleted while
+    * keeping exactly one occurrence per duplicated k-gram (the globally
+    * first by `(doc_id, pos)` — the cross-engine-deterministic
+    * canonical). Token `t` of a doc is removed iff it is covered by a
+    * NON-canonical duplicated-gram occurrence and not covered by any
+    * canonical one, so the kept copy always survives intact.
+    *
+    * Scale shape: the occurrence/dup stages are [[duplicateSpans]]'s one
+    * gram shuffle plus a per-gram min (same key, co-partitioned); the
+    * coverage explode is k rows per duplicated occurrence (linear, and
+    * only over the DUPLICATED subset, not the corpus); reconstruction is
+    * one shuffle on doc_id (distinct + anti-join + ordered re-join of
+    * kept tokens). Nothing collects, no pair joins.
+    *
+    * Output: `(doc_id, clean_text)` for every input row. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k-gram length must be >= 1")
+    val words = split(col(textCol), " ")
+    val occ = df.filter(size(words) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), size(words) - k),
+          i => array_join(slice(words, i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "gram")
+    val dup = occ.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gram")
+    val flagged = occ.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val cover = flagged
+      .withColumn("canon", row_number().over(w) === 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("t"),
+        col("canon"))
+    val removed = cover.filter(!col("canon")).select("doc_id", "t").distinct()
+      .join(cover.filter(col("canon")).select("doc_id", "t").distinct(),
+        Seq("doc_id", "t"), "left_anti")
+    val toks = df.select(col(idCol).as("doc_id"), posexplode(words))
+      .toDF("doc_id", "t", "tok")
+    val kept = toks.join(removed, Seq("doc_id", "t"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** SimHash signatures per doc (see [[graft.functions.SimHash64]]):
     * per-row, shuffle-free. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =

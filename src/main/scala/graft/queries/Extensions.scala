@@ -1001,6 +1001,39 @@ object Extensions extends QueryPack {
         terms = Seq("spark", "join", "query"), topK = 15)
     },
 
+    // Substring-level dedup REMOVAL: rewrite docs keeping exactly one
+    // occurrence per duplicated 8-gram (globally-first canonical); a
+    // token goes iff covered only by non-canonical occurrences.
+    GQuery("x43_dup_span_removal", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      toks AS (SELECT doc_id, i - 1 AS t, ws[i] AS tok
+               FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u),
+      g AS (SELECT doc_id, i - 1 AS pos,
+              array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) v
+            WHERE len(ws) >= 8),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+      o AS (SELECT g.doc_id, g.pos,
+              row_number() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) = 1 AS canon
+            FROM g JOIN dup USING (gram)),
+      cover AS (SELECT doc_id, pos + j AS t, canon
+                FROM o, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) x),
+      removed AS (
+        SELECT doc_id, t FROM cover WHERE NOT canon
+        EXCEPT
+        SELECT doc_id, t FROM cover WHERE canon),
+      kept AS (SELECT tk.doc_id, tk.t, tk.tok
+               FROM toks tk LEFT JOIN removed r
+                 ON tk.doc_id = r.doc_id AND tk.t = r.t
+               WHERE r.doc_id IS NULL)
+      SELECT d.doc_id,
+        coalesce((SELECT string_agg(tok, ' ' ORDER BY t) FROM kept
+                  WHERE kept.doc_id = d.doc_id), '') AS clean_text
+      FROM documents d ORDER BY d.doc_id""")) { (s, dir) =>
+      Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped near-dup removal. The
     // oracle computes the EXACT threshold-graph removal set (recursive
     // closure, as x39); the Spark side reproduces that exact count, then

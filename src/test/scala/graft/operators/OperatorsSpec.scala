@@ -587,6 +587,90 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Set((1L, 3L, 5L), (4L, 0L, 2L)))
   }
 
+  test("duplicateSpans fuzz: equals a brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val k = 2 + rnd.nextInt(3)
+      val docsSeq = (1L to 30L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(24))(('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" "))
+      }
+      val gramsAll = docsSeq.flatMap { case (id, t) =>
+        val w = t.split(" ")
+        if (w.length >= k)
+          (0 to w.length - k).map(p => (w.slice(p, p + k).mkString(" "), id, p))
+        else Nil
+      }
+      val cnt = gramsAll.groupBy(_._1).map { case (g, os) => g -> os.size }
+      val expected = gramsAll.filter(g => cnt(g._1) > 1)
+        .groupBy(_._2).toSeq.flatMap { case (id, os) =>
+          val ps = os.map(_._3).sorted
+          val islands = ps.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (cur :: rest), p) =>
+              if (p - cur.head <= k - 1) (p :: cur) :: rest
+              else List(p) :: acc
+            case (Nil, p) => List(List(p))
+          }
+          islands.map(is => (id, is.min.toLong, (is.max + k - 1).toLong))
+        }.toSet
+      val got = spans(docsSeq.toDF("doc_id", "text"), k)
+      assert(got == expected, s"k=$k")
+    }
+  }
+
+  // ── removeDuplicateSpans (keep-one-occurrence cleaning) ───────────────
+
+  private def cleaned(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Dedup.removeDuplicateSpans(df, "doc_id", "text", k).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("removeDuplicateSpans keeps the globally-first occurrence intact") {
+    val df = Seq((1L, "a b c d"), (2L, "x a b c")).toDF("doc_id", "text")
+    assert(cleaned(df, 3) == Map(1L -> "a b c d", 2L -> "x"))
+  }
+
+  test("removeDuplicateSpans handles within-doc repeats") {
+    val df = Seq((1L, "p q r s p q r")).toDF("doc_id", "text")
+    assert(cleaned(df, 3) == Map(1L -> "p q r s"))
+  }
+
+  test("removeDuplicateSpans empties a fully-duplicated later doc") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "u v")).toDF("doc_id", "text")
+    assert(cleaned(df, 3) == Map(1L -> "a b c d", 2L -> "", 3L -> "u v"))
+  }
+
+  test("removeDuplicateSpans fuzz: reference semantics on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      val k = 2 + rnd.nextInt(3)
+      val docsSeq = (1L to 25L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(20))(('a' + rnd.nextInt(3)).toChar.toString)
+          .mkString(" "))
+      }
+      val occ = docsSeq.flatMap { case (id, t) =>
+        val ws = t.split(" ")
+        if (ws.length >= k)
+          (0 to ws.length - k).map(p => (ws.slice(p, p + k).mkString(" "), id, p))
+        else Nil
+      }
+      val dupGrams = occ.groupBy(_._1).filter(_._2.size > 1).keySet
+      val flagged = occ.filter(o => dupGrams.contains(o._1))
+      val canonSet = flagged.groupBy(_._1).values
+        .map(os => os.minBy(o => (o._2, o._3))).toSet
+      val canonCover = flagged.filter(canonSet.contains)
+        .flatMap(o => (o._3 until o._3 + k).map(t => (o._2, t))).toSet
+      val nonCover = flagged.filterNot(canonSet.contains)
+        .flatMap(o => (o._3 until o._3 + k).map(t => (o._2, t))).toSet
+      val removed = nonCover -- canonCover
+      val expected = docsSeq.map { case (id, t) =>
+        id -> t.split(" ", -1).zipWithIndex
+          .filterNot { case (_, i) => removed.contains((id, i)) }
+          .map(_._1).mkString(" ")
+      }.toMap
+      assert(cleaned(docsSeq.toDF("doc_id", "text"), k) == expected, s"k=$k")
+    }
+  }
+
   // ── BM25 retrieval ─────────────────────────────────────────────────────
 
   test("bm25TopK matches the hand-computed formula and drops no-hit docs") {
