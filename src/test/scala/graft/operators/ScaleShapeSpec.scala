@@ -112,6 +112,43 @@ class ScaleShapeSpec extends AnyFunSuite {
     }, s"full-precision vectors leaked into the all-pairs probe: $probeTypes")
   }
 
+  test("duplicateSpans and removal plan equi-shuffles, never all-pairs") {
+    val sp = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+    assert(allPairsJoins(sp) == 0, physical(sp).toString)
+    val rm = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+    assert(allPairsJoins(rm) == 0, physical(rm).toString)
+  }
+
+  test("bm25TopK broadcasts the stats row; no corpus-content shuffle or sort") {
+    import org.apache.spark.sql.execution.SortExec
+    val q = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("w1", "w2"), topK = 5)
+    q.collect()
+    val plan = physical(q)
+    // the single-row stats side arrives via broadcast (a nested-loop join
+    // against one row is the broadcast cross join — fine); the corpus
+    // never hash-shuffles by content, and top-k is TakeOrdered (no
+    // global SortExec materialization)
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString)
+    assert(plan.collect { case s: SortExec => s }.isEmpty, plan.toString)
+  }
+
+  test("semanticDedup pair join is keyed on the cluster id, never all-pairs") {
+    val model = IvfIndex.train(embs, nlist = 4, iters = 1,
+      idCol = "id", vecCol = "v")
+    // the pair stage inside semanticDedup: reproduce its join here to
+    // assert the plan (the full operator ends in iterative components
+    // whose collected jobs hide earlier stages from executedPlan)
+    val scoredPairs = {
+      val assigned = IvfIndex.assign(embs, model, "id", "v")
+      val a = assigned.select(col("list_id"), col("id").as("i"), col("v").as("va"))
+      val b = assigned.select(col("list_id"), col("id").as("j"), col("v").as("vb"))
+      a.join(b, Seq("list_id")).filter(col("i") < col("j"))
+    }
+    assert(allPairsJoins(scoredPairs) == 0, physical(scoredPairs).toString)
+  }
+
   test("exact baselines are the ONLY all-pairs plans") {
     // thresholdPairs is the documented O(n²) correctness baseline — it
     // SHOULD plan the product; this guards the framing both ways
