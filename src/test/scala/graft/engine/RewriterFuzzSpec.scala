@@ -85,7 +85,30 @@ class RewriterFuzzSpec extends AnyFunSuite {
             s"THEN NULL ELSE greatest(${a.sparkSql}, ${b.sparkSql}) END") },
         i => { val (a, b) = (dateT(i), dateT(i))
           E(s"DATEDIFF(day, ${a.snow}, ${b.snow})",
-            s"timestampdiff(DAY, ${a.sparkSql}, ${b.sparkSql})") }
+            s"timestampdiff(DAY, ${a.sparkSql}, ${b.sparkSql})") },
+        i => { val (a, b) = (intT(i), intT(i))
+          E(s"BITXOR(${a.snow}, ${b.snow})",
+            s"((${a.sparkSql}) ^ (${b.sparkSql}))") },
+        i => { val a = intT(i); val n = rnd.nextInt(5)
+          E(s"BITSHIFTLEFT(${a.snow}, $n)",
+            s"shiftleft((${a.sparkSql}), $n)") },
+        i => { val a = intT(i); val n = rnd.nextInt(5)
+          E(s"BITSHIFTRIGHT(${a.snow}, $n)",
+            s"shiftright((${a.sparkSql}), $n)") },
+        i => { val a = intT(i)
+          E(s"SIGN(${a.snow}) :: int", s"CAST(sign(${a.sparkSql}) AS INT)") },
+        // MOD-bound the operand: numT products overflow INT casts under
+        // ANSI mode (pd² ≈ 3e11), and overflow must not depend on which
+        // dialect evaluates first
+        i => { val a = numT(i)
+          E(s"FLOOR(MOD(${a.snow}, 100000)) :: int",
+            s"CAST(floor(mod(${a.sparkSql}, 100000)) AS INT)") },
+        i => { val a = numT(i)
+          E(s"CEIL(MOD(${a.snow}, 100000)) :: int",
+            s"CAST(ceil(mod(${a.sparkSql}, 100000)) AS INT)") },
+        i => { val a = strT(i)
+          E(s"ARRAY_SIZE(SPLIT(${a.snow}, ' '))",
+            s"size(split(${a.sparkSql}, ' '))") }
       ))(d - 1)
 
     def numT(d: Int): E =
@@ -158,7 +181,21 @@ class RewriterFuzzSpec extends AnyFunSuite {
             s"CASE WHEN (${a.sparkSql}) <=> ('URGENT') THEN 'u' " +
             s"WHEN (${a.sparkSql}) <=> ('xyz') THEN 'x' ELSE 'other' END") },
         i => { val a = strT(i)
-          E(s"LPAD(${a.snow}, 8, '*')", s"lpad(${a.sparkSql}, 8, '*')") }
+          E(s"LPAD(${a.snow}, 8, '*')", s"lpad(${a.sparkSql}, 8, '*')") },
+        i => { val a = strT(i)
+          E(s"INITCAP(${a.snow})", s"initcap(${a.sparkSql})") },
+        i => { val a = strT(i)
+          E(s"TRANSLATE(${a.snow}, 'aE', '_#')",
+            s"translate(${a.sparkSql}, 'aE', '_#')") },
+        i => { val a = strT(i); val n = 1 + rnd.nextInt(3)
+          E(s"REPEAT(${a.snow}, $n)", s"repeat(${a.sparkSql}, $n)") },
+        i => { val a = strT(i); val n = 1 + rnd.nextInt(4)
+          E(s"LEFT(${a.snow}, $n)", s"left(${a.sparkSql}, $n)") },
+        i => { val a = strT(i); val n = 1 + rnd.nextInt(4)
+          E(s"RIGHT(${a.snow}, $n)", s"right(${a.sparkSql}, $n)") },
+        i => { val a = strT(i); val n = 1 + rnd.nextInt(3)
+          E(s"SPLIT_PART(${a.snow}, ' ', $n)",
+            s"split_part(${a.sparkSql}, ' ', $n)") }
       ))(d - 1)
 
     def boolT(d: Int): E =
@@ -187,7 +224,17 @@ class RewriterFuzzSpec extends AnyFunSuite {
             s"(nullif(${a.sparkSql}, '') IS NULL)") },
         i => { val (b, x, y) = (boolT(i), boolT(i), boolT(i))
           E(s"IFF(${b.snow}, ${x.snow}, ${y.snow})",
-            s"if(${b.sparkSql}, ${x.sparkSql}, ${y.sparkSql})") }
+            s"if(${b.sparkSql}, ${x.sparkSql}, ${y.sparkSql})") },
+        i => { val a = strT(i)
+          E(s"(${a.snow} ILIKE '%a%')", s"(${a.sparkSql} ILIKE '%a%')") },
+        // Snowflake RLIKE matches the ENTIRE subject (documented mapping:
+        // wrap in ^(?:…)$); encode the anchored semantics independently
+        i => { val a = strT(i)
+          E(s"RLIKE(${a.snow}, '[a-zU].*')",
+            s"rlike(${a.sparkSql}, '^(?:[a-zU].*)$$')") },
+        i => { val (a, b) = (intT(i), intT(i))
+          E(s"(${a.snow} IS DISTINCT FROM ${b.snow})",
+            s"(${a.sparkSql} IS DISTINCT FROM ${b.sparkSql})") }
       ))(d - 1)
 
     def dateT(d: Int): E =
@@ -202,6 +249,12 @@ class RewriterFuzzSpec extends AnyFunSuite {
             s"CAST(timestampadd(${u.toUpperCase}, $n, ${a.sparkSql}) AS DATE)") },
         i => { val a = dateT(i)
           E(s"LAST_DAY(${a.snow})", s"last_day(${a.sparkSql})") },
+        i => { val a = dateT(i); val n = rnd.nextInt(13) - 6
+          E(s"ADD_MONTHS(${a.snow}, $n)",
+            s"add_months(${a.sparkSql}, $n)") },
+        i => { val a = dateT(i); val dow = pick(Seq("MO", "FR", "SU"))
+          E(s"NEXT_DAY(${a.snow}, '$dow')",
+            s"next_day(${a.sparkSql}, '$dow')") },
         i => { val a = dateT(i)
           E(s"(${a.snow}) :: date", s"CAST((${a.sparkSql}) AS DATE)") }
       ))(d - 1)
@@ -210,7 +263,10 @@ class RewriterFuzzSpec extends AnyFunSuite {
   }
 
   test("1000+ random scalar expressions agree with hand-translated Spark SQL") {
-    val seed = sys.props.getOrElse("graft.fuzz.seed", "20260814").toLong
+    // env first: sbt forks test JVMs, and the environment propagates
+    // where -D flags need javaOptions plumbing
+    val seed = sys.env.get("GRAFT_FUZZ_SEED")
+      .orElse(sys.props.get("graft.fuzz.seed")).getOrElse("20260814").toLong
     val rnd = new scala.util.Random(seed)
     val gen = new Gen(rnd)
     val s = new GraftSession(spark)
