@@ -75,4 +75,28 @@ object Sampling {
           lit(4294967295L)))), 8, "0"))
       .drop("__rate")
   }
+
+  /** Deterministic global corpus shuffle + shard assignment — the step
+    * between curation and tokenization: examples must reach training in
+    * a reproducible pseudo-random order, split into `nShards` files of
+    * near-equal size. Order = md5 of (seed ':' id) with id tie-break
+    * (engine-agnostic, no RNG state: re-running over the same corpus
+    * yields bit-identical shard contents AND order); shard = position
+    * mod nShards (round-robin over the shuffled order, so shard sizes
+    * differ by at most one — a hash-mod over ids would skew).
+    *
+    * Scale shape: ONE global range-sort on the hash (Spark samples the
+    * hash space, so ranges balance regardless of id distribution) —
+    * exactly the partitioned sort a 100 TB shard-writer runs, where each
+    * sorted range partition becomes a shard file with no further
+    * exchange. The row_number over the single global ordering is the
+    * oracle-matchable small-scale rendering of that position. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    val h = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val w = Window.orderBy(h, col(idCol))
+    df.withColumn("shuffle_pos", row_number().over(w).cast("long") - 1)
+      .withColumn("shard", (col("shuffle_pos") % nShards).cast("long"))
+  }
 }

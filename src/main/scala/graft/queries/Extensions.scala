@@ -1001,6 +1001,23 @@ object Extensions extends QueryPack {
         terms = Seq("spark", "join", "query"), topK = 15)
     },
 
+    // Deterministic global shuffle + round-robin sharding: the
+    // curation→tokenization handoff. md5-ordered so the oracle (and any
+    // re-run at any partitioning) reproduces the order bit-identically.
+    GQuery("x44_deterministic_shuffle", Some("""
+      WITH r AS (SELECT doc_id,
+        row_number() OVER (ORDER BY md5(concat('7', ':', CAST(doc_id AS VARCHAR))), doc_id)
+          - 1 AS shuffle_pos
+        FROM documents)
+      SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+        CAST(shuffle_pos % 8 AS BIGINT) AS shard
+      FROM r ORDER BY shuffle_pos""")) { (s, dir) =>
+      graft.operators.Sampling.deterministicShuffle(
+          docs(s, dir).select("doc_id"), "doc_id", seed = 7, nShards = 8)
+        .select("doc_id", "shuffle_pos", "shard")
+        .orderBy("shuffle_pos")
+    },
+
     // Substring-level dedup REMOVAL: rewrite docs keeping exactly one
     // occurrence per duplicated 8-gram (globally-first canonical); a
     // token goes iff covered only by non-canonical occurrences.

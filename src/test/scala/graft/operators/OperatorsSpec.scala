@@ -699,6 +699,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  // ── deterministic shuffle + sharding ──────────────────────────────────
+
+  test("deterministicShuffle is reproducible, complete, and shard-balanced") {
+    val df = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Sampling.deterministicShuffle(df, "doc_id", seed = 42, nShards = 7)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_pos"),
+        r.getAs[Long]("shard")))
+    val b = Sampling.deterministicShuffle(df.repartition(5), "doc_id",
+      seed = 42, nShards = 7)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_pos"),
+        r.getAs[Long]("shard")))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // partitioning-invariant
+    assert(a.map(_._2).sorted.toSeq == (0L until 100L))  // a permutation
+    val sizes = a.groupBy(_._3).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)                   // round-robin balance
+    // a different seed gives a different order
+    val c = Sampling.deterministicShuffle(df, "doc_id", seed = 43, nShards = 7)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_pos")))
+    assert(c.sortBy(_._1).map(_._2).toSeq != a.sortBy(_._1).map(_._2).toSeq)
+  }
+
   // ── semantic dedup (SemDeDup shape) ───────────────────────────────────
 
   test("semanticDedup removals are exact-verified and complete here") {
