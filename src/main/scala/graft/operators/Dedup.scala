@@ -180,6 +180,41 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dup check of a NEW batch against the at-rest
+    * corpus: every (new, corpus) pair with word-n-gram Jaccard ≥
+    * `threshold` — the daily-crawl update shape. The increment is small
+    * by definition, so its distinct shingle set BROADCASTS; the corpus
+    * scans once, probes the broadcast map-side, and aggregates
+    * intersections partially — the 100 TB side never shuffles its
+    * shingles and no corpus×corpus pair is ever formed (that audit
+    * belongs to the one-time [[jaccardPairs]]/[[minhashLshPairs]] pass).
+    *
+    * Output: (d_new, d_old, jaccard). Corpus docs sharing no shingle
+    * with any new doc are filtered map-side by the broadcast semi-join
+    * before any aggregation state exists for them. */
+  def incrementalJaccardPairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val shNew = shingles(newDocs, idCol, textCol, n).cache()
+    val shOld = shingles(corpus, idCol, textCol, n)
+    val szNew = shNew.groupBy("doc").agg(count(lit(1)).as("sz_new"))
+      .withColumnRenamed("doc", "d_new")
+    val szOld = shOld.groupBy("doc").agg(count(lit(1)).as("sz_old"))
+      .withColumnRenamed("doc", "d_old")
+    val inter = shOld
+      .join(broadcast(shNew.withColumnRenamed("doc", "d_new")), Seq("shingle"))
+      .groupBy(col("doc").as("d_old"), col("d_new"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(szNew), Seq("d_new"))
+      .join(szOld, Seq("d_old"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("sz_new") + col("sz_old") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d_new"), col("d_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Duplicated-substring spans, the substring-level (not document-level)
     * exact dedup of Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better": every maximal token range of a document

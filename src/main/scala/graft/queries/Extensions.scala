@@ -1001,6 +1001,33 @@ object Extensions extends QueryPack {
         terms = Seq("spark", "join", "query"), topK = 15)
     },
 
+    // Incremental near-dup: a NEW batch (source src0) against the
+    // at-rest corpus (everything else) — broadcast increment shingles,
+    // corpus scans once and never shuffles.
+    GQuery("x45_incremental_dedup", Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      sh0 AS (SELECT doc_id, source, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+              FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i) g),
+      shd AS (SELECT DISTINCT doc_id, source, s FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS inter
+                FROM shd a JOIN shd b ON a.s = b.s
+                WHERE a.source = 'src0' AND b.source <> 'src0'
+                GROUP BY 1, 2)
+      SELECT d_new, d_old,
+        round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+      FROM pairs JOIN sizes s1 ON d_new = s1.doc_id
+                 JOIN sizes s2 ON d_old = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.3
+      ORDER BY d_new, d_old""")) { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalJaccardPairs(
+          d.filter(col("source") === "src0"),
+          d.filter(col("source") =!= "src0"),
+          "doc_id", "text", n = 5, threshold = 0.3)
+        .orderBy("d_new", "d_old")
+    },
+
     // Deterministic global shuffle + round-robin sharding: the
     // curation→tokenization handoff. md5-ordered so the oracle (and any
     // re-run at any partitioning) reproduces the order bit-identically.

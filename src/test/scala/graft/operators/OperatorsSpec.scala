@@ -699,6 +699,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("incrementalJaccardPairs: new batch vs corpus, no corpus×corpus pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different sentence about trains and stations"),
+      (3L, "an entirely different sentence about planes and airports"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "nothing like anything else in this corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalJaccardPairs(fresh, corpus,
+      "doc_id", "text", n = 3, threshold = 0.3).collect()
+    // 11 matches corpus doc 1; corpus docs 2/3 are near-dups of EACH
+    // OTHER but must NOT pair (corpus×corpus is out of scope); 12 is new
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((11L, 1L)))
+    // matches full jaccardPairs restricted to the cross split
+    val full = Dedup.jaccardPairs(
+      corpus.unionByName(fresh), "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.filter { case (a, b) => a <= 3 && b >= 11 }
+      .map { case (a, b) => (b, a) } == Set((11L, 1L)))
+  }
+
   // ── deterministic shuffle + sharding ──────────────────────────────────
 
   test("deterministicShuffle is reproducible, complete, and shard-balanced") {

@@ -149,6 +149,19 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(allPairsJoins(scoredPairs) == 0, physical(scoredPairs).toString)
   }
 
+  test("incremental dedup broadcasts the increment shingles") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val inc = Dedup.incrementalJaccardPairs(
+      docs.filter($"doc_id" <= 5), docs.filter($"doc_id" > 5),
+      "doc_id", "text", n = 3, threshold = 0.3)
+    // pre-execution plan: materialized AQE stages are leaves and would
+    // hide the join operators from collect (same caveat as the int8 test)
+    val plan = physical(inc)
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      plan.toString)
+    assert(allPairsJoins(inc) == 0, plan.toString)
+  }
+
   test("exact baselines are the ONLY all-pairs plans") {
     // thresholdPairs is the documented O(n²) correctness baseline — it
     // SHOULD plan the product; this guards the framing both ways
