@@ -1091,10 +1091,16 @@ final class GraftSession(
       if (streamsReadInStmt.nonEmpty &&
           consumesStreamsRe.pattern.matcher(st).matches())
         advanceStreams()
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
       lastQueryLog =
-        s"Run locally on Spark: ${GraftSession.costEstimate((System.nanoTime() - t0) / 1e9)}"
+        s"Run locally on Spark: ${GraftSession.costEstimate(elapsedSec)}"
       val qid = f"01-graft-$sessionId%04d-$currentSeq%06d"
       queryLog += ((currentSeq, qid))
+      statementHistory.synchronized {
+        statementHistory += ((qid, st.trim, System.currentTimeMillis(),
+          (elapsedSec * 1000).toLong, GraftSession.costEstimate(elapsedSec)))
+        if (statementHistory.length > 1024) statementHistory.remove(0)
+      }
       resultCache.synchronized {
         resultCache.put(qid, res)
         while (resultCache.size > 32) resultCache.remove(resultCache.head._1)
@@ -1597,6 +1603,91 @@ final class GraftSession(
     render(out.toSeq)
   }
 
+  /** Per-statement history for `TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())`
+    * — (qid, text, start ms, elapsed ms, cost line). The queryable face
+    * of the reference's per-query cost print
+    * (`universql/util.py:375-406`): Snowflake's column subset that the
+    * offline engine can honestly populate. Bounded at 1024 statements. */
+  private val statementHistory = scala.collection.mutable.ArrayBuffer
+    .empty[(String, String, Long, Long, String)]
+
+  /** `[TABLE(][INFORMATION_SCHEMA.]QUERY_HISTORY([RESULT_LIMIT => n])[)]`
+    * → temp view over the session's statement history, most recent
+    * first. Token-level like RESULT_SCAN so literals survive. */
+  private def substituteQueryHistory(sql: String): String = {
+    if (!sql.toUpperCase.contains("QUERY_HISTORY")) return sql
+    import SqlTokens._
+    val toks = lex(sql)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    def sigIdx(from: Int): Int = {
+      var j = from
+      while (j < toks.length && (toks(j).isInstanceOf[Ws] ||
+             toks(j).isInstanceOf[Comment])) j += 1
+      j
+    }
+    // is toks(i) the start of [INFORMATION_SCHEMA.]QUERY_HISTORY( ? If so
+    // returns the index of the opening paren, else -1
+    def callOpen(i: Int): Int = toks(i) match {
+      case Ident(w) if w.equalsIgnoreCase("INFORMATION_SCHEMA") =>
+        val d = sigIdx(i + 1)
+        if (d < toks.length && toks(d) == Op(".")) {
+          val q = sigIdx(d + 1)
+          if (q < toks.length && toks(q).text.equalsIgnoreCase("QUERY_HISTORY"))
+            callOpen(q)
+          else -1
+        } else -1
+      case Ident(w) if w.equalsIgnoreCase("QUERY_HISTORY") =>
+        val p = sigIdx(i + 1)
+        if (p < toks.length && toks(p) == Op("(")) p else -1
+      case _ => -1
+    }
+    var i = 0
+    while (i < toks.length) {
+      val tableWrapped = toks(i) match {
+        case Ident(w) if w.equalsIgnoreCase("TABLE") =>
+          val p = sigIdx(i + 1)
+          p < toks.length && toks(p) == Op("(") && callOpen(sigIdx(p + 1)) >= 0
+        case _ => false
+      }
+      if (tableWrapped) {
+        val open = sigIdx(i + 1)
+        val close = matchParenTok(toks, open)
+        out += Ident(queryHistoryView(render(toks.slice(open + 1, close))))
+        i = close + 1
+      } else if (callOpen(i) >= 0) {
+        val open = callOpen(i)
+        val close = matchParenTok(toks, open)
+        out += Ident(queryHistoryView(render(toks.slice(i, close + 1))))
+        i = close + 1
+      } else { out += toks(i); i += 1 }
+    }
+    render(out.toSeq)
+  }
+
+  private def queryHistoryView(call: String): String = {
+    val limit = "(?is).*RESULT_LIMIT\\s*=>\\s*(\\d+).*".r
+    val n = call match {
+      case limit(v) => v.toInt
+      case _ => 100
+    }
+    val rows = statementHistory.synchronized {
+      statementHistory.reverseIterator.take(n).map {
+        case (qid, text, startMs, elapsedMs, cost) =>
+          Row(qid, text, new java.sql.Timestamp(startMs),
+            java.lang.Long.valueOf(elapsedMs), cost)
+      }.toList
+    }
+    val schema = StructType(Seq(
+      StructField("QUERY_ID", org.apache.spark.sql.types.StringType),
+      StructField("QUERY_TEXT", org.apache.spark.sql.types.StringType),
+      StructField("START_TIME", org.apache.spark.sql.types.TimestampType),
+      StructField("TOTAL_ELAPSED_TIME", org.apache.spark.sql.types.LongType),
+      StructField("COST_ESTIMATE", org.apache.spark.sql.types.StringType)))
+    val vn = "query_history_s" + sessionId
+    spark.createDataFrame(rows.asJava, schema).createOrReplaceTempView(vn)
+    vn
+  }
+
   /** `RESULT_SCAN('qid')` (rendered text) → registered temp-view name. */
   private def resultScanView(call: String): String = {
     val m = "(?is).*RESULT_SCAN\\s*\\(\\s*'([^']+)'\\s*\\).*".r
@@ -1659,7 +1750,8 @@ final class GraftSession(
     * captured at that point). */
   private def rewriteAndSubstitute(snowflakeSql: String): String = {
     val rewritten = SnowflakeRewriter.rewrite(
-      expandSqlFunctions(substituteNextval(substituteResultScan(snowflakeSql))),
+      expandSqlFunctions(substituteNextval(substituteResultScan(
+        substituteQueryHistory(snowflakeSql)))),
       asOfSchemaResolver)
     // session-context functions resolve against THIS session (a shared
     // SparkSession can't carry per-session UDF state); token-level so the

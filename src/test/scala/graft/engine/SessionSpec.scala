@@ -953,6 +953,27 @@ class SessionSpec extends AnyFunSuite {
     intercept[Exception] { s.sql("SELECT ids.nextval FROM nation").collect() }
   }
 
+  test("QUERY_HISTORY table function: per-statement duration + cost") {
+    val s = newSession()
+    s.sql("SELECT count(*) AS n FROM orders").collect()
+    s.sql("SELECT 1 AS one").collect()
+    val h = s.sql(
+      "SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())").collect()
+    assert(h.length >= 2)
+    assert(h.head.schema.fieldNames.toSeq == Seq("QUERY_ID", "QUERY_TEXT",
+      "START_TIME", "TOTAL_ELAPSED_TIME", "COST_ESTIMATE"))
+    // most recent first; the SELECT 1 is the latest completed statement
+    assert(h(0).getString(1) == "SELECT 1 AS one")
+    assert(h(1).getString(1).contains("count(*)"))
+    assert(h.forall(_.getLong(3) >= 0))
+    assert(h.forall(_.getString(4).startsWith("~ $")))
+    // bare form + RESULT_LIMIT; a string literal mentioning the function
+    // must survive the substitution
+    val lim = s.sql("SELECT QUERY_TEXT, 'QUERY_HISTORY()' AS lit FROM " +
+      "TABLE(QUERY_HISTORY(RESULT_LIMIT => 1))").collect()
+    assert(lim.length == 1 && lim(0).getString(1) == "QUERY_HISTORY()")
+  }
+
   test("result wire typing: rowtype + complex-to-json") {
     val s = newSession()
     val df = s.sql("SELECT ARRAY_CONSTRUCT(1,2,3) AS arr, 1::int AS n")
