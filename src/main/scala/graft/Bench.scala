@@ -24,6 +24,18 @@ object Bench {
   private case class HeavyOut(full: String, compact: String,
       dir: String, secs: Map[String, Double])
 
+  /** Execute the query's FULL physical plan and count its rows without
+    * collecting them. `df.count()` is NOT that: Catalyst prunes columns
+    * under the appended count-aggregate, so a bare `groupBy().agg(...)`
+    * degrades to a keys-only DISTINCT (h02 lost all four aggregates,
+    * h04 lost its COUNT(DISTINCT) entirely — verified on the optimized
+    * plans, round 9) while the paired DuckDB side computes and fetches
+    * every value. toRdd compiles the query's own plan — every output
+    * column is produced — and counting the resulting InternalRows adds
+    * only the iterator walk, the closest Spark analog of `fetchall`. */
+  private def fullExec(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,12 +83,12 @@ object Bench {
       if (packOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
     // warm pass (untimed)
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try fullExec(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     // timed pass
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fullExec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -224,7 +236,7 @@ object Bench {
       }, liRows + ordRows))
 
     heavy.foreach { case (_, fn, _) =>
-      try { val _ = fn().count() } catch { case _: Throwable => } // warm
+      try { val _ = fullExec(fn()) } catch { case _: Throwable => } // warm
     }
     // INTERLEAVED variance-aware sweeps (round-5 lesson: 3 consecutive
     // reps per query let a load transient sit on a single query — the
@@ -267,7 +279,7 @@ object Bench {
       sweepLoads += loadavg()
       heavy.foreach { case (name, fn, _) =>
         val t0 = System.nanoTime()
-        val ok = try { fn().count(); true } catch { case e: Throwable =>
+        val ok = try { fullExec(fn()); true } catch { case e: Throwable =>
           System.err.println(s"heavy $name FAILED: $e"); false }
         if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
         else failedQ += name

@@ -350,6 +350,7 @@ final case class LowCardAggExec(
       case s => s
     }
     val columnar = findColumnar(child)
+    if (LowCardAgg.debugTiming) System.err.println("LOWCARD doExecute called")
     val scanOutput = columnar.output
     columnar.executeColumnar().mapPartitionsWithIndex { (pi, batches) =>
       // the scan's residual predicate, via Spark's own generated
@@ -548,12 +549,52 @@ private[graft] final class LowCardAggIterator(
           i += 1
         }
       case -2 =>
+        val vLen = tmpLen(k)
+        // dictionary fast path: parquet dictionary-encodes low-cardinality
+        // string columns, and after a batch completes, hasDictionary means
+        // EVERY row of the batch is id-encoded (the vectorized reader
+        // decodes ids to values and clears the dictionary the moment a
+        // plain page appears). Materialize each DISTINCT id once per
+        // batch via getUTF8String, then the row loop is one getInt plus
+        // array loads — no per-row UTF8String allocation, which the
+        // probe pinned as the two-string-key floor
+        // (probes/lowcard_agg.json "per-row getUTF8String+getPrefix
+        // extraction"). Ids translate per batch, never across batches:
+        // different row groups assign different ids to the same value.
+        val wv = c match {
+          case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+              if w.hasDictionary => w
+          case _ => null
+        }
+        if (wv != null) {
+          val ids = wv.getDictionaryIds
+          dictEpoch += 1
+          val epoch = dictEpoch
+          var i = 0
+          while (i < n) {
+            if (!noNull && c.isNullAt(i)) { vN(i) = true; vS(i) = null; vLen(i) = 0 }
+            else {
+              if (!noNull) vN(i) = false
+              val id = ids.getInt(i)
+              if (id >= dictCap) growDict(id + 1)
+              if (dictSeen(id) != epoch) {
+                dictSeen(id) = epoch
+                val s = c.getUTF8String(i)
+                val nb = s.numBytes()
+                if (nb <= 8) { dictL(id) = s.getPrefix; dictLen(id) = nb
+                  dictS(id) = null }
+                else { dictS(id) = s; dictLen(id) = -1 }
+              }
+              vL(i) = dictL(id); vLen(i) = dictLen(id); vS(i) = dictS(id)
+            }
+            i += 1
+          }
+        } else {
         // short strings (≤8 bytes — flags, status codes, event types)
         // pack losslessly into (first-8-bytes prefix, length): hashing
         // and equality then run at long speed, and the ephemeral
         // UTF8String wrapper never escapes, so C2 elides it. Longer
         // strings keep the object (vLen = -1 marks them).
-        val vLen = tmpLen(k)
         var i = 0
         if (noNull) while (i < n) {
           val s = c.getUTF8String(i)
@@ -572,7 +613,31 @@ private[graft] final class LowCardAggIterator(
           }
           i += 1
         }
+        }
     }
+  }
+
+  // per-batch dictionary-id translation tables (epoch-tagged so no
+  // per-batch clearing; shared across key columns — epochs disambiguate)
+  private var dictCap = 0
+  private var dictSeen: Array[Long] = null
+  private var dictL: Array[Long] = null
+  private var dictLen: Array[Int] = null
+  private var dictS: Array[UTF8String] = null
+  private var dictEpoch = 0L
+
+  private def growDict(min: Int): Unit = {
+    val nc = math.max(math.max(min, 1024), dictCap * 2)
+    if (dictCap == 0) {
+      dictSeen = new Array[Long](nc); dictL = new Array[Long](nc)
+      dictLen = new Array[Int](nc); dictS = new Array[UTF8String](nc)
+    } else {
+      dictSeen = java.util.Arrays.copyOf(dictSeen, nc)
+      dictL = java.util.Arrays.copyOf(dictL, nc)
+      dictLen = java.util.Arrays.copyOf(dictLen, nc)
+      dictS = java.util.Arrays.copyOf(dictS, nc)
+    }
+    dictCap = nc
   }
 
   private def keysEqualTmp(i: Int, g: Int): Boolean = {

@@ -197,4 +197,40 @@ class LowCardAggSpec extends AnyFunSuite {
     assertSame(t.groupBy("klong").agg(
       sum(col("vl").cast("decimal(20,2)")).as("s")), expectFire = false)
   }
+
+  test("string keys WITHOUT parquet dictionaries: fallback path, same rows") {
+    // parquet dictionary-encodes strings by default, so every other
+    // string test exercises the dictionary-id fast path; force plain
+    // encoding to pin the per-row extraction fallback
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_nodict").toString
+    t.write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false").parquet(dir)
+    val nd = spark.read.parquet(dir)
+    val base = nd.groupBy("kshort", "klongstr")
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"),
+        min(col("kdate")).as("d"))
+      .collect().map(_.toString).sorted
+    withLowCard(Map("spark.graft.lowCardAgg.maxStringKeys" -> "2")) {
+      val df = nd.groupBy("kshort", "klongstr")
+        .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"),
+          min(col("kdate")).as("d"))
+      val got = df.collect().map(_.toString).sorted
+      assert(df.queryExecution.executedPlan.toString.contains("LowCardAgg"))
+      assert(got.sameElements(base))
+    }
+  }
+
+  test("dictionary and plain encodings of the same data agree under force") {
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_lc_pe").toString
+    t.write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false").parquet(plainDir)
+    withLowCard(Map("spark.graft.lowCardAgg.maxStringKeys" -> "2")) {
+      val q1 = t.groupBy("kshort").agg(avg(col("vd")).as("a"), count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted
+      val q2 = spark.read.parquet(plainDir).groupBy("kshort")
+        .agg(avg(col("vd")).as("a"), count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted
+      assert(q1.sameElements(q2))
+    }
+  }
 }
