@@ -71,6 +71,11 @@ object Bench {
       // queries; A/B lever for probes/lowcard_agg.json
       .config("spark.graft.lowCardAgg",
         sys.env.getOrElse("SPARK_GRAFT_LOWCARD", "force"))
+      // integral COUNT(DISTINCT) as a mergeable bitmap aggregate —
+      // probed 4-5× on h04's honest (full-eval) shape; A/B lever for
+      // probes/bitmap_distinct.json
+      .config("spark.graft.bitmapDistinct",
+        sys.env.getOrElse("SPARK_GRAFT_BITMAP", "force"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1001,6 +1001,11 @@ final class GraftSession(
   // probed 12-17% win on grouped scans ([[graft.plans.LowCardAgg]],
   // probes/lowcard_agg.json); missing stats keep the stock plan
   spark.conf.set("spark.graft.lowCardAgg", "auto")
+  // integral COUNT(DISTINCT) → mergeable bitmap aggregate when stats
+  // bound the key NDV (exact at any gating; the gate is a memory
+  // trade) — probed 4-5× on the h04 shape ([[graft.plans.DistinctToBitmap]],
+  // probes/bitmap_distinct.json)
+  spark.conf.set("spark.graft.bitmapDistinct", "auto")
 
   def attachLake(dir: String, database: String = "GRAFT",
       schema: String = "PUBLIC",

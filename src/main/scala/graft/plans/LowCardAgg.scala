@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Partial, Sum}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, ProjectExec, SparkPlan, UnaryExecNode}
-import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, ObjectHashAggregateExec}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
@@ -78,6 +78,9 @@ object LowCardAgg extends Rule[SparkPlan] {
       extends AggSpec { def slots = 1 }
   private[graft] final case class MinMaxDouble(g: Get, isMin: Boolean)
       extends AggSpec { def slots = 1 }
+  /** Exact distinct count as a [[graft.functions.BitmapDistinct.PageSet]]
+    * — object state (accObj), serialized to the partial binary column. */
+  private[graft] final case class BitmapSpec(g: Get) extends AggSpec { def slots = 1 }
 
   /** Output column source: kind 0 = group key `a`; kind 1 = aggregate
     * `a` buffer slot `b`. */
@@ -88,8 +91,12 @@ object LowCardAgg extends Rule[SparkPlan] {
     val mode = conf.getConfString(ModeConf, "off").toLowerCase
     if (mode == "off") return plan
     plan.transformUp {
-      case agg: HashAggregateExec
-          if agg.groupingExpressions.nonEmpty &&
+      // ObjectHashAggregate appears when DistinctToBitmap planted a
+      // TypedImperativeAggregate — same partial-over-scan shape
+      case agg: BaseAggregateExec
+          if (agg.isInstanceOf[HashAggregateExec] ||
+              agg.isInstanceOf[ObjectHashAggregateExec]) &&
+            agg.groupingExpressions.nonEmpty &&
             agg.aggregateExpressions.nonEmpty &&
             agg.aggregateExpressions.forall(ae =>
               ae.mode == Partial && !ae.isDistinct && ae.filter.isEmpty) &&
@@ -100,7 +107,7 @@ object LowCardAgg extends Rule[SparkPlan] {
 
   /** auto gate: every grouping key has a known distinct count and the
     * product stays under the map-friendly bound. */
-  private def lowNdv(agg: HashAggregateExec): Boolean = {
+  private def lowNdv(agg: BaseAggregateExec): Boolean = {
     val maxNdv = conf.getConfString(MaxNdvConf, "262144").toLong
     agg.logicalLink match {
       case Some(la: org.apache.spark.sql.catalyst.plans.logical.Aggregate) =>
@@ -140,7 +147,7 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
   }
 
-  private def tryRewrite(agg: HashAggregateExec): Option[SparkPlan] = {
+  private def tryRewrite(agg: BaseAggregateExec): Option[SparkPlan] = {
     val (projList, filterCond, scan) = unwrap(agg.child).getOrElse(return None)
     if (!scan.supportsColumnar) return None
     // the filter must be evaluable over the scan's output alone
@@ -256,6 +263,8 @@ object LowCardAgg extends Rule[SparkPlan] {
             Some(MinMaxDouble(g, isMin = false))
           else None
         }
+        case bd: graft.functions.BitmapDistinctCount =>
+          getOf(bd.child).filter(_.width > 0).map(BitmapSpec)
         case _ => None
       }
     val aggSpecs = agg.aggregateExpressions.map(aggOf)
@@ -407,6 +416,20 @@ private[graft] final class LowCardAggIterator(
   private var accL = new Array[Long](capGroups * nSlots)
   private var accD = new Array[Double](capGroups * nSlots)
   private var accHas = new Array[Boolean](capGroups * nSlots)
+  // object-state aggregates (BitmapSpec): one slot per (group, objAgg)
+  private val objIdxOf = {
+    val o = new Array[Int](aggs.length); var acc = 0
+    var i = 0
+    while (i < aggs.length) {
+      o(i) = if (aggs(i).isInstanceOf[BitmapSpec]) { val v = acc; acc += 1; v }
+             else -1
+      i += 1
+    }
+    o
+  }
+  private val nObj = objIdxOf.count(_ >= 0)
+  private var accObj =
+    if (nObj == 0) null else new Array[AnyRef](capGroups * nObj)
 
   private def growGroups(): Unit = {
     val nc = capGroups * 2
@@ -422,6 +445,7 @@ private[graft] final class LowCardAggIterator(
     accL = java.util.Arrays.copyOf(accL, nc * nSlots)
     accD = java.util.Arrays.copyOf(accD, nc * nSlots)
     accHas = java.util.Arrays.copyOf(accHas, nc * nSlots)
+    if (nObj > 0) accObj = java.util.Arrays.copyOf(accObj, nc * nObj)
     capGroups = nc
   }
 
@@ -445,6 +469,7 @@ private[graft] final class LowCardAggIterator(
       java.util.Arrays.fill(keyS(k).asInstanceOf[Array[AnyRef]], null)
       k += 1
     }
+    if (nObj > 0) java.util.Arrays.fill(accObj, null)
     nGroups = 0
   }
 
@@ -688,6 +713,10 @@ private[graft] final class LowCardAggIterator(
     while (s < nSlots) {
       accL(base + s) = 0L; accD(base + s) = 0d; accHas(base + s) = false
       s += 1
+    }
+    if (nObj > 0) {
+      var o = 0
+      while (o < nObj) { accObj(g * nObj + o) = null; o += 1 }
     }
     g
   }
@@ -935,6 +964,26 @@ private[graft] final class LowCardAggIterator(
             }
             i += 1
           }
+        case BitmapSpec(get) =>
+          val c = b.column(get.idx)
+          val w = get.width
+          val oi = objIdxOf(a)
+          val aO = accObj
+          val no = nObj
+          var i = 0
+          while (i < n) {
+            val gi = ids(i)
+            if (gi >= 0 && !c.isNullAt(i)) {
+              val o = gi * no + oi
+              var set = aO(o).asInstanceOf[graft.functions.BitmapDistinct.PageSet]
+              if (set == null) {
+                set = new graft.functions.BitmapDistinct.PageSet
+                aO(o) = set
+              }
+              set.add(lngAt(c, w, i))
+            }
+            i += 1
+          }
       }
       a += 1
     }
@@ -989,6 +1038,13 @@ private[graft] final class LowCardAggIterator(
               if (!accHas(o)) null
               else if (outTypes(c) == FloatType) accD(o).toFloat
               else accD(o)
+            case BitmapSpec(_) =>
+              // the partial binary column: serialized PageSet (empty set
+              // for a group whose inputs were all NULL)
+              val set = accObj(g * nObj + objIdxOf(oc.a))
+                .asInstanceOf[graft.functions.BitmapDistinct.PageSet]
+              (if (set == null) new graft.functions.BitmapDistinct.PageSet
+               else set).serialize()
           }
         }
       scratch.update(c, value)

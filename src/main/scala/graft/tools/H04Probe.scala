@@ -21,7 +21,47 @@ object H04Probe {
     def h04_approx() = li.groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_orderkey")))
     println("PLAN:\n" + h04().queryExecution.executedPlan.toString.linesIterator.take(14).mkString("\n"))
-    val qs = Seq("h04" -> (() => full(h04())), "two" -> (() => full(h04_two())),
+    withBm { println("BMPLAN:\n" + h04().queryExecution.executedPlan.toString.linesIterator.take(14).mkString("\n")) }
+    def withBm[T](f: => T): T = {
+      spark.conf.set("spark.graft.bitmapDistinct", "force")
+      try f finally spark.conf.set("spark.graft.bitmapDistinct", "off")
+    }
+    def withBmCol[T](f: => T): T = {
+      spark.conf.set("spark.graft.bitmapDistinct", "force")
+      spark.conf.set("spark.graft.lowCardAgg", "force")
+      try f finally {
+        spark.conf.set("spark.graft.bitmapDistinct", "off")
+        spark.conf.set("spark.graft.lowCardAgg", "off")
+      }
+    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def ceiling(): Long = {
+      val df = li.select("l_returnflag", "l_orderkey")
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s }.get
+      val ix = scan.output.map(_.name).zipWithIndex.toMap
+      val (iF, iK) = (ix("l_returnflag"), ix("l_orderkey"))
+      scan.executeColumnar().mapPartitions { it =>
+        val sets = new java.util.HashMap[Int, graft.functions.BitmapDistinct.PageSet]()
+        while (it.hasNext) {
+          val b = it.next(); val n = b.numRows()
+          val cF = b.column(iF); val cK = b.column(iK)
+          var i = 0
+          while (i < n) {
+            val g = cF.getUTF8String(i).getByte(0).toInt
+            var s = sets.get(g)
+            if (s == null) { s = new graft.functions.BitmapDistinct.PageSet; sets.put(g, s) }
+            s.add(cK.getLong(i))
+            i += 1
+          }
+        }
+        java.util.Arrays.asList(sets.size().toLong).iterator().asInstanceOf[java.util.Iterator[Long]] match { case x => new Iterator[Long] { def hasNext = x.hasNext; def next() = x.next() } }
+      }.count()
+    }
+    val qs = Seq("ceiling" -> (() => ceiling()),
+      "h04x" -> (() => full(h04())),
+      "bitmap" -> (() => withBm(full(h04()))),
+      "bmcol" -> (() => withBmCol(full(h04()))),
       "approx" -> (() => full(h04_approx())))
     qs.foreach { case (_, f) => f() }
     (1 to 3).foreach { _ =>
