@@ -96,11 +96,11 @@ object LowCardAgg extends Rule[SparkPlan] {
       case agg: BaseAggregateExec
           if (agg.isInstanceOf[HashAggregateExec] ||
               agg.isInstanceOf[ObjectHashAggregateExec]) &&
-            agg.groupingExpressions.nonEmpty &&
             agg.aggregateExpressions.nonEmpty &&
             agg.aggregateExpressions.forall(ae =>
               ae.mode == Partial && !ae.isDistinct && ae.filter.isEmpty) &&
-            (mode == "force" || (mode == "auto" && lowNdv(agg))) =>
+            (mode == "force" || (mode == "auto" &&
+              (agg.groupingExpressions.isEmpty || lowNdv(agg)))) =>
         tryRewrite(agg).getOrElse(agg)
     }
   }
@@ -288,10 +288,12 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
     if (outCols.exists(_.isEmpty)) return None
 
-    // multi-string-key grouping measured at parity with the stock agg
-    // (per-row UTF8String work dominates; probes/lowcard_agg.json) —
-    // fire only under the configured string-key budget
-    val maxStr = conf.getConfString(MaxStrConf, "1").toInt
+    // string-key budget: the dictionary-id fast path made two string
+    // keys a measured win on dictionary-encoded parquet (honest h02
+    // 0.50 → 0.33, probes/lowcard_agg.json addendum) and the
+    // no-dictionary fallback sits at parity — default budget 2; beyond
+    // that the per-row extraction fallback is unproven, keep stock
+    val maxStr = conf.getConfString(MaxStrConf, "2").toInt
     if (keySpecs.flatten.count(_._1.width == -2) > maxStr) return None
     val flush = conf.getConfString(FlushConf, (1 << 20).toString).toInt
     Some(LowCardAggExec(agg.output, keySpecs.flatten, aggSpecs.flatten,
@@ -742,6 +744,19 @@ private[graft] final class LowCardAggIterator(
       var i = 0
       while (i < n) { sl(i) = pred.eval(b.getRow(i)); i += 1 }
     }
+    // grouping-free (global) aggregate: one group, no key passes — the
+    // h01/h05 shape; the whole batch maps to group 0 modulo the filter
+    if (nKeys == 0) {
+      if (nGroups == 0) newGroupTmp(0, 0)
+      val ids = gids
+      var i = 0
+      if (hasFilter) while (i < n) { ids(i) = if (sl(i)) 0 else -1; i += 1 }
+      else while (i < n) { ids(i) = 0; i += 1 }
+      tProbe = mark(tProbe)
+      runAggPass(b, n)
+      tAgg = mark(tAgg)
+      return
+    }
     // pass 1a: key materialization + hashing. Loop state lives in LOCAL
     // vals throughout this method: the JIT cannot hoist instance-field
     // array loads across the vectors' virtual calls, and leaving them as
@@ -847,9 +862,16 @@ private[graft] final class LowCardAggIterator(
       }
     }
     tProbe = mark(tProbe)
-    // pass 2: one tight loop per aggregate, accumulators in locals (the
-    // arrays are only replaced in pass 1b's growth, never here). The
-    // no-nulls batch fast paths skip the per-row null probe.
+    runAggPass(b, n)
+    tAgg = mark(tAgg)
+  }
+
+  /** Pass 2: one tight loop per aggregate over (gids, source vector),
+    * accumulators in locals (the arrays are only replaced in pass 1b's
+    * growth, never here). The no-nulls batch fast paths skip the
+    * per-row null probe. */
+  private def runAggPass(b: ColumnarBatch, n: Int): Unit = {
+    val ids = gids
     val aL = accL; val aD = accD; val aH = accHas
     val ns = nSlots
     var a = 0
@@ -987,7 +1009,6 @@ private[graft] final class LowCardAggIterator(
       }
       a += 1
     }
-    tAgg = mark(tAgg)
   }
 
   private def lngAt(c: org.apache.spark.sql.vectorized.ColumnVector,

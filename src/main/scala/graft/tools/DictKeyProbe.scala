@@ -20,11 +20,13 @@ object DictKeyProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val li = spark.read.parquet(s"$dir/lineitem")
-    def h02() = li.groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
-        avg(col("l_discount")), count(lit(1))).count()
-    def h04() = li.groupBy("l_returnflag")
-      .agg(countDistinct(col("l_orderkey"))).count()
+    def h02() = {
+      val df = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+          avg(col("l_discount")), count(lit(1)))
+      df.queryExecution.toRdd.count()
+    }
+
     def withConf[T](kv: (String, String)*)(f: => T): T = {
       kv.foreach { case (k, v) => spark.conf.set(k, v) }
       try f finally kv.foreach { case (k, _) => spark.conf.unset(k) }

@@ -186,9 +186,24 @@ class LowCardAggSpec extends AnyFunSuite {
     }
   }
 
-  test("two string keys exceed the default budget: stock path, same rows") {
-    assertSame(t.groupBy("kshort", "klongstr").agg(
-      count(lit(1)).as("n")), expectFire = false)
+  test("grouping-free (global) aggregates fire: plain, filtered, empty") {
+    assertSame(t.agg(count(lit(1)).as("n"), sum(col("vl")).as("s"),
+      avg(col("vd")).as("a"), min(col("vl")).as("mn"),
+      max(col("vd")).as("mx")))
+    assertSame(t.filter(col("vd") > 100)
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s")))
+    // empty input: the final aggregate still emits the initial row
+    assertSame(t.filter(col("vd") > 1e9)
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s")))
+  }
+
+  test("two string keys fire under the default budget; three bail") {
+    // default budget 2 (dictionary fast path, round-9 addendum)
+    assertSame(t.groupBy("kshort", "klongstr").agg(count(lit(1)).as("n")))
+    // budget gate still enforced when lowered
+    assertSame(t.groupBy("kshort", "klongstr").agg(count(lit(1)).as("n")),
+      extra = Map("spark.graft.lowCardAgg.maxStringKeys" -> "1"),
+      expectFire = false)
   }
 
   test("distinct/decimal shapes bail to stock") {
