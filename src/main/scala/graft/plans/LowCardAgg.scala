@@ -56,6 +56,7 @@ object LowCardAgg extends Rule[SparkPlan] {
   private val FlushConf = "spark.graft.lowCardAgg.flushGroups"
   private val MaxNdvConf = "spark.graft.lowCardAgg.maxNdv"
   private val MaxStrConf = "spark.graft.lowCardAgg.maxStringKeys"
+  private val DirectConf = "spark.graft.lowCardAgg.direct"
   private[plans] val ShufConf = "spark.graft.lowCardAgg.shufflePartitions"
   /** Per-partition stderr timing breakdown (dev probes only). */
   private[graft] val debugTiming =
@@ -296,8 +297,9 @@ object LowCardAgg extends Rule[SparkPlan] {
     val maxStr = conf.getConfString(MaxStrConf, "2").toInt
     if (keySpecs.flatten.count(_._1.width == -2) > maxStr) return None
     val flush = conf.getConfString(FlushConf, (1 << 20).toString).toInt
+    val direct = conf.getConfString(DirectConf, "true").toBoolean
     Some(LowCardAggExec(agg.output, keySpecs.flatten, aggSpecs.flatten,
-      outCols.flatten, flush, filterCond, scan))
+      outCols.flatten, flush, filterCond, scan, direct))
   }
 }
 
@@ -335,7 +337,8 @@ final case class LowCardAggExec(
     outCols: Seq[LowCardAgg.OutCol],
     flushGroups: Int,
     filterCond: Option[Expression],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    direct: Boolean = true) extends UnaryExecNode {
 
   import LowCardAgg._
 
@@ -373,7 +376,7 @@ final case class LowCardAggExec(
         p
       }.orNull
       new LowCardAggIterator(batches, keys, aggs, outs, outTypes, flushCap,
-        pred)
+        pred, direct)
     }
   }
 }
@@ -387,7 +390,8 @@ private[graft] final class LowCardAggIterator(
     outs: Array[LowCardAgg.OutCol],
     outTypes: Array[DataType],
     flushCap: Int,
-    pred: org.apache.spark.sql.catalyst.expressions.BasePredicate = null)
+    pred: org.apache.spark.sql.catalyst.expressions.BasePredicate = null,
+    directConf: Boolean = true)
     extends Iterator[InternalRow] {
 
   import LowCardAgg._
@@ -472,6 +476,7 @@ private[graft] final class LowCardAggIterator(
       k += 1
     }
     if (nObj > 0) java.util.Arrays.fill(accObj, null)
+    if (direct != null) java.util.Arrays.fill(direct, -1)
     nGroups = 0
   }
 
@@ -505,6 +510,32 @@ private[graft] final class LowCardAggIterator(
   }
 
   private var sel: Array[Boolean] = null
+
+  // direct-address (perfect-hash) table for a single dense int-family
+  // key: gids come from one bounds check + array load instead of the
+  // open-addressed probe (measured ~0.22 s of the 5.6 M-row stage at
+  // 20 k groups). Groups created through it are ALSO inserted into the
+  // hash table, so a key outside [0, cap) just disables the shortcut
+  // and the generic probe continues seamlessly.
+  private val DirectCap = 1 << 21
+  private var directEnabled = directConf &&
+    nKeys == 1 && keys(0)._1.width > 0 && keys(0)._1.floorUnit == 0L
+  private var direct: Array[Int] = null
+  private var directLen = 0
+
+  private def growDirect(min: Long): Unit = {
+    val want = math.min(DirectCap.toLong,
+      math.max(math.max(min + 1, 1024L), directLen.toLong * 2)).toInt
+    if (direct == null) {
+      direct = new Array[Int](want)
+      java.util.Arrays.fill(direct, -1)
+    } else {
+      val old = directLen
+      direct = java.util.Arrays.copyOf(direct, want)
+      java.util.Arrays.fill(direct, old, want, -1)
+    }
+    directLen = want
+  }
 
   /** Materialize key `k` of the batch into the temp arrays. */
   private def extractKey(b: ColumnarBatch, k: Int, n: Int): Unit = {
@@ -814,9 +845,25 @@ private[graft] final class LowCardAggIterator(
     var klen1 = if (two) keyLen(1) else null
     var ks1 = if (two) keyS(1) else null
     var mask = tbl.length - 1
+    var useDirect = directEnabled
+    var dArr = direct
+    var dLen = directLen
     var i = 0
     while (i < n) {
       if (hasFilter && !sl(i)) { ids(i) = -1; i += 1 }
+      else {
+      var dSlot = -1
+      if (useDirect && !fk0N(i)) {
+        val v = fk0L(i)
+        if (v >= 0L && v < DirectCap) {
+          if (v >= dLen) { growDirect(v); dArr = direct; dLen = directLen }
+          dSlot = v.toInt
+          val dg = dArr(dSlot)
+          if (dg >= 0) { ids(i) = dg; i += 1 }
+          else dSlot = -2 - dSlot // miss: fall through, then record
+        } else { useDirect = false; directEnabled = false }
+      }
+      if (dSlot >= 0) () // direct hit handled above
       else {
       val h = hsh(i) & 0x7fffffff
       var s = h & mask
@@ -858,7 +905,9 @@ private[graft] final class LowCardAggIterator(
         }
       }
       ids(i) = g
+      if (dSlot < -1) dArr(-2 - dSlot) = g
       i += 1
+      }
       }
     }
     tProbe = mark(tProbe)

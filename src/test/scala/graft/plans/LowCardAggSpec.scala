@@ -186,6 +186,25 @@ class LowCardAggSpec extends AnyFunSuite {
     }
   }
 
+  test("direct-address key table: out-of-range keys disable it seamlessly") {
+    import spark.implicits._
+    // negative keys and keys past the 2^21 direct cap arrive AFTER dense
+    // ones: groups created through the direct table must stay findable
+    // by the generic probe once the shortcut disables mid-stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_dir").toString
+    (0L until 40000L).map { i =>
+      val k = if (i % 7 == 0) -(i % 50) - 1
+              else if (i % 11 == 0) 3000000L + (i % 40)
+              else i % 300
+      (k, i % 1000)
+    }.toDF("k", "v").repartition(3).write.mode("overwrite").parquet(dir)
+    val nd = spark.read.parquet(dir)
+    assertSame(nd.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s")))
+    // and the lever off pins the generic probe path
+    assertSame(nd.groupBy("k").agg(count(lit(1)).as("n")),
+      extra = Map("spark.graft.lowCardAgg.direct" -> "false"))
+  }
+
   test("grouping-free (global) aggregates fire: plain, filtered, empty") {
     assertSame(t.agg(count(lit(1)).as("n"), sum(col("vl")).as("s"),
       avg(col("vd")).as("a"), min(col("vl")).as("mn"),
