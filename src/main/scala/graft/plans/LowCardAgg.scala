@@ -364,7 +364,6 @@ final case class LowCardAggExec(
       case s => s
     }
     val columnar = findColumnar(child)
-    if (LowCardAgg.debugTiming) System.err.println("LOWCARD doExecute called")
     val scanOutput = columnar.output
     columnar.executeColumnar().mapPartitionsWithIndex { (pi, batches) =>
       // the scan's residual predicate, via Spark's own generated
