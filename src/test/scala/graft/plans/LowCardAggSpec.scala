@@ -232,6 +232,65 @@ class LowCardAggSpec extends AnyFunSuite {
       sum(col("vl").cast("decimal(20,2)")).as("s")), expectFire = false)
   }
 
+  test("fuzz: random key/agg/null/filter shapes agree force-vs-off") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("GRAFT_FUZZ_SEED", "190815").toLong)
+    for (trial <- 1 to 6) {
+      val n = 5000 + rnd.nextInt(15000)
+      val keyMod = 1 + rnd.nextInt(500)
+      val nullEvery = 2 + rnd.nextInt(40)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_lc_fuzz$trial").toString
+      (0L until n.toLong).map { i =>
+        val k1 = rnd.nextInt(3) match {
+          case 0 => (i % keyMod) - keyMod / 3        // negatives hit the
+          case 1 => i % keyMod                       // direct fallback
+          case _ => 2500000L + i % keyMod            // past the cap
+        }
+        (if (i % nullEvery == 0) None else Some(k1),
+          s"s${i % (1 + rnd.nextInt(20))}",
+          if (i % 13 == 0) None else Some(rnd.nextInt(1000)),
+          rnd.nextDouble() * 200 - 100)
+      }.toDF("k", "ks", "vl", "vd")
+        .repartition(1 + rnd.nextInt(6))
+        .write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+      // double sums/avgs rounded: partial-merge arrival order is not
+      // deterministic across the two plans, so raw doubles may differ
+      // in the last ulp — that is merge-order noise, not a bug
+      val aggsAll = Seq(
+        count(lit(1)).as("n"), count(col("vl")).as("nv"),
+        sum(col("vl")).as("sl"), round(sum(col("vd")), 6).as("sd"),
+        round(avg(col("vd")), 6).as("ad"), min(col("vl")).as("mn"),
+        max(col("vd")).as("mx"))
+      val chosen = rnd.shuffle(aggsAll).take(1 + rnd.nextInt(aggsAll.size))
+      val keys: Seq[String] = rnd.nextInt(4) match {
+        case 0 => Seq("k")
+        case 1 => Seq("ks")
+        case 2 => Seq("k", "ks")
+        case _ => Seq.empty // global
+      }
+      // drawn ONCE: q is re-evaluated for both sides and must be the
+      // same query (an inner nextInt here made base and force diverge —
+      // the fuzz's first catch was its own bug)
+      val withFilter = rnd.nextInt(2) == 0
+      def q = {
+        val base = if (withFilter) df.filter(col("vd") > -20) else df
+        if (keys.isEmpty) base.agg(chosen.head, chosen.tail: _*)
+        else base.groupBy(keys.map(col): _*).agg(chosen.head, chosen.tail: _*)
+      }
+      val seedMsg = s"trial=$trial keys=$keys aggs=${chosen.size}"
+      val base = q.collect().map(_.toString).sorted
+      withLowCard() {
+        val got = q.collect().map(_.toString).sorted
+        assert(got.sameElements(base),
+          s"$seedMsg\nbase=${base.take(8).mkString(" | ")}\n" +
+          s"got =${got.take(8).mkString(" | ")}")
+      }
+    }
+  }
+
   test("string keys WITHOUT parquet dictionaries: fallback path, same rows") {
     // parquet dictionary-encodes strings by default, so every other
     // string test exercises the dictionary-id fast path; force plain
