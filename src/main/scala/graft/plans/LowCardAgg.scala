@@ -57,6 +57,7 @@ object LowCardAgg extends Rule[SparkPlan] {
   private val MaxNdvConf = "spark.graft.lowCardAgg.maxNdv"
   private val MaxStrConf = "spark.graft.lowCardAgg.maxStringKeys"
   private val DirectConf = "spark.graft.lowCardAgg.direct"
+  private val ComputedConf = "spark.graft.lowCardAgg.computedInputs"
   private[plans] val ShufConf = "spark.graft.lowCardAgg.shufflePartitions"
   /** Per-partition stderr timing breakdown (dev probes only). */
   private[graft] val debugTiming =
@@ -64,7 +65,10 @@ object LowCardAgg extends Rule[SparkPlan] {
 
   // ── serializable per-row accessor specs ────────────────────────────────
   /** Read one value from a batch column: `width` 8=getLong 4=getInt
-    * 2=getShort 1=getByte, 0=double, -1=float, -2=string;
+    * 2=getShort 1=getByte, 0=double, -1=float, -2=string, -3=computed
+    * (idx indexes the exec's computedExprs — a deterministic double
+    * expression over scan columns, evaluated per batch through Spark's
+    * generated projection);
     * `floorUnit` > 0 applies FloorTimestamp's micros floor. */
   private[graft] final case class Get(idx: Int, width: Int,
       floorUnit: Long = 0L) extends Serializable
@@ -238,6 +242,30 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
     if (keySpecs.exists(_.isEmpty)) return None
 
+    // computed aggregate inputs: a deterministic double EXPRESSION over
+    // scan columns (the revenue shape `sum(a*(1-b))`) evaluates per
+    // batch through Spark's generated projection into a temp array —
+    // the agg loops then run unchanged. MEASURED A LOSS on the h05
+    // global+filter shape (-25%: stock whole-stage codegen already
+    // fuses the arithmetic into its loop, while this path pays getRow +
+    // projection per row — probes/lowcard_agg.json addendum), so the
+    // lever defaults OFF and expression inputs bail to stock.
+    val computedOn =
+      conf.getConfString(ComputedConf, "false").toBoolean
+    val computed = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    def getOrCompute(e0: Expression): Option[Get] = getOf(e0).orElse {
+      if (!computedOn) return None
+      val e = e0.transformUp {
+        case a: AttributeReference if aliasMap.contains(a.exprId.id) =>
+          aliasMap(a.exprId.id)
+      }
+      if (e.deterministic && e.dataType == DoubleType &&
+          e.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(scan.output))) {
+        computed += e
+        Some(Get(computed.length - 1, -3))
+      } else None
+    }
     // aggregates — buffer layout must match what the FINAL agg merges
     def aggOf(ae: AggregateExpression): Option[AggSpec] =
       ae.aggregateFunction match {
@@ -246,12 +274,12 @@ object LowCardAgg extends Rule[SparkPlan] {
           getOf(c.children.head).map(CountCol)
         case s: Sum => s.aggBufferAttributes.head.dataType match {
           case LongType => getOf(s.child).filter(_.width > 0).map(SumLong)
-          case DoubleType => getOf(s.child).map(SumDouble)
+          case DoubleType => getOrCompute(s.child).map(SumDouble)
           case _ => None // decimal sums keep the stock path
         }
         case a: Average
             if a.aggBufferAttributes.head.dataType == DoubleType =>
-          getOf(a.child).map(AvgDouble)
+          getOrCompute(a.child).map(AvgDouble)
         case m: Min => getOf(m.child).flatMap { g =>
           if (g.width > 0) Some(MinMaxLong(g, isMin = true))
           else if (g.width == 0 || g.width == -1)
@@ -299,7 +327,7 @@ object LowCardAgg extends Rule[SparkPlan] {
     val flush = conf.getConfString(FlushConf, (1 << 20).toString).toInt
     val direct = conf.getConfString(DirectConf, "true").toBoolean
     Some(LowCardAggExec(agg.output, keySpecs.flatten, aggSpecs.flatten,
-      outCols.flatten, flush, filterCond, scan, direct))
+      outCols.flatten, flush, filterCond, scan, direct, computed.toSeq))
   }
 }
 
@@ -338,7 +366,8 @@ final case class LowCardAggExec(
     flushGroups: Int,
     filterCond: Option[Expression],
     child: SparkPlan,
-    direct: Boolean = true) extends UnaryExecNode {
+    direct: Boolean = true,
+    computedExprs: Seq[Expression] = Nil) extends UnaryExecNode {
 
   import LowCardAgg._
 
@@ -352,6 +381,7 @@ final case class LowCardAggExec(
     val outTypes = output.map(_.dataType).toArray
     val flushCap = flushGroups
     val cond = filterCond
+    val computedExprs = this.computedExprs
     // transition + codegen rules may wrap the scan in ColumnarToRow /
     // WholeStageCodegen / InputAdapter shells below this operator —
     // unwrap to the columnar source and consume its batches directly
@@ -374,8 +404,16 @@ final case class LowCardAggExec(
         p.initialize(pi)
         p
       }.orNull
+      val compProj =
+        if (computedExprs.isEmpty) null
+        else {
+          val p = org.apache.spark.sql.catalyst.expressions.MutableProjection
+            .create(computedExprs, scanOutput)
+          p.initialize(pi)
+          p
+        }
       new LowCardAggIterator(batches, keys, aggs, outs, outTypes, flushCap,
-        pred, direct)
+        pred, direct, compProj, computedExprs.length)
     }
   }
 }
@@ -390,7 +428,9 @@ private[graft] final class LowCardAggIterator(
     outTypes: Array[DataType],
     flushCap: Int,
     pred: org.apache.spark.sql.catalyst.expressions.BasePredicate = null,
-    directConf: Boolean = true)
+    directConf: Boolean = true,
+    compProj: org.apache.spark.sql.catalyst.expressions.MutableProjection = null,
+    nComp: Int = 0)
     extends Iterator[InternalRow] {
 
   import LowCardAgg._
@@ -506,9 +546,16 @@ private[graft] final class LowCardAggIterator(
     tmpS = Array.fill(nKeys)(new Array[UTF8String](tmpCap))
     tmpLen = Array.fill(nKeys)(new Array[Int](tmpCap))
     sel = new Array[Boolean](tmpCap)
+    if (nComp > 0) {
+      compV = Array.fill(nComp)(new Array[Double](tmpCap))
+      compN = Array.fill(nComp)(new Array[Boolean](tmpCap))
+    }
   }
 
   private var sel: Array[Boolean] = null
+  // computed aggregate inputs (width -3): per-batch materialization
+  private var compV: Array[Array[Double]] = null
+  private var compN: Array[Array[Boolean]] = null
 
   // direct-address (perfect-hash) table for a single dense int-family
   // key: gids come from one bounds check + array load instead of the
@@ -774,6 +821,23 @@ private[graft] final class LowCardAggIterator(
       var i = 0
       while (i < n) { sl(i) = pred.eval(b.getRow(i)); i += 1 }
     }
+    if (nComp > 0) {
+      // one generated-projection pass materializes every computed input
+      // (rows the filter drops are skipped; their slots are never read)
+      var i = 0
+      while (i < n) {
+        if (!hasFilter || sl(i)) {
+          val r = compProj(b.getRow(i))
+          var c = 0
+          while (c < nComp) {
+            if (r.isNullAt(c)) compN(c)(i) = true
+            else { compN(c)(i) = false; compV(c)(i) = r.getDouble(c) }
+            c += 1
+          }
+        }
+        i += 1
+      }
+    }
     // grouping-free (global) aggregate: one group, no key passes — the
     // h01/h05 shape; the whole batch maps to group 0 modulo the filter
     if (nKeys == 0) {
@@ -958,6 +1022,28 @@ private[graft] final class LowCardAggIterator(
               val o = gi * ns + off
               aL(o) += lngAt(c, w, i)
               aH(o) = true
+            }
+            i += 1
+          }
+        case SumDouble(get) if get.width == -3 =>
+          val v = compV(get.idx); val nn = compN(get.idx)
+          var i = 0
+          while (i < n) {
+            val gi = ids(i)
+            if (gi >= 0 && !nn(i)) {
+              val o = gi * ns + off
+              aD(o) += v(i); aH(o) = true
+            }
+            i += 1
+          }
+        case AvgDouble(get) if get.width == -3 =>
+          val v = compV(get.idx); val nn = compN(get.idx)
+          var i = 0
+          while (i < n) {
+            val gi = ids(i)
+            if (gi >= 0 && !nn(i)) {
+              val o = gi * ns + off
+              aD(o) += v(i); aL(o + 1) += 1
             }
             i += 1
           }

@@ -205,6 +205,22 @@ class LowCardAggSpec extends AnyFunSuite {
       extra = Map("spark.graft.lowCardAgg.direct" -> "false"))
   }
 
+  test("expression aggregate inputs: opt-in computed-column path") {
+    // probed a LOSS on the h05 shape (stock codegen fuses the
+    // arithmetic) — off by default, correctness pinned under the lever
+    val on = Map("spark.graft.lowCardAgg.computedInputs" -> "true")
+    assertSame(t.groupBy("kint").agg(
+      sum(col("vd") * (lit(1.0) - col("vf"))).as("rev"),
+      avg(col("vd") + col("vl")).as("a"),
+      count(lit(1)).as("n")), extra = on)
+    // global + filter + NULL-propagating expression (vd or vl NULL)
+    assertSame(t.filter(col("kint") =!= 2).agg(
+      sum(col("vd") * col("vl")).as("s"), count(lit(1)).as("n")), extra = on)
+    // default: expression inputs bail to stock
+    assertSame(t.groupBy("kint").agg(
+      sum(col("vd") * col("vl")).as("s")), expectFire = false)
+  }
+
   test("grouping-free (global) aggregates fire: plain, filtered, empty") {
     assertSame(t.agg(count(lit(1)).as("n"), sum(col("vl")).as("s"),
       avg(col("vd")).as("a"), min(col("vl")).as("mn"),
