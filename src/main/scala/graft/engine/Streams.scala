@@ -261,14 +261,20 @@ object Streams {
         val kcols = keys.map(c => col(s"`$c`"))
         val both = insRows.select(kcols: _*).intersect(delRows.select(kcols: _*))
           .withColumn("__graft_updkey", lit(true))
-        def mark(df: DataFrame, action: String): DataFrame =
-          df.join(both, keys, "left").select(
-            (schema.fieldNames.map(c => col(s"`$c`")) ++ Seq(
+        // null-safe (<=>) key join: intersect above is null-safe, so a
+        // changed group whose grouping key is NULL must also pair up
+        def mark(df: DataFrame, action: String): DataFrame = {
+          val l = df.alias("l"); val r = both.alias("r")
+          val cond = keys.map(c => col(s"l.`$c`") <=> col(s"r.`$c`"))
+            .reduce(_ && _)
+          l.join(r, cond, "left").select(
+            (schema.fieldNames.map(c => col(s"l.`$c`")) ++ Seq(
               lit(action).as(Action),
               coalesce(col("__graft_updkey"), lit(false)).as(IsUpdate),
               sha2(to_json(struct(schema.fieldNames.map(c =>
-                col(s"`$c`")).toIndexedSeq: _*)), 256).as(RowId)
+                col(s"l.`$c`")).toIndexedSeq: _*)), 256).as(RowId)
             )).toIndexedSeq: _*)
+        }
         return mark(insRows, "INSERT").unionByName(mark(delRows, "DELETE"))
       case None =>
     }

@@ -269,17 +269,22 @@ object LowCardAgg extends Rule[SparkPlan] {
     // aggregates — buffer layout must match what the FINAL agg merges
     def aggOf(ae: AggregateExpression): Option[AggSpec] =
       ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.foldable) => Some(CountStar)
+        // COUNT over only-literal children is COUNT(*) ONLY if none of
+        // them can evaluate to null — COUNT(NULL) must stay 0
+        case c: Count if c.children.forall(_.foldable) &&
+            c.children.forall(_.eval(null) != null) => Some(CountStar)
         case c: Count if c.children.length == 1 =>
           getOf(c.children.head).map(CountCol)
         case s: Sum => s.aggBufferAttributes.head.dataType match {
-          case LongType => getOf(s.child).filter(_.width > 0).map(SumLong)
-          case DoubleType => getOrCompute(s.child).map(SumDouble)
+          case LongType => getOf(s.child)
+            .filter(g => g.width > 0 && g.floorUnit == 0L).map(SumLong)
+          case DoubleType =>
+            getOrCompute(s.child).filter(_.floorUnit == 0L).map(SumDouble)
           case _ => None // decimal sums keep the stock path
         }
         case a: Average
             if a.aggBufferAttributes.head.dataType == DoubleType =>
-          getOrCompute(a.child).map(AvgDouble)
+          getOrCompute(a.child).filter(_.floorUnit == 0L).map(AvgDouble)
         case m: Min => getOf(m.child).flatMap { g =>
           if (g.width > 0) Some(MinMaxLong(g, isMin = true))
           else if (g.width == 0 || g.width == -1)
@@ -1090,12 +1095,15 @@ private[graft] final class LowCardAggIterator(
         case MinMaxLong(get, isMin) =>
           val c = b.column(get.idx)
           val w = get.width
+          val unit = get.floorUnit
           var i = 0
           while (i < n) {
             val gi = ids(i)
             if (gi >= 0 && !c.isNullAt(i)) {
               val o = gi * ns + off
-              val v = lngAt(c, w, i)
+              val v0 = lngAt(c, w, i)
+              val v =
+                if (unit > 0) v0 - java.lang.Math.floorMod(v0, unit) else v0
               if (!aH(o) || (if (isMin) v < aL(o) else v > aL(o)))
                 aL(o) = v
               aH(o) = true
@@ -1123,6 +1131,7 @@ private[graft] final class LowCardAggIterator(
         case BitmapSpec(get) =>
           val c = b.column(get.idx)
           val w = get.width
+          val unit = get.floorUnit
           val oi = objIdxOf(a)
           val aO = accObj
           val no = nObj
@@ -1136,7 +1145,9 @@ private[graft] final class LowCardAggIterator(
                 set = new graft.functions.BitmapDistinct.PageSet
                 aO(o) = set
               }
-              set.add(lngAt(c, w, i))
+              val v0 = lngAt(c, w, i)
+              set.add(
+                if (unit > 0) v0 - java.lang.Math.floorMod(v0, unit) else v0)
             }
             i += 1
           }

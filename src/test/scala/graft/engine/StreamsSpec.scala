@@ -281,6 +281,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.exists { case (c, a, u) => a == "INSERT" && !u })
   }
 
+  test("DT stream: a changed group with a NULL key still pairs as ISUPDATE") {
+    val s = newSession()
+    s.sql("""CREATE OR REPLACE TABLE sdtn_t AS
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey % 5 END AS c,
+        o_totalprice::number(12,2) AS p
+      FROM orders WHERE o_orderkey <= 1000""")
+    s.sql("""CREATE DYNAMIC TABLE sdtn_a AS
+      SELECT c, count(*) AS n, sum(p) AS total FROM sdtn_t GROUP BY c""")
+    s.sql("CREATE OR REPLACE STREAM sdtn_s ON TABLE sdtn_a")
+    // grow ONLY the NULL-key group
+    s.sql("INSERT INTO sdtn_t SELECT 888888, NULL, 7.00::number(12,2)")
+    s.sql("ALTER DYNAMIC TABLE sdtn_a REFRESH")
+    val rows = s.sql(
+      """SELECT c, METADATA$ACTION AS a, METADATA$ISUPDATE AS u FROM sdtn_s""")
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getString(1),
+        r.getBoolean(2)))
+    assert(Streams.lastMode == "dt-chain-diff", Streams.lastMode)
+    // the NULL group changed → its DELETE and INSERT both ISUPDATE=true
+    val nullRows = rows.filter(_._1.isEmpty)
+    assert(nullRows.map(_._2).sorted.sameElements(Array("DELETE", "INSERT")),
+      nullRows.mkString(","))
+    assert(nullRows.forall(_._3), s"NULL-key group not paired: $nullRows")
+  }
+
   test("DROP and full refresh GC the dynamic table's delta sidecars") {
     val s = newSession()
     s.sql("""CREATE OR REPLACE TABLE sgc_t AS

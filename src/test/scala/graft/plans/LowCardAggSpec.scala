@@ -23,6 +23,9 @@ class LowCardAggSpec extends AnyFunSuite {
     if (!s.experimental.extraOptimizations.contains(TruncToFloor))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ TruncToFloor
+    if (!s.experimental.extraOptimizations.contains(DistinctToBitmap))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ DistinctToBitmap
     injectPrepRule(s)
     s
   }
@@ -135,6 +138,30 @@ class LowCardAggSpec extends AnyFunSuite {
   test("date_trunc hour key rides the FloorTimestamp path") {
     assertSame(t.groupBy(date_trunc("hour", col("ts")).as("h")).agg(
       count(lit(1)).as("n"), avg(col("vd")).as("a")))
+  }
+
+  test("MIN/MAX over a floored timestamp input applies the floor") {
+    // regression: the floor used to be applied only on the KEY path;
+    // an aggregate input resolved to Get(floorUnit>0) emitted raw micros
+    assertSame(t.groupBy("kint").agg(
+      min(date_trunc("hour", col("ts"))).as("mn"),
+      max(date_trunc("hour", col("ts"))).as("mx"),
+      count(lit(1)).as("n")))
+  }
+
+  test("COUNT(DISTINCT date_trunc) via bitmap applies the floor") {
+    assertSame(
+      t.groupBy("kint").agg(
+        countDistinct(date_trunc("hour", col("ts"))).as("nd")),
+      extra = Map("spark.graft.bitmapDistinct" -> "force"))
+  }
+
+  test("COUNT(NULL literal) stays 0 (no CountStar mapping)") {
+    // COUNT of a foldable-null child must not count every row; the
+    // rewrite bails to stock for this shape
+    assertSame(t.groupBy("kint").agg(
+      count(lit(null)).as("n0"), count(lit(1)).as("n1")),
+      expectFire = false)
   }
 
   test("flush-on-overflow: tiny cap emits mergeable partials") {
