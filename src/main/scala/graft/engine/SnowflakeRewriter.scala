@@ -1411,8 +1411,23 @@ object SnowflakeRewriter {
           val open = nextSig(toks, i).get
           val close = matchParen(toks, open)
           if (passThroughFns.contains(up)) {
-            // PARSE_JSON(x) → (x): recurse into the args
+            // PARSE_JSON(x) → (x): recurse into the args. TO_JSON is a
+            // passthrough only over VARIANT-as-JSON-text; when its
+            // argument is STRUCTURALLY a struct/array constructor
+            // (OBJECT_CONSTRUCT/ARRAY_CONSTRUCT — named_struct/array
+            // after rename), it must serialize for real or the raw
+            // struct leaks into the result (caught by SemiWindowFuzz).
             val inner = rewriteFunctions(toks.slice(open + 1, close))
+            val structArg = up == "TO_JSON" && {
+              val sig = significant(inner)
+              sig.nonEmpty && (inner(sig.head) match {
+                case Ident(w) => Set("OBJECT_CONSTRUCT", "ARRAY_CONSTRUCT",
+                  "NAMED_STRUCT", "ARRAY", "STRUCT", "MAP")
+                  .contains(w.toUpperCase)
+                case _ => false
+              })
+            }
+            if (structArg) out += Ident("to_json")
             out += Op("(")
             out ++= inner
             out += Op(")")

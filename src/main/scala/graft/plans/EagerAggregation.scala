@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.LongType
   * fact rows collapse per join key; when the join key is (near-)unique on
   * the fact side — e.g. lineitem⋈orders on l_orderkey, ~4 rows/key — the
   * pre-aggregate's hash state dwarfs the shuffle it saves (measured 2.7×
-  * SLOWER on the h09 bench shape). So the rule fires only when column
+  * SLOWER on the h09 bench shape under the old count() drain, and
+  * re-confirmed +35% slower under the honest full-plan drain —
+  * probes/eager_agg_honest.json). So the rule fires only when column
   * statistics prove an estimated reduction of at least
   * `spark.graft.eagerAggregation.minReduction` (default 16) rows per
   * distinct key combination: reduction = rowCount / ndv(join keys), with

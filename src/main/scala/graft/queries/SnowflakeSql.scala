@@ -1949,6 +1949,24 @@ object SnowflakeSql extends QueryPack {
         GROUP BY 1 ORDER BY 1;""")
     },
 
+    // QUERY_HISTORY table function (round-10 directive #7): the
+    // deterministic columns under a literal oracle. RESULT_LIMIT => 2
+    // over three tagged statements must return exactly the two MOST
+    // RECENT texts — content proves both the limit and the view's
+    // recency ordering (oldest-first would surface alpha, not gamma);
+    // the output itself is re-ordered by text for the hash compare.
+    GQuery("snow81_query_history", Some("""
+      SELECT * FROM (VALUES ('SELECT ''beta'' AS tag'),
+        ('SELECT ''gamma'' AS tag')) AS t(qt) ORDER BY qt""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT 'alpha' AS tag;
+        SELECT 'beta' AS tag;
+        SELECT 'gamma' AS tag;
+        SELECT QUERY_TEXT AS qt
+        FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY(RESULT_LIMIT => 2))
+        ORDER BY qt;""")
+    },
+
     // Iceberg hidden time partitioning: day(ts) transform through the
     // session DDL, queried back with a range on the REAL ts column (the
     // mirror rule prunes to in-range day directories — asserted at the

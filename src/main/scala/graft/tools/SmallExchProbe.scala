@@ -3,12 +3,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: does cutting the exchange's partition count help the tiny
-  * partial-output aggregates? Their map stage writes numShufflePartitions
-  * reducer files per task (bypass writer) that AQE immediately coalesces
-  * to one read partition — a stats-gated numPartitions cut would shrink
-  * the write fan-out. spark.sql.shuffle.partitions is a session conf, so
-  * this A/Bs per query within one JVM, interleaved.
+/** Dev tool: size the exchange above a LowCardAggExec partial (the
+  * SHIPPED lever, `spark.graft.lowCardAgg.shufflePartitions`) — the
+  * tiny partial outputs pay numShufflePartitions reducer files per map
+  * task that AQE coalesces straight back to one read partition.
+  *
+  * Round-10 re-probe (directive #5): the original A/B used `.count()`
+  * as the drain (Catalyst pruned aggregate values — probes/
+  * small_exchange.json numbers are pre-honest-eval) and varied the
+  * SESSION shuffle partitions rather than the shipped conf. This
+  * version drives `spark.graft.lowCardAgg.shufflePartitions` itself at
+  * {off(0 → 32), 4 (shipped default), 2, 1} under the honest
+  * `toRdd.count` drain, interleaved within one JVM, on the four
+  * small-partial heavy queries (h02/h06/h07/h08).
   *
   * Usage: runMain graft.tools.SmallExchProbe <heavyDir> [reps]
   */
@@ -20,6 +27,7 @@ object SmallExchProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.graft.lowCardAgg", "force")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -29,32 +37,38 @@ object SmallExchProbe {
     val li = spark.read.parquet(s"$dir/lineitem")
     val ev = spark.read.parquet(s"$dir/events")
 
-    def h06() = li.groupBy("l_suppkey")
+    def fullExec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
+    def h02() = fullExec(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+        avg(col("l_discount")), count(lit(1))))
+    def h06() = fullExec(li.groupBy("l_suppkey")
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
-      .filter(col("n") > 100).orderBy(col("q").desc).limit(10).count()
-    def h07() = ev
+      .filter(col("n") > 100).orderBy(col("q").desc).limit(10))
+    def h07() = fullExec(ev
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"), avg(col("value")))
-      .orderBy(col("n").desc).limit(10).count()
-    def h03() = li.groupBy("l_partkey")
-      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
-      .orderBy(col("rev").desc).limit(10).count()
+      .orderBy(col("n").desc).limit(10))
+    def h08() = fullExec(ev.filter(col("props").like("%a%"))
+      .groupBy("event_type").agg(count(lit(1)), avg(col("value"))))
 
-    def withParts[T](p: Int)(f: => T): T = {
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-      try f finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    val shufConf = "spark.graft.lowCardAgg.shufflePartitions"
+    def withShuf[T](p: Int)(f: => T): T = {
+      spark.conf.set(shufConf, p.toString)
+      try f finally spark.conf.set(shufConf, "4")
     }
-    val qs: Seq[(String, () => Any)] = Seq(
-      "h06_p32" -> (() => h06()),
-      "h06_p4" -> (() => withParts(4)(h06())),
-      "h06_p1" -> (() => withParts(1)(h06())),
-      "h07_p32" -> (() => h07()),
-      "h07_p4" -> (() => withParts(4)(h07())),
-      "h07_p1" -> (() => withParts(1)(h07())),
-      "h03_p32" -> (() => h03()),
-      "h03_p4" -> (() => withParts(4)(h03())))
+    val base: Seq[(String, () => Any)] = Seq(
+      "h02" -> (() => h02()), "h06" -> (() => h06()),
+      "h07" -> (() => h07()), "h08" -> (() => h08()))
+    val qs: Seq[(String, () => Any)] = base.flatMap { case (n, f) =>
+      Seq(s"${n}_off" -> (() => withShuf(0)(f())),
+        s"${n}_p4" -> (() => withShuf(4)(f())),
+        s"${n}_p2" -> (() => withShuf(2)(f())),
+        s"${n}_p1" -> (() => withShuf(1)(f())))
+    }
 
-    qs.foreach { case (_, f) => f() }
+    qs.foreach { case (_, f) => f() } // warm
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     (1 to reps).foreach { _ =>
