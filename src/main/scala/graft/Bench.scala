@@ -66,40 +66,29 @@ object Bench {
       // no longer leaks into this session — round 5's h09b numbers
       // silently depended on that leak)
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      // columnar low-cardinality partial aggregation (LowCardAgg): the
-      // engine's recommended setting for the ClickBench-shape heavy
-      // queries; A/B lever for probes/lowcard_agg.json
+      // columnar low-cardinality partial aggregation (LowCardAgg): AUTO —
+      // the same NDV-stats-gated mode real sessions run (round-10
+      // directive #4: the bench eats its own dogfood; heavyPhase collects
+      // AutoStats on the heavy tables so the gate can evaluate). Env
+      // override force/off stays the A/B lever for probes.
       .config("spark.graft.lowCardAgg",
-        sys.env.getOrElse("SPARK_GRAFT_LOWCARD", "force"))
+        sys.env.getOrElse("SPARK_GRAFT_LOWCARD", "auto"))
       // integral COUNT(DISTINCT) as a mergeable bitmap aggregate —
-      // probed 4-5× on h04's honest (full-eval) shape; A/B lever for
-      // probes/bitmap_distinct.json
+      // probed 4-5× on h04's honest (full-eval) shape; AUTO as above
       .config("spark.graft.bitmapDistinct",
-        sys.env.getOrElse("SPARK_GRAFT_BITMAP", "force"))
+        sys.env.getOrElse("SPARK_GRAFT_BITMAP", "auto"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
-    // dev iteration flag: skip the pack to isolate the heavy phase in
-    // the exact bench harness (official artifacts always run both)
-    val packOn = sys.env.getOrElse("SPARK_GRAFT_PACK", "1") != "0"
-    val queries =
-      if (packOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
-    // warm pass (untimed)
-    queries.foreach { case (_, fn) =>
-      try fullExec(fn(spark, sfDir)) catch { case _: Throwable => }
-    }
-    // timed pass
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fullExec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-
+    // PHASE ORDER (round 10): the RATIOED phases run FIRST — heavy on the
+    // fresh JVM (the state the committed quiet floors were recorded in),
+    // DuckDB re-gated immediately after, so both ratio sides see adjacent
+    // machine state. The pack (not ratioed, not floor-checked) runs last:
+    // measured pack-first cost the Spark heavy mins 10-30% vs their
+    // floors (200 s of heap/JIT churn) while DuckDB — a fresh process
+    // either way — paid nothing, skewing the published ratio.
     val heavyOut =
       if (sys.env.getOrElse("SPARK_GRAFT_HEAVY", "1") != "0")
         try Some(heavyPhase(spark, sfDir))
@@ -121,6 +110,29 @@ object Bench {
     }
     val heavyJson = heavyOut.map(_.full).getOrElse("") + duckFull
     val heavyCompact = heavyOut.map(_.compact).getOrElse("") + duckCompact
+
+    // dev iteration flag: skip the pack to isolate the heavy phase in
+    // the exact bench harness (official artifacts always run both)
+    val packOn = sys.env.getOrElse("SPARK_GRAFT_PACK", "1") != "0"
+    val queries =
+      if (packOn) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
+    // the heavy phase scaled shuffle partitions and enabled CBO for its
+    // own tables — restore the session defaults for the pack
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    // warm pass (untimed)
+    queries.foreach { case (_, fn) =>
+      try fullExec(fn(spark, sfDir)) catch { case _: Throwable => }
+    }
+    // timed pass
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fullExec(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
 
     // Full-precision detail: printed FIRST (survives in full logs) and
     // written to bench_detail.json — NOT the last line, because the
@@ -181,6 +193,18 @@ object Bench {
     val li = spark.read.parquet(s"$dir/lineitem")
     val ev = spark.read.parquet(s"$dir/events")
     val ord = spark.read.parquet(s"$dir/orders")
+    // auto-gate plumbing (round-10 directive #4): the heavy queries run
+    // under the SAME stats-gated `auto` a real session gets. Stats flow
+    // only with CBO on; the heavy tables exceed the lazy-collect size cap
+    // (a deployment folds stats into the write job instead — AutoStats
+    // class doc), so raise it and collect once here, outside the timed
+    // region. Under force/off the collection is skipped.
+    if (spark.conf.get("spark.graft.lowCardAgg") == "auto" ||
+        spark.conf.get("spark.graft.bitmapDistinct") == "auto") {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.graft.autoStats.maxBytes", (64L << 30).toString)
+      Seq(li, ev, ord).foreach(graft.engine.AutoStats.maybeCollect(spark, _))
+    }
     val liRows = li.count()
     val evRows = ev.count()
     val ordRows = ord.count()
@@ -391,8 +415,26 @@ object Bench {
     val floorsJson = if (floors.isEmpty) "" else
       s""","heavy_floors":${floors.toSeq.sorted.map { case (k, v) =>
         s"\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
+    // audit: which gate mode produced these numbers, and whether the
+    // low-card/bitmap plans actually FIRED under it (auto regressing to
+    // stock silently would otherwise masquerade as a perf loss)
+    val modeJson = {
+      val lc = spark.conf.get("spark.graft.lowCardAgg")
+      val bm = spark.conf.get("spark.graft.bitmapDistinct")
+      def fired(df: org.apache.spark.sql.DataFrame, mark: String): Boolean =
+        try {
+          df.queryExecution.toRdd.count()
+          df.queryExecution.executedPlan.toString.contains(mark)
+        } catch { case _: Throwable => false }
+      val lcFired = fired(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1))), "LowCardAgg")
+      val bmFired = fired(li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey"))), "bitmap_distinct_count")
+      s""","heavy_gate_mode":{"lowCardAgg":"$lc","bitmapDistinct":"$bm",""" +
+        s""""lowCardAggFired":$lcFired,"bitmapFired":$bmFired}"""
+    }
     val full =
-      s""","heavy":$hq,"heavy_total":$hTotal,"heavy_sweeps":$sweeps,""" +
+      s""","heavy":$hq,"heavy_total":$hTotal,"heavy_sweeps":$sweeps$modeJson,""" +
       s""""heavy_spread":$spreads,"heavy_samples":$raw,""" +
       s""""heavy_sweep_loadavg":${sweepLoads.mkString("[", ",", "]")},""" +
       s""""heavy_sweep_ext_cores":${sweepExt.map(v => f"$v%.2f").mkString("[", ",", "]")},""" +

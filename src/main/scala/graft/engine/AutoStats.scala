@@ -47,6 +47,18 @@ object AutoStats {
   /** Paths that failed or were skipped (too big): don't retry per query. */
   private val skipped =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
+  /** Timestamp column (min, max) micros per (path key, column name) —
+    * kept OUTSIDE the catalog stats on purpose: a CatalogColumnStat on a
+    * TimestampNTZ column crashes Spark 4.1's FilterEstimation (see
+    * [[eligible]]), and CBO has no use for the range anyway. The ONE
+    * consumer is [[graft.plans.LowCardAgg]]'s auto gate, which bounds
+    * the NDV of a floored-timestamp grouping key (`date_trunc('hour',
+    * ts)` → [[graft.functions.FloorTimestamp]]) by range/unit — the
+    * time-bucketed GROUP BY is the canonical observability shape, and
+    * without this bound auto could never fire on it (a computed column
+    * has no stats of its own). */
+  private val tsRangeStore =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
 
   def enabled(spark: SparkSession): Boolean =
     try spark.conf.get("spark.graft.autoStats", "true").trim.toBoolean
@@ -112,6 +124,18 @@ object AutoStats {
         } else None
         (f, base, strOff)
       }
+      // timestamp ranges for the side store (same single pass); the cast
+      // makes unix_micros accept NTZ — identity on the internal value
+      // under a UTC session, and the consumer's bound carries slack
+      val tsCols = df.schema.fields.filter(f =>
+        f.dataType == TimestampType || f.dataType == TimestampNTZType)
+        .filter(f => !f.name.contains("`")).take(8)
+      val tsLayout = tsCols.map { f =>
+        val base = aggItems.size
+        aggItems += min(unix_micros(col(s"`${f.name}`").cast("timestamp")))
+        aggItems += max(unix_micros(col(s"`${f.name}`").cast("timestamp")))
+        (f, base)
+      }
       val row = df.agg(aggItems.head, aggItems.drop(1).toSeq: _*).collect()(0)
       val rows = BigInt(row.getLong(0))
       val colStats = layout.map { case (f, base, strOff) =>
@@ -132,9 +156,26 @@ object AutoStats {
         sizeInBytes = lr.relation.sizeInBytes,
         rowCount = Some(rows),
         colStats = colStats))
+      tsLayout.foreach { case (f, base) =>
+        if (!row.isNullAt(base) && !row.isNullAt(base + 1))
+          tsRangeStore.put((key, f.name),
+            (row.getLong(base), row.getLong(base + 1)))
+      }
       ()
     } catch { case scala.util.control.NonFatal(_) => skipped.put(key, ()); () }
   }
+
+  /** (min, max) micros of a timestamp column of `plan`'s single scan, if
+    * collected — the floored-key NDV bound in [[graft.plans.LowCardAgg]]
+    * reads this. `attr` must be an output of the plan's one
+    * LogicalRelation leaf (matched by exprId so renames can't mislead). */
+  def tsRangeFor(plan: LogicalPlan,
+      attr: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : Option[(Long, Long)] =
+    keyOf(plan).flatMap { case (key, lr) =>
+      lr.output.find(_.exprId == attr.exprId)
+        .flatMap(out => tsRangeStore.get((key, out.name)))
+    }
 
   /** The canonical store key for a filesystem path — the same qualified
     * URI rendering `HadoopFsRelation.location.rootPaths` uses, so
@@ -305,10 +346,11 @@ object AutoStats {
     }
     store.keys.filter(hit).foreach(store.remove)
     skipped.keys.filter(hit).foreach(skipped.remove)
+    tsRangeStore.keys.filter(k => hit(k._1)).foreach(tsRangeStore.remove)
   }
 
   /** Test/tooling escape hatch. */
-  def clear(): Unit = { store.clear(); skipped.clear() }
+  def clear(): Unit = { store.clear(); skipped.clear(); tsRangeStore.clear() }
 
   /** Optimizer rule: decorate bare LogicalRelation leaves whose root path
     * has collected stats with a synthetic CatalogTable — the vehicle

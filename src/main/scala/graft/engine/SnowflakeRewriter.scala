@@ -1925,8 +1925,9 @@ object SnowflakeRewriter {
             out ++= len
             out += Op(")")
             i = close + 1
-          } else if ((up == "ARRAY_AGG" || up == "ARRAYAGG") && {
-              // only the ordered-set form: ARRAY_AGG(…) WITHIN GROUP (…)
+          } else if ((up == "ARRAY_AGG" || up == "ARRAYAGG" ||
+              up == "LISTAGG") && {
+              // only the ordered-set form: fn(…) WITHIN GROUP (…)
               nextSig(toks, close).exists(j => toks(j) match {
                 case Ident(w) => w.equalsIgnoreCase("WITHIN"); case _ => false })
             }) {
@@ -1936,6 +1937,14 @@ object SnowflakeRewriter {
             // GROUP; struct ordering compares fields left-to-right, so
             // sorting the (keys…, value) struct reproduces the ordered
             // aggregate deterministically at any parallelism.
+            // LISTAGG(x [, d]) WITHIN GROUP (…) lowers through the SAME
+            // shape + array_join — deliberately NOT Spark's native
+            // `listagg … WITHIN GROUP`: its ListAgg node breaks when the
+            // query also carries a DISTINCT aggregate
+            // (RewriteDistinctAggregates patches children through
+            // withNewChildren and loses the SortOrder wrapper —
+            // ClassCastException; found by AggFuzzSpec). array_join also
+            // matches LISTAGG's skip-NULLs contract.
             val withinIdx = nextSig(toks, close).get
             val groupKw = nextSig(toks, withinIdx).getOrElse(
               throw new IllegalArgumentException("WITHIN needs GROUP"))
@@ -1978,17 +1987,30 @@ object SnowflakeRewriter {
               parts += keyToks.slice(st, keyToks.length)
               parts.result().map(p => render(rewriteFunctions(p)).trim)
             }
-            val argToks = toks.slice(open + 1, close)
+            val allArgToks = toks.slice(open + 1, close)
+            // LISTAGG carries an optional second (delimiter) argument —
+            // split it off before the shared ordered-collect lowering
+            val (argToks, delimSql) =
+              if (up == "LISTAGG") {
+                val ranges = splitArgs(toks, open, close)
+                require(ranges.nonEmpty && ranges.length <= 2,
+                  "LISTAGG needs (expr [, delimiter])")
+                val d = if (ranges.length == 2)
+                  render(rewriteFunctions(
+                    toks.slice(ranges(1)._1, ranges(1)._2))).trim
+                else "''"
+                (toks.slice(ranges(0)._1, ranges(0)._2), d)
+              } else (allArgToks, "")
             val argSig = significant(argToks)
             val isDistinct = argSig.nonEmpty && (argToks(argSig.head) match {
               case Ident(w) => w.equalsIgnoreCase("DISTINCT"); case _ => false })
-            if (isDistinct) {
+            val arrSql = if (isDistinct) {
               val expr = render(rewriteFunctions(
                 argToks.drop(argSig.head + 1))).trim
               require(keys == Seq(expr),
-                "ARRAY_AGG(DISTINCT x) WITHIN GROUP supports ORDER BY x only")
+                s"$up(DISTINCT x) WITHIN GROUP supports ORDER BY x only")
               val sorted = s"array_sort(collect_set(($expr)))"
-              out ++= lex(if (desc) s"reverse($sorted)" else sorted)
+              if (desc) s"reverse($sorted)" else sorted
             } else {
               val expr = render(rewriteFunctions(argToks)).trim
               val fields = keys.zipWithIndex
@@ -1997,8 +2019,15 @@ object SnowflakeRewriter {
               val sorted = s"array_sort(collect_list(" +
                 s"struct($fields, ($expr) AS __v)))"
               val picked = s"transform($sorted, __s -> __s.__v)"
-              out ++= lex(if (desc) s"reverse($picked)" else picked)
+              if (desc) s"reverse($picked)" else picked
             }
+            // LISTAGG stringifies AFTER the natural-type sort (casting
+            // first would order numbers lexicographically)
+            out ++= lex(
+              if (up == "LISTAGG")
+                s"array_join(transform($arrSql, " +
+                s"__x -> CAST(__x AS STRING)), $delimSql)"
+              else arrSql)
             i = wgClose + 1
           } else if (up == "MINHASH") {
             // MINHASH(k, x): aggregate MinHash state — k min-aggregations

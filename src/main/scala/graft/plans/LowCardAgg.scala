@@ -111,17 +111,63 @@ object LowCardAgg extends Rule[SparkPlan] {
   }
 
   /** auto gate: every grouping key has a known distinct count and the
-    * product stays under the map-friendly bound. */
+    * product stays under the map-friendly bound.
+    *
+    * A FLOORED-TIMESTAMP key (`date_trunc('hour', ts)` →
+    * [[FloorTimestamp]], pulled out by Spark into a computed Project
+    * column) has no column stats of its own; its NDV is bounded soundly
+    * by the SOURCE column's value range: at most (max−min)/unit + 1
+    * distinct floor values can exist. The range comes from
+    * [[graft.engine.AutoStats]]'s side store (kept out of the catalog —
+    * NTZ column stats crash FilterEstimation). Without this bound the
+    * canonical time-bucketed GROUP BY could never ride the columnar
+    * path in a real (auto-gated) session. */
   private def lowNdv(agg: BaseAggregateExec): Boolean = {
     val maxNdv = conf.getConfString(MaxNdvConf, "262144").toLong
     agg.logicalLink match {
       case Some(la: org.apache.spark.sql.catalyst.plans.logical.Aggregate) =>
         val stats = la.child.stats
+        // aliases computed in Projects between the Aggregate and the scan
+        // (PullOutGroupingExpressions parks complex keys there)
+        def aliases(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : Map[Long, Expression] = p match {
+          case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            pr.projectList.collect {
+              case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                al.exprId.id -> al.child
+            }.toMap ++ aliases(pr.child)
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            aliases(f.child)
+          case _ => Map.empty
+        }
+        lazy val aliasMap = aliases(la.child)
+        def unwrapTsCast(e: Expression): Expression = e match {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast
+              if (c.dataType == TimestampType ||
+                c.dataType == TimestampNTZType) &&
+                (c.child.dataType == TimestampType ||
+                  c.child.dataType == TimestampNTZType) => unwrapTsCast(c.child)
+          case other => other
+        }
+        def flooredBound(e: Expression): Option[BigInt] = e match {
+          case FloorTimestamp(inner, unit) if unit > 0 =>
+            unwrapTsCast(inner) match {
+              case src: Attribute =>
+                graft.engine.AutoStats.tsRangeFor(la.child, src).map {
+                  case (mn, mx) =>
+                    // +2 slack absorbs the session-tz cast in collection
+                    BigInt((mx - mn) / unit) + 2
+                }
+              case _ => None
+            }
+          case _ => None
+        }
         val ndv = la.groupingExpressions.map {
           case a: Attribute =>
             stats.attributeStats.find(_._1.exprId == a.exprId)
               .flatMap(_._2.distinctCount)
-          case _ => None
+              .orElse(aliasMap.get(a.exprId.id).flatMap(flooredBound))
+          case other => flooredBound(other)
         }
         ndv.forall(_.isDefined) &&
           ndv.flatten.product <= BigInt(maxNdv)
@@ -343,19 +389,32 @@ object LowCardAgg extends Rule[SparkPlan] {
   * files for a few thousand rows, and AQE coalesces the reads back to
   * one anyway. Probed (probes/small_exchange.json): the write fan-out is
   * 70-100 ms of the small-aggregate stage floor at local[32]; cutting to
-  * 4 partitions recovers it. Hash distribution over the same keys at any
-  * partition count stays valid for the final aggregate.
-  * `spark.graft.lowCardAgg.shufflePartitions` (default 4; 0 = off). */
+  * 4 partitions recovers it, and the round-10 HONEST re-probe (full-plan
+  * drain, shipped-lever A/B — probes/small_exchange.json honest section)
+  * found 2 a further ~6% better across h02/h06/h07/h08, with 1 inside
+  * noise of 2 but worse on the smallest query. Hash distribution over
+  * the same keys at any partition count stays valid for the final
+  * aggregate. `spark.graft.lowCardAgg.shufflePartitions`
+  * (default 2; 0 = off).
+  *
+  * OBJECT-STATE partials are exempt: a bitmap COUNT(DISTINCT) partial
+  * carries serialized PageSets whose final-stage OR-merge is the cost —
+  * shrinking its exchange serializes that merge (h04 p2 +25%, p1 +42%
+  * vs p4≈p8≈p32, probes/small_exchange.json h04 section), and the
+  * write-fan-out saving the shrink exists for is noise next to the
+  * payload. Those exchanges keep the session partitioning. */
 object SmallAggExchange extends Rule[SparkPlan] {
   import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
   import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
   override def apply(plan: SparkPlan): SparkPlan = {
-    val parts = conf.getConfString(LowCardAgg.ShufConf, "4").toInt
+    val parts = conf.getConfString(LowCardAgg.ShufConf, "2").toInt
     if (parts <= 0) return plan
     plan.transformUp {
       case sh @ ShuffleExchangeExec(hp: HashPartitioning,
-          _: LowCardAggExec, _, _) if hp.numPartitions > parts =>
+          lc: LowCardAggExec, _, _)
+          if hp.numPartitions > parts &&
+            !lc.aggSpecs.exists(_.isInstanceOf[LowCardAgg.BitmapSpec]) =>
         sh.copy(outputPartitioning = hp.copy(numPartitions = parts))
     }
   }

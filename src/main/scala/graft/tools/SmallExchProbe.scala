@@ -56,7 +56,7 @@ object SmallExchProbe {
     val shufConf = "spark.graft.lowCardAgg.shufflePartitions"
     def withShuf[T](p: Int)(f: => T): T = {
       spark.conf.set(shufConf, p.toString)
-      try f finally spark.conf.set(shufConf, "4")
+      try f finally spark.conf.unset(shufConf)
     }
     val base: Seq[(String, () => Any)] = Seq(
       "h02" -> (() => h02()), "h06" -> (() => h06()),
