@@ -109,6 +109,28 @@ class AggFuzzSpec extends AnyFunSuite {
     case (a, b) => a == b
   }
 
+  test("pinned: LISTAGG WITHIN GROUP coexists with DISTINCT aggregates") {
+    // found by this fuzz: Spark 4.1's RewriteDistinctAggregates corrupts
+    // ListAgg's SortOrder child when a COUNT(DISTINCT) shares the query
+    // (ClassCastException) — the rewriter lowers LISTAGG WITHIN GROUP to
+    // ordered collect_list + array_join so the node never appears
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    val rows = s.sql("""
+      SELECT o_orderpriority AS p,
+        COUNT(DISTINCT o_custkey) AS nd,
+        LISTAGG(o_orderkey, ',') WITHIN GROUP (ORDER BY o_orderkey) AS ks
+      FROM orders WHERE o_orderkey <= 64
+      GROUP BY 1 ORDER BY 1""").collect()
+    assert(rows.nonEmpty)
+    // ordered, comma-joined, natural numeric order (not lexicographic)
+    rows.foreach { r =>
+      val ks = r.getString(2).split(",").map(_.toLong)
+      assert(ks.sameElements(ks.sorted), r.getString(2))
+    }
+    assert(rows.map(_.getLong(1)).forall(_ > 0))
+  }
+
   test("300+ aggregate-surface cases agree with hand-translated Spark SQL") {
     val seed = sys.env.get("GRAFT_FUZZ_SEED")
       .orElse(sys.props.get("graft.fuzz.seed")).getOrElse("20260815").toLong
