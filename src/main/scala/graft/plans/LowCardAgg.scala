@@ -92,6 +92,215 @@ object LowCardAgg extends Rule[SparkPlan] {
   private[graft] final case class OutCol(kind: Int, a: Int, b: Int)
     extends Serializable
 
+  // ── vectorized residual predicate ──────────────────────────────────────
+  /** One conjunct of the scan's residual predicate, evaluated
+    * COLUMN-AT-A-TIME into the selection mask — the per-row
+    * `pred.eval(batch.getRow(i))` detour through a row view costs ~50%
+    * of a filtered global aggregate (h01 profiled 0.506 s filtered vs
+    * 0.338 s unfiltered); a direct vector loop removes the row
+    * materialization and the per-row virtual eval. Only simple shapes
+    * decompose (attr-vs-literal comparisons, string
+    * contains/prefix/suffix/equality, null tests); anything else keeps
+    * the generated-Predicate path. Null semantics match filtering
+    * exactly: an atom over a NULL input contributes FALSE, and
+    * AND(FALSE, _) = AND(NULL, _) = drop. */
+  private[graft] sealed trait FilterAtom extends Serializable {
+    /** AND this atom into `mask` (first atom writes it). */
+    def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
+        first: Boolean): Unit
+  }
+
+  /** op: 0 `<`, 1 `<=`, 2 `>`, 3 `>=`, 4 `=`. */
+  private def cmpOk(c: Int, op: Int): Boolean = (op: @annotation.switch) match {
+    case 0 => c < 0
+    case 1 => c <= 0
+    case 2 => c > 0
+    case 3 => c >= 0
+    case _ => c == 0
+  }
+
+  /** Long-domain comparison (int family / date / timestamp). */
+  private[graft] final case class CmpLongAtom(idx: Int, width: Int, op: Int,
+      rhs: Long) extends FilterAtom {
+    def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
+        first: Boolean): Unit = {
+      val c = b.column(idx)
+      val noNull = !c.hasNull
+      var i = 0
+      if (first) while (i < n) {
+        mask(i) = (noNull || !c.isNullAt(i)) && {
+          val v = (width: @annotation.switch) match {
+            case 8 => c.getLong(i)
+            case 4 => c.getInt(i).toLong
+            case 2 => c.getShort(i).toLong
+            case _ => c.getByte(i).toLong
+          }
+          cmpOk(java.lang.Long.compare(v, rhs), op)
+        }
+        i += 1
+      } else while (i < n) {
+        if (mask(i)) mask(i) = (noNull || !c.isNullAt(i)) && {
+          val v = (width: @annotation.switch) match {
+            case 8 => c.getLong(i)
+            case 4 => c.getInt(i).toLong
+            case 2 => c.getShort(i).toLong
+            case _ => c.getByte(i).toLong
+          }
+          cmpOk(java.lang.Long.compare(v, rhs), op)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Double/float comparison with Spark's SQL ordering: `v == rhs` first
+    * (so -0.0 = 0.0 holds), else Double.compare (NaN greatest, NaN =
+    * NaN) — the same contract SQLOrderingUtil.compareDoubles encodes. */
+  private[graft] final case class CmpDoubleAtom(idx: Int, width: Int,
+      op: Int, rhs: Double) extends FilterAtom {
+    def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
+        first: Boolean): Unit = {
+      val c = b.column(idx)
+      val noNull = !c.hasNull
+      var i = 0
+      if (first) while (i < n) {
+        mask(i) = (noNull || !c.isNullAt(i)) && {
+          val v = if (width == 0) c.getDouble(i) else c.getFloat(i).toDouble
+          cmpOk(if (v == rhs) 0 else java.lang.Double.compare(v, rhs), op)
+        }
+        i += 1
+      } else while (i < n) {
+        if (mask(i)) mask(i) = (noNull || !c.isNullAt(i)) && {
+          val v = if (width == 0) c.getDouble(i) else c.getFloat(i).toDouble
+          cmpOk(if (v == rhs) 0 else java.lang.Double.compare(v, rhs), op)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** String predicate: kind 0 contains, 1 prefix, 2 suffix, 3 equals. */
+  private[graft] final case class StrAtom(idx: Int, kind: Int,
+      needle: UTF8String) extends FilterAtom {
+    def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
+        first: Boolean): Unit = {
+      val c = b.column(idx)
+      val noNull = !c.hasNull
+      def ok(i: Int): Boolean = (noNull || !c.isNullAt(i)) && {
+        val s = c.getUTF8String(i)
+        (kind: @annotation.switch) match {
+          case 0 => s.contains(needle)
+          case 1 => s.startsWith(needle)
+          case 2 => s.endsWith(needle)
+          case _ => s.equals(needle)
+        }
+      }
+      var i = 0
+      if (first) while (i < n) { mask(i) = ok(i); i += 1 }
+      else while (i < n) { if (mask(i)) mask(i) = ok(i); i += 1 }
+    }
+  }
+
+  private[graft] final case class NullTestAtom(idx: Int, isNull: Boolean)
+    extends FilterAtom {
+    def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
+        first: Boolean): Unit = {
+      val c = b.column(idx)
+      if (!c.hasNull) {
+        // constant over the batch
+        if (isNull) java.util.Arrays.fill(mask, 0, n, false)
+        else if (first) java.util.Arrays.fill(mask, 0, n, true)
+        return
+      }
+      var i = 0
+      if (first) while (i < n) { mask(i) = c.isNullAt(i) == isNull; i += 1 }
+      else while (i < n) {
+        if (mask(i)) mask(i) = c.isNullAt(i) == isNull; i += 1
+      }
+    }
+  }
+
+  /** Decompose a residual predicate into vectorizable atoms; None keeps
+    * the generated-Predicate path. */
+  private[graft] def decomposeFilter(cond: Expression,
+      scanOutput: Seq[Attribute]): Option[Array[FilterAtom]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val colIdx = scanOutput.map(_.exprId).zipWithIndex.toMap
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def longWidth(t: DataType): Int = t match {
+      case LongType | TimestampType | TimestampNTZType => 8
+      case IntegerType | DateType => 4
+      case ShortType => 2
+      case ByteType => 1
+      case _ => 0
+    }
+    def litLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case by: Byte => by.toLong
+      case _ => 0L
+    }
+    def cmpAtom(a: Attribute, lit: Literal, op: Int): Option[FilterAtom] = {
+      if (lit.value == null) return None
+      colIdx.get(a.exprId).flatMap { idx =>
+        a.dataType match {
+          case DoubleType =>
+            Some(CmpDoubleAtom(idx, 0, op, lit.value.asInstanceOf[Double]))
+          case FloatType =>
+            Some(CmpDoubleAtom(idx, -1, op,
+              lit.value.asInstanceOf[Float].toDouble))
+          case t @ (LongType | IntegerType | ShortType | ByteType |
+              DateType | TimestampType | TimestampNTZType) =>
+            Some(CmpLongAtom(idx, longWidth(t), op, litLong(lit.value)))
+          case StringType if op == 4 =>
+            Some(StrAtom(idx, 3, lit.value.asInstanceOf[UTF8String]))
+          case _ => None
+        }
+      }
+    }
+    def flipOp(op: Int): Int = (op: @annotation.switch) match {
+      case 0 => 2; case 1 => 3; case 2 => 0; case 3 => 1; case _ => 4
+    }
+    def atomOf(e: Expression): Option[FilterAtom] = e match {
+      case IsNotNull(a: AttributeReference) =>
+        colIdx.get(a.exprId).map(NullTestAtom(_, isNull = false))
+      case IsNull(a: AttributeReference) =>
+        colIdx.get(a.exprId).map(NullTestAtom(_, isNull = true))
+      case cmp: BinaryComparison if !cmp.isInstanceOf[EqualNullSafe] =>
+        val op = cmp match {
+          case _: LessThan => 0
+          case _: LessThanOrEqual => 1
+          case _: GreaterThan => 2
+          case _: GreaterThanOrEqual => 3
+          case _ => 4 // EqualTo
+        }
+        (cmp.left, cmp.right) match {
+          case (a: AttributeReference, l: Literal) => cmpAtom(a, l, op)
+          case (l: Literal, a: AttributeReference) =>
+            cmpAtom(a, l, flipOp(op))
+          case _ => None
+        }
+      case Contains(a: AttributeReference,
+          Literal(s: UTF8String, StringType)) =>
+        colIdx.get(a.exprId).map(StrAtom(_, 0, s))
+      case StartsWith(a: AttributeReference,
+          Literal(s: UTF8String, StringType)) =>
+        colIdx.get(a.exprId).map(StrAtom(_, 1, s))
+      case EndsWith(a: AttributeReference,
+          Literal(s: UTF8String, StringType)) =>
+        colIdx.get(a.exprId).map(StrAtom(_, 2, s))
+      case _ => None
+    }
+    val parts = conjuncts(cond).map(atomOf)
+    if (parts.nonEmpty && parts.forall(_.isDefined))
+      Some(parts.flatten.toArray)
+    else None
+  }
+
   override def apply(plan: SparkPlan): SparkPlan = {
     val mode = conf.getConfString(ModeConf, "off").toLowerCase
     if (mode == "off") return plan
@@ -459,15 +668,26 @@ final case class LowCardAggExec(
     }
     val columnar = findColumnar(child)
     val scanOutput = columnar.output
+    // vectorized residual predicate when every conjunct decomposes —
+    // evaluated column-at-a-time into the mask instead of per-row
+    // through a batch-row view (h01 profile: the row detour was ~50%
+    // of the filtered global aggregate). A/B lever + escape hatch:
+    // spark.graft.lowCardAgg.vectorFilter (default true).
+    val atoms: Array[FilterAtom] =
+      if (!conf.getConfString(
+          "spark.graft.lowCardAgg.vectorFilter", "true").toBoolean) null
+      else cond.flatMap(decomposeFilter(_, scanOutput)).orNull
     columnar.executeColumnar().mapPartitionsWithIndex { (pi, batches) =>
-      // the scan's residual predicate, via Spark's own generated
-      // Predicate over reused batch-row views — stock FilterExec cost
-      val pred = cond.map { c =>
-        val p = org.apache.spark.sql.catalyst.expressions.Predicate
-          .create(c, scanOutput)
-        p.initialize(pi)
-        p
-      }.orNull
+      // fallback: the scan's residual predicate via Spark's own
+      // generated Predicate over reused batch-row views
+      val pred =
+        if (atoms != null) null
+        else cond.map { c =>
+          val p = org.apache.spark.sql.catalyst.expressions.Predicate
+            .create(c, scanOutput)
+          p.initialize(pi)
+          p
+        }.orNull
       val compProj =
         if (computedExprs.isEmpty) null
         else {
@@ -477,7 +697,7 @@ final case class LowCardAggExec(
           p
         }
       new LowCardAggIterator(batches, keys, aggs, outs, outTypes, flushCap,
-        pred, direct, compProj, computedExprs.length)
+        pred, direct, compProj, computedExprs.length, atoms)
     }
   }
 }
@@ -494,7 +714,8 @@ private[graft] final class LowCardAggIterator(
     pred: org.apache.spark.sql.catalyst.expressions.BasePredicate = null,
     directConf: Boolean = true,
     compProj: org.apache.spark.sql.catalyst.expressions.MutableProjection = null,
-    nComp: Int = 0)
+    nComp: Int = 0,
+    atoms: Array[LowCardAgg.FilterAtom] = null)
     extends Iterator[InternalRow] {
 
   import LowCardAgg._
@@ -878,10 +1099,15 @@ private[graft] final class LowCardAggIterator(
     def mark(acc: Long): Long = if (dbg) {
       val now = System.nanoTime(); val d = now - tMark; tMark = now; acc + d
     } else acc
-    // residual-filter selection mask (batch.getRow reuses one row view)
-    val hasFilter = pred != null
+    // residual-filter selection mask: vectorized atoms when the
+    // predicate decomposed (column-at-a-time, no row views), else the
+    // generated Predicate over reused batch-row views
+    val hasFilter = pred != null || atoms != null
     val sl = sel
-    if (hasFilter) {
+    if (atoms != null) {
+      var a = 0
+      while (a < atoms.length) { atoms(a).eval(b, n, sl, a == 0); a += 1 }
+    } else if (pred != null) {
       var i = 0
       while (i < n) { sl(i) = pred.eval(b.getRow(i)); i += 1 }
     }

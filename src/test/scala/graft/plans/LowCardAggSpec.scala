@@ -200,6 +200,32 @@ class LowCardAggSpec extends AnyFunSuite {
       .groupBy("kint").agg(count(lit(1)).as("n"), max(col("vd")).as("m")))
   }
 
+  test("vectorized filter atoms: conjunction of cmp/null/string tests") {
+    // every conjunct decomposes → the column-at-a-time mask path
+    assertSame(t.filter(col("vd") > 100.5 && col("klong").isNotNull &&
+        col("kshort") === "grp_3" && col("vl") <= 400)
+      .groupBy("kint").agg(count(lit(1)).as("n"), sum(col("vl")).as("s"),
+        avg(col("vd")).as("a")))
+  }
+
+  test("vectorized filter atoms: date/timestamp bounds + contains") {
+    assertSame(t.filter(col("kdate") >= lit("2024-01-03").cast("date") &&
+        col("ts") < lit("2024-03-01 04:00:00").cast("timestamp_ntz") &&
+        col("klongstr").contains("key_4"))
+      .groupBy("kshort").agg(count(lit(1)).as("n"), min(col("vd")).as("m")))
+  }
+
+  test("vectorized filter atoms: literal-on-left flips the comparison") {
+    assertSame(t.filter(lit(300) > col("vl") && lit("grp_2") === col("kshort"))
+      .groupBy("kint").agg(count(lit(1)).as("n"), sum(col("vl")).as("s")))
+  }
+
+  test("non-decomposable filter (OR / NOT) keeps the predicate fallback") {
+    assertSame(t.filter((col("vl") > 100 || col("vd") < 50) &&
+        col("kint") =!= 2)
+      .groupBy("klong").agg(count(lit(1)).as("n")))
+  }
+
   test("the exchange above the operator shrinks to the configured count") {
     withLowCard() {
       val df = t.groupBy("klong").agg(count(lit(1)).as("n"))
