@@ -220,6 +220,138 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
   }
 
+  // ── vectorized computed aggregate inputs ───────────────────────────────
+  /** A double-valued arithmetic expression over scan columns compiled to
+    * a column-at-a-time program (the revenue shape `sum(a * (1 - b))`).
+    * The row-projection variant measured a LOSS vs stock codegen
+    * (probes/lowcard_agg.json: getRow + projection per row); this form
+    * evaluates each node as one monomorphic loop over the batch —
+    * the same shape that won for the residual predicate. op: 0 `+`,
+    * 1 `-`, 2 `*`, 3 `/`. Nulls propagate (either side null → null). */
+  private[graft] sealed trait VecSpec extends Serializable
+  private[graft] final case class VCol(idx: Int, width: Int) extends VecSpec
+  private[graft] final case class VLit(v: Double) extends VecSpec
+  private[graft] final case class VBin(op: Int, l: VecSpec, r: VecSpec)
+    extends VecSpec
+
+  /** Compile `e` (double-typed, deterministic, over scan columns) to a
+    * [[VecSpec]]; None → the shape stays with stock codegen. */
+  private[graft] def compileVec(e: Expression,
+      colIdx: Map[Long, Int]): Option[VecSpec] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def widthOfNum(t: DataType): Option[Int] = t match {
+      case DoubleType => Some(0)
+      case FloatType => Some(-1)
+      case LongType => Some(8)
+      case IntegerType => Some(4)
+      case ShortType => Some(2)
+      case ByteType => Some(1)
+      case _ => None
+    }
+    def go(x: Expression): Option[VecSpec] = x match {
+      case a: AttributeReference =>
+        for { i <- colIdx.get(a.exprId.id); w <- widthOfNum(a.dataType) }
+          yield VCol(i, w)
+      case Literal(v, t) if v != null && widthOfNum(t).isDefined =>
+        Some(VLit(v match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case s: Short => s.toDouble
+          case b: Byte => b.toDouble
+        }))
+      // numeric-to-numeric casts are value-preserving under the
+      // read-as-double evaluation (long→double is IEEE-lossy the same
+      // way Spark's own cast is)
+      case c: Cast if widthOfNum(c.dataType).isDefined &&
+          widthOfNum(c.child.dataType).isDefined => go(c.child)
+      case Add(l, r, _) => for (a <- go(l); b <- go(r)) yield VBin(0, a, b)
+      case Subtract(l, r, _) =>
+        for (a <- go(l); b <- go(r)) yield VBin(1, a, b)
+      case Multiply(l, r, _) =>
+        for (a <- go(l); b <- go(r)) yield VBin(2, a, b)
+      // Divide deliberately absent: Spark's Divide is NULL-on-zero
+      // (error under ANSI) even for doubles — not IEEE `/`
+      case _ => None
+    }
+    if (e.dataType == DoubleType) go(e) else None
+  }
+
+  /** Per-partition evaluator for a [[VecSpec]] tree: each node owns its
+    * output buffers; eval is one tight loop per node per batch. */
+  private[graft] final class VecNode(val spec: VecSpec) {
+    val l: VecNode = spec match {
+      case VBin(_, a, _) => new VecNode(a); case _ => null }
+    val r: VecNode = spec match {
+      case VBin(_, _, b) => new VecNode(b); case _ => null }
+    var out: Array[Double] = new Array[Double](0)
+    var nulls: Array[Boolean] = new Array[Boolean](0)
+    private var litFilled = 0
+    def ensure(n: Int): Unit = {
+      if (out.length < n) {
+        out = new Array[Double](n); nulls = new Array[Boolean](n)
+        litFilled = 0
+      }
+      if (l != null) { l.ensure(n); r.ensure(n) }
+    }
+    def eval(b: ColumnarBatch, n: Int): Unit = spec match {
+      case VLit(v) =>
+        if (litFilled < n) {
+          java.util.Arrays.fill(out, 0, n, v)
+          java.util.Arrays.fill(nulls, 0, n, false)
+          litFilled = n
+        }
+      case VCol(idx, w) =>
+        val c = b.column(idx)
+        val noNull = !c.hasNull
+        var i = 0
+        if (noNull) {
+          java.util.Arrays.fill(nulls, 0, n, false)
+          while (i < n) {
+            out(i) = (w: @annotation.switch) match {
+              case 0 => c.getDouble(i)
+              case -1 => c.getFloat(i).toDouble
+              case 8 => c.getLong(i).toDouble
+              case 4 => c.getInt(i).toDouble
+              case 2 => c.getShort(i).toDouble
+              case _ => c.getByte(i).toDouble
+            }
+            i += 1
+          }
+        } else while (i < n) {
+          if (c.isNullAt(i)) nulls(i) = true
+          else {
+            nulls(i) = false
+            out(i) = (w: @annotation.switch) match {
+              case 0 => c.getDouble(i)
+              case -1 => c.getFloat(i).toDouble
+              case 8 => c.getLong(i).toDouble
+              case 4 => c.getInt(i).toDouble
+              case 2 => c.getShort(i).toDouble
+              case _ => c.getByte(i).toDouble
+            }
+          }
+          i += 1
+        }
+      case VBin(op, _, _) =>
+        l.eval(b, n); r.eval(b, n)
+        val lo = l.out; val ln = l.nulls
+        val ro = r.out; val rn = r.nulls
+        var i = 0
+        (op: @annotation.switch) match {
+          case 0 => while (i < n) {
+            out(i) = lo(i) + ro(i); nulls(i) = ln(i) || rn(i); i += 1 }
+          case 1 => while (i < n) {
+            out(i) = lo(i) - ro(i); nulls(i) = ln(i) || rn(i); i += 1 }
+          case 2 => while (i < n) {
+            out(i) = lo(i) * ro(i); nulls(i) = ln(i) || rn(i); i += 1 }
+          case _ => while (i < n) {
+            out(i) = lo(i) / ro(i); nulls(i) = ln(i) || rn(i); i += 1 }
+        }
+    }
+  }
+
   /** Decompose a residual predicate into vectorizable atoms; None keeps
     * the generated-Predicate path. */
   private[graft] def decomposeFilter(cond: Expression,
@@ -498,18 +630,29 @@ object LowCardAgg extends Rule[SparkPlan] {
     if (keySpecs.exists(_.isEmpty)) return None
 
     // computed aggregate inputs: a deterministic double EXPRESSION over
-    // scan columns (the revenue shape `sum(a*(1-b))`) evaluates per
-    // batch through Spark's generated projection into a temp array —
-    // the agg loops then run unchanged. MEASURED A LOSS on the h05
-    // global+filter shape (-25%: stock whole-stage codegen already
-    // fuses the arithmetic into its loop, while this path pays getRow +
-    // projection per row — probes/lowcard_agg.json addendum), so the
-    // lever defaults OFF and expression inputs bail to stock.
-    val computedOn =
-      conf.getConfString(ComputedConf, "false").toBoolean
+    // scan columns (the revenue shape `sum(a*(1-b))`). Modes
+    // (spark.graft.lowCardAgg.computedInputs):
+    //   off (legacy "false") — expression inputs bail to stock;
+    //   row (legacy "true")  — per-row generated projection. MEASURED A
+    //       LOSS on the h05 global+filter shape (-25%: stock codegen
+    //       fuses the arithmetic; this pays getRow + projection per
+    //       row — probes/lowcard_agg.json addendum);
+    //   vector (DEFAULT) — column-at-a-time [[VecSpec]] program (one
+    //       monomorphic loop per node per batch, the shape that won for
+    //       the residual predicate): probes/vector_compute.json measured
+    //       the grouped revenue shape at -39% vs stock codegen and the
+    //       global+filter h05 shape at parity; expressions that don't
+    //       compile bail to stock.
+    val computedMode =
+      conf.getConfString(ComputedConf, "vector").toLowerCase match {
+        case "true" | "row" => "row"
+        case "vector" => "vector"
+        case _ => "off"
+      }
     val computed = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val computedVec = scala.collection.mutable.ArrayBuffer.empty[VecSpec]
     def getOrCompute(e0: Expression): Option[Get] = getOf(e0).orElse {
-      if (!computedOn) return None
+      if (computedMode == "off") return None
       val e = e0.transformUp {
         case a: AttributeReference if aliasMap.contains(a.exprId.id) =>
           aliasMap(a.exprId.id)
@@ -517,8 +660,16 @@ object LowCardAgg extends Rule[SparkPlan] {
       if (e.deterministic && e.dataType == DoubleType &&
           e.references.subsetOf(
             org.apache.spark.sql.catalyst.expressions.AttributeSet(scan.output))) {
-        computed += e
-        Some(Get(computed.length - 1, -3))
+        if (computedMode == "vector") {
+          compileVec(e, colIdx).map { spec =>
+            computedVec += spec
+            computed += e // row-path parity for the exec's arity checks
+            Get(computed.length - 1, -3)
+          }
+        } else {
+          computed += e
+          Some(Get(computed.length - 1, -3))
+        }
       } else None
     }
     // aggregates — buffer layout must match what the FINAL agg merges
@@ -587,7 +738,8 @@ object LowCardAgg extends Rule[SparkPlan] {
     val flush = conf.getConfString(FlushConf, (1 << 20).toString).toInt
     val direct = conf.getConfString(DirectConf, "true").toBoolean
     Some(LowCardAggExec(agg.output, keySpecs.flatten, aggSpecs.flatten,
-      outCols.flatten, flush, filterCond, scan, direct, computed.toSeq))
+      outCols.flatten, flush, filterCond, scan, direct, computed.toSeq,
+      computedVec.toSeq))
   }
 }
 
@@ -640,7 +792,8 @@ final case class LowCardAggExec(
     filterCond: Option[Expression],
     child: SparkPlan,
     direct: Boolean = true,
-    computedExprs: Seq[Expression] = Nil) extends UnaryExecNode {
+    computedExprs: Seq[Expression] = Nil,
+    computedVecs: Seq[LowCardAgg.VecSpec] = Nil) extends UnaryExecNode {
 
   import LowCardAgg._
 
@@ -655,6 +808,7 @@ final case class LowCardAggExec(
     val flushCap = flushGroups
     val cond = filterCond
     val computedExprs = this.computedExprs
+    val computedVecs = this.computedVecs
     // transition + codegen rules may wrap the scan in ColumnarToRow /
     // WholeStageCodegen / InputAdapter shells below this operator —
     // unwrap to the columnar source and consume its batches directly
@@ -688,8 +842,13 @@ final case class LowCardAggExec(
           p.initialize(pi)
           p
         }.orNull
+      // computed inputs: vector programs when compiled, else the
+      // generated row projection
+      val vecComp: Array[VecNode] =
+        if (computedVecs.nonEmpty) computedVecs.map(new VecNode(_)).toArray
+        else null
       val compProj =
-        if (computedExprs.isEmpty) null
+        if (computedExprs.isEmpty || vecComp != null) null
         else {
           val p = org.apache.spark.sql.catalyst.expressions.MutableProjection
             .create(computedExprs, scanOutput)
@@ -697,7 +856,7 @@ final case class LowCardAggExec(
           p
         }
       new LowCardAggIterator(batches, keys, aggs, outs, outTypes, flushCap,
-        pred, direct, compProj, computedExprs.length, atoms)
+        pred, direct, compProj, computedExprs.length, atoms, vecComp)
     }
   }
 }
@@ -715,7 +874,8 @@ private[graft] final class LowCardAggIterator(
     directConf: Boolean = true,
     compProj: org.apache.spark.sql.catalyst.expressions.MutableProjection = null,
     nComp: Int = 0,
-    atoms: Array[LowCardAgg.FilterAtom] = null)
+    atoms: Array[LowCardAgg.FilterAtom] = null,
+    vecComp: Array[LowCardAgg.VecNode] = null)
     extends Iterator[InternalRow] {
 
   import LowCardAgg._
@@ -1112,20 +1272,33 @@ private[graft] final class LowCardAggIterator(
       while (i < n) { sl(i) = pred.eval(b.getRow(i)); i += 1 }
     }
     if (nComp > 0) {
-      // one generated-projection pass materializes every computed input
-      // (rows the filter drops are skipped; their slots are never read)
-      var i = 0
-      while (i < n) {
-        if (!hasFilter || sl(i)) {
-          val r = compProj(b.getRow(i))
-          var c = 0
-          while (c < nComp) {
-            if (r.isNullAt(c)) compN(c)(i) = true
-            else { compN(c)(i) = false; compV(c)(i) = r.getDouble(c) }
-            c += 1
-          }
+      if (vecComp != null) {
+        // column-at-a-time programs: branchless full-batch evaluation,
+        // buffers swapped in by reference (filtered-out slots hold
+        // valid-but-unread doubles)
+        var c = 0
+        while (c < nComp) {
+          val nd = vecComp(c)
+          nd.ensure(n); nd.eval(b, n)
+          compV(c) = nd.out; compN(c) = nd.nulls
+          c += 1
         }
-        i += 1
+      } else {
+        // one generated-projection pass materializes every computed input
+        // (rows the filter drops are skipped; their slots are never read)
+        var i = 0
+        while (i < n) {
+          if (!hasFilter || sl(i)) {
+            val r = compProj(b.getRow(i))
+            var c = 0
+            while (c < nComp) {
+              if (r.isNullAt(c)) compN(c)(i) = true
+              else { compN(c)(i) = false; compV(c)(i) = r.getDouble(c) }
+              c += 1
+            }
+          }
+          i += 1
+        }
       }
     }
     // grouping-free (global) aggregate: one group, no key passes — the

@@ -269,9 +269,32 @@ class LowCardAggSpec extends AnyFunSuite {
     // global + filter + NULL-propagating expression (vd or vl NULL)
     assertSame(t.filter(col("kint") =!= 2).agg(
       sum(col("vd") * col("vl")).as("s"), count(lit(1)).as("n")), extra = on)
-    // default: expression inputs bail to stock
+    // mode off: expression inputs bail to stock (default is now vector)
     assertSame(t.groupBy("kint").agg(
-      sum(col("vd") * col("vl")).as("s")), expectFire = false)
+      sum(col("vd") * col("vl")).as("s")),
+      extra = Map("spark.graft.lowCardAgg.computedInputs" -> "off"),
+      expectFire = false)
+  }
+
+  test("expression aggregate inputs: vectorized computed-column path") {
+    val on = Map("spark.graft.lowCardAgg.computedInputs" -> "vector")
+    // the revenue shape + mixed-width operands (double, float, long)
+    assertSame(t.groupBy("kint").agg(
+      sum(col("vd") * (lit(1.0) - col("vf"))).as("rev"),
+      avg(col("vd") + col("vl")).as("a"),
+      count(lit(1)).as("n")), extra = on)
+    // global + filter + NULL-propagating expression (vd or vl NULL)
+    assertSame(t.filter(col("kint") =!= 2).agg(
+      sum(col("vd") * col("vl")).as("s"), count(lit(1)).as("n")), extra = on)
+    // nested arithmetic + subtraction ordering
+    assertSame(t.groupBy("kshort").agg(
+      sum((col("vd") - col("vl")) * (col("vf") + lit(2.5))).as("x"),
+      avg(col("vd") + col("vd")).as("a2")), extra = on)
+    // a shape the compiler rejects (division: ANSI error-on-zero
+    // semantics) bails to stock rather than mis-evaluating
+    assertSame(t.groupBy("kint").agg(
+      sum(col("vd") / (col("vl") + lit(1))).as("s")),
+      extra = on, expectFire = false)
   }
 
   test("grouping-free (global) aggregates fire: plain, filtered, empty") {
