@@ -831,6 +831,10 @@ final case class LowCardAggExec(
       if (!conf.getConfString(
           "spark.graft.lowCardAgg.vectorFilter", "true").toBoolean) null
       else cond.flatMap(decomposeFilter(_, scanOutput)).orNull
+    // perfect-hash over per-batch dictionary codes for string keys —
+    // A/B lever + escape hatch (probes/dict_combo.json)
+    val dictCombo = conf.getConfString(
+      "spark.graft.lowCardAgg.dictCombo", "true").toBoolean
     columnar.executeColumnar().mapPartitionsWithIndex { (pi, batches) =>
       // fallback: the scan's residual predicate via Spark's own
       // generated Predicate over reused batch-row views
@@ -856,7 +860,8 @@ final case class LowCardAggExec(
           p
         }
       new LowCardAggIterator(batches, keys, aggs, outs, outTypes, flushCap,
-        pred, direct, compProj, computedExprs.length, atoms, vecComp)
+        pred, direct, compProj, computedExprs.length, atoms, vecComp,
+        dictCombo)
     }
   }
 }
@@ -875,7 +880,8 @@ private[graft] final class LowCardAggIterator(
     compProj: org.apache.spark.sql.catalyst.expressions.MutableProjection = null,
     nComp: Int = 0,
     atoms: Array[LowCardAgg.FilterAtom] = null,
-    vecComp: Array[LowCardAgg.VecNode] = null)
+    vecComp: Array[LowCardAgg.VecNode] = null,
+    dictCombo: Boolean = true)
     extends Iterator[InternalRow] {
 
   import LowCardAgg._
@@ -990,11 +996,28 @@ private[graft] final class LowCardAggIterator(
     tmpN = Array.fill(nKeys)(new Array[Boolean](tmpCap))
     tmpS = Array.fill(nKeys)(new Array[UTF8String](tmpCap))
     tmpLen = Array.fill(nKeys)(new Array[Int](tmpCap))
+    tmpId = Array.fill(nKeys)(new Array[Int](tmpCap))
     sel = new Array[Boolean](tmpCap)
     if (nComp > 0) {
       compV = Array.fill(nComp)(new Array[Double](tmpCap))
       compN = Array.fill(nComp)(new Array[Boolean](tmpCap))
     }
+  }
+
+  // per-batch dictionary-CODE state: when every grouping key of a batch
+  // is dictionary-backed, (code0, code1) is a perfect key within the
+  // batch and the combo cache maps it straight to a gid — the hash pass
+  // and the per-row table probe collapse to one array load per row
+  // (DuckDB's perfect-hash-over-dictionary-codes trick)
+  private var tmpId: Array[Array[Int]] = null
+  private val batchDict = new Array[Boolean](math.max(nKeys, 1))
+  private val batchDictMax = new Array[Int](math.max(nKeys, 1))
+  private var comboG: Array[Int] = new Array[Int](0)
+  private var comboEp: Array[Int] = new Array[Int](0)
+  private var comboEpoch = 0
+  private def ensureCombo(size: Int): Unit = if (comboG.length < size) {
+    comboG = new Array[Int](size)
+    comboEp = new Array[Int](size) // epoch 0 never used → no fill needed
   }
 
   private var sel: Array[Boolean] = null
@@ -1032,6 +1055,7 @@ private[graft] final class LowCardAggIterator(
   private def extractKey(b: ColumnarBatch, k: Int, n: Int): Unit = {
     val spec = keys(k)._1
     val c = b.column(spec.idx)
+    batchDict(k) = false
     val vL = tmpL(k); val vN = tmpN(k); val vS = tmpS(k)
     val unit = spec.floorUnit
     val noNull = !c.hasNull
@@ -1119,6 +1143,8 @@ private[graft] final class LowCardAggIterator(
           val ids = wv.getDictionaryIds
           dictEpoch += 1
           val epoch = dictEpoch
+          val vId = tmpId(k)
+          var maxId = 0
           var i = 0
           while (i < n) {
             if (!noNull && c.isNullAt(i)) { vN(i) = true; vS(i) = null; vLen(i) = 0 }
@@ -1135,9 +1161,13 @@ private[graft] final class LowCardAggIterator(
                 else { dictS(id) = s; dictLen(id) = -1 }
               }
               vL(i) = dictL(id); vLen(i) = dictLen(id); vS(i) = dictS(id)
+              vId(i) = id
+              if (id > maxId) maxId = id
             }
             i += 1
           }
+          batchDict(k) = true
+          batchDictMax(k) = maxId
         } else {
         // short strings (≤8 bytes — flags, status codes, event types)
         // pack losslessly into (first-8-bytes prefix, length): hashing
@@ -1187,6 +1217,50 @@ private[graft] final class LowCardAggIterator(
       dictS = java.util.Arrays.copyOf(dictS, nc)
     }
     dictCap = nc
+  }
+
+  /** Row hash on demand — must match the batch hash pass exactly (the
+    * table stores groupHash from whichever path inserted the group). */
+  private def hashRowAt(i: Int): Int = {
+    var h = 17
+    var k = 0
+    while (k < nKeys) {
+      val hk =
+        if (tmpN(k)(i)) 0
+        else if (keys(k)._1.width == -2) {
+          if (tmpLen(k)(i) >= 0) {
+            val v = tmpL(k)(i)
+            (v ^ (v >>> 32)).toInt * 31 + tmpLen(k)(i)
+          } else tmpS(k)(i).hashCode()
+        } else {
+          val v = tmpL(k)(i)
+          (v ^ (v >>> 32)).toInt
+        }
+      h = h * 31 + hk
+      k += 1
+    }
+    h
+  }
+
+  /** Generic probe/insert for the RARE rows of the combo path (combo
+    * miss — once per distinct code pair per batch — and null keys).
+    * Re-reads the table fields each call, so rehash needs no local
+    * refresh here. */
+  private def probeSlow(i: Int): Int = {
+    val h = hashRowAt(i) & 0x7fffffff
+    var mask = table.length - 1
+    var s = h & mask
+    while (true) {
+      val t = table(s)
+      if (t == -1) {
+        val g = newGroupTmp(i, h)
+        table(s) = g
+        if (nGroups * 3 > table.length * 2) rehash()
+        return g
+      } else if (groupHash(t) == h && keysEqualTmp(i, t)) return t
+      else s = (s + 1) & mask
+    }
+    -1
   }
 
   private def keysEqualTmp(i: Int, g: Int): Boolean = {
@@ -1321,6 +1395,45 @@ private[graft] final class LowCardAggIterator(
     var k = 0
     while (k < nKeys) { extractKey(b, k, n); k += 1 }
     tExtract = mark(tExtract)
+    // dictionary-code combo path: every key of THIS batch id-encoded →
+    // (code0[, code1]) is a perfect within-batch key; one array load
+    // replaces hash + probe per row, with the generic probe paid once
+    // per distinct code combo per batch (and for NULL-key rows)
+    if (dictCombo && nKeys <= 2 && batchDict(0) &&
+        (nKeys == 1 || batchDict(1)) && {
+          val s1 = if (nKeys == 2) batchDictMax(1) + 1 else 1
+          (batchDictMax(0).toLong + 1) * s1 <= (1 << 22)
+        }) {
+      val two = nKeys == 2
+      val stride = if (two) batchDictMax(1) + 1 else 1
+      ensureCombo((batchDictMax(0) + 1) * stride)
+      comboEpoch += 1
+      val ep = comboEpoch
+      val cg = comboG; val ce = comboEp
+      val id0 = tmpId(0); val id1 = if (two) tmpId(1) else null
+      val n0 = tmpN(0); val n1 = if (two) tmpN(1) else null
+      val ids = gids
+      tHash = mark(tHash) // hash pass skipped entirely
+      var i = 0
+      while (i < n) {
+        if (hasFilter && !sl(i)) ids(i) = -1
+        else if (n0(i) || (two && n1(i))) ids(i) = probeSlow(i)
+        else {
+          val cidx =
+            if (two) id0(i) * stride + id1(i) else id0(i)
+          if (ce(cidx) == ep) ids(i) = cg(cidx)
+          else {
+            val g = probeSlow(i)
+            cg(cidx) = g; ce(cidx) = ep; ids(i) = g
+          }
+        }
+        i += 1
+      }
+      tProbe = mark(tProbe)
+      runAggPass(b, n)
+      tAgg = mark(tAgg)
+      return
+    }
     val hsh = rowHash
     java.util.Arrays.fill(hsh, 0, n, 17)
     k = 0
