@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   private case class HeavyOut(full: String, compact: String,
-      dir: String, secs: Map[String, Double])
+      dir: String, secs: Map[String, Double], autoFailed: Boolean = false)
 
   /** Execute the query's FULL physical plan and count its rows without
     * collecting them. `df.count()` is NOT that: Catalyst prunes columns
@@ -167,6 +167,12 @@ object Bench {
       }
     println(out)
     spark.stop()
+    if (heavyOut.exists(_.autoFailed)) {
+      System.err.println("FATAL: stats-gated auto did NOT fire on the " +
+        "eligible heavy shapes (see heavy_gate_mode) — artifact written, " +
+        "exiting non-zero (round-11 directive #7)")
+      sys.exit(2)
+    }
   }
 
   // ── heavy phase ─────────────────────────────────────────────────────────
@@ -294,6 +300,25 @@ object Bench {
     val sweepLoads = scala.collection.mutable.ArrayBuffer.empty[String]
     val sweepExt = scala.collection.mutable.ArrayBuffer.empty[Double]
     val sweepWait = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Per-sample GC / spill / fetch-wait deltas (round-11 directive #2:
+    // the h09/h04 quiet-run bimodality needs a named mechanism — the
+    // artifact now carries the evidence per sample), plus the physical
+    // join operator AQE picked for each h09 sample (plan-flip check:
+    // shuffled-hash vs sort-merge is exactly a 2-3× swing).
+    val bm = new org.apache.spark.GraftBenchMetrics(spark.sparkContext)
+    val gcS = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    val spillS = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    val fetchS = scala.collection.mutable.Map.empty[String, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    val joinImpl = scala.collection.mutable.ArrayBuffer.empty[String]
+    def joinTag(df: DataFrame): String = {
+      val p = df.queryExecution.executedPlan.toString
+      if (p.contains("ShuffledHashJoin")) "SHJ"
+      else if (p.contains("SortMergeJoin")) "SMJ"
+      else if (p.contains("BroadcastHashJoin")) "BHJ" else "?"
+    }
     def runSweep(): Unit = {
       // Re-gate BEFORE each sweep (round-8 judge: the reproduced-minima
       // detector passed an artifact whose every sample was uniformly
@@ -307,11 +332,23 @@ object Bench {
       sweepExt += ext; sweepWait += waited
       sweepLoads += loadavg()
       heavy.foreach { case (name, fn, _) =>
-        val t0 = System.nanoTime()
-        val ok = try { fullExec(fn()); true } catch { case e: Throwable =>
-          System.err.println(s"heavy $name FAILED: $e"); false }
-        if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-        else failedQ += name
+        val df = try fn() catch { case e: Throwable =>
+          System.err.println(s"heavy $name build FAILED: $e")
+          failedQ += name; null }
+        if (df != null) {
+          val (g0, sp0, fw0, _) = bm.snapshot()
+          val t0 = System.nanoTime()
+          val ok = try { fullExec(df); true } catch { case e: Throwable =>
+            System.err.println(s"heavy $name FAILED: $e"); false }
+          if (ok) {
+            samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+            val (g1, sp1, fw1, _) = bm.snapshot()
+            gcS(name) = gcS(name) :+ (g1 - g0)
+            spillS(name) = spillS(name) :+ (sp1 - sp0)
+            fetchS(name) = fetchS(name) :+ (fw1 - fw0)
+            if (name == "h09_join_agg") joinImpl += joinTag(df)
+          } else failedQ += name
+        }
       }
     }
     // spread is computed over steady-state samples: each query's FIRST
@@ -355,18 +392,6 @@ object Bench {
           st.size < 2 || (st(0) > 0 &&
             st(1) - st(0) >= spreadFloor && st(1) / st(0) > confirmBar)
         } => name }
-    (1 to baseSweeps).foreach(_ => runSweep())
-    var sweeps = baseSweeps
-    while (unconfirmed().nonEmpty && sweeps < maxSweeps) {
-      System.err.println(
-        s"heavy min unconfirmed for ${unconfirmed().mkString(",")} — extra sweep")
-      runSweep(); sweeps += 1
-    }
-    val timed = heavy.map { case (name, _, rows) =>
-      val ok = !failedQ(name) && samples(name).nonEmpty
-      val sec = if (ok) samples(name).min else Double.NaN
-      (name, sec, rows / sec / 1e6, ok)
-    }
     // Committed-quiet-floor cross-check (round-8 judge: uniform
     // background load inflates every sample CONSISTENTLY, so inflated
     // minima reproduce and the confirmation check passes — r8's official
@@ -377,6 +402,13 @@ object Bench {
     // contamination regardless of reproduction.
     val floorBar =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_FLOOR_BAR", "2.0").toDouble
+    // Self-healing (round-11 directive #1: BENCH_r10 shipped with a
+    // Spark h09 at 1.89× floor — detected, not remediated): any query
+    // whose running min exceeds CHASE_BAR × floor triggers extra sweeps
+    // within the maxSweeps budget, the same headroom the unconfirmed
+    // check uses, BEFORE the artifact is stamped.
+    val chaseBar =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_CHASE_BAR", "1.5").toDouble
     val floors: Map[String, Double] =
       if (repl != 100) Map.empty
       else try {
@@ -386,8 +418,27 @@ object Bench {
         node.path("queries").fields().asScala.map(e =>
           e.getKey -> e.getValue.path("secs").path(0).asDouble()).toMap
       } catch { case _: Throwable => Map.empty }
-    val overFloor = timed.collect { case (name, sec, _, true)
-      if floors.get(name).exists(f => f > 0 && sec > floorBar * f) => name }
+    def overFloorNow(bar: Double): Seq[String] = heavy.collect {
+      case (name, _, _) if !failedQ(name) && samples(name).nonEmpty &&
+        floors.get(name).exists(f => f > 0 && samples(name).min > bar * f)
+      => name }
+    (1 to baseSweeps).foreach(_ => runSweep())
+    var sweeps = baseSweeps
+    while ((unconfirmed().nonEmpty || overFloorNow(chaseBar).nonEmpty) &&
+        sweeps < maxSweeps) {
+      System.err.println(
+        s"heavy min unconfirmed for ${unconfirmed().mkString(",")} / " +
+        s"over ${chaseBar}x floor for ${overFloorNow(chaseBar).mkString(",")}" +
+        " — extra sweep")
+      runSweep(); sweeps += 1
+    }
+    val timed = heavy.map { case (name, _, rows) =>
+      val ok = !failedQ(name) && samples(name).nonEmpty
+      val sec = if (ok) samples(name).min else Double.NaN
+      (name, sec, rows / sec / 1e6, ok)
+    }
+    val overFloor = overFloorNow(floorBar)
+    val overChase = overFloorNow(chaseBar)
     val contended = unconfirmed().nonEmpty || overFloor.nonEmpty
     val hq = timed.map { case (k, v, _, ok) =>
       s"\"" + k + "\":" + (if (ok) v.toString else "\"error\"") }
@@ -417,25 +468,47 @@ object Bench {
         s"\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
     // audit: which gate mode produced these numbers, and whether the
     // low-card/bitmap plans actually FIRED under it (auto regressing to
-    // stock silently would otherwise masquerade as a perf loss)
-    val modeJson = {
-      val lc = spark.conf.get("spark.graft.lowCardAgg")
-      val bm = spark.conf.get("spark.graft.bitmapDistinct")
+    // stock silently would otherwise masquerade as a perf loss). Under
+    // `auto`, a non-fire FAILS THE BENCH (round-11 directive #7): the
+    // artifact is still written, but the process exits non-zero so a
+    // silent gate regression can't publish as a perf number.
+    val lcMode = spark.conf.get("spark.graft.lowCardAgg")
+    val bmMode = spark.conf.get("spark.graft.bitmapDistinct")
+    val (lcFired, bmFired) = {
       def fired(df: org.apache.spark.sql.DataFrame, mark: String): Boolean =
         try {
           df.queryExecution.toRdd.count()
           df.queryExecution.executedPlan.toString.contains(mark)
         } catch { case _: Throwable => false }
-      val lcFired = fired(li.groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1))), "LowCardAgg")
-      val bmFired = fired(li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey"))), "bitmap_distinct_count")
-      s""","heavy_gate_mode":{"lowCardAgg":"$lc","bitmapDistinct":"$bm",""" +
-        s""""lowCardAggFired":$lcFired,"bitmapFired":$bmFired}"""
+      (fired(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1))), "LowCardAgg"),
+       fired(li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey"))), "bitmap_distinct_count"))
     }
+    val autoFailed =
+      sys.env.getOrElse("SPARK_GRAFT_AUTO_CHECK", "1") != "0" &&
+        ((lcMode == "auto" && !lcFired) || (bmMode == "auto" && !bmFired))
+    val modeJson =
+      s""","heavy_gate_mode":{"lowCardAgg":"$lcMode","bitmapDistinct":"$bmMode",""" +
+        s""""lowCardAggFired":$lcFired,"bitmapFired":$bmFired}""" +
+        (if (autoFailed) s""","auto_gate_failed":true""" else "")
+    // per-sample mechanism evidence (directive #2): GC ms, spill bytes,
+    // shuffle fetch-wait ms per timed sample, and the join operator AQE
+    // picked per h09 sample — bimodality must name its cause
+    def lmap(m: scala.collection.Map[String, Vector[Long]]): String =
+      timed.collect { case (k, _, _, true) if m(k).nonEmpty =>
+        s"\"" + k + "\":" + m(k).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val mechJson =
+      s""","heavy_gc_ms":${lmap(gcS)},"heavy_spill_bytes":${lmap(spillS)},""" +
+      s""""heavy_fetch_wait_ms":${lmap(fetchS)},""" +
+      s""""h09_join_impl":${joinImpl.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      (if (overChase.nonEmpty)
+        s""","heavy_over_chase":[${overChase.map("\"" + _ + "\"").mkString(",")}]"""
+       else "")
     val full =
       s""","heavy":$hq,"heavy_total":$hTotal,"heavy_sweeps":$sweeps$modeJson,""" +
-      s""""heavy_spread":$spreads,"heavy_samples":$raw,""" +
+      s""""heavy_spread":$spreads,"heavy_samples":$raw$mechJson,""" +
       s""""heavy_sweep_loadavg":${sweepLoads.mkString("[", ",", "]")},""" +
       s""""heavy_sweep_ext_cores":${sweepExt.map(v => f"$v%.2f").mkString("[", ",", "]")},""" +
       s""""heavy_sweep_gate_wait_sec":${sweepWait.mkString("[", ",", "]")},""" +
@@ -450,7 +523,7 @@ object Bench {
       s""","heavy":$hqShort,"heavy_total":${f"$hTotal%.2f"},""" +
       s""""heavy_sweeps":$sweeps$failedJson$contendedJson"""
     HeavyOut(full, compact, dir,
-      timed.collect { case (k, v, _, true) => k -> v }.toMap)
+      timed.collect { case (k, v, _, true) => k -> v }.toMap, autoFailed)
   }
 
   /** Block until the machine is quiet (1-min loadavg below
@@ -490,31 +563,6 @@ object Bench {
       sparkSecs: Map[String, Double]): (String, String) = {
     val script = new java.io.File("tools/bench_duckdb.py")
     if (!script.exists()) return ("", "")
-    // Re-gate on EXTERNAL load between the Spark and DuckDB phases
-    // (round-9 judge: the official r9 DuckDB h05 shipped 6.8× over its
-    // quiet floor — the DuckDB sweeps started while Spark's just-ended
-    // burst was still decaying, and a one-sided floor check let the
-    // inflated DuckDB numbers FLATTER the published ratio). loadavg is
-    // useless here (our own finished burst dominates it for minutes);
-    // externalCores() measures other processes directly.
-    val (dExt, dWait) = gateSweepExternal()
-    val gateJson =
-      s""","duckdb_gate_ext_cores":${f"$dExt%.2f"},"duckdb_gate_wait_sec":$dWait"""
-    val pb = new ProcessBuilder("python3", script.getPath, dir, threads)
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val log = new String(p.getInputStream.readAllBytes())
-    val rc = p.waitFor()
-    if (rc != 0) {
-      System.err.println(s"bench_duckdb.py failed rc=$rc:\n$log")
-      val er = s""","duckdb_error":$rc"""
-      return (er, er)
-    }
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(new java.io.File("bench_duckdb.json"))
-    import scala.jdk.CollectionConverters._
-    val duck = node.path("queries").fields().asScala
-      .map(e => e.getKey -> e.getValue.asDouble()).toMap
     // Committed-quiet-floor cross-check, DuckDB side (the mirror image of
     // the Spark-side check in heavyPhase): a DuckDB min more than
     // SPARK_GRAFT_HEAVY_FLOOR_BAR (default 2×) above its committed quiet
@@ -522,21 +570,81 @@ object Bench {
     // the published ratio, so it must poison the artifact just as loudly.
     val dFloorBar =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_FLOOR_BAR", "2.0").toDouble
+    // The CHASE bar mirrors the Spark side: over it → re-gate + re-run
+    // the whole DuckDB phase (round-11 directive #1: BENCH_r10 published
+    // duckdb_contended:true instead of re-running until quiet).
+    val dChaseBar =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_CHASE_BAR", "1.5").toDouble
+    val maxTries =
+      sys.env.getOrElse("SPARK_GRAFT_DUCKDB_MAX_TRIES", "3").toInt
     val dFloors: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt != 100)
         Map.empty
       else try {
         val n = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File("probes/duckdb_floors.json"))
+        import scala.jdk.CollectionConverters._
         n.path("queries").fields().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       } catch { case _: Throwable => Map.empty }
+
+    var tries = 0
+    var duck = Map.empty[String, Double]
+    var best = Map.empty[String, Double] // per-query min across tries
+    var node: com.fasterxml.jackson.databind.JsonNode = null
+    var gateJson = ""
+    def overChase(m: Map[String, Double]): Seq[String] =
+      m.keys.toSeq.sorted.filter(k =>
+        dFloors.get(k).exists(f => f > 0 && m(k) > dChaseBar * f))
+    var done = false
+    while (!done) {
+      tries += 1
+      // Re-gate on EXTERNAL load between the Spark and DuckDB phases
+      // (round-9 judge: the official r9 DuckDB h05 shipped 6.8× over its
+      // quiet floor — the DuckDB sweeps started while Spark's just-ended
+      // burst was still decaying, and a one-sided floor check let the
+      // inflated DuckDB numbers FLATTER the published ratio). loadavg is
+      // useless here (our own finished burst dominates it for minutes);
+      // externalCores() measures other processes directly.
+      val (dExt, dWait) = gateSweepExternal()
+      gateJson =
+        s""","duckdb_gate_ext_cores":${f"$dExt%.2f"},"duckdb_gate_wait_sec":$dWait,"duckdb_tries":$tries"""
+      val pb = new ProcessBuilder("python3", script.getPath, dir, threads)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val log = new String(p.getInputStream.readAllBytes())
+      val rc = p.waitFor()
+      if (rc != 0) {
+        System.err.println(s"bench_duckdb.py failed rc=$rc:\n$log")
+        val er = s""","duckdb_error":$rc"""
+        return (er, er)
+      }
+      node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File("bench_duckdb.json"))
+      import scala.jdk.CollectionConverters._
+      duck = node.path("queries").fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      best =
+        if (best.isEmpty) duck
+        else duck.map { case (k, v) => k -> math.min(v, best.getOrElse(k, v)) }
+      val over = overChase(best)
+      if (over.isEmpty) done = true
+      else if (tries >= maxTries) done = true
+      else System.err.println(s"duckdb over ${dChaseBar}x floor for " +
+        s"${over.mkString(",")} — re-gating and re-running (try $tries)")
+    }
+    // publish each query's min across tries — same min-of-sweeps
+    // semantics as the Spark side
+    duck = best
     val dOverFloor = duck.keys.toSeq.sorted.filter(k =>
       dFloors.get(k).exists(f => f > 0 && duck(k) > dFloorBar * f))
     val dContended = dOverFloor.nonEmpty
+    val dOverChase = overChase(duck)
     val dContendedJson =
       s""","duckdb_contended":$dContended""" + (if (dContended)
         s""","duckdb_over_floor":[${dOverFloor.map("\"" + _ + "\"")
+          .mkString(",")}]""" else "") + (if (dOverChase.nonEmpty)
+        s""","duckdb_over_chase":[${dOverChase.map("\"" + _ + "\"")
           .mkString(",")}]""" else "")
     val common = duck.keySet.intersect(sparkSecs.keySet).toSeq.sorted
     val sSum = common.map(sparkSecs).sum
@@ -556,8 +664,18 @@ object Bench {
     val duckShort = common.map(k =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + f"${duck(k)}%.3f")
       .mkString("{", ",", "}")
+    // the published per-query map is `duck` (min across tries), not the
+    // last try's raw file — rebuild the queries field to match; keep the
+    // last try's metadata under duckdb_last_try for auditability
+    val duckFullQ = duck.toSeq.sorted.map { case (k, v) =>
+      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val meta = node match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val c = o.deepCopy(); c.remove("queries"); c.toString
+      case _ => "{}"
+    }
     val full =
-      s""","duckdb":${node.toString}$pairJson$gateJson$dContendedJson"""
+      s""","duckdb":{"queries":$duckFullQ,"last_try":$meta}$pairJson$gateJson$dContendedJson"""
     val compact = s""","duckdb":$duckShort,""" +
       s""""duckdb_total":${f"$dSum%.2f"},"ratio":${j(ratio)},""" +
       s""""ratio_bucketed":${j(ratioB)}$dContendedJson"""

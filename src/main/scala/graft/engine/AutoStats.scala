@@ -124,16 +124,23 @@ object AutoStats {
         } else None
         (f, base, strOff)
       }
-      // timestamp ranges for the side store (same single pass); the cast
-      // makes unix_micros accept NTZ — identity on the internal value
-      // under a UTC session, and the consumer's bound carries slack
+      // timestamp ranges for the side store (same single pass). NTZ needs
+      // a cast for unix_micros to accept it; the cast is pinned to UTC
+      // (not the session zone) so the extraction is the IDENTITY on the
+      // raw internal micros — a session-zone cast across a DST transition
+      // shrinks the measured range by up to 1h and under-counts the
+      // floored-key NDV bound past its slack (ADVICE r10 #3)
       val tsCols = df.schema.fields.filter(f =>
         f.dataType == TimestampType || f.dataType == TimestampNTZType)
         .filter(f => !f.name.contains("`")).take(8)
       val tsLayout = tsCols.map { f =>
         val base = aggItems.size
-        aggItems += min(unix_micros(col(s"`${f.name}`").cast("timestamp")))
-        aggItems += max(unix_micros(col(s"`${f.name}`").cast("timestamp")))
+        val micros = unix_micros(org.apache.spark.sql.GraftColumns.ofExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.GraftColumns.exprOf(col(s"`${f.name}`")),
+            TimestampType, Some("UTC"))))
+        aggItems += min(micros)
+        aggItems += max(micros)
         (f, base)
       }
       val row = df.agg(aggItems.head, aggItems.drop(1).toSeq: _*).collect()(0)

@@ -983,6 +983,14 @@ final class GraftSession(
 
   spark.udf.register("current_warehouse", () => "x-spark")
 
+  // TO_JSON is type-dispatched (variant-text identity vs struct
+  // serialization) — a Catalyst RuntimeReplaceable, since only the
+  // analyzer knows the argument type (ADVICE r10: the token-shape
+  // detection missed struct-typed columns/subquery outputs)
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    "graft_to_json",
+    exprs => graft.functions.VariantToJson(exprs.head), "built-in")
+
   // auto-collected table stats (AutoStats) reach plans through the CBO
   // stats visitor — session-scoped via the clone (see above). NOTE: with
   // CBO on and rowCount set, Spark's toPlanStats recomputes sizeInBytes

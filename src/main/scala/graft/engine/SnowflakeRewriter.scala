@@ -1411,23 +1411,17 @@ object SnowflakeRewriter {
           val open = nextSig(toks, i).get
           val close = matchParen(toks, open)
           if (passThroughFns.contains(up)) {
-            // PARSE_JSON(x) → (x): recurse into the args. TO_JSON is a
-            // passthrough only over VARIANT-as-JSON-text; when its
-            // argument is STRUCTURALLY a struct/array constructor
-            // (OBJECT_CONSTRUCT/ARRAY_CONSTRUCT — named_struct/array
-            // after rename), it must serialize for real or the raw
-            // struct leaks into the result (caught by SemiWindowFuzz).
+            // PARSE_JSON(x) → (x): recurse into the args. TO_JSON is
+            // identity only over VARIANT-as-JSON-text; over a
+            // struct/array (OBJECT_CONSTRUCT result — inline, through a
+            // CTE/subquery alias, or a nested parquet column) it must
+            // serialize for real or a raw struct leaks into the result
+            // (caught by SemiWindowFuzz). Token shape can't see types,
+            // so emit the type-dispatched graft_to_json (a Catalyst
+            // RuntimeReplaceable registered by GraftSession) and let the
+            // analyzer decide — ADVICE r10 #2.
             val inner = rewriteFunctions(toks.slice(open + 1, close))
-            val structArg = up == "TO_JSON" && {
-              val sig = significant(inner)
-              sig.nonEmpty && (inner(sig.head) match {
-                case Ident(w) => Set("OBJECT_CONSTRUCT", "ARRAY_CONSTRUCT",
-                  "NAMED_STRUCT", "ARRAY", "STRUCT", "MAP")
-                  .contains(w.toUpperCase)
-                case _ => false
-              })
-            }
-            if (structArg) out += Ident("to_json")
+            if (up == "TO_JSON") out += Ident("graft_to_json")
             out += Op("(")
             out ++= inner
             out += Op(")")

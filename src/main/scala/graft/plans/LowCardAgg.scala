@@ -179,27 +179,90 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
   }
 
-  /** String predicate: kind 0 contains, 1 prefix, 2 suffix, 3 equals. */
+  /** String predicate: kind 0 contains, 1 prefix, 2 suffix, 3 equals.
+    *
+    * Dictionary-aware (DuckDB's LIKE-over-dictionary trick, round-11
+    * directive): when the batch column is dictionary-backed, the
+    * predicate is evaluated ONCE PER DISTINCT CODE and cached per
+    * Dictionary object — codes are stable for a whole parquet column
+    * chunk, so across the ~64 batches of a row group each distinct
+    * value pays one `contains` and every row pays one int load + one
+    * boolean load. Atom instances deserialize per task (closure), so
+    * the mutable cache is single-threaded. */
   private[graft] final case class StrAtom(idx: Int, kind: Int,
       needle: UTF8String) extends FilterAtom {
+    @transient private var seen: Array[Boolean] = null
+    @transient private var verdict: Array[Boolean] = null
+    @transient private var lastDict: AnyRef = null
+
+    private def test(s: UTF8String): Boolean =
+      (kind: @annotation.switch) match {
+        case 0 => s.contains(needle)
+        case 1 => s.startsWith(needle)
+        case 2 => s.endsWith(needle)
+        case _ => s.equals(needle)
+      }
+
     def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
         first: Boolean): Unit = {
       val c = b.column(idx)
       val noNull = !c.hasNull
-      def ok(i: Int): Boolean = (noNull || !c.isNullAt(i)) && {
-        val s = c.getUTF8String(i)
-        (kind: @annotation.switch) match {
-          case 0 => s.contains(needle)
-          case 1 => s.startsWith(needle)
-          case 2 => s.endsWith(needle)
-          case _ => s.equals(needle)
-        }
+      val wv = c match {
+        case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+            if w.hasDictionary => w
+        case _ => null
       }
+      val dict = if (wv == null) null else dictOf(wv)
+      if (dict != null) {
+        if (!(dict eq lastDict)) {
+          // new column chunk → new code space
+          lastDict = dict
+          if (seen == null) { seen = new Array[Boolean](1024)
+            verdict = new Array[Boolean](1024) }
+          else java.util.Arrays.fill(seen, false)
+        }
+        val ids = wv.getDictionaryIds
+        def okDict(i: Int): Boolean = (noNull || !c.isNullAt(i)) && {
+          val id = ids.getInt(i)
+          if (id >= seen.length) {
+            val nc = math.max(id + 1, seen.length * 2)
+            seen = java.util.Arrays.copyOf(seen, nc)
+            verdict = java.util.Arrays.copyOf(verdict, nc)
+          }
+          if (!seen(id)) { seen(id) = true; verdict(id) = test(c.getUTF8String(i)) }
+          verdict(id)
+        }
+        var i = 0
+        if (first) while (i < n) { mask(i) = okDict(i); i += 1 }
+        else while (i < n) { if (mask(i)) mask(i) = okDict(i); i += 1 }
+        return
+      }
+      def ok(i: Int): Boolean = (noNull || !c.isNullAt(i)) && test(c.getUTF8String(i))
       var i = 0
       if (first) while (i < n) { mask(i) = ok(i); i += 1 }
       else while (i < n) { if (mask(i)) mask(i) = ok(i); i += 1 }
     }
   }
+
+  /** The protected `dictionary` field of WritableColumnVector — its
+    * OBJECT IDENTITY marks the current parquet column chunk's code
+    * space (one Dictionary per chunk; the reader swaps it on chunk
+    * boundaries and clears it on plain pages). Reflection is one cached
+    * Field; a lookup failure degrades to null → the atom's row path. */
+  private val dictField: java.lang.reflect.Field =
+    try {
+      val f = classOf[
+        org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+        .getDeclaredField("dictionary")
+      f.setAccessible(true)
+      f
+    } catch { case _: Throwable => null }
+
+  private def dictOf(
+      wv: org.apache.spark.sql.execution.vectorized.WritableColumnVector)
+      : AnyRef =
+    if (dictField == null) null
+    else try dictField.get(wv) catch { case _: Throwable => null }
 
   private[graft] final case class NullTestAtom(idx: Int, isNull: Boolean)
     extends FilterAtom {
@@ -261,21 +324,48 @@ object LowCardAgg extends Rule[SparkPlan] {
           case s: Short => s.toDouble
           case b: Byte => b.toDouble
         }))
-      // numeric-to-numeric casts are value-preserving under the
-      // read-as-double evaluation (long→double is IEEE-lossy the same
-      // way Spark's own cast is)
-      case c: Cast if widthOfNum(c.dataType).isDefined &&
-          widthOfNum(c.child.dataType).isDefined => go(c.child)
-      case Add(l, r, _) => for (a <- go(l); b <- go(r)) yield VBin(0, a, b)
-      case Subtract(l, r, _) =>
+      // Only WIDENING casts are no-ops under read-as-double evaluation:
+      //   • integral → wider-or-equal integral (value-preserving)
+      //   • any numeric → double (int→double exact; long→double is the
+      //     same IEEE rounding Spark applies)
+      //   • byte/short/float → float (exactly representable)
+      // Narrowing casts (double/float→integral, long→int, long→float…)
+      // truncate / overflow-wrap / round in Spark; treating them as
+      // no-ops returns wrong aggregates — bail to stock instead.
+      case c: Cast if castIsWidening(c.child.dataType, c.dataType) =>
+        go(c.child)
+      // Arithmetic is evaluated in IEEE double; that matches Spark only
+      // when the node itself is double-typed. Integral-typed +/-/* use
+      // wrapping int/long semantics (and exact long math beyond 2^53);
+      // float-typed rounds each step to float — both diverge, so bail.
+      case Add(l, r, _) if x.dataType == DoubleType =>
+        for (a <- go(l); b <- go(r)) yield VBin(0, a, b)
+      case Subtract(l, r, _) if x.dataType == DoubleType =>
         for (a <- go(l); b <- go(r)) yield VBin(1, a, b)
-      case Multiply(l, r, _) =>
+      case Multiply(l, r, _) if x.dataType == DoubleType =>
         for (a <- go(l); b <- go(r)) yield VBin(2, a, b)
       // Divide deliberately absent: Spark's Divide is NULL-on-zero
       // (error under ANSI) even for doubles — not IEEE `/`
       case _ => None
     }
     if (e.dataType == DoubleType) go(e) else None
+  }
+
+  /** True when Spark's Cast(from → to) is value-preserving under our
+    * read-the-source-as-double evaluation (see [[compileVec]]). */
+  private[graft] def castIsWidening(from: DataType, to: DataType): Boolean = {
+    def intWidth(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 4; case LongType => 8; case _ => 0
+    }
+    (from, to) match {
+      case (f, t) if intWidth(f) > 0 && intWidth(t) > 0 =>
+        intWidth(t) >= intWidth(f)
+      case (ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType, DoubleType) => true
+      case (ByteType | ShortType | FloatType, FloatType) => true
+      case _ => false
+    }
   }
 
   /** Per-partition evaluator for a [[VecSpec]] tree: each node owns its
@@ -496,7 +586,9 @@ object LowCardAgg extends Rule[SparkPlan] {
               case src: Attribute =>
                 graft.engine.AutoStats.tsRangeFor(la.child, src).map {
                   case (mn, mx) =>
-                    // +2 slack absorbs the session-tz cast in collection
+                    // range is raw internal micros (AutoStats pins the
+                    // collection cast to UTC — ADVICE r10 #3, no DST
+                    // shrink); +2 covers the boundary buckets
                     BigInt((mx - mn) / unit) + 2
                 }
               case _ => None

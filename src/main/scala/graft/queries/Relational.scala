@@ -623,6 +623,83 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("hour_str", "event_type")
         .limit(500)
+    },
+
+    // ── LowCardAgg vector-wave gates (round-11 directive #6) ─────────────
+    // The vectorFilter / dictCombo / computedInputs paths are default-on
+    // in every GraftSession but rode only the (untimed-compare) h-queries;
+    // these three gates FORCE the operator in a cloned session so the
+    // DuckDB oracle catches a vector regression. Aggregate inputs are
+    // integral-valued doubles (l_quantity ≤ 50, l_linenumber ≤ 7), so
+    // sums are exactly representable and the hash compare is
+    // order-insensitive. Fire-assertions for the same shapes live in
+    // LowCardAggSpec (expectFire = true).
+    GQuery("q34_vector_filter_atoms", Some("""
+      SELECT count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sq,
+        CAST(avg(l_quantity) AS DOUBLE) AS aq,
+        CAST(min(l_quantity) AS DOUBLE) AS mn,
+        CAST(max(l_quantity) AS DOUBLE) AS mx,
+        count(l_discount) AS nd
+      FROM lineitem
+      WHERE l_quantity > 25 AND l_extendedprice <= 40000
+        AND l_returnflag LIKE '%A%' AND l_discount IS NOT NULL
+        AND l_shipdate >= TIMESTAMP '1995-01-01'""")) { (s, dir) =>
+      val f = forcedVector(s)
+      Tables.load(f, dir, "lineitem")
+        .filter(col("l_quantity") > 25 && col("l_extendedprice") <= 40000 &&
+          col("l_returnflag").contains("A") && col("l_discount").isNotNull &&
+          col("l_shipdate") >= ntz("1995-01-01"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"),
+          avg(col("l_quantity")).as("aq"), min(col("l_quantity")).as("mn"),
+          max(col("l_quantity")).as("mx"), count(col("l_discount")).as("nd"))
+    },
+
+    GQuery("q35_dict_combo_fallback_pred", Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(l_quantity) AS DOUBLE) AS sq,
+        CAST(min(l_quantity) AS DOUBLE) AS mn,
+        CAST(max(l_quantity) AS DOUBLE) AS mx
+      FROM lineitem
+      WHERE l_quantity > 45 OR l_discount < 0.02
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      // OR condition: non-decomposable → the generated-Predicate fallback
+      // inside the operator; two dict-encoded string keys → dictCombo
+      val f = forcedVector(s)
+      Tables.load(f, dir, "lineitem")
+        .filter(col("l_quantity") > 45 || col("l_discount") < 0.02)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    GQuery("q36_vector_computed_group", Some("""
+      SELECT l_returnflag,
+        CAST(sum(l_quantity * 2.0 - 1.0) AS DOUBLE) AS s1,
+        CAST(avg(l_quantity + CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS a1,
+        count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      // computed VecSpec inputs: double arithmetic + a widening int→double
+      // cast (the ADVICE r10 compileVec tightening keeps exactly these)
+      val f = forcedVector(s)
+      Tables.load(f, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity") * lit(2.0) - lit(1.0)).as("s1"),
+          avg(col("l_quantity") + col("l_linenumber").cast(DoubleType)).as("a1"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }
   )
+
+  /** Cloned session with the LowCardAgg vector paths FORCED — the gate
+    * session defaults them off/auto; extensions re-inject on newSession
+    * (same `spark.sql.extensions` static conf). */
+  private def forcedVector(s: SparkSession): SparkSession = {
+    val f = s.newSession()
+    f.conf.set("spark.graft.lowCardAgg", "force")
+    f.conf.set("spark.graft.lowCardAgg.computedInputs", "vector")
+    f.conf.set("spark.graft.lowCardAgg.vectorFilter", "true")
+    f.conf.set("spark.graft.lowCardAgg.dictCombo", "true")
+    f
+  }
 }

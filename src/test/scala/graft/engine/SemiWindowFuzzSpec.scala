@@ -206,6 +206,17 @@ class SemiWindowFuzzSpec extends AnyFunSuite {
     assert(r.getString(0) == """{"a":1,"b":"x"}""", r.getString(0))
     assert(r.getString(1) == "[1,2]", r.getString(1))
     assert(r.getString(2) == """{"k":1}""", r.getString(2))
+    // ADVICE r10: the token-shape detection missed struct-typed values
+    // reaching TO_JSON through a subquery/CTE alias — the dispatch is
+    // now by analyzed type (graft_to_json RuntimeReplaceable)
+    val r2 = s.sql("""WITH c AS (SELECT OBJECT_CONSTRUCT('a', 1) AS o,
+        ARRAY_CONSTRUCT(3, 4) AS ar, PARSE_JSON('[5]') AS vt)
+      SELECT TO_JSON(o) AS j, TO_JSON(ar) AS ja, TO_JSON(vt) AS jv,
+        TO_JSON(NULL) AS jn FROM c""").collect()(0)
+    assert(r2.getString(0) == """{"a":1}""", r2.getString(0))
+    assert(r2.getString(1) == "[3,4]", r2.getString(1))
+    assert(r2.getString(2) == "[5]", r2.getString(2))
+    assert(r2.isNullAt(3))
   }
 
   test("500+ semi-structured, window, QUALIFY, FLATTEN cases agree") {

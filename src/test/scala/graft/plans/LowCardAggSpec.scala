@@ -297,6 +297,30 @@ class LowCardAggSpec extends AnyFunSuite {
       extra = on, expectFire = false)
   }
 
+  test("vector computed inputs: narrowing casts / integral math bail") {
+    val on = Map("spark.graft.lowCardAgg.computedInputs" -> "vector")
+    // narrowing cast double→int truncates in Spark; a read-as-double
+    // no-op would return wrong sums — must bail to stock
+    assertSame(t.groupBy("kint").agg(
+      sum(col("vd").cast("int").cast("double")).as("s")),
+      extra = on, expectFire = false)
+    // int→float rounds to float precision (values past 2^24) — a
+    // keep-double no-op diverges, must bail
+    assertSame(t.filter(col("rid") > 16777).groupBy("kint").agg(
+      sum((col("rid") * lit(1001L)).cast("int").cast("float")
+        .cast("double")).as("s")),
+      extra = on, expectFire = false)
+    // integral-typed arithmetic under a widening cast uses wrapping
+    // long semantics (exact beyond 2^53) — must bail
+    assertSame(t.groupBy("kint").agg(
+      sum((col("vl") * col("rid") * col("rid")).cast("double")).as("s")),
+      extra = on, expectFire = false)
+    // but genuinely widening shapes still compile and fire
+    assertSame(t.groupBy("kint").agg(
+      sum(col("vl").cast("double") * col("vd")).as("s"),
+      avg(col("vf").cast("double") + col("vd")).as("a")), extra = on)
+  }
+
   test("grouping-free (global) aggregates fire: plain, filtered, empty") {
     assertSame(t.agg(count(lit(1)).as("n"), sum(col("vl")).as("s"),
       avg(col("vd")).as("a"), min(col("vl")).as("mn"),
