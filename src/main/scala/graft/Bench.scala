@@ -300,6 +300,7 @@ object Bench {
     val sweepLoads = scala.collection.mutable.ArrayBuffer.empty[String]
     val sweepExt = scala.collection.mutable.ArrayBuffer.empty[Double]
     val sweepWait = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sweepExtDuring = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Per-sample GC / spill / fetch-wait deltas (round-11 directive #2:
     // the h09/h04 quiet-run bimodality needs a named mechanism — the
     // artifact now carries the evidence per sample), plus the physical
@@ -331,6 +332,14 @@ object Bench {
       val (ext, waited) = gateSweepExternal()
       sweepExt += ext; sweepWait += waited
       sweepLoads += loadavg()
+      // external CPU DURING the sweep, not just at the gate: the r10
+      // "bimodality" (h09 2.92→8.77 s within one gated run,
+      // probes/sweep_repl100.json) was a sweep-wide uniform slowdown —
+      // every query in sweeps 2-3 elevated — with ext_cores ≈ 0 at gate
+      // time: a background burst that STARTED MID-SWEEP is invisible to
+      // a pre-sweep gate. This delta names it in the artifact.
+      val (db0, ds0) = cpuSnapshot()
+      val sweepT0 = System.nanoTime()
       heavy.foreach { case (name, fn, _) =>
         val df = try fn() catch { case e: Throwable =>
           System.err.println(s"heavy $name build FAILED: $e")
@@ -350,6 +359,10 @@ object Bench {
           } else failedQ += name
         }
       }
+      val (db1, ds1) = cpuSnapshot()
+      val sweepSec = math.max(1e-3, (System.nanoTime() - sweepT0) / 1e9)
+      sweepExtDuring +=
+        math.max(0.0, ((db1 - db0) - (ds1 - ds0)) / 100.0) / sweepSec
     }
     // spread is computed over steady-state samples: each query's FIRST
     // timed sample is excluded (once ≥3 exist) because sweep 1 inherits
@@ -511,6 +524,7 @@ object Bench {
       s""""heavy_spread":$spreads,"heavy_samples":$raw$mechJson,""" +
       s""""heavy_sweep_loadavg":${sweepLoads.mkString("[", ",", "]")},""" +
       s""""heavy_sweep_ext_cores":${sweepExt.map(v => f"$v%.2f").mkString("[", ",", "]")},""" +
+      s""""heavy_sweep_ext_during":${sweepExtDuring.map(v => f"$v%.2f").mkString("[", ",", "]")},""" +
       s""""heavy_sweep_gate_wait_sec":${sweepWait.mkString("[", ",", "]")},""" +
       s""""heavy_lineitem_rows":$liRows$floorsJson,""" +
       s""""heavy_events_rows":$evRows,"heavy_mrows_per_sec":$hr$failedJson$contendedJson"""

@@ -190,7 +190,7 @@ object LowCardAgg extends Rule[SparkPlan] {
     * boolean load. Atom instances deserialize per task (closure), so
     * the mutable cache is single-threaded. */
   private[graft] final case class StrAtom(idx: Int, kind: Int,
-      needle: UTF8String) extends FilterAtom {
+      needle: UTF8String, dictPred: Boolean = true) extends FilterAtom {
     @transient private var seen: Array[Boolean] = null
     @transient private var verdict: Array[Boolean] = null
     @transient private var lastDict: AnyRef = null
@@ -209,7 +209,7 @@ object LowCardAgg extends Rule[SparkPlan] {
       val noNull = !c.hasNull
       val wv = c match {
         case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
-            if w.hasDictionary => w
+            if dictPred && w.hasDictionary => w
         case _ => null
       }
       val dict = if (wv == null) null else dictOf(wv)
@@ -445,7 +445,8 @@ object LowCardAgg extends Rule[SparkPlan] {
   /** Decompose a residual predicate into vectorizable atoms; None keeps
     * the generated-Predicate path. */
   private[graft] def decomposeFilter(cond: Expression,
-      scanOutput: Seq[Attribute]): Option[Array[FilterAtom]] = {
+      scanOutput: Seq[Attribute],
+      dictPred: Boolean = true): Option[Array[FilterAtom]] = {
     import org.apache.spark.sql.catalyst.expressions._
     val colIdx = scanOutput.map(_.exprId).zipWithIndex.toMap
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -479,7 +480,7 @@ object LowCardAgg extends Rule[SparkPlan] {
               DateType | TimestampType | TimestampNTZType) =>
             Some(CmpLongAtom(idx, longWidth(t), op, litLong(lit.value)))
           case StringType if op == 4 =>
-            Some(StrAtom(idx, 3, lit.value.asInstanceOf[UTF8String]))
+            Some(StrAtom(idx, 3, lit.value.asInstanceOf[UTF8String], dictPred))
           case _ => None
         }
       }
@@ -508,13 +509,13 @@ object LowCardAgg extends Rule[SparkPlan] {
         }
       case Contains(a: AttributeReference,
           Literal(s: UTF8String, StringType)) =>
-        colIdx.get(a.exprId).map(StrAtom(_, 0, s))
+        colIdx.get(a.exprId).map(StrAtom(_, 0, s, dictPred))
       case StartsWith(a: AttributeReference,
           Literal(s: UTF8String, StringType)) =>
-        colIdx.get(a.exprId).map(StrAtom(_, 1, s))
+        colIdx.get(a.exprId).map(StrAtom(_, 1, s, dictPred))
       case EndsWith(a: AttributeReference,
           Literal(s: UTF8String, StringType)) =>
-        colIdx.get(a.exprId).map(StrAtom(_, 2, s))
+        colIdx.get(a.exprId).map(StrAtom(_, 2, s, dictPred))
       case _ => None
     }
     val parts = conjuncts(cond).map(atomOf)
@@ -922,7 +923,9 @@ final case class LowCardAggExec(
     val atoms: Array[FilterAtom] =
       if (!conf.getConfString(
           "spark.graft.lowCardAgg.vectorFilter", "true").toBoolean) null
-      else cond.flatMap(decomposeFilter(_, scanOutput)).orNull
+      else cond.flatMap(decomposeFilter(_, scanOutput,
+        conf.getConfString(
+          "spark.graft.lowCardAgg.dictPredicate", "true").toBoolean)).orNull
     // perfect-hash over per-batch dictionary codes for string keys —
     // A/B lever + escape hatch (probes/dict_combo.json)
     val dictCombo = conf.getConfString(
