@@ -422,14 +422,24 @@ object Bench {
     // check uses, BEFORE the artifact is stamped.
     val chaseBar =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_CHASE_BAR", "1.5").toDouble
+    // floors prefer probes/spark_floors.json (round 11: reproduction-
+    // required minima pooled across fresh-JVM runs — the symmetric
+    // protocol to duckdb_floors.json) over scale_sweep.json's
+    // single-leg repl-100 column
     val floors: Map[String, Double] =
       if (repl != 100) Map.empty
       else try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File("probes/scale_sweep.json"))
         import scala.jdk.CollectionConverters._
-        node.path("queries").fields().asScala.map(e =>
-          e.getKey -> e.getValue.path("secs").path(0).asDouble()).toMap
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val sf = new java.io.File("probes/spark_floors.json")
+        if (sf.exists()) {
+          om.readTree(sf).path("queries").fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        } else {
+          om.readTree(new java.io.File("probes/scale_sweep.json"))
+            .path("queries").fields().asScala.map(e =>
+              e.getKey -> e.getValue.path("secs").path(0).asDouble()).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     def overFloorNow(bar: Double): Seq[String] = heavy.collect {
       case (name, _, _) if !failedQ(name) && samples(name).nonEmpty &&
