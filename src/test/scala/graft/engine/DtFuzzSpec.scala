@@ -1,0 +1,158 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grammar-based randomized differential fuzz of DYNAMIC TABLE
+  * maintenance — the fifth fuzz family (scalar, semi-structured/window,
+  * aggregate, join): random defining queries (single-base aggregates
+  * with decomposable + sidecar-state functions incl. COUNT(DISTINCT),
+  * stateless filters, inner-join aggregates) × random mutation
+  * sequences (append INSERTs, file-granular COW UPDATE/DELETE, empty
+  * INSERTs, double REFRESH) — after every refresh the materialization
+  * must equal a FROM-SCRATCH recompute of the defining query.
+  *
+  * Unlike the sibling fuzz families the oracle here is the engine
+  * itself on the trivially-correct path (full recompute), which is
+  * exactly the incremental-view-maintenance contract; the sidecar
+  * state, retraction folds, and delta-file selection all hide behind
+  * it. Aggregate inputs are decimals/longs so every compare is exact
+  * (no float tolerance needed). The spec also asserts the refreshes
+  * were not vacuously 'full': a healthy share must pick an incremental
+  * mode, or the fuzz stops guarding the machinery it targets.
+  */
+class DtFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("30+ random DT definitions x mutation sequences: refresh == recompute") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED")
+      .orElse(sys.props.get("graft.fuzz.seed")).getOrElse("20260815").toLong
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+
+    // dimension: one row per tag, stable across the run
+    s.sql("""CREATE OR REPLACE TABLE fzdim AS
+      SELECT DISTINCT 'tag_' || (o_custkey % 5)::string AS tag,
+        (o_custkey % 5) * 10 AS weight
+      FROM orders WHERE o_custkey % 5 >= 0""")
+
+    val aggPool = Seq(
+      "count(*) AS n",
+      "sum(qty) AS sq",
+      "sum(price) AS sp",
+      "min(price) AS mn",
+      "max(qty) AS mx",
+      "avg(price) AS av",
+      "count(DISTINCT k % 13) AS cd",
+      "sum(price) + 1 AS spp",
+      "sum(qty) / nullif(count(*), 0) AS ratio")
+    val keyPool = Seq("k % 7", "tag", "k % 3")
+
+    val modes = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    var refreshes = 0
+
+    def assertSame(defSql: String, round: Int, step: String): Unit = {
+      val got = s.sql("SELECT * FROM fzdt_v").collect()
+        .map(_.toString).sorted
+      val want = s.sql(defSql).collect().map(_.toString).sorted
+      assert(got.sameElements(want),
+        s"DT diverged from recompute (seed=$seed round=$round after $step," +
+          s" mode=${DynamicTables.lastRefreshMode})\n def: $defSql" +
+          s"\n got:  ${got.take(8).mkString(" | ")}" +
+          s"\n want: ${want.take(8).mkString(" | ")}")
+    }
+
+    for (round <- 1 to 12) {
+      // fresh base each round; three disjoint insert windows remain
+      s.sql("""CREATE OR REPLACE TABLE fzdt AS
+        SELECT o_orderkey AS id, o_custkey AS k,
+          o_totalprice::number(12,2) AS price,
+          (o_orderkey % 100)::int AS qty,
+          'tag_' || (o_custkey % 5)::string AS tag
+        FROM orders WHERE o_orderkey <= 1500""")
+
+      val shape = rnd.nextInt(3)
+      val retractPlanned = rnd.nextBoolean()
+      val defSql = shape match {
+        case 0 => // single-base aggregate (sidecar shapes included)
+          val key = pick(keyPool)
+          // MIN/MAX disqualify retract mode but must stay CORRECT under
+          // deletes (degrade to full) — keep them in the pool always
+          val aggs = rnd.shuffle(aggPool).take(2 + rnd.nextInt(4))
+          s"SELECT ($key) AS g, ${aggs.mkString(", ")} FROM fzdt GROUP BY ($key)"
+        case 1 => // stateless filter/project (append mode)
+          val pred = pick(Seq("qty > 50", "k % 2 = 0", "price > 100000",
+            "tag <> 'tag_3'"))
+          s"SELECT id, k, price, qty FROM fzdt WHERE $pred"
+        case _ => // inner-join aggregate over (fact, dim)
+          val aggs = rnd.shuffle(aggPool.take(6)).take(2 + rnd.nextInt(3))
+          "SELECT d.weight AS g, " + aggs.mkString(", ") +
+            " FROM fzdt JOIN fzdim d ON fzdt.tag = d.tag GROUP BY d.weight"
+      }
+      s.sql(s"CREATE OR REPLACE DYNAMIC TABLE fzdt_v TARGET_LAG = '1 minute' AS $defSql")
+
+      val steps = 2 + rnd.nextInt(2)
+      var lo = 1500
+      for (_ <- 1 to steps) {
+        val stepKind = rnd.nextInt(
+          if (retractPlanned && shape == 0) 5 else 3)
+        val step = stepKind match {
+          case 0 | 1 => // append window (possibly empty on the last one)
+            val hi = lo + 300 + rnd.nextInt(900)
+            val sql = s"""INSERT INTO fzdt
+              SELECT o_orderkey, o_custkey, o_totalprice::number(12,2),
+                (o_orderkey % 100)::int, 'tag_' || (o_custkey % 5)::string
+              FROM orders WHERE o_orderkey > $lo AND o_orderkey <= $hi"""
+            lo = hi
+            s.sql(sql); s"insert($hi)"
+          case 2 => // empty insert → the refresh must no-op correctly
+            s.sql("""INSERT INTO fzdt
+              SELECT o_orderkey, o_custkey, o_totalprice::number(12,2),
+                (o_orderkey % 100)::int, 'tag_' || (o_custkey % 5)::string
+              FROM orders WHERE o_orderkey < 0""")
+            "insert(empty)"
+          case 3 => // COW UPDATE (retract path when state is foldable)
+            val m = 3 + rnd.nextInt(9)
+            s.sql(s"UPDATE fzdt SET qty = qty + 7 WHERE k % $m = 1")
+            s"update(k%$m)"
+          case _ => // COW DELETE
+            val m = 5 + rnd.nextInt(9)
+            s.sql(s"DELETE FROM fzdt WHERE k % $m = 2")
+            s"delete(k%$m)"
+        }
+        s.sql("ALTER DYNAMIC TABLE fzdt_v REFRESH")
+        modes(DynamicTables.lastRefreshMode) += 1
+        refreshes += 1
+        assertSame(defSql, round, step)
+        if (rnd.nextInt(4) == 0) { // immediate re-refresh must no-op
+          s.sql("ALTER DYNAMIC TABLE fzdt_v REFRESH")
+          modes(DynamicTables.lastRefreshMode) += 1
+          refreshes += 1
+          assertSame(defSql, round, step + "+norefresh")
+        }
+      }
+      s.sql("DROP DYNAMIC TABLE fzdt_v")
+    }
+    val incr = modes.collect {
+      case (m, c) if m.startsWith("incremental") || m == "no-op" => c
+    }.sum
+    // guaranteed minimum: 12 rounds x >=2 steps (double-refresh is a coin)
+    assert(refreshes >= 24, s"only $refreshes refreshes exercised")
+    // non-vacuity: the incremental machinery (not blanket full-recompute)
+    // must carry a healthy share of the refreshes
+    assert(incr * 10 >= refreshes * 4,
+      s"only $incr/$refreshes refreshes were incremental/no-op — " +
+        s"modes=$modes seed=$seed")
+    Seq("fzdt", "fzdim").foreach(t => s.sql(s"DROP TABLE $t"))
+  }
+}
