@@ -153,11 +153,17 @@ class JoinFuzzSpec extends AnyFunSuite {
       val aj = if (outer) "ASOF LEFT JOIN" else "ASOF JOIN"
       val nj = if (outer) "LEFT JOIN" else "JOIN"
       val flip = Map(">=" -> "<=", ">" -> "<", "<=" -> ">=", "<" -> ">")
+      // single- or multi-column ON equality (verified correct by
+      // AsofMultiKeyChk; the emitter re-binds every key)
+      val (onSnow, onSpark) =
+        if (rnd.nextBoolean()) ("l.k = r.k", "l.k = r.k")
+        else ("l.k = r.k AND l.c = r.rid % 5",
+          "l.k = r.k AND l.c = r.rid % 5")
       val snowQ =
         s"""SELECT l.c AS g, COUNT(*), COUNT(r.rid), SUM(l.vl),
              SUM(COALESCE(r.vr, 0)), SUM(l.uid * COALESCE(r.rid, -1))
            FROM fzl l $aj fzr r MATCH_CONDITION(l.ts $cmp r.ts)
-             ON l.k = r.k
+             ON $onSnow
            GROUP BY 1 ORDER BY g"""
       val sparkQ =
         s"""SELECT g, COUNT(*), COUNT(rid), SUM(vl), SUM(COALESCE(vr, 0)),
@@ -167,9 +173,9 @@ class JoinFuzzSpec extends AnyFunSuite {
                ROW_NUMBER() OVER (PARTITION BY l.uid
                  ORDER BY r.ts $ord NULLS LAST) AS rn
              FROM fzl_native l $nj fzr_native r
-               ON l.k = r.k AND r.ts ${flip(cmp)} l.ts)
+               ON $onSpark AND r.ts ${flip(cmp)} l.ts)
            WHERE rn = 1 GROUP BY 1 ORDER BY g"""
-      cases += run(snowQ, sparkQ, s"$aj $cmp")
+      cases += run(snowQ, sparkQ, s"$aj $cmp ON $onSnow")
     }
 
     // ── family 4: bucketed-vs-plain (CLUSTER BY storage lifecycle) ─────
