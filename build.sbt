@@ -35,5 +35,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // … bytes to build hash relation"; the machine has 128 GiB and the
   // DuckDB baseline runs uncapped, so 8 g was a self-handicap, not a
   // like-for-like constraint.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  //
+  // Round-12 directive #6: at SPARK_GRAFT_HEAVY_REPL ≥ 200 the 24 g
+  // default is 0.75 g per core and the JVM enters the documented
+  // heap-per-core GC mode (probes/h04_h09_stability.json: 48 g A/B
+  // collapsed h04's spread to 1.03 and GC 8.9→0.7 s) — so the DEFAULT
+  // heap scales with repl to max(24 g, 1.5 g × cpus): repl=100 keeps
+  // the 24 g the committed floors were recorded at; repl≥200 gets
+  // 1.5 g/core (48 g at 32 cpus). SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val repl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    if (repl >= 200) s"${math.max(24, (1.5 * cpus).ceil.toInt)}g" else "24g"
+  })}",
 )

@@ -30,10 +30,15 @@ class GraftBenchMetrics(sc: SparkContext) extends SparkListener {
   }
 
   /** Drain the bus, then return cumulative (gcMs, spillBytes,
-    * fetchWaitMs, shuffleWriteMs); callers diff consecutive snapshots. */
-  def snapshot(): (Long, Long, Long, Long) = {
-    try sc.listenerBus.waitUntilEmpty(10000L)
-    catch { case _: java.util.concurrent.TimeoutException => }
-    (gcMs.get, spillBytes.get, fetchWaitMs.get, shufWriteMs.get)
+    * fetchWaitMs, shuffleWriteMs, drained); callers diff consecutive
+    * snapshots. `drained=false` means waitUntilEmpty timed out — events
+    * from this timed sample may leak into the next sample's delta, so
+    * callers must stamp the artifact rather than silently publish a
+    * possibly-misattributed per-sample figure (round-11 ADVICE). */
+  def snapshot(): (Long, Long, Long, Long, Boolean) = {
+    val drained =
+      try { sc.listenerBus.waitUntilEmpty(10000L); true }
+      catch { case _: java.util.concurrent.TimeoutException => false }
+    (gcMs.get, spillBytes.get, fetchWaitMs.get, shufWriteMs.get, drained)
   }
 }
