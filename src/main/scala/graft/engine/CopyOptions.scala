@@ -35,10 +35,13 @@ object CopyOptions {
 
   private val supportedFormats = Set("CSV", "JSON", "PARQUET", "AVRO")
 
-  /** `('a', 'b')` or `'a'` or bare token → list of unquoted values. */
+  /** `('a', 'b')` or `'a'` or bare token → list of unquoted values.
+    * Each element is a Snowflake string literal, so backslash escapes
+    * process here too (`NULL_IF = ('\\N')` is the 2-char marker `\N`). */
   private def parseList(v: String): Seq[String] =
     v.trim.stripPrefix("(").stripSuffix(")")
-      .split(",").toSeq.map(_.trim.stripPrefix("'").stripSuffix("'"))
+      .split(",").toSeq.map(e => GraftSession.unescapeSqlString(
+        e.trim.stripPrefix("'").stripSuffix("'").replace("''", "'")))
       .filter(_.nonEmpty)
 
   /** @param raw upper-cased Snowflake option name → raw value text
@@ -67,13 +70,24 @@ object CopyOptions {
           if (v.equalsIgnoreCase("true")) opts += "header" -> "true"
         case ("FIELD_DELIMITER", "CSV")   => opts += "sep" -> v
         case ("RECORD_DELIMITER", "CSV")  => opts += "lineSep" -> v
-        case ("FIELD_OPTIONALLY_ENCLOSED_BY", "CSV") => opts += "quote" -> v
+        case ("FIELD_OPTIONALLY_ENCLOSED_BY", "CSV") =>
+          opts += "quote" -> v
+          // Snowflake enclosed fields may span lines; Spark's line-split
+          // csv path can't represent that, so enclosure opts into the
+          // whole-file parse (unsplittable — acceptable: stage files are
+          // many small objects, parallelism comes from file count)
+          opts += "multiLine" -> "true"
         case ("ESCAPE", "CSV")            => opts += "escape" -> v
         case ("ESCAPE_UNENCLOSED_FIELD", "CSV") => // no Spark analog; ignore
         case ("NULL_IF", _) =>
           // Snowflake takes a list; Spark csv takes one nullValue — the
           // first value maps there, the rest are post-read rewrites.
-          nullIf = parseList(v)
+          // A parenthesized list arrives raw (elements unescape in
+          // parseList); a single quoted value was already unescaped by
+          // the option parser.
+          nullIf =
+            if (v.trim.startsWith("(")) parseList(v)
+            else Seq(v).filter(_.nonEmpty)
           nullIf.headOption.foreach(h => opts += "nullValue" -> h)
         case ("COMPRESSION", _) =>
           if (!v.equalsIgnoreCase("AUTO") && !v.equalsIgnoreCase("NONE"))

@@ -2818,7 +2818,10 @@ final class GraftSession(
     val re = "(?is)(\\w+)\\s*=\\s*('(?:[^']|'')*'|\\([^)]*\\)|[\\w.+-]+)".r
     re.findAllMatchIn(s).map { m =>
       val v = m.group(2).trim
-      val clean = if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'").replace("''", "'")
+      val clean =
+        if (v.startsWith("'"))
+          GraftSession.unescapeSqlString(
+            v.stripPrefix("'").stripSuffix("'").replace("''", "'"))
         else v
       m.group(1).toUpperCase -> clean
     }.toMap
@@ -2911,6 +2914,36 @@ final class GraftSession(
 
 object GraftSession {
   private val idSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Snowflake single-quoted string literals process backslash escapes
+    * (`FIELD_DELIMITER='\t'` is ONE tab, `ESCAPE='\\'` is ONE backslash) —
+    * without this, COPY option values reach the reader as the raw
+    * two-character sequence and e.g. `'\t'` becomes a 2-char delimiter.
+    * Handles the documented set; an unknown `\x` keeps both chars, and a
+    * trailing lone backslash is preserved. */
+  private[engine] def unescapeSqlString(s: String): String = {
+    if (!s.contains('\\')) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case '0' => b.append('\u0000'); i += 2
+          case '\'' => b.append('\''); i += 2
+          case '"' => b.append('"'); i += 2
+          case other => b.append('\\').append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   /** CSV parse of `paths` dropping the first `skip` lines of EACH file
     * (COPY's SKIP_HEADER > 1). ONE text read over all files: a file's
