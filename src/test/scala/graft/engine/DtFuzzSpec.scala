@@ -61,6 +61,51 @@ class DtFuzzSpec extends AnyFunSuite {
       .withDefaultValue(0)
     var refreshes = 0
 
+    /** Round-12 directive #5: the recompute oracle above shares the
+      * engine's lowering, so a bug common to refresh AND recompute
+      * escapes it. At each round's sequence end, render the defining
+      * query through DUCKDB over the mutated tables' parquet and compare
+      * against the DT materialization. Numeric cells compare with a
+      * small tolerance (Spark's decimal AVG rounds at scale+4; DuckDB's
+      * is a double); rows align on the first column, unique by
+      * construction (a GROUP BY key or the id column). */
+    def duckCrossCheck(defSql: String, round: Int): Unit = {
+      def path(t: String): String = s.registry.list()
+        .find(_.fqn.table.equalsIgnoreCase(t))
+        .flatMap(_.path).getOrElse(fail(s"no lake path for $t"))
+      val pre =
+        s"CREATE VIEW fzdt AS SELECT * FROM read_parquet('${path("fzdt")}/**/*.parquet'); " +
+        s"CREATE VIEW fzdim AS SELECT * FROM read_parquet('${path("fzdim")}/**/*.parquet'); "
+      val want = DuckOracle.run(Seq("dt" -> (pre + defSql)))("dt") match {
+        case Right(rows) => rows
+        case Left(err) => fail(s"duckdb oracle failed (seed=$seed " +
+          s"round=$round): $err\n sql: $defSql")
+      }
+      val got = s.sql("SELECT * FROM fzdt_v").collect().toSeq.map(r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "NULL" else r.get(i).toString).mkString("|"))
+      def key(row: String) = row.takeWhile(_ != '|')
+      val gotS = got.sortBy(key)
+      val wantS = want.sortBy(key)
+      assert(gotS.length == wantS.length,
+        s"DT vs DuckDB row count ${gotS.length} != ${wantS.length} " +
+          s"(seed=$seed round=$round)\n def: $defSql")
+      def numEq(a: String, b: String): Boolean =
+        (scala.util.Try(BigDecimal(a)).toOption,
+         scala.util.Try(BigDecimal(b)).toOption) match {
+          case (Some(x), Some(y)) =>
+            (x - y).abs <= BigDecimal("0.00001").max(x.abs.max(y.abs) * 1e-9)
+          case _ => a == b
+        }
+      gotS.zip(wantS).foreach { case (g, w) =>
+        val (gc, wc) = (g.split("\\|", -1), w.split("\\|", -1))
+        assert(gc.length == wc.length && gc.zip(wc).forall {
+            case (a, b) => numEq(a, b) },
+          s"DT diverged from DuckDB (seed=$seed round=$round)\n def: " +
+            s"$defSql\n got:  $g\n want: $w")
+      }
+    }
+
     def assertSame(defSql: String, round: Int, step: String): Unit = {
       val got = s.sql("SELECT * FROM fzdt_v").collect()
         .map(_.toString).sorted
@@ -141,6 +186,7 @@ class DtFuzzSpec extends AnyFunSuite {
           assertSame(defSql, round, step + "+norefresh")
         }
       }
+      duckCrossCheck(defSql, round)
       s.sql("DROP DYNAMIC TABLE fzdt_v")
     }
     val incr = modes.collect {

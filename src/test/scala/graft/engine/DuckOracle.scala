@@ -10,10 +10,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * returns each statement's rows. Batched (one interpreter start per
   * call, not per case) so fuzz suites with hundreds of cases stay fast.
   *
-  * Each query must project a SINGLE VARCHAR column (the caller renders
-  * rows to strings inside the SQL); NULL comes back as the literal
-  * "NULL". Errors are captured per query, not thrown, so differential
-  * harnesses can assert both-sides-error cases.
+  * Rows come back as '|'-joined python `str()` renderings of each
+  * column (single-column queries are unchanged by the join); NULL is
+  * the literal "NULL". Multi-statement SQL works (DuckDB executes
+  * sequentially, the last statement's rows are returned), so callers
+  * can prefix CREATE VIEW statements. Errors are captured per query,
+  * not thrown, so differential harnesses can assert both-sides-error
+  * cases.
   */
 object DuckOracle {
 
@@ -39,7 +42,8 @@ object DuckOracle {
         |        con = duckdb.connect()
         |        rows = con.execute(q["sql"]).fetchall()
         |        out.append({"id": q["id"],
-        |                    "rows": ["NULL" if r[0] is None else str(r[0])
+        |                    "rows": ["|".join("NULL" if c is None else str(c)
+        |                                      for c in r)
         |                             for r in rows]})
         |        con.close()
         |    except Exception as e:
