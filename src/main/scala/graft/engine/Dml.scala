@@ -52,16 +52,30 @@ object Dml {
   private def granularEnabled: Boolean =
     sys.props.getOrElse("graft.dml.granular", "true").toBoolean
 
-  def execute(session: GraftSession, stmt: String): DataFrame = stmt.trim match {
-    case deleteRe(name, where) => doDelete(session, name, Option(where))
-    case updateRe(name, rest) =>
-      val wIdx = topLevelKeyword(rest, "WHERE")
-      val (sets, where) =
-        if (wIdx < 0) (rest, None)
-        else (rest.substring(0, wIdx), Some(rest.substring(wIdx + 5)))
-      doUpdate(session, name, sets, where)
-    case mergeRe(name, alias, rest) => doMerge(session, name, Option(alias), rest)
-    case other => throw new IllegalArgumentException(s"cannot parse DML: $other")
+  def execute(session: GraftSession, stmt: String): DataFrame = {
+    // writer-writer serialization: hold the target table's lock for the
+    // whole statement (TableLocks policy; ConcurrencySpec)
+    val target = stmt.trim match {
+      case deleteRe(name, _) => Some(name)
+      case updateRe(name, _) => Some(name)
+      case mergeRe(name, _, _) => Some(name)
+      case _ => None
+    }
+    TableLocks.withLocks(target.flatMap(session.lockKeyOf).toSeq) {
+      stmt.trim match {
+        case deleteRe(name, where) => doDelete(session, name, Option(where))
+        case updateRe(name, rest) =>
+          val wIdx = topLevelKeyword(rest, "WHERE")
+          val (sets, where) =
+            if (wIdx < 0) (rest, None)
+            else (rest.substring(0, wIdx), Some(rest.substring(wIdx + 5)))
+          doUpdate(session, name, sets, where)
+        case mergeRe(name, alias, rest) =>
+          doMerge(session, name, Option(alias), rest)
+        case other =>
+          throw new IllegalArgumentException(s"cannot parse DML: $other")
+      }
+    }
   }
 
   // ── file-granular COW (Iceberg targets) ────────────────────────────────

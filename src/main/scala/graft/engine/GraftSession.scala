@@ -23,7 +23,19 @@ import scala.jdk.CollectionConverters._
 final class GraftSession(
     parent: SparkSession,
     warehouseDir: String =
-      Files.createTempDirectory("graft_warehouse").toString) {
+      Files.createTempDirectory("graft_warehouse").toString,
+    /** Share one catalog STATE across sessions (the single-process
+      * analog of a server's shared metastore): concurrent sessions then
+      * see each other's lake tables AND each other's commits — an
+      * Iceberg/COW swap re-points the shared ref, so a later writer
+      * resolves the newest snapshot instead of its session's stale one.
+      * Each session still gets its own registry object, so loads bind
+      * to ITS cloned SparkSession. Temp views stay session-scoped
+      * (session-suffixed names); Local/temp REGISTRY entries become
+      * visible across sessions by design-tradeoff — treat temp objects
+      * as session-private, as Snowflake does. */
+    sharedCatalog: Option[scala.collection.concurrent.TrieMap[FQN, TableRef]] =
+      None) {
 
   /** Execution runs in a CLONED session state: same SharedState (external
     * catalog, cached blocks), but a private SQLConf + temp-view namespace.
@@ -50,7 +62,8 @@ final class GraftSession(
     * substitution and execution (concurrent server sessions). */
   private val sessionId = GraftSession.idSeq.incrementAndGet()
   private[engine] def viewName(f: FQN): String = s"${f.flat}_s$sessionId"
-  val registry = new TableRegistry(spark, f => viewName(f))
+  val registry = new TableRegistry(spark, f => viewName(f),
+    sharedCatalog.getOrElse(scala.collection.concurrent.TrieMap.empty))
   /** Stage name → base URL (DESCRIBE STAGE analog,
     * `universql/plugins/snow.py:600-618`). */
   private val stages = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -81,6 +94,13 @@ final class GraftSession(
   /** Streams resolved by the statement currently executing — consulted
     * after it completes to apply the consume-advances-offset rule. */
   private val streamsReadInStmt = scala.collection.mutable.Set.empty[FQN]
+  /** The target-table version each stream read actually SAW (captured
+    * under the target's writer lock in [[ensureView]]): consume must
+    * advance to THIS version, not the table's current one — a row
+    * appended between the read and the advance would otherwise be
+    * skipped forever (found designing ConcurrencySpec, round 12). */
+  private val streamReadVersion = scala.collection.concurrent.TrieMap
+    .empty[FQN, (TableRef, Option[Set[String]], Option[Set[String]], Long)]
   /** Whether the executing statement read information_schema — such reads
     * track registry state, not table files, so result reuse skips them. */
   @volatile private var infoSchemaReadInStmt = false
@@ -314,6 +334,10 @@ final class GraftSession(
     val f = fqn(rawName)
     val st = dynamicTables.getOrElse(f, throw new IllegalArgumentException(
       s"unknown dynamic table ${f.flat}"))
+    // writer locks on the materialization AND every base: the refresh's
+    // change detection, delta scan, and offset advance must see one
+    // consistent base snapshot (TableLocks sorts keys — deadlock-free)
+    TableLocks.withLocks(f.flat +: st.bases.map(_.flat)) {
     val ref = registry.resolve(f).getOrElse(throw new IllegalStateException(
       s"dynamic table ${f.flat} lost its materialization"))
     val curs = st.bases.map { b =>
@@ -792,6 +816,7 @@ final class GraftSession(
     st.offsets = snapshotOffsets(st.bases)
     status(s"Dynamic table ${f.table} successfully refreshed " +
       s"(${DynamicTables.lastRefreshMode}).")
+    } // TableLocks
   }
 
   /** COW swap: write the new materialization beside the old one and
@@ -922,15 +947,26 @@ final class GraftSession(
   }
 
   /** Consume rule: after a successful DML/CTAS statement, every stream it
-    * read advances to the target's CURRENT version (post-statement). */
+    * read advances to the version THE READ SAW (captured in
+    * [[ensureView]] under the target's writer lock) — advancing to the
+    * table's current version instead would silently skip rows a
+    * concurrent writer appended mid-statement. */
   private def advanceStreams(): Unit = streamsReadInStmt.foreach { f =>
     streams.get(f).foreach { st =>
-      registry.resolve(st.target).foreach { cur =>
-        val (files, deletes) = Streams.filesOf(spark, cur)
-        st.offsetRef = cur
-        st.offsetFiles = files
-        st.offsetDeleteFiles = deletes
-        st.offsetSeq = currentSeq
+      streamReadVersion.get(f) match {
+        case Some((cur, files, deletes, seq)) =>
+          st.offsetRef = cur
+          st.offsetFiles = files
+          st.offsetDeleteFiles = deletes
+          st.offsetSeq = seq
+        case None => // no captured read version (defensive) — re-list
+          registry.resolve(st.target).foreach { cur =>
+            val (files, deletes) = Streams.filesOf(spark, cur)
+            st.offsetRef = cur
+            st.offsetFiles = files
+            st.offsetDeleteFiles = deletes
+            st.offsetSeq = currentSeq
+          }
       }
     }
   }
@@ -1082,7 +1118,16 @@ final class GraftSession(
       spark.read.parquet(newPath).count()
     }
   }
-  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  /** JVM-global (not per-session): two sessions COW-swapping the same
+    * table must never mint the same `__vN` path — a collision overwrites
+    * the live snapshot's files (ConcurrencySpec). */
+  private def snapshotSeq = GraftSession.snapshotSeq
+
+  /** Writer-lock key of a named table ([[TableLocks]]): its normalized
+    * FQN — stable across Iceberg commits, identical in every session
+    * that resolves the same name. */
+  private[engine] def lockKeyOf(rawName: String): Option[String] =
+    try Some(fqn(rawName).flat) catch { case _: Exception => None }
 
   private[engine] def countStatus(label: String, n: Long): DataFrame =
     spark.createDataFrame(
@@ -1099,6 +1144,7 @@ final class GraftSession(
       currentSeq = stmtSeqGen.incrementAndGet()
       val t0 = System.nanoTime()
       streamsReadInStmt.clear()
+      streamReadVersion.clear()
       infoSchemaReadInStmt = false
       val res = executeOne(substituteStreamHasData(substituteLastQueryId(st)))
       if (streamsReadInStmt.nonEmpty &&
@@ -1919,27 +1965,38 @@ final class GraftSession(
   private[engine] def ensureView(f: FQN): Option[String] =
     if (streams.contains(f)) {
       // stream read: materialize the CURRENT delta as the view (recomputed
-      // at every statement — stream contents track the target table)
+      // at every statement — stream contents track the target table).
+      // The whole resolution holds the TARGET's writer lock so the delta's
+      // file listings and the captured read-version are one consistent
+      // snapshot — otherwise a writer committing mid-listing makes the
+      // consume offset skip or double-deliver rows. (COW retention makes
+      // the lazy read of the captured file set safe after release.)
       val st = streams(f)
       streamsReadInStmt += f
       val vn = viewName(f)
-      val history =
-        if (st.appendOnly && st.offsetSeq >= 0)
-          insertHistorySince(st.target, st.offsetSeq)
-        else None
-      // a DT target that merge-refreshed since this stream's offset:
-      // the published sidecar chain is the exact net change
-      val dtChain: Option[(Set[String], Set[String])] =
-        for {
-          cur <- registry.resolve(st.target)
-          fromPath <- st.offsetRef.path
-          toPath <- cur.path
-          dirs <- dtLogChainDirs(st.target, fromPath, toPath)
-        } yield (listSidecarFiles(dirs._1), listSidecarFiles(dirs._2))
-      Streams.delta(spark, registry, st, history,
-          (of, cf) => isUpdateChain(st.target, of, cf), dtChain,
-          dtGroupKeys(st.target))
-        .createOrReplaceTempView(vn)
+      TableLocks.withLocks(Seq(st.target.flat)) {
+        val history =
+          if (st.appendOnly && st.offsetSeq >= 0)
+            insertHistorySince(st.target, st.offsetSeq)
+          else None
+        // a DT target that merge-refreshed since this stream's offset:
+        // the published sidecar chain is the exact net change
+        val dtChain: Option[(Set[String], Set[String])] =
+          for {
+            cur <- registry.resolve(st.target)
+            fromPath <- st.offsetRef.path
+            toPath <- cur.path
+            dirs <- dtLogChainDirs(st.target, fromPath, toPath)
+          } yield (listSidecarFiles(dirs._1), listSidecarFiles(dirs._2))
+        Streams.delta(spark, registry, st, history,
+            (of, cf) => isUpdateChain(st.target, of, cf), dtChain,
+            dtGroupKeys(st.target))
+          .createOrReplaceTempView(vn)
+        registry.resolve(st.target).foreach { cur =>
+          val (files, deletes) = Streams.filesOf(spark, cur)
+          streamReadVersion.put(f, (cur, files, deletes, currentSeq))
+        }
+      }
       Some(vn)
     } else if (f.schema == "INFORMATION_SCHEMA") {
       infoSchemaReadInStmt = true
@@ -2247,6 +2304,8 @@ final class GraftSession(
     * compaction rewrite through the COW snapshot path. */
   private def doOptimize(rawName: String): DataFrame = {
     val f = fqn(rawName)
+    // maintenance rewrite = a writer; same per-table lock
+    TableLocks.withLocks(Seq(f.flat)) {
     val ref = registry.resolve(f).getOrElse(
       throw new IllegalArgumentException(s"table $f does not exist"))
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
@@ -2283,6 +2342,7 @@ final class GraftSession(
       swapSnapshot(f, ref, registry.load(ref))
     }
     status(s"Table ${f.table} successfully optimized.")
+    } // TableLocks
   }
 
   // ── ALTER TABLE (schema evolution on copy-on-write snapshots) ──────────
@@ -2476,6 +2536,9 @@ final class GraftSession(
   // ── INSERT (A12) ───────────────────────────────────────────────────────
   private def doInsert(overwrite: Boolean, rawName: String, body: String): DataFrame = {
     val f = fqn(rawName)
+    // writer lock held across resolve→write→commit so a racing writer's
+    // commit can't slip between resolution and this statement's write
+    TableLocks.withLocks(Seq(f.flat)) {
     val ref = registry.resolve(f).getOrElse(
       throw new IllegalArgumentException(s"table $f does not exist"))
     require(!dynamicTables.contains(f),
@@ -2569,6 +2632,7 @@ final class GraftSession(
     }
     logInsert(f, beforeFiles)
     status(s"inserted rows into ${f.table}")
+    } // TableLocks
   }
 
   // ── COPY INTO (A15) ────────────────────────────────────────────────────
@@ -2581,6 +2645,9 @@ final class GraftSession(
   private def doCopy(rawName: String, rest: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, lit, unbase64, unhex, when}
     val f = fqn(rawName)
+    // writer lock for the statement (load-history check + write + record
+    // must be atomic against racing writers)
+    TableLocks.withLocks(Seq(f.flat)) {
     val ref = registry.resolve(f).getOrElse(
       throw new IllegalArgumentException(s"table $f does not exist"))
     require(ref.kind == TableKind.Lake && ref.path.isDefined,
@@ -2709,6 +2776,7 @@ final class GraftSession(
       }
     }
     status(s"Copy executed with ${paths.length} files processed.")
+    } // TableLocks
   }
 
   /** FILE_FORMAT = (FORMAT_NAME = 'x'): splice in the named format's
@@ -2914,6 +2982,7 @@ final class GraftSession(
 
 object GraftSession {
   private val idSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Snowflake single-quoted string literals process backslash escapes
     * (`FIELD_DELIMITER='\t'` is ONE tab, `ESCAPE='\\'` is ONE backslash) —

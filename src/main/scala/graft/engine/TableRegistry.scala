@@ -27,9 +27,15 @@ final case class TableRef(
   * Lookup is Snowflake-case-insensitive via [[Identifiers]] normalization.
   */
 final class TableRegistry(spark: SparkSession,
-    viewNamer: FQN => String = _.flat) {
+    viewNamer: FQN => String = _.flat,
+    /** Backing name→ref state. Pass ONE map to several sessions'
+      * registries to share a catalog (server-style shared metastore):
+      * each session keeps its own registry object — loads bind
+      * DataFrames to that session's cloned SparkSession — while
+      * registrations and COW re-points are visible to all. */
+    state: TrieMap[FQN, TableRef] = TrieMap.empty) {
 
-  private val tables = TrieMap.empty[FQN, TableRef]
+  private val tables = state
 
   def register(ref: TableRef): Unit = tables.put(ref.fqn, ref)
 

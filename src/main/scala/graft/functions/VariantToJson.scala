@@ -26,6 +26,18 @@ import org.apache.spark.sql.types._
   *   - null literal  → null string
   *   - other scalars → cast to string (JSON scalar rendering; matches
   *     Snowflake's implicit to_variant for numbers/booleans)
+  *
+  * KNOWN AMBIGUITY (inherent to variant-as-text, round-11 ADVICE): a
+  * plain VARCHAR argument is indistinguishable from a string-typed
+  * variant here, so `TO_JSON(varchar_col)` returns the text as-is,
+  * where Snowflake (implicitly casting VARCHAR → VARIANT) would return
+  * the QUOTED/escaped JSON string (`TO_JSON('a') = '"a"'`). Variant
+  * columns — `col:path` extractions, PARSE_JSON results, OBJECT/ARRAY
+  * constructs — behave identically to the reference; only a
+  * syntactically-plain string column/literal diverges, and quoting
+  * those at the rewriter would break the (far more common) variant
+  * round-trip `TO_JSON(PARSE_JSON(s))`. Documented as the
+  * representation's contract rather than special-cased.
   */
 case class VariantToJson(child: Expression)
     extends UnaryExpression with RuntimeReplaceable {

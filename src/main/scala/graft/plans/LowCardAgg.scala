@@ -244,11 +244,16 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
   }
 
-  /** The protected `dictionary` field of WritableColumnVector — its
-    * OBJECT IDENTITY marks the current parquet column chunk's code
-    * space (one Dictionary per chunk; the reader swaps it on chunk
-    * boundaries and clears it on plain pages). Reflection is one cached
-    * Field; a lookup failure degrades to null → the atom's row path. */
+  /** The protected `dictionary` field of WritableColumnVector, UNWRAPPED
+    * to the underlying `org.apache.parquet.column.Dictionary`: the
+    * wrapper (`ParquetDictionary`) is re-constructed by Spark 4.1's
+    * `VectorizedColumnReader.readBatch` on EVERY batch (verified against
+    * this distribution's bytecode — the `new ParquetDictionary` sits
+    * inside readBatch, round-11 ADVICE), so wrapper identity would
+    * invalidate the verdict cache ~64× per row group; the UNDERLYING
+    * Dictionary object is one-per-column-chunk, which is the code
+    * space's true lifetime. Reflection is two cached Fields; any lookup
+    * failure degrades to null → the atom's row path. */
   private val dictField: java.lang.reflect.Field =
     try {
       val f = classOf[
@@ -258,11 +263,26 @@ object LowCardAgg extends Rule[SparkPlan] {
       f
     } catch { case _: Throwable => null }
 
+  private val parquetDictField: java.lang.reflect.Field =
+    try {
+      val c = Class.forName(
+        "org.apache.spark.sql.execution.datasources.parquet.ParquetDictionary")
+      val f = c.getDeclaredField("dictionary")
+      f.setAccessible(true)
+      f
+    } catch { case _: Throwable => null }
+
   private def dictOf(
       wv: org.apache.spark.sql.execution.vectorized.WritableColumnVector)
       : AnyRef =
     if (dictField == null) null
-    else try dictField.get(wv) catch { case _: Throwable => null }
+    else try {
+      val wrapper = dictField.get(wv)
+      if (wrapper != null && parquetDictField != null &&
+          parquetDictField.getDeclaringClass.isInstance(wrapper))
+        parquetDictField.get(wrapper)
+      else wrapper
+    } catch { case _: Throwable => null }
 
   private[graft] final case class NullTestAtom(idx: Int, isNull: Boolean)
     extends FilterAtom {

@@ -1,0 +1,229 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrent-session hardening (round-12 directive #4): 2-4 threads of
+  * GraftSessions over one SHARED registry (the single-process analog of
+  * a server's shared metastore) mutating the same tables. The tested
+  * locking policy lives in [[TableLocks]]:
+  *
+  *   - writers (INSERT / COPY / UPDATE / DELETE / MERGE / OPTIMIZE / DT
+  *     REFRESH) hold a JVM-wide per-table lock for the statement, so
+  *     concurrent writers serialize and the outcome equals SOME serial
+  *     order;
+  *   - a DT refresh locks its bases too (sorted keys — deadlock-free),
+  *     so change detection + delta scan + offset advance see one
+  *     consistent base snapshot;
+  *   - a stream read resolves under its target's lock and the consume
+  *     advances to the version THE READ SAW, so appends racing the
+  *     consumer are delivered exactly once (never skipped);
+  *   - readers don't lock: appends are always safe; a read racing a COW
+  *     rewrite of the same files may fail loudly but never silently
+  *     mixes pre- and post-state of one file.
+  *
+  * Every scenario here asserts the serializable-equivalent outcome, not
+  * just absence of crashes.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+
+  // local[4] like every other suite: the FIRST suite to run pins the
+  // shared session's master, and a differing core count changes split
+  // packing enough to flip fp-strict compares in sibling suites. The
+  // races here interleave on the executor pool regardless.
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** n sessions over ONE shared catalog + lake. */
+  private def sessions(n: Int): Seq[GraftSession] = {
+    val cat = scala.collection.concurrent.TrieMap.empty[FQN, TableRef]
+    val ss = (0 until n).map(_ => new GraftSession(spark,
+      Files.createTempDirectory("graft_conc_wh").toString, Some(cat)))
+    ss.head.attachLake("/root/testdata/sf0.001")
+    ss
+  }
+
+  /** Run each thunk on its own thread; rethrow the first failure. */
+  private def inParallel(thunks: Seq[() => Unit]): Unit = {
+    val pool = Executors.newFixedThreadPool(thunks.length)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val futs = thunks.map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try t() catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    futs.foreach(_.get(600, TimeUnit.SECONDS))
+    pool.shutdown()
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  test("4 sessions x racing INSERTs: every row lands exactly once") {
+    val ss = sessions(4)
+    ss.head.sql("CREATE OR REPLACE TABLE conc1 (k BIGINT, v DOUBLE)")
+    val perInsert = ss.head
+      .sql("SELECT count(*) AS n FROM orders WHERE o_orderkey <= 200")
+      .collect()(0).getLong(0)
+    assert(perInsert > 0)
+    val iters = 5
+    inParallel(ss.zipWithIndex.map { case (s, i) => () =>
+      for (j <- 0 until iters) {
+        val off = (i * iters + j) * 10000000L
+        s.sql(s"""INSERT INTO conc1
+          SELECT o_orderkey + $off, o_totalprice FROM orders
+          WHERE o_orderkey <= 200""")
+      }
+    })
+    val total = ss.head.sql("SELECT count(*) AS n FROM conc1")
+      .collect()(0).getLong(0)
+    val distinctK = ss.head.sql("SELECT count(DISTINCT k) AS n FROM conc1")
+      .collect()(0).getLong(0)
+    assert(total == 4 * iters * perInsert,
+      s"lost/duplicated appends: $total != ${4 * iters * perInsert}")
+    assert(distinctK == total, "overlapping keys — an insert ran twice")
+  }
+
+  test("2 sessions x racing commutative MERGEs == sequential reference") {
+    val ss = sessions(2)
+    // identical initial state for the raced table and the reference
+    for (t <- Seq("conc2", "conc2_ref"))
+      ss.head.sql(s"""CREATE OR REPLACE TABLE $t AS
+        SELECT o_orderkey AS k, o_totalprice::double AS v
+        FROM orders WHERE o_orderkey <= 400""")
+    def mergeSql(t: String, lo: Int, hi: Int, dv: Double): String =
+      s"""MERGE INTO $t USING (
+           SELECT o_orderkey AS k, $dv AS dv FROM orders
+           WHERE o_orderkey > $lo AND o_orderkey <= $hi) src
+         ON $t.k = src.k
+         WHEN MATCHED THEN UPDATE SET v = $t.v + src.dv
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.dv)"""
+    // overlapping key windows; += commutes, inserts hit disjoint keys,
+    // so EVERY serial order yields the sequential reference's state
+    inParallel(Seq(
+      () => ss(0).sql(mergeSql("conc2", 0, 300, 10.0)),
+      () => ss(1).sql(mergeSql("conc2", 200, 600, 7.0))))
+    ss.head.sql(mergeSql("conc2_ref", 0, 300, 10.0))
+    ss.head.sql(mergeSql("conc2_ref", 200, 600, 7.0))
+    val got = ss.head.sql("SELECT k, v FROM conc2 ORDER BY k")
+      .collect().map(_.toString)
+    val want = ss.head.sql("SELECT k, v FROM conc2_ref ORDER BY k")
+      .collect().map(_.toString)
+    assert(got.length == want.length,
+      s"row count ${got.length} != ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("stream consume racing appends: exactly-once delivery") {
+    val ss = sessions(2)
+    val (writer, consumer) = (ss(0), ss(1))
+    writer.sql("CREATE OR REPLACE TABLE conc3 (k BIGINT, v DOUBLE)")
+    consumer.sql("CREATE OR REPLACE STREAM conc3_s ON TABLE conc3")
+    consumer.sql("CREATE OR REPLACE TABLE conc3_sink (k BIGINT, v DOUBLE)")
+    val batches = 8
+    inParallel(Seq(
+      () => for (j <- 0 until batches) {
+        writer.sql(s"""INSERT INTO conc3
+          SELECT o_orderkey + ${j * 10000000L}, o_totalprice FROM orders
+          WHERE o_orderkey <= 150""")
+      },
+      () => for (_ <- 0 until 12) {
+        // each consuming statement drains the delta the read SAW and
+        // advances the offset to exactly that version
+        consumer.sql("INSERT INTO conc3_sink SELECT k, v FROM conc3_s")
+        Thread.sleep(20)
+      }))
+    // final drain picks up anything appended after the last mid-race read
+    consumer.sql("INSERT INTO conc3_sink SELECT k, v FROM conc3_s")
+    val src = writer.sql("SELECT count(*) AS n, count(DISTINCT k) AS d FROM conc3")
+      .collect()(0)
+    val snk = writer.sql(
+      "SELECT count(*) AS n, count(DISTINCT k) AS d FROM conc3_sink")
+      .collect()(0)
+    assert(snk.getLong(0) == src.getLong(0),
+      s"stream delivered ${snk.getLong(0)} rows of ${src.getLong(0)} — " +
+        "a racing append was skipped or double-delivered")
+    assert(snk.getLong(1) == src.getLong(1), "duplicate keys in sink")
+  }
+
+  test("DT refresh racing base INSERTs: final refresh == recompute") {
+    val ss = sessions(2)
+    val (writer, refresher) = (ss(0), ss(1))
+    writer.sql("""CREATE OR REPLACE TABLE conc4 AS
+      SELECT o_orderkey AS k, o_totalprice::double AS v
+      FROM orders WHERE o_orderkey <= 300""")
+    refresher.sql("""CREATE OR REPLACE DYNAMIC TABLE conc4_dt
+      TARGET_LAG = '1 minute' AS
+      SELECT k % 10 AS g, count(*) AS n, sum(v) AS sv
+      FROM conc4 GROUP BY k % 10""")
+    inParallel(Seq(
+      () => for (j <- 1 to 6) {
+        writer.sql(s"""INSERT INTO conc4
+          SELECT o_orderkey + ${j * 10000000L}, o_totalprice FROM orders
+          WHERE o_orderkey <= 300""")
+      },
+      () => for (_ <- 1 to 10) {
+        refresher.sql("ALTER DYNAMIC TABLE conc4_dt REFRESH")
+        Thread.sleep(15)
+      }))
+    refresher.sql("ALTER DYNAMIC TABLE conc4_dt REFRESH")
+    val got = refresher.sql("SELECT g, n, sv FROM conc4_dt ORDER BY g")
+      .collect()
+    val want = refresher.sql(
+      """SELECT k % 10 AS g, count(*) AS n, sum(v) AS sv
+         FROM conc4 GROUP BY k % 10 ORDER BY g""")
+      .collect()
+    assert(got.length == want.length, "group count diverged")
+    // double SUM is summation-order-sensitive: the incremental fold and
+    // the fresh recompute legitimately differ in the last ulps — compare
+    // keys/counts exactly, sums with a relative tolerance
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.get(0) == w.get(0) && g.getLong(1) == w.getLong(1),
+        s"DT group/count diverged after racing refreshes: $g vs $w")
+      val (a, b) = (g.getDouble(2), w.getDouble(2))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"DT sum diverged beyond fp tolerance: $g vs $w")
+    }
+  }
+
+  test("4 sessions x racing UPDATE/DELETE on disjoint key ranges") {
+    val ss = sessions(4)
+    ss.head.sql("""CREATE OR REPLACE TABLE conc5 AS
+      SELECT o_orderkey AS k, o_totalprice::double AS v,
+        (o_orderkey % 4)::int AS slot
+      FROM orders WHERE o_orderkey <= 1200""")
+    // each session owns slot i: doubles its values then deletes the
+    // cheap half — slots are disjoint, so the serial outcome is unique
+    inParallel(ss.zipWithIndex.map { case (s, i) => () =>
+      s.sql(s"UPDATE conc5 SET v = v * 2 WHERE slot = $i")
+      s.sql(s"DELETE FROM conc5 WHERE slot = $i AND v < 100000")
+    })
+    val got = ss.head.sql(
+      "SELECT count(*) AS n, round(sum(v), 2) AS sv FROM conc5").collect()(0)
+    // sequential reference on a twin table
+    ss.head.sql("""CREATE OR REPLACE TABLE conc5_ref AS
+      SELECT o_orderkey AS k, o_totalprice::double AS v,
+        (o_orderkey % 4)::int AS slot
+      FROM orders WHERE o_orderkey <= 1200""")
+    for (i <- 0 until 4) {
+      ss.head.sql(s"UPDATE conc5_ref SET v = v * 2 WHERE slot = $i")
+      ss.head.sql(s"DELETE FROM conc5_ref WHERE slot = $i AND v < 100000")
+    }
+    val want = ss.head.sql(
+      "SELECT count(*) AS n, round(sum(v), 2) AS sv FROM conc5_ref")
+      .collect()(0)
+    assert(got.toString == want.toString,
+      s"racing disjoint DML diverged: $got != $want")
+  }
+}

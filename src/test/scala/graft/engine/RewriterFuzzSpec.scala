@@ -330,4 +330,56 @@ class RewriterFuzzSpec extends AnyFunSuite {
     assert(total >= 1000, s"only $total expressions generated")
     s.sql("DROP TABLE fz")
   }
+
+  /** The main generator MOD-bounds integer products so a guaranteed
+    * overflow can't fail the differential harness — but that removed
+    * all coverage of overflow-behavior PARITY (round-11 ADVICE). This
+    * test restores the unbounded shape under a both-sides-must-error-
+    * or-agree contract, one expression per query so an overflow is
+    * attributable: whichever way ANSI arithmetic lands (wrap, null, or
+    * ArithmeticException), the rewritten dialect must land the same
+    * way as the hand-translated Spark SQL. */
+  test("unbounded integer products: both dialects agree or both error") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED")
+      .orElse(sys.props.get("graft.fuzz.seed")).getOrElse("20260814").toLong
+    val rnd = new scala.util.Random(seed + 7)
+    val gen = new Gen(rnd)
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+    s.sql("""CREATE OR REPLACE TABLE fzo AS SELECT
+      o_orderkey AS k, o_custkey AS c,
+      o_totalprice::double AS pd, o_totalprice::number(12,2) AS pdec,
+      o_orderpriority AS pr, o_orderstatus AS st, o_orderdate::date AS od
+      FROM orders WHERE o_orderkey <= 200""")
+    val fzDf = s.sql("SELECT * FROM fzo").localCheckpoint()
+    def evalSide(run: => Array[org.apache.spark.sql.Row])
+        : Either[String, Seq[String]] =
+      try Right(run.map(r => String.valueOf(r.get(1))).toSeq)
+      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+    var overflowed = 0
+    for (i <- 1 to 40) {
+      val (a, b) = (gen.intT(1 + rnd.nextInt(2)), gen.intT(1 + rnd.nextInt(2)))
+      // UNBOUNDED product — exactly the shape the main harness bounds
+      val snow = s"((${a.snow}) * (${b.snow}) * 100000)"
+      val native = s"((${a.sparkSql}) * (${b.sparkSql}) * 100000)"
+      val got = evalSide(
+        s.sql(s"SELECT k, ($snow) AS v FROM fzo ORDER BY k").collect())
+      fzDf.createOrReplaceTempView("fzo_native")
+      val want = evalSide(fzDf.sparkSession
+        .sql(s"SELECT k, ($native) AS v FROM fzo_native ORDER BY k").collect())
+      (got, want) match {
+        case (Right(g), Right(w)) =>
+          assert(g == w, s"seed=$seed case=$i values diverged" +
+            s"\n snow:  $snow\n spark: $native" +
+            s"\n got=${g.take(3)} want=${w.take(3)}")
+        case (Left(_), Left(_)) => overflowed += 1 // agreement: both refuse
+        case (g, w) =>
+          fail(s"seed=$seed case=$i: one side errored, the other returned" +
+            s" rows\n snow:  $snow → $g\n spark: $native → $w")
+      }
+    }
+    // non-vacuity: the multiplier guarantees real overflows occur
+    assert(overflowed > 0, s"no case overflowed — shape lost its teeth")
+    s.sql("DROP TABLE fzo")
+  }
 }
