@@ -1955,6 +1955,43 @@ object SnowflakeSql extends QueryPack {
     // RECENT texts — content proves both the limit and the view's
     // recency ordering (oldest-first would surface alpha, not gamma);
     // the output itself is re-ordered by text for the hash compare.
+    // COPY option string-literal escape processing + enclosed multi-line
+    // fields (round-12 CopyFuzz engine fixes, pinned as a gate):
+    // FIELD_DELIMITER='\t' is ONE tab (was a 2-char delimiter before
+    // round 12), NULL_IF=('\\N') is the 2-char marker, and a quoted
+    // field containing a real newline loads intact (enclosure opts into
+    // the whole-file parse). Expected rows recompute from the region
+    // table in BOTH dialects; chr(10) (not '\n': Spark literals process
+    // the escape, DuckDB's don't) normalizes the embedded newline.
+    GQuery("snow82_copy_escaped_options", Some("""
+      SELECT r_regionkey AS rkey,
+        CASE WHEN r_regionkey = 2 THEN '<null>'
+             ELSE r_name || '~line2' END AS nm
+      FROM region ORDER BY rkey""")) { (s, dir) =>
+      val gs = session(s, dir)
+      val stageDir = Files.createTempDirectory("graft_stage_esc").toString
+      val rows = graft.Tables.load(s, dir, "region")
+        .selectExpr("r_regionkey", "r_name").collect()
+        .map(r => (r.getAs[Number]("r_regionkey").intValue,
+          r.getAs[String]("r_name"))).sortBy(_._1)
+      val text = rows.map { case (k, name) =>
+        if (k == 2) s"$k\t\\N"
+        else s"$k\t\"$name\nline2\""
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stageDir, "r.csv"), text)
+      gs.sql(s"CREATE STAGE esc_stage URL='$stageDir'")
+      gs.sql("""
+        CREATE OR REPLACE TABLE region_esc (r_regionkey INT, r_name VARCHAR);
+        COPY INTO region_esc FROM @esc_stage
+          FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = '\t'
+            FIELD_OPTIONALLY_ENCLOSED_BY = '"' NULL_IF = ('\\N'));""")
+      gs.sql("""
+        SELECT r_regionkey AS rkey,
+          COALESCE(REPLACE(r_name, chr(10), '~'), '<null>') AS nm
+        FROM region_esc ORDER BY rkey""")
+    },
+
     GQuery("snow81_query_history", Some("""
       SELECT * FROM (VALUES ('SELECT ''beta'' AS tag'),
         ('SELECT ''gamma'' AS tag')) AS t(qt) ORDER BY qt""")) { (s, dir) =>
