@@ -40,12 +40,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default is 0.75 g per core and the JVM enters the documented
   // heap-per-core GC mode (probes/h04_h09_stability.json: 48 g A/B
   // collapsed h04's spread to 1.03 and GC 8.9→0.7 s) — so the DEFAULT
-  // heap scales with repl to max(24 g, 1.5 g × cpus): repl=100 keeps
-  // the 24 g the committed floors were recorded at; repl≥200 gets
-  // 1.5 g/core (48 g at 32 cpus). SPARK_DRIVER_MEM still overrides.
+  // heap scales WITH repl: 1.5 g/core at repl=200 doubling per repl
+  // doubling (the fact-fact join's in-flight exchange grows with the
+  // data on fixed cores: probes/h09_heap_repl400.json — at repl=400,
+  // 48 g still GC'd 9.6-105 s per h09 sample and 96 g collapsed that to
+  // 1.2-2.1 s, min 20.1→14.2 s), capped at 96 g on this 128 GiB box.
+  // repl=100 keeps the 24 g the committed floors were recorded at.
+  // SPARK_DRIVER_MEM still overrides. A real cluster expresses the same
+  // rule as executors-per-data, not heap-per-executor.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
     val repl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    if (repl >= 200) s"${math.max(24, (1.5 * cpus).ceil.toInt)}g" else "24g"
+    if (repl >= 200)
+      s"${math.min(96, math.max(24, (1.5 * cpus * repl / 200.0).ceil.toInt))}g"
+    else "24g"
   })}",
 )
