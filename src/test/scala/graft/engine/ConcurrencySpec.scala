@@ -197,6 +197,33 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("2 sessions x racing Iceberg UPDATEs: commits serialize on the moving path") {
+    // the FQN-keyed lock exists precisely because an Iceberg commit
+    // MOVES the table's metadata path: with path-keyed locks (or none),
+    // writer B resolves the pre-A snapshot and its COW swap silently
+    // drops A's update. Additive updates commute, so any serial order
+    // must land every increment.
+    val ss = sessions(2)
+    ss.head.sql("""CREATE OR REPLACE ICEBERG TABLE conc6 AS
+      SELECT o_orderkey AS k, o_totalprice::number(12,2) AS v
+      FROM orders WHERE o_orderkey <= 800""")
+    val base = ss.head.sql("SELECT CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM conc6")
+      .collect()(0)
+    val perThread = 3
+    inParallel(ss.map { s => () =>
+      for (_ <- 1 to perThread)
+        s.sql("UPDATE conc6 SET v = v + 1 WHERE k <= 800")
+    })
+    val fin = ss.head.sql("SELECT CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM conc6")
+      .collect()(0)
+    assert(fin.getLong(1) == base.getLong(1), "row count changed")
+    val expect = base.getDouble(0) + 2.0 * perThread * base.getLong(1)
+    assert(math.abs(fin.getDouble(0) - expect) < 1e-6,
+      s"an Iceberg commit was lost: sum ${fin.getDouble(0)} != $expect " +
+        s"(base ${base.getDouble(0)}, ${2 * perThread} increments x " +
+        s"${base.getLong(1)} rows)")
+  }
+
   test("4 sessions x racing UPDATE/DELETE on disjoint key ranges") {
     val ss = sessions(4)
     ss.head.sql("""CREATE OR REPLACE TABLE conc5 AS
