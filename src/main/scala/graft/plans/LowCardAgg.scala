@@ -179,31 +179,30 @@ object LowCardAgg extends Rule[SparkPlan] {
     }
   }
 
-  /** String predicate: kind 0 contains, 1 prefix, 2 suffix, 3 equals.
+  /** Base for string predicates with the dictionary verdict cache.
     *
     * Dictionary-aware (DuckDB's LIKE-over-dictionary trick, round-11
     * directive): when the batch column is dictionary-backed, the
     * predicate is evaluated ONCE PER DISTINCT CODE and cached per
     * Dictionary object — codes are stable for a whole parquet column
     * chunk, so across the ~64 batches of a row group each distinct
-    * value pays one `contains` and every row pays one int load + one
+    * value pays one `test` and every row pays one int load + one
     * boolean load. Atom instances deserialize per task (closure), so
-    * the mutable cache is single-threaded. */
-  private[graft] final case class StrAtom(idx: Int, kind: Int,
-      needle: UTF8String, dictPred: Boolean = true) extends FilterAtom {
+    * the mutable cache is single-threaded. For the cheap atoms
+    * (contains/prefix/suffix/equals) this is parity — measured, see
+    * probes/dict_predicate_shape.json; for [[RegexAtom]] it is the
+    * difference between one regex match per row and one per distinct
+    * value per column chunk. */
+  private[graft] sealed abstract class StringPredAtom extends FilterAtom {
+    def idx: Int
+    def dictPred: Boolean
+    protected def test(s: UTF8String): Boolean
+
     @transient private var seen: Array[Boolean] = null
     @transient private var verdict: Array[Boolean] = null
     @transient private var lastDict: AnyRef = null
 
-    private def test(s: UTF8String): Boolean =
-      (kind: @annotation.switch) match {
-        case 0 => s.contains(needle)
-        case 1 => s.startsWith(needle)
-        case 2 => s.endsWith(needle)
-        case _ => s.equals(needle)
-      }
-
-    def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
+    final def eval(b: ColumnarBatch, n: Int, mask: Array[Boolean],
         first: Boolean): Unit = {
       val c = b.column(idx)
       val noNull = !c.hasNull
@@ -241,6 +240,45 @@ object LowCardAgg extends Rule[SparkPlan] {
       var i = 0
       if (first) while (i < n) { mask(i) = ok(i); i += 1 }
       else while (i < n) { if (mask(i)) mask(i) = ok(i); i += 1 }
+    }
+  }
+
+  /** String predicate: kind 0 contains, 1 prefix, 2 suffix, 3 equals. */
+  private[graft] final case class StrAtom(idx: Int, kind: Int,
+      needle: UTF8String, dictPred: Boolean = true) extends StringPredAtom {
+    protected def test(s: UTF8String): Boolean =
+      (kind: @annotation.switch) match {
+        case 0 => s.contains(needle)
+        case 1 => s.startsWith(needle)
+        case 2 => s.endsWith(needle)
+        case _ => s.equals(needle)
+      }
+  }
+
+  /** Regex predicate: RLIKE (`find` semantics) and non-simplifiable
+    * LIKE (full `matches` over `StringUtils.escapeLikeRegex` output) —
+    * exactly Spark's `StringRegexExpression` contract — plus the
+    * NOT-wrapped forms (`negated`; a NULL input stays FALSE before the
+    * flip, matching three-valued logic where NOT(NULL) = NULL = drop).
+    *
+    * This is the expensive atom the dictionary verdict cache exists
+    * for (probes/dict_predicate_shape.json closed the cheap atoms at
+    * parity): a compiled-regex match costs ~0.1-1 µs vs ~1-2 ns for a
+    * cached code lookup, so over a dictionary-backed column chunk the
+    * regex runs once per distinct value instead of once per row —
+    * ~rows/NDV fewer matches, the same trick DuckDB applies to LIKE
+    * over FSST/dictionary vectors. Row path (no dictionary) reuses one
+    * Matcher to avoid per-row allocation. The pattern is validated
+    * driver-side in `decomposeFilter` (invalid regex keeps the stock
+    * path so errors surface identically). */
+  private[graft] final case class RegexAtom(idx: Int, pattern: String,
+      fullMatch: Boolean, negated: Boolean = false,
+      dictPred: Boolean = true) extends StringPredAtom {
+    @transient private var m: java.util.regex.Matcher = null
+    protected def test(s: UTF8String): Boolean = {
+      if (m == null) m = java.util.regex.Pattern.compile(pattern).matcher("")
+      m.reset(s.toString)
+      (if (fullMatch) m.matches() else m.find(0)) != negated
     }
   }
 
@@ -508,6 +546,17 @@ object LowCardAgg extends Rule[SparkPlan] {
     def flipOp(op: Int): Int = (op: @annotation.switch) match {
       case 0 => 2; case 1 => 3; case 2 => 0; case 3 => 1; case _ => 4
     }
+    // Invalid patterns keep the stock path so the user sees Spark's own
+    // error, not a silent drop; compiling here also fails fast on the
+    // driver instead of per task.
+    def regexAtom(a: Attribute, regex: String, fullMatch: Boolean,
+        negated: Boolean): Option[FilterAtom] =
+      colIdx.get(a.exprId).flatMap { idx =>
+        try {
+          java.util.regex.Pattern.compile(regex)
+          Some(RegexAtom(idx, regex, fullMatch, negated, dictPred))
+        } catch { case _: Exception => None }
+      }
     def atomOf(e: Expression): Option[FilterAtom] = e match {
       case IsNotNull(a: AttributeReference) =>
         colIdx.get(a.exprId).map(NullTestAtom(_, isNull = false))
@@ -536,6 +585,28 @@ object LowCardAgg extends Rule[SparkPlan] {
       case EndsWith(a: AttributeReference,
           Literal(s: UTF8String, StringType)) =>
         colIdx.get(a.exprId).map(StrAtom(_, 2, s, dictPred))
+      // RLIKE: Spark's RLike = Pattern.compile(p).matcher(s).find(0);
+      // LIKE reaching the physical plan is the non-simplifiable multi-
+      // wildcard form (LikeSimplification rewrites the rest) = full
+      // matches() over escapeLikeRegex. NOT-wrapped forms negate after
+      // the null test (NOT(NULL) = NULL = drop, same as FALSE here).
+      case RLike(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
+        regexAtom(a, p.toString, fullMatch = false, negated = false)
+      case Not(RLike(a: AttributeReference,
+          Literal(p: UTF8String, StringType))) =>
+        regexAtom(a, p.toString, fullMatch = false, negated = true)
+      case Like(a: AttributeReference,
+          Literal(p: UTF8String, StringType), esc) =>
+        regexAtom(a,
+          org.apache.spark.sql.catalyst.util.StringUtils
+            .escapeLikeRegex(p.toString, esc),
+          fullMatch = true, negated = false)
+      case Not(Like(a: AttributeReference,
+          Literal(p: UTF8String, StringType), esc)) =>
+        regexAtom(a,
+          org.apache.spark.sql.catalyst.util.StringUtils
+            .escapeLikeRegex(p.toString, esc),
+          fullMatch = true, negated = true)
       case _ => None
     }
     val parts = conjuncts(cond).map(atomOf)

@@ -688,6 +688,33 @@ object Relational extends QueryPack {
           avg(col("l_quantity") + col("l_linenumber").cast(DoubleType)).as("a1"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    GQuery("q37_regex_filter_atoms", Some("""
+      SELECT source, count(*) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS sc, max(n_chars) AS mx
+      FROM documents
+      WHERE regexp_matches(lang, '^(en|de|f)')
+        AND source NOT LIKE '%r%1%'
+        AND NOT regexp_matches(text, '[0-9]{4,}')
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      // RLIKE (find semantics, = DuckDB regexp_matches) + a NOT LIKE
+      // whose inner wildcards LikeSimplification cannot rewrite — all
+      // lower to RegexAtom inside the forced LowCardAgg. lang/source
+      // are low-NDV (parquet dictionary-backs them → once-per-code
+      // verdicts, the expensive-atom shape the cache was built for;
+      // probes/dict_regex.json); text is high-NDV so NOT RLIKE there
+      // pins the per-row Matcher path in the same plan.
+      // Fire-assertions live in LowCardAggSpec and tools/GateFireChk.
+      val f = forcedVector(s)
+      Tables.load(f, dir, "documents")
+        .filter(col("lang").rlike("^(en|de|f)") &&
+          !col("source").like("%r%1%") &&
+          !col("text").rlike("[0-9]{4,}"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sc"), max(col("n_chars")).as("mx"))
+        .orderBy("source")
     }
   )
 

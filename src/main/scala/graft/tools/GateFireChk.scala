@@ -20,7 +20,8 @@ object GateFireChk {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Seq("q34_vector_filter_atoms", "q35_dict_combo_fallback_pred",
-        "q36_vector_computed_group").foreach { name =>
+        "q36_vector_computed_group", "q37_regex_filter_atoms")
+      .foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString

@@ -226,6 +226,44 @@ class LowCardAggSpec extends AnyFunSuite {
       .groupBy("klong").agg(count(lit(1)).as("n")))
   }
 
+  test("regex atoms: RLIKE rides the vector filter and agrees with stock") {
+    assertSame(t.filter(col("klongstr").rlike("key_[13]$") && col("vd") > 10)
+      .groupBy("kint").agg(count(lit(1)).as("n"), sum(col("vl")).as("s")))
+  }
+
+  test("regex atoms: NOT RLIKE / multi-wildcard LIKE with NULL rows") {
+    // kshort has NULLs: NOT(NULL RLIKE p) = NULL = drop, same as FALSE;
+    // the LIKE patterns keep inner wildcards so LikeSimplification
+    // cannot rewrite them to contains/startsWith — they must reach
+    // decomposeFilter as Like nodes
+    assertSame(t.filter(!col("kshort").rlike("grp_[12]") &&
+        col("klongstr").like("%longer%key_%") && !col("kshort").like("%p_4%"))
+      .groupBy("kint").agg(count(lit(1)).as("n"), max(col("vd")).as("m")))
+  }
+
+  test("regex atoms: dictPredicate off pins the per-row regex path") {
+    assertSame(t.filter(col("klongstr").rlike("a_long.*_[0-5]$"))
+      .groupBy("kshort").agg(count(lit(1)).as("n"), avg(col("vd")).as("a")),
+      extra = Map("spark.graft.lowCardAgg.dictPredicate" -> "false"))
+  }
+
+  test("decomposeFilter lowers RLIKE/LIKE (and NOT forms) to RegexAtom") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = Literal(UTF8String.fromString(s), StringType)
+    val a = AttributeReference("s", StringType)()
+    val got = LowCardAgg.decomposeFilter(
+      And(RLike(a, u("^a.*b$")), Not(Like(a, u("%a%b%"), '\\'))), Seq(a))
+    assert(got.isDefined, "RLIKE/NOT LIKE conjunction did not decompose")
+    val atoms = got.get.collect { case r: LowCardAgg.RegexAtom => r }
+    assert(atoms.length == 2)
+    assert(!atoms(0).fullMatch && !atoms(0).negated) // RLIKE = find
+    assert(atoms(1).fullMatch && atoms(1).negated)   // NOT LIKE = !matches
+    // invalid pattern → None keeps the stock path (error parity)
+    assert(LowCardAgg.decomposeFilter(RLike(a, u("([")), Seq(a)).isEmpty)
+  }
+
   test("the exchange above the operator shrinks to the configured count") {
     withLowCard() {
       val df = t.groupBy("klong").agg(count(lit(1)).as("n"))
