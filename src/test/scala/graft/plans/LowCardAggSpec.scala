@@ -428,13 +428,20 @@ class LowCardAggSpec extends AnyFunSuite {
       // drawn ONCE: q is re-evaluated for both sides and must be the
       // same query (an inner nextInt here made base and force diverge —
       // the fuzz's first catch was its own bug)
-      val withFilter = rnd.nextInt(2) == 0
+      val filterPick = rnd.nextInt(5)
       def q = {
-        val base = if (withFilter) df.filter(col("vd") > -20) else df
+        val base = filterPick match {
+          case 0 => df.filter(col("vd") > -20)
+          case 1 => df.filter(col("ks").rlike("^s1[0-9]?$") &&
+            col("vd") > -50) // RegexAtom find over the dict-backed col
+          case 2 => df.filter(!col("ks").like("%s%1%")) // negated multi-%
+          case _ => df
+        }
         if (keys.isEmpty) base.agg(chosen.head, chosen.tail: _*)
         else base.groupBy(keys.map(col): _*).agg(chosen.head, chosen.tail: _*)
       }
-      val seedMsg = s"trial=$trial keys=$keys aggs=${chosen.size}"
+      val seedMsg =
+        s"trial=$trial keys=$keys aggs=${chosen.size} filter=$filterPick"
       val base = q.collect().map(_.toString).sorted
       withLowCard() {
         val got = q.collect().map(_.toString).sorted
