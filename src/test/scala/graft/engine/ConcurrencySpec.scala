@@ -224,6 +224,42 @@ class ConcurrencySpec extends AnyFunSuite {
         s"${base.getLong(1)} rows)")
   }
 
+  test("OPTIMIZE racing additive UPDATEs: compaction never drops a commit") {
+    // compaction racing COW DML is the classic corruption shape: OPTIMIZE
+    // rewrites all files into one and commits a replace snapshot — if it
+    // resolved a pre-UPDATE snapshot (or the UPDATE resolved pre-compact
+    // files), one side's rows would be silently reverted. Under the
+    // per-table writer lock both serialize; additive updates commute, so
+    // every increment must survive any interleaving with compaction.
+    val ss = sessions(2)
+    ss.head.sql("""CREATE OR REPLACE ICEBERG TABLE conc7 AS
+      SELECT o_orderkey AS k, o_totalprice::number(12,2) AS v
+      FROM orders WHERE o_orderkey <= 600""")
+    // several appends so OPTIMIZE has real multi-file work each pass
+    ss.head.sql("""INSERT INTO conc7
+      SELECT o_orderkey, o_totalprice::number(12,2)
+      FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200""")
+    val base = ss.head.sql(
+      "SELECT CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM conc7")
+      .collect()(0)
+    val perThread = 3
+    inParallel(Seq(
+      () => for (_ <- 1 to perThread)
+        ss(0).sql("UPDATE conc7 SET v = v + 1"),
+      () => for (_ <- 1 to perThread)
+        ss(1).sql("OPTIMIZE conc7")))
+    val fin = ss.head.sql(
+      "SELECT CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM conc7")
+      .collect()(0)
+    assert(fin.getLong(1) == base.getLong(1),
+      s"compaction changed the row count: ${fin.getLong(1)} vs ${base.getLong(1)}")
+    val expect = base.getDouble(0) + perThread.toDouble * base.getLong(1)
+    assert(math.abs(fin.getDouble(0) - expect) < 1e-6,
+      s"an update or compaction commit was lost: sum ${fin.getDouble(0)} " +
+        s"!= $expect (base ${base.getDouble(0)}, $perThread increments x " +
+        s"${base.getLong(1)} rows)")
+  }
+
   test("4 sessions x racing UPDATE/DELETE on disjoint key ranges") {
     val ss = sessions(4)
     ss.head.sql("""CREATE OR REPLACE TABLE conc5 AS
