@@ -129,6 +129,63 @@ object SnowflakeRewriter {
     "TIMESTAMPDIFF" -> "timestampdiff",
     "DATE_PART" -> "date_part")
 
+  /** Snowflake date-part aliases → canonical part name (the documented
+    * "supported date and time parts" table). Used by DATEADD/DATEDIFF so
+    * alias spellings (`yy`, `mons`, `wk`, …) reach Spark as units its
+    * parser accepts, and by the DATEDIFF boundary-count lowering below. */
+  private val datePartAliases: Map[String, String] = Seq(
+    "year" -> Seq("y", "yy", "yyy", "yyyy", "yr", "years", "yrs"),
+    "quarter" -> Seq("q", "qtr", "qtrs", "quarters"),
+    "month" -> Seq("mm", "mon", "mons", "months"),
+    "week" -> Seq("w", "wk", "weekofyear", "woy", "wy", "weeks"),
+    "day" -> Seq("d", "dd", "days", "dayofmonth"),
+    "hour" -> Seq("h", "hh", "hr", "hours", "hrs"),
+    "minute" -> Seq("m", "mi", "min", "minutes", "mins"),
+    "second" -> Seq("s", "sec", "seconds", "secs"),
+    "millisecond" -> Seq("ms", "msec", "milliseconds"),
+    "microsecond" -> Seq("us", "usec", "microseconds"),
+    "nanosecond" -> Seq("ns", "nsec", "nanosec", "nseconds",
+      "nanoseconds", "nanosecs")
+  ).flatMap { case (canon, aliases) =>
+    (canon +: aliases).map(_ -> canon)
+  }.toMap
+
+  /** Canonical date part for a unit word in any alias spelling, or None
+    * when the word is not a date/time part DATEADD/DATEDIFF accept. */
+  def normalizeDatePart(word: String): Option[String] =
+    datePartAliases.get(word.toLowerCase)
+
+  /** DATE_PART/EXTRACT accept the DATEADD parts plus the day/week-number
+    * family. NOTE `dy` is DAYOFYEAR here (Snowflake's documented alias)
+    * but is not a DATEADD/DATEDIFF part at all. */
+  private val extractPartAliases: Map[String, String] = datePartAliases ++ Map(
+    "dayofweek" -> "dayofweek", "weekday" -> "dayofweek",
+    "dow" -> "dayofweek", "dw" -> "dayofweek",
+    "dayofweekiso" -> "dayofweekiso", "weekday_iso" -> "dayofweekiso",
+    "dow_iso" -> "dayofweekiso",
+    "dayofyear" -> "dayofyear", "yearday" -> "dayofyear",
+    "doy" -> "dayofyear", "dy" -> "dayofyear",
+    "yearofweek" -> "yearofweek", "yearofweekiso" -> "yearofweek",
+    "weekiso" -> "week", "week_iso" -> "week")
+
+  /** Snowflake DATE_PART(part, x) / EXTRACT(part FROM x) → Spark, for
+    * every part whose Snowflake spelling or semantics Spark's extract
+    * does not share: alias spellings canonicalize (Spark rejects
+    * `yy`/`mm`/`wk`/`mi`/`dayofyear`/…), SECOND truncates to an INTEGER
+    * (Snowflake/DuckDB; Spark's is DECIMAL(8,6) WITH the fraction), and
+    * the DAYOFWEEK family shifts to Snowflake's WEEK_START=0 convention
+    * (Sunday=0..6 — DuckDB's dow; Spark's dayofweek is Sunday=1..7).
+    * None ⇒ not a recognized part; caller keeps the verbatim path. */
+  private def lowerDatePart(word: String, x: Vector[Tok]): Option[Vector[Tok]] =
+    extractPartAliases.get(word.toLowerCase).map {
+      case "second" => lex("CAST(date_part('second',") ++ x ++
+        lex(") AS BIGINT)")
+      case "dayofweek" => lex("(dayofweek(") ++ x ++ lex(") - 1)")
+      case "dayofweekiso" => lex("(weekday(") ++ x ++ lex(") + 1)")
+      case "dayofyear" => lex("date_part('doy',") ++ x ++ lex(")")
+      case c => lex(s"date_part('$c',") ++ x ++ lex(")")
+    }
+
   // ── datetime token map (Snowflake → java.time) ─────────────────────────
   // Port of the shape at universql/plugins/snow.py:41-68 (strptime there).
   private val dtTokens: Seq[(String, String)] = Seq(
@@ -162,6 +219,58 @@ object SnowflakeRewriter {
   /** Functions whose 2nd argument is a datetime format string. */
   private val fmtArgFns = Set("TO_TIMESTAMP", "TO_DATE", "TO_TIME",
     "TO_CHAR", "TO_VARCHAR", "TRY_TO_TIMESTAMP", "TRY_TO_DATE")
+
+  /** Snowflake DATEDIFF counts date-part BOUNDARIES crossed — so
+    * `DATEDIFF('year', '2023-12-31 23:59:59', '2024-01-01 00:00:01')`
+    * is 1 — matching DuckDB's `date_diff`, which is where the reference
+    * executes it (universql routes the query to DuckDB and sqlglot
+    * renders Snowflake DATEDIFF as DuckDB DATE_DIFF). Spark's
+    * `timestampdiff` counts COMPLETE intervals (the same pair yields 0),
+    * so each part lowers to an explicit boundary count: calendar parts
+    * diff their ordinals (year/quarter/month), week diffs Monday
+    * truncations, day diffs DATE casts (midnight boundaries), and
+    * sub-day parts truncate both ends to the part first — after which
+    * complete-interval count equals boundary count. Result is BIGINT for
+    * every part, like `timestampdiff`. */
+  private def dateDiffBoundary(unit: String, aT: Vector[Tok],
+      bT: Vector[Tok]): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    def app(s: String): Unit = out ++= lex(s)
+    def arg(t: Vector[Tok]): Unit = { out += Op("("); out ++= t; out += Op(")") }
+    unit match {
+      case "year" =>
+        app("CAST((year("); arg(bT); app(") - year("); arg(aT)
+        app(")) AS BIGINT)")
+      case "quarter" =>
+        app("CAST(((year("); arg(bT); app(") - year("); arg(aT)
+        app(")) * 4 + (quarter("); arg(bT); app(") - quarter("); arg(aT)
+        app("))) AS BIGINT)")
+      case "month" =>
+        app("CAST(((year("); arg(bT); app(") - year("); arg(aT)
+        app(")) * 12 + (month("); arg(bT); app(") - month("); arg(aT)
+        app("))) AS BIGINT)")
+      case "week" =>
+        // date_trunc('WEEK') is Monday-start in both Spark and DuckDB;
+        // Snowflake's default WEEK_START=0 is Monday-start weeks too.
+        app("CAST((datediff(CAST(date_trunc('WEEK', "); arg(bT)
+        app(") AS DATE), CAST(date_trunc('WEEK', "); arg(aT)
+        app(") AS DATE)) div 7) AS BIGINT)")
+      case "day" =>
+        app("CAST(datediff(CAST("); arg(bT); app(" AS DATE), CAST(")
+        arg(aT); app(" AS DATE)) AS BIGINT)")
+      case "hour" | "minute" | "second" | "millisecond" | "microsecond" =>
+        val u = unit.toUpperCase
+        app(s"timestampdiff($u, date_trunc('$u', "); arg(aT)
+        app(s"), date_trunc('$u', "); arg(bT); app("))")
+      case "nanosecond" =>
+        // micros is Spark's (and the parquet data's) finest resolution;
+        // every stored micro boundary is 1000 nano boundaries.
+        app("CAST(timestampdiff(MICROSECOND, date_trunc('MICROSECOND', ")
+        arg(aT); app("), date_trunc('MICROSECOND', "); arg(bT)
+        app(")) * 1000 AS BIGINT)")
+    }
+    out.result()
+  }
 
   /** `(withPrefixSql, relationSql)` → column names of the relation in that
     * CTE scope, or None when resolution fails. Supplied by the session
@@ -1781,6 +1890,39 @@ object SnowflakeRewriter {
             out ++= inner
             out ++= lex("), 2)")
             i = close + 1
+          } else if (up == "EXTRACT") {
+            // EXTRACT(part FROM x): same part lowering as DATE_PART —
+            // alias canonicalization, integer SECOND, 0-based DAYOFWEEK
+            // (see lowerDatePart). The part may be bare or quoted.
+            // Unrecognized parts (epoch_*) pass through verbatim.
+            val inner = toks.slice(open + 1, close)
+            val sig = significant(inner)
+            val partWord: Option[String] = sig.headOption.flatMap { ix =>
+              inner(ix) match {
+                case Ident(w) => Some(w)
+                case s: Str => Some(s.value)
+                case _ => None
+              }
+            }
+            val fromIx: Option[Int] = sig.drop(1).headOption.filter { ix =>
+              inner(ix) match {
+                case Ident(w) => w.equalsIgnoreCase("FROM")
+                case _ => false
+              }
+            }
+            val lowered = (partWord, fromIx) match {
+              case (Some(w), Some(fi)) =>
+                lowerDatePart(w, rewriteFunctions(inner.drop(fi + 1)))
+              case _ => None
+            }
+            lowered match {
+              case Some(ts) => out ++= ts
+              case None =>
+                out ++= lex("EXTRACT(")
+                out ++= rewriteFunctions(inner)
+                out ++= lex(")")
+            }
+            i = close + 1
           } else if (up == "DAYNAME" || up == "MONTHNAME") {
             val fmt = if (up == "DAYNAME") "EEE" else "MMM"
             out ++= lex("date_format(")
@@ -1806,22 +1948,55 @@ object SnowflakeRewriter {
             // a bare keyword, date_part wants a string literal.
             val mapped = unitFns(up)
             val argRanges = splitArgs(toks, open, close)
-            out += Ident(mapped)
-            out += Op("(")
-            argRanges.zipWithIndex.foreach { case ((a, b), idx) =>
-              if (idx > 0) out += Op(",") // arg slices keep their own spacing
-              val argToks = toks.slice(a, b)
-              val sig = significant(argToks)
-              if (idx == 0 && sig.size == 1) (argToks(sig.head), mapped) match {
-                case (s: Str, "timestampadd" | "timestampdiff") =>
-                  out += Ident(s.value) // unquote: 'day' → day
-                case (Ident(w), "date_part") =>
-                  out += Str(s"'$w'") // quote: year → 'year'
-                case _ => out ++= rewriteFunctions(argToks)
-              } else out ++= rewriteFunctions(argToks)
+            // Unit word when the first arg is a single bare/quoted token.
+            val unitWord: Option[String] = argRanges.headOption.flatMap {
+              case (a, b) =>
+                val argToks = toks.slice(a, b)
+                val sig = significant(argToks)
+                if (sig.size != 1) None
+                else argToks(sig.head) match {
+                  case Ident(w) => Some(w)
+                  case s: Str => Some(s.value)
+                  case _ => None
+                }
             }
-            out += Op(")")
-            i = close + 1
+            val canon = unitWord.flatMap(normalizeDatePart)
+            val partLowered: Option[Vector[Tok]] =
+              if (mapped == "date_part" && argRanges.length == 2 &&
+                  unitWord.isDefined)
+                lowerDatePart(unitWord.get, rewriteFunctions(
+                  toks.slice(argRanges(1)._1, argRanges(1)._2)))
+              else None
+            if (partLowered.isDefined) {
+              out ++= partLowered.get
+              i = close + 1
+            } else if (mapped == "timestampdiff" && argRanges.length == 3 &&
+                canon.isDefined) {
+              out ++= dateDiffBoundary(canon.get,
+                rewriteFunctions(toks.slice(argRanges(1)._1, argRanges(1)._2)),
+                rewriteFunctions(toks.slice(argRanges(2)._1, argRanges(2)._2)))
+              i = close + 1
+            } else {
+              out += Ident(mapped)
+              out += Op("(")
+              argRanges.zipWithIndex.foreach { case ((a, b), idx) =>
+                if (idx > 0) out += Op(",") // arg slices keep their own spacing
+                val argToks = toks.slice(a, b)
+                val sig = significant(argToks)
+                if (idx == 0 && sig.size == 1) (argToks(sig.head), mapped) match {
+                  case (s: Str, "timestampadd" | "timestampdiff") =>
+                    // unquote ('day' → day), canonicalizing alias spellings
+                    out += Ident(normalizeDatePart(s.value).getOrElse(s.value))
+                  case (Ident(w), "timestampadd" | "timestampdiff") =>
+                    out += Ident(normalizeDatePart(w).getOrElse(w))
+                  case (Ident(w), "date_part") =>
+                    out += Str(s"'$w'") // quote: year → 'year'
+                  case _ => out ++= rewriteFunctions(argToks)
+                } else out ++= rewriteFunctions(argToks)
+              }
+              out += Op(")")
+              i = close + 1
+            }
           } else if (up == "EQUAL_NULL") {
             // EQUAL_NULL(a, b) → ((a) <=> (b)) — null-safe equality
             val argRanges = splitArgs(toks, open, close)

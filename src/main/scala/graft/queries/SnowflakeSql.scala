@@ -1992,6 +1992,44 @@ object SnowflakeSql extends QueryPack {
         FROM region_esc ORDER BY rkey""")
     },
 
+    // DATEDIFF counts part BOUNDARIES crossed (Snowflake semantics ==
+    // DuckDB date_diff, where the reference executes it), NOT complete
+    // intervals (Spark timestampdiff) — the anchor sits mid-range so
+    // both signs and every part's boundary lowering are exercised, in
+    // alias spellings (yy/mons/wk/dd/hh/mi/s). EXTRACT(second) /
+    // DATE_PART('second') are INTEGER seconds (fraction truncated;
+    // events ts values all carry micros). The DATEADD clamp probe pins
+    // month-end arithmetic (Jan 31 + 1 month = Feb 29 in 2024).
+    GQuery("snow83_datediff_boundaries", Some("""
+      SELECT
+        CAST(sum(date_diff('year', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS dy,
+        CAST(sum(date_diff('quarter', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS dq,
+        CAST(sum(date_diff('month', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS dm,
+        CAST(sum(date_diff('week', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS dw,
+        CAST(sum(date_diff('day', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS dd,
+        CAST(sum(date_diff('hour', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS dh,
+        CAST(sum(date_diff('minute', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS dmi,
+        CAST(sum(date_diff('second', TIMESTAMP '2024-01-15 12:30:45', ts)) AS BIGINT) AS ds,
+        CAST(sum(date_part('second', ts)) AS BIGINT) AS es,
+        CAST(sum(date_part('second', ts)) AS BIGINT) AS dps,
+        CAST(max(TIMESTAMP '2024-01-31 05:00:00' + INTERVAL 1 MONTH) AS VARCHAR) AS clamped
+      FROM events""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT
+          sum(DATEDIFF(yy, '2024-01-15 12:30:45'::timestamp, ts))::bigint AS dy,
+          sum(DATEDIFF('qtr', '2024-01-15 12:30:45'::timestamp, ts))::bigint AS dq,
+          sum(DATEDIFF(mons, '2024-01-15 12:30:45'::timestamp, ts))::bigint AS dm,
+          sum(DATEDIFF(wk, '2024-01-15 12:30:45'::timestamp, ts))::bigint AS dw,
+          sum(DATEDIFF(dd, '2024-01-15 12:30:45'::timestamp, ts))::bigint AS dd,
+          sum(DATEDIFF(hh, '2024-01-15 12:30:45'::timestamp, ts))::bigint AS dh,
+          sum(DATEDIFF(mi, '2024-01-15 12:30:45'::timestamp, ts))::bigint AS dmi,
+          sum(DATEDIFF(s, '2024-01-15 12:30:45'::timestamp, ts))::bigint AS ds,
+          sum(EXTRACT(second FROM ts))::bigint AS es,
+          sum(DATE_PART('second', ts))::bigint AS dps,
+          DATEADD(month, 1, max('2024-01-31 05:00:00'::timestamp))::varchar AS clamped
+        FROM events""")
+    },
+
     GQuery("snow81_query_history", Some("""
       SELECT * FROM (VALUES ('SELECT ''beta'' AS tag'),
         ('SELECT ''gamma'' AS tag')) AS t(qt) ORDER BY qt""")) { (s, dir) =>

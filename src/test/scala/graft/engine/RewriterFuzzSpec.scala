@@ -93,8 +93,11 @@ class RewriterFuzzSpec extends AnyFunSuite {
             s"CASE WHEN (${a.sparkSql}) IS NULL OR (${b.sparkSql}) IS NULL " +
             s"THEN NULL ELSE greatest(${a.sparkSql}, ${b.sparkSql}) END") },
         i => { val (a, b) = (dateT(i), dateT(i))
+          // Snowflake DATEDIFF counts boundaries; for 'day' that is the
+          // number of midnights crossed == datediff of the DATE casts.
           E(s"DATEDIFF(day, ${a.snow}, ${b.snow})",
-            s"timestampdiff(DAY, ${a.sparkSql}, ${b.sparkSql})") },
+            s"CAST(datediff(CAST((${b.sparkSql}) AS DATE), " +
+            s"CAST((${a.sparkSql}) AS DATE)) AS BIGINT)") },
         i => { val (a, b) = (intT(i), intT(i))
           E(s"BITXOR(${a.snow}, ${b.snow})",
             s"((${a.sparkSql}) ^ (${b.sparkSql}))") },

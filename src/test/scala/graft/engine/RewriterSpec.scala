@@ -123,8 +123,28 @@ class RewriterSpec extends AnyFunSuite {
   test("DATEADD with quoted unit unquotes it") {
     assert(rw("SELECT DATEADD('day', 3, ts) FROM t") ==
       "SELECT timestampadd(day, 3, ts) FROM t")
-    assert(rw("SELECT DATEDIFF('hour', a, b) FROM t") ==
-      "SELECT timestampdiff(hour, a, b) FROM t")
+  }
+
+  test("DATEADD alias units canonicalize") {
+    assert(rw("SELECT DATEADD(yy, 1, ts) FROM t") ==
+      "SELECT timestampadd(year, 1, ts) FROM t")
+    assert(rw("SELECT DATEADD('mons', 2, ts) FROM t") ==
+      "SELECT timestampadd(month, 2, ts) FROM t")
+  }
+
+  test("DATEDIFF lowers to a boundary count per part") {
+    // Snowflake/DuckDB DATEDIFF counts part boundaries crossed, not
+    // complete intervals (Spark timestampdiff semantics) — see
+    // SnowflakeRewriter.dateDiffBoundary.
+    val hour = rw("SELECT DATEDIFF('hour', a, b) FROM t")
+    assert(hour.contains("timestampdiff(HOUR, date_trunc('HOUR'"), hour)
+    val year = rw("SELECT DATEDIFF(year, a, b) FROM t")
+    assert(year.contains("year(") && year.contains("AS BIGINT"), year)
+    val day = rw("SELECT DATEDIFF(dd, a, b) FROM t")
+    assert(day.contains("datediff(") && day.contains("AS DATE"), day)
+    val week = rw("SELECT DATEDIFF(wk, a, b) FROM t")
+    assert(week.contains("date_trunc('WEEK'") && week.contains("div 7"),
+      week)
   }
 
   test("DATE_PART bare unit becomes a string literal") {
