@@ -260,6 +260,71 @@ class ConcurrencySpec extends AnyFunSuite {
         s"${base.getLong(1)} rows)")
   }
 
+  test("2 sessions x racing CREATE OR REPLACE TABLE AS: replace is atomic") {
+    val ss = sessions(2)
+    val iters = 4
+    // every write stamps ALL its rows with one (session, iter) tag and a
+    // known row count; an atomic replace means the final table is exactly
+    // ONE write's batch — one distinct tag, that tag's full count, never
+    // a mix of two writes' files
+    inParallel(ss.zipWithIndex.map { case (s, i) => () =>
+      for (j <- 0 until iters) {
+        val n = 100 + i * 10 + j // distinct per (i, j): count pins the tag
+        s.sql(s"""CREATE OR REPLACE TABLE conc8 AS
+          SELECT 'w${i}_$j' AS tag, o_orderkey AS k FROM orders
+          WHERE o_orderkey <= ${4 * n} AND o_orderkey % 4 = 0""")
+      }
+    })
+    val rows = ss.head.sql(
+      "SELECT count(DISTINCT tag) AS tags, min(tag) AS tag, count(*) AS n " +
+        "FROM conc8").collect()(0)
+    assert(rows.getLong(0) == 1, s"torn replace — mixed tags: $rows")
+    val Array(_, ij) = rows.getString(1).split("w", 2)
+    val Array(i, j) = ij.split("_").map(_.toInt)
+    val n = 100 + i * 10 + j
+    val expected = ss.head.sql(
+      s"""SELECT count(*) AS n FROM orders
+          WHERE o_orderkey <= ${4 * n} AND o_orderkey % 4 = 0""")
+      .collect()(0).getLong(0)
+    assert(rows.getLong(2) == expected,
+      s"replace lost/mixed rows: $rows != $expected")
+  }
+
+  test("CLONE racing COW UPDATEs sees exactly one committed snapshot") {
+    val ss = sessions(2)
+    ss.head.sql("""CREATE OR REPLACE TABLE conc9 AS
+      SELECT o_orderkey AS k, 0::bigint AS v
+      FROM orders WHERE o_orderkey <= 800""")
+    val nRows = ss.head.sql("SELECT count(*) AS n FROM conc9")
+      .collect()(0).getLong(0)
+    val updates = 6
+    val clones = 5
+    inParallel(Seq(
+      () => for (_ <- 0 until updates)
+        ss.head.sql("UPDATE conc9 SET v = v + 1"),
+      () => for (j <- 0 until clones)
+        ss(1).sql(s"CREATE TABLE conc9_c$j CLONE conc9")
+    ))
+    // each clone captured SOME committed snapshot: sum(v) == i * nRows
+    // for an integer 0 <= i <= updates — never a mix of two snapshots
+    val sums = (0 until clones).map { j =>
+      ss.head.sql(s"SELECT coalesce(sum(v), 0) AS sv FROM conc9_c$j")
+        .collect()(0).getLong(0)
+    }
+    sums.foreach { sv =>
+      assert(sv % nRows == 0 && sv / nRows <= updates,
+        s"clone caught a torn snapshot: sum=$sv rows=$nRows ($sums)")
+    }
+    // clones are snapshots, not links: mutating the source afterward
+    // must not change any clone
+    ss.head.sql("UPDATE conc9 SET v = v + 100")
+    val after = (0 until clones).map { j =>
+      ss.head.sql(s"SELECT coalesce(sum(v), 0) AS sv FROM conc9_c$j")
+        .collect()(0).getLong(0)
+    }
+    assert(after == sums, s"clone drifted after source update: $sums -> $after")
+  }
+
   test("4 sessions x racing UPDATE/DELETE on disjoint key ranges") {
     val ss = sessions(4)
     ss.head.sql("""CREATE OR REPLACE TABLE conc5 AS
