@@ -197,6 +197,49 @@ class DatetimeFuzzSpec extends AnyFunSuite {
           s"strptime('$str', '$duckFmt')")
     }
 
+    def genTryParse(): C = {
+      val (snowFmt, duckFmt, javaFmt, dateOnly) = pick(parseShapes)
+      val a = randInstant().withNano(
+        if (snowFmt.contains("FF3")) (rnd.nextInt(1000) * 1000000) else 0)
+      var str = a.format(DateTimeFormatter.ofPattern(javaFmt,
+        java.util.Locale.US))
+      // ~half the cases corrupt a field to a CLEARLY invalid value
+      // (month 13+, day 32+, hour 25+, Feb 30) — both engines' strict
+      // parsers must agree the case is NULL, and agree on the value
+      // otherwise. Corruptions stay unambiguous: lenient-vs-strict
+      // debatable strings (Apr 31) are the directed tests' business.
+      if (rnd.nextBoolean()) {
+        val bad = pick(Seq("13" -> "MM", "32" -> "DD", "25" -> "HH24"))
+        if (snowFmt.contains(bad._2)) {
+          val jtok = bad._2 match {
+            case "MM" => "MM"; case "DD" => "dd"; case _ => "HH"
+          }
+          val good = a.format(DateTimeFormatter.ofPattern(jtok,
+            java.util.Locale.US))
+          str = str.replaceFirst(java.util.regex.Pattern.quote(good),
+            bad._1)
+        }
+      }
+      if (dateOnly)
+        C(s"TRY_TO_DATE('$str', '$snowFmt')",
+          s"CAST(try_strptime('$str', '$duckFmt') AS DATE)")
+      else
+        C(s"TRY_TO_TIMESTAMP('$str', '$snowFmt')",
+          s"try_strptime('$str', '$duckFmt')")
+    }
+
+    def genAddMonths(): C = {
+      // ADD_MONTHS passes through to Spark's add_months, which CLAMPS to
+      // the target month's length (Feb 29 + 1 month = Mar 29) — exactly
+      // DuckDB's + INTERVAL MONTH, which is where the reference executes
+      // it. (Snowflake proper instead preserves "last day in, last day
+      // out" → Mar 31; this engine documents reference/DuckDB parity.)
+      val a = randInstant()
+      val n = rnd.nextInt(100) - 50
+      C(s"ADD_MONTHS('${dLit(a)}'::date, $n)",
+        s"CAST(DATE '${dLit(a)}' + ($n) * INTERVAL 1 MONTH AS DATE)")
+    }
+
     def genTrunc(): C = {
       val part = pick(Seq("year", "quarter", "month", "week", "day",
         "hour", "minute", "second"))
@@ -242,9 +285,9 @@ class DatetimeFuzzSpec extends AnyFunSuite {
 
     val gens: Seq[() => C] = Seq(
       genDateDiff _, genDateDiff _, genDateDiff _, // weight the target
-      genDateAdd _, genToChar _, genParse _, genTrunc _, genPart _,
-      genMisc _)
-    val cases = Vector.fill(406)(pick(gens)())
+      genDateAdd _, genToChar _, genParse _, genTryParse _,
+      genAddMonths _, genTrunc _, genPart _, genMisc _)
+    val cases = Vector.fill(506)(pick(gens)())
 
     // ── execute in batches of 7 expressions per SELECT ────────────────
     val s = new GraftSession(spark)
