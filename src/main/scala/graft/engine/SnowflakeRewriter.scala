@@ -1572,14 +1572,40 @@ object SnowflakeRewriter {
               out += Op(")")
             }
             i = close + 1
-          } else if (up == "ZEROIFNULL" || up == "NULLIFZERO" || up == "DIV0") {
+          } else if (up == "ZEROIFNULL" || up == "NULLIFZERO") {
             val inner = rewriteFunctions(toks.slice(open + 1, close))
             val (pre, post) = up match {
               case "ZEROIFNULL" => ("coalesce(", ", 0)")
-              case "NULLIFZERO" => ("nullif(", ", 0)")
-              case "DIV0"       => ("coalesce(try_divide(", "), 0)")
+              case _            => ("nullif(", ", 0)")
             }
             out ++= lex(pre); out ++= inner; out ++= lex(post)
+            i = close + 1
+          } else if (up == "DIV0" || up == "DIV0NULL") {
+            // DIV0(a, b): a/b, 0 when b = 0; DIV0NULL also maps a NULL
+            // divisor to 0. NULL otherwise propagates — the previous
+            // coalesce(try_divide(a, b), 0) form collapsed a NULL
+            // dividend (and, for DIV0, a NULL divisor) to 0, which
+            // Snowflake does not. The CASE never divides by zero, so it
+            // is ANSI-safe without try_divide.
+            val argRanges = splitArgs(toks, open, close)
+            require(argRanges.length == 2, s"$up needs 2 arguments")
+            val a = rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2))
+            val b = rewriteFunctions(
+              toks.slice(argRanges(1)._1, argRanges(1)._2))
+            out ++= lex("(CASE WHEN (")
+            out ++= b
+            out ++= lex(") = 0 ")
+            if (up == "DIV0NULL") {
+              out ++= lex("OR (")
+              out ++= b
+              out ++= lex(") IS NULL ")
+            }
+            out ++= lex("THEN 0 ELSE (")
+            out ++= a
+            out ++= lex(") / (")
+            out ++= b
+            out ++= lex(") END)")
             i = close + 1
           } else if (up == "GENERATOR") {
             // GENERATOR(ROWCOUNT => n) → range(n) (table function; usually
@@ -1884,6 +1910,69 @@ object SnowflakeRewriter {
             out ++= rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
             out ++= lex(s", $sqlLit), x -> x <> '')")
             i = close + 1
+          } else if ((up == "TRUNC" || up == "TRUNCATE") && {
+              val ar = splitArgs(toks, open, close)
+              // Dispatch the Snowflake overload at the token level: a
+              // string-literal 2nd arg is the DATE form (Spark's own
+              // trunc(date, fmt) handles it); one arg or a numeric 2nd
+              // arg is numeric truncate-toward-zero, which Spark lacks.
+              ar.length == 1 || (ar.length == 2 && {
+                val a2 = toks.slice(ar(1)._1, ar(1)._2)
+                val sg = significant(a2)
+                !(sg.size == 1 && a2(sg.head).isInstanceOf[Str])
+              })
+            }) {
+            val ar = splitArgs(toks, open, close)
+            val x = rewriteFunctions(toks.slice(ar(0)._1, ar(0)._2))
+            if (ar.length == 1) {
+              // truncate toward zero: floor for positives, ceil for
+              // negatives (NULL propagates through both)
+              out ++= lex("(CASE WHEN (")
+              out ++= x
+              out ++= lex(") >= 0 THEN floor(")
+              out ++= x
+              out ++= lex(") ELSE ceil(")
+              out ++= x
+              out ++= lex(") END)")
+            } else {
+              // At scale n: scale by 10^|n|, truncate, scale back. For a
+              // LITERAL scale the multiplier is an exact integer so
+              // decimal inputs stay in exact decimal arithmetic —
+              // TRUNC(0.29, 2) must be 0.29, but in doubles
+              // 0.29 * power(10, 2) is 28.999… and floors to 0.28. A
+              // non-literal scale falls back to double power() (scale
+              // expressions are vanishingly rare in real queries).
+              val nToks = toks.slice(ar(1)._1, ar(1)._2)
+              val sg = significant(nToks)
+              val litN: Option[Int] = sg.map(ix => nToks(ix)) match {
+                case Vector(Num(t)) if t.forall(_.isDigit) =>
+                  t.toIntOption
+                case Vector(Op("-"), Num(t)) if t.forall(_.isDigit) =>
+                  t.toIntOption.map(-_)
+                case _ => None
+              }
+              def emitCase(scaleUp: String, scaleBack: String): Unit = {
+                out ++= lex("((CASE WHEN (")
+                out ++= x
+                out ++= lex(") >= 0 THEN floor((")
+                out ++= x
+                out ++= lex(s") $scaleUp) ELSE ceil((")
+                out ++= x
+                out ++= lex(s") $scaleUp) END) $scaleBack)")
+              }
+              litN match {
+                case Some(n) if n >= 0 && n <= 18 =>
+                  val p = java.math.BigInteger.TEN.pow(n).toString
+                  emitCase(s"* $p", s"/ $p")
+                case Some(n) if n < 0 && n >= -18 =>
+                  val p = java.math.BigInteger.TEN.pow(-n).toString
+                  emitCase(s"/ $p", s"* $p")
+                case _ =>
+                  val n = render(rewriteFunctions(nToks))
+                  emitCase(s"* power(10, ($n))", s"/ power(10, ($n))")
+              }
+            }
+            i = close + 1
           } else if (up == "SQUARE") {
             val inner = rewriteFunctions(toks.slice(open + 1, close))
             out ++= lex("power((")
@@ -1922,6 +2011,44 @@ object SnowflakeRewriter {
                 out ++= rewriteFunctions(inner)
                 out ++= lex(")")
             }
+            i = close + 1
+          } else if ((up == "TRIM" || up == "LTRIM" || up == "RTRIM") &&
+              splitArgs(toks, open, close).length == 2) {
+            // Snowflake TRIM(s, chars) strips any char in the SET from the
+            // end(s); Spark's function forms are 1-arg whitespace-only —
+            // the set variant only exists as TRIM(BOTH|LEADING|TRAILING
+            // chars FROM s) syntax.
+            val argRanges = splitArgs(toks, open, close)
+            val mode = up match {
+              case "TRIM" => "BOTH"
+              case "LTRIM" => "LEADING"
+              case _ => "TRAILING"
+            }
+            out ++= lex(s"TRIM($mode ")
+            out ++= rewriteFunctions(
+              toks.slice(argRanges(1)._1, argRanges(1)._2))
+            out ++= lex(" FROM ")
+            out ++= rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2))
+            out ++= lex(")")
+            i = close + 1
+          } else if (up == "SPLIT_PART" &&
+              splitArgs(toks, open, close).length == 3) {
+            // Snowflake treats part 0 as part 1; Spark's split_part throws
+            // on 0. The CASE constant-folds away for literal parts.
+            val argRanges = splitArgs(toks, open, close)
+            val part = toks.slice(argRanges(2)._1, argRanges(2)._2)
+            out ++= lex("split_part(")
+            out ++= rewriteFunctions(
+              toks.slice(argRanges(0)._1, argRanges(0)._2))
+            out ++= lex(", ")
+            out ++= rewriteFunctions(
+              toks.slice(argRanges(1)._1, argRanges(1)._2))
+            out ++= lex(", CASE WHEN (")
+            out ++= rewriteFunctions(part)
+            out ++= lex(") = 0 THEN 1 ELSE (")
+            out ++= rewriteFunctions(part)
+            out ++= lex(") END)")
             i = close + 1
           } else if (up == "DAYNAME" || up == "MONTHNAME") {
             val fmt = if (up == "DAYNAME") "EEE" else "MMM"

@@ -2030,6 +2030,85 @@ object SnowflakeSql extends QueryPack {
         FROM events""")
     },
 
+    // String-surface edges the 11th fuzz family guards, pinned under the
+    // driver's oracle: 2-arg TRIM family (char-SET strip — Spark only
+    // has the TRIM(BOTH … FROM …) syntax form, the rewriter lowers to
+    // it), SPLIT_PART with a negative index, CHARINDEX with a start
+    // offset (DuckDB has no 3-arg position — the oracle searches the
+    // suffix and re-offsets), INSERT (oracle renders slice||repl||slice)
+    // and TRANSLATE.
+    GQuery("snow84_string_edges", Some("""
+      SELECT n_nationkey AS k,
+        trim(n_name, 'AEIOU') AS t1,
+        ltrim(n_name, 'ABC') AS t2,
+        rtrim(n_name, 'ANY') AS t3,
+        split_part(n_name, 'A', 2) AS sp,
+        split_part(n_name, 'A', -1) AS spn,
+        CAST(CASE WHEN strpos(substr(n_name, 3), 'A') = 0 THEN 0
+             ELSE strpos(substr(n_name, 3), 'A') + 2 END AS BIGINT) AS ci,
+        substr(n_name, 1, 1) || '*' || substr(n_name, 5) AS ins,
+        translate(n_name, 'AN', 'xy') AS tr
+      FROM nation ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT n_nationkey AS k,
+          TRIM(n_name, 'AEIOU') AS t1,
+          LTRIM(n_name, 'ABC') AS t2,
+          RTRIM(n_name, 'ANY') AS t3,
+          SPLIT_PART(n_name, 'A', 2) AS sp,
+          SPLIT_PART(n_name, 'A', -1) AS spn,
+          CHARINDEX('A', n_name, 3)::bigint AS ci,
+          INSERT(n_name, 2, 3, '*') AS ins,
+          TRANSLATE(n_name, 'AN', 'xy') AS tr
+        FROM nation ORDER BY k""")
+    },
+
+    // Numeric-surface edges the 12th fuzz family guards, pinned under
+    // the driver's oracle: numeric TRUNC/TRUNCATE toward zero at
+    // positive AND negative scales (Spark has no numeric trunc — the
+    // rewriter's sign-dispatched floor/ceil in EXACT integer powers),
+    // scaled CEIL/FLOOR, ROUND half-away-from-zero, DIV0/DIV0NULL
+    // NULL-propagation (divisor MOD k draws real zeros; NULLIF draws
+    // real NULLs; operands kept exactly divisible so both engines'
+    // decimal division is exact), and sign-follows-dividend MOD. All
+    // aggregates sum exact decimals and cast to double at the end.
+    GQuery("snow85_numeric_edges", Some("""
+      SELECT
+        -- DuckDB's decimal-by-int division returns DOUBLE, so every
+        -- scale-back multiplies by an exact decimal instead
+        CAST(sum(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 10) * 0.1)
+          AS DOUBLE) AS t1,
+        CAST(sum(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 0.01) * 100)
+          AS DOUBLE) AS tm,
+        CAST(sum(ceil(CAST(o_totalprice AS DECIMAL(12,2)) * 10) * 0.1)
+          AS DOUBLE) AS c1,
+        CAST(sum(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 0.001) * 1000)
+          AS DOUBLE) AS f3,
+        CAST(sum(round(CAST(o_totalprice AS DECIMAL(12,2)), 1))
+          AS DOUBLE) AS r1,
+        CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 0
+          ELSE CAST(o_totalprice AS DECIMAL(12,2)) * 2 *
+            (CASE WHEN o_orderkey % 3 = 1 THEN 1.0 ELSE 0.5 END)
+          END) AS DOUBLE) AS dv,
+        CAST(sum(CASE WHEN nullif(o_orderkey % 3, 1) = 0
+            OR nullif(o_orderkey % 3, 1) IS NULL THEN 0
+          ELSE CAST(o_totalprice AS DECIMAL(12,2)) * 2 * 0.5 END)
+          AS DOUBLE) AS dvn,
+        CAST(sum((0 - o_orderkey) % 7) AS BIGINT) AS md
+      FROM orders WHERE o_orderkey <= 2000""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT
+          sum(TRUNC(o_totalprice::number(12,2), 1))::double AS t1,
+          sum(TRUNC(o_totalprice::number(12,2), -2))::double AS tm,
+          sum(CEIL(o_totalprice::number(12,2), 1))::double AS c1,
+          sum(FLOOR(o_totalprice::number(12,2), -3))::double AS f3,
+          sum(ROUND(o_totalprice::number(12,2), 1))::double AS r1,
+          sum(DIV0(o_totalprice::number(12,2) * 2, MOD(o_orderkey, 3)))::double AS dv,
+          sum(DIV0NULL(o_totalprice::number(12,2) * 2,
+            NULLIF(MOD(o_orderkey, 3), 1)))::double AS dvn,
+          sum(MOD(0 - o_orderkey, 7))::bigint AS md
+        FROM orders WHERE o_orderkey <= 2000""")
+    },
+
     GQuery("snow81_query_history", Some("""
       SELECT * FROM (VALUES ('SELECT ''beta'' AS tag'),
         ('SELECT ''gamma'' AS tag')) AS t(qt) ORDER BY qt""")) { (s, dir) =>

@@ -85,7 +85,8 @@ class AggFuzzSpec extends AnyFunSuite {
       () => E("ANY_VALUE(g)", "any_value(g)"), // g is the grouping key
       () => { val (a, b) = (numIn(), numIn())
         E(s"DIV0(SUM(${a.snow}), SUM(${b.snow}))",
-          s"coalesce(try_divide(SUM(${a.sparkSql}), SUM(${b.sparkSql})), 0)") }
+          s"CASE WHEN (SUM(${b.sparkSql})) = 0 THEN 0 " +
+          s"ELSE (SUM(${a.sparkSql})) / (SUM(${b.sparkSql})) END") }
     ))()
 
     /** Grouping key expression — low cardinality, sometimes NULL. */

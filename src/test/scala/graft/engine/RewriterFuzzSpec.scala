@@ -132,8 +132,10 @@ class RewriterFuzzSpec extends AnyFunSuite {
           val op = pick(Seq("+", "-", "*"))
           E(s"(${a.snow} $op ${b.snow})", s"(${a.sparkSql} $op ${b.sparkSql})") },
         i => { val (a, b) = (numT(i), numT(i))
+          // DIV0: 0 only when the divisor IS 0 — NULLs propagate
           E(s"DIV0(${a.snow}, ${b.snow})",
-            s"coalesce(try_divide((${a.sparkSql}), (${b.sparkSql})), 0)") },
+            s"CASE WHEN (${b.sparkSql}) = 0 THEN 0 " +
+            s"ELSE (${a.sparkSql}) / (${b.sparkSql}) END") },
         i => { val a = numT(i)
           E(s"ZEROIFNULL(${a.snow})", s"coalesce((${a.sparkSql}), 0)") },
         i => { val a = numT(i)

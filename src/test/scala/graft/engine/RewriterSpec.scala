@@ -333,11 +333,33 @@ class RewriterSpec extends AnyFunSuite {
       "posexplode(from_json((arr), 'array<string>')) f AS index, value")
   }
 
-  test("ZEROIFNULL / NULLIFZERO / DIV0") {
+  test("ZEROIFNULL / NULLIFZERO / DIV0 / DIV0NULL") {
     assert(rw("SELECT ZEROIFNULL(x) FROM t") == "SELECT coalesce(x, 0) FROM t")
     assert(rw("SELECT NULLIFZERO(x) FROM t") == "SELECT nullif(x, 0) FROM t")
-    assert(rw("SELECT DIV0(a, b) FROM t") ==
-      "SELECT coalesce(try_divide(a, b), 0) FROM t")
+    // DIV0 is 0 only when the DIVISOR is 0; NULL operands propagate (the
+    // old coalesce(try_divide(..), 0) collapsed NULLs to 0)
+    // arg slices keep their own spacing — compare space-normalized
+    val d0 = rw("SELECT DIV0(a, b) FROM t").replace(" ", "")
+    assert(d0.contains("CASEWHEN(b)=0THEN0") &&
+      d0.contains("(a)/(b)END"), d0)
+    // DIV0NULL additionally maps a NULL divisor to 0
+    val dn = rw("SELECT DIV0NULL(a, b) FROM t").replace(" ", "")
+    assert(dn.contains("(b)ISNULL") && dn.contains("THEN0"), dn)
+  }
+
+  test("numeric TRUNC truncates toward zero; string-unit TRUNC stays date") {
+    val t1 = rw("SELECT TRUNC(x) FROM t")
+    assert(t1.contains("floor(") && t1.contains("ceil("), t1)
+    // literal scales use exact integer powers (decimal stays decimal —
+    // 0.29 * power(10, 2) in doubles floors to 0.28)
+    val t2 = rw("SELECT TRUNC(x, 2) FROM t")
+    assert(t2.contains("* 100") && t2.contains("floor("), t2)
+    val t3 = rw("SELECT TRUNC(x, -2) FROM t")
+    assert(t3.contains("/ 100") && t3.contains("ceil("), t3)
+    val t4 = rw("SELECT TRUNC(x, n) FROM t").replace(" ", "")
+    assert(t4.contains("power(10,(n))"), t4)
+    assert(rw("SELECT TRUNC(d, 'MONTH') FROM t") ==
+      "SELECT TRUNC(d, 'MONTH') FROM t")
   }
 
   test("strings and comments survive untouched") {
