@@ -292,9 +292,85 @@ object SnowflakeRewriter {
     toks = rewriteSample(toks)
     toks = rewriteQualify(toks)
     toks = rewriteTop(toks)
+    toks = sortNullsCompensation(toks)
     toks = quotedIdentsToBackticks(toks)
     toks = quoteMetadataIdents(toks)
     render(toks)
+  }
+
+  /** Snowflake sorts NULLs as the HIGHEST values (documented default:
+    * ASC → NULLS LAST, DESC → NULLS FIRST); Spark sorts them as the
+    * LOWEST (ASC → NULLS FIRST). With LIMIT / top-k that selects
+    * DIFFERENT ROWS, not just a different order — so every sort item
+    * without an explicit NULLS FIRST/LAST gets the Snowflake default
+    * appended. Runs after all lowering passes, so it reaches
+    * statement-level ORDER BY, window ORDER BY (incl. the ones
+    * rewriteQualify synthesizes), and WITHIN GROUP alike. (DuckDB —
+    * the reference's executor — sorts NULLS LAST in BOTH directions;
+    * on DESC this engine follows Snowflake's documented semantics, the
+    * same Snowflake-proper choice documented for CONCAT NULL
+    * propagation.) Sort items inside a sort-item subquery are left
+    * as-is (vanishingly rare; they'd need their own scan). */
+  private def sortNullsCompensation(toks: Vector[Tok]): Vector[Tok] = {
+    val terminators = Set("LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT",
+      "EXCEPT", "MINUS", "ROWS", "RANGE", "GROUPS", "WINDOW", "QUALIFY")
+    def isKw(t: Tok, w: String) = t match {
+      case Ident(x) => x.equalsIgnoreCase(w)
+      case _ => false
+    }
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      if (isKw(toks(i), "ORDER")) {
+        var j = i + 1
+        while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+        if (j < toks.length && isKw(toks(j), "BY")) {
+          out ++= toks.slice(i, j + 1)
+          i = j + 1
+          var depth = 0
+          var itemSig = Vector.empty[Tok]
+          var pending = Vector.empty[Tok]
+          def flushItem(): Unit = {
+            val hasNulls = itemSig.exists(t => isKw(t, "NULLS"))
+            if (itemSig.nonEmpty && !hasNulls) {
+              val desc = itemSig.lastOption.exists(t => isKw(t, "DESC"))
+              var k = pending.length
+              while (k > 0 && (pending(k - 1).isInstanceOf[Ws] ||
+                  pending(k - 1).isInstanceOf[Comment])) k -= 1
+              out ++= pending.take(k)
+              out ++= lex(if (desc) " NULLS FIRST" else " NULLS LAST")
+              out ++= pending.drop(k)
+            } else out ++= pending
+            pending = Vector.empty
+            itemSig = Vector.empty
+          }
+          var done = false
+          while (!done && i < toks.length) {
+            toks(i) match {
+              case t @ Op("(") =>
+                depth += 1; pending :+= t; i += 1
+              case t @ Op(")") =>
+                if (depth == 0) { flushItem(); done = true }
+                else { depth -= 1; pending :+= t; i += 1 }
+              case t @ Op(",") if depth == 0 =>
+                flushItem(); out += t; i += 1
+              case t @ Op(";") if depth == 0 =>
+                flushItem(); done = true
+              case Ident(w) if depth == 0 &&
+                  terminators.contains(w.toUpperCase) =>
+                flushItem(); done = true
+              case t @ (_: Ws | _: Comment) =>
+                pending :+= t; i += 1
+              case t =>
+                pending :+= t; itemSig :+= t; i += 1
+            }
+          }
+          if (!done) flushItem()
+          // the terminator token itself is left for the outer scan
+        } else { out += toks(i); i += 1 }
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
   }
 
   /** Snowflake double-quoted identifiers are case-preserving IDENTIFIERS

@@ -2109,6 +2109,24 @@ object SnowflakeSql extends QueryPack {
         FROM orders WHERE o_orderkey <= 2000""")
     },
 
+    // Snowflake sorts NULLs as the HIGHEST values (ASC → last, DESC →
+    // first); Spark's default is the opposite (NULLs lowest) and
+    // DuckDB's is NULLS LAST in both directions — under a LIMIT the
+    // three defaults select DIFFERENT ROWS, not just a different
+    // order. The rewriter appends Snowflake's default to every bare
+    // sort item (sortNullsCompensation); the oracle states it
+    // explicitly. The DESC key pulls the NULL group into the limited
+    // window, so a regression flips the selected row set.
+    GQuery("snow86_order_by_nulls", Some("""
+      SELECT o_orderkey AS k, nullif(o_orderkey % 7, 3) AS nk
+      FROM orders WHERE o_orderkey <= 400
+      ORDER BY nk DESC NULLS FIRST, k NULLS LAST LIMIT 15""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderkey AS k, NULLIF(MOD(o_orderkey, 7), 3) AS nk
+        FROM orders WHERE o_orderkey <= 400
+        ORDER BY nk DESC, k LIMIT 15""")
+    },
+
     GQuery("snow81_query_history", Some("""
       SELECT * FROM (VALUES ('SELECT ''beta'' AS tag'),
         ('SELECT ''gamma'' AS tag')) AS t(qt) ORDER BY qt""")) { (s, dir) =>

@@ -158,19 +158,21 @@ class AggFuzzSpec extends AnyFunSuite {
           (s"SELECT (${key.snow}) AS g0, ${sel(_.snow)} FROM fz3 " +
             "GROUP BY 1 ORDER BY g0",
             s"SELECT (${key.sparkSql}) AS g0, ${sel(_.sparkSql)} " +
-            "FROM fz3_native GROUP BY 1 ORDER BY g0")
+            // Snowflake sorts NULLs highest; make it explicit Spark-side
+            "FROM fz3_native GROUP BY 1 ORDER BY g0 NULLS LAST")
         case 1 => // HAVING
           (s"SELECT (${key.snow}) AS g0, ${sel(_.snow)} FROM fz3 " +
             "GROUP BY 1 HAVING COUNT(*) > 5 ORDER BY g0",
             s"SELECT (${key.sparkSql}) AS g0, ${sel(_.sparkSql)} " +
-            "FROM fz3_native GROUP BY 1 HAVING COUNT(*) > 5 ORDER BY g0")
-        case 2 => // ROLLUP (order by all keys; both sides are Spark, so
-                  // the NULL ordering convention matches by construction)
+            "FROM fz3_native GROUP BY 1 HAVING COUNT(*) > 5 " +
+            "ORDER BY g0 NULLS LAST")
+        case 2 => // ROLLUP (Snowflake sorts NULLs highest — the engine
+                  // appends NULLS LAST; state it on the Spark side too)
           (s"SELECT (${key.snow}) AS g0, (c % 2) AS g1, ${sel(_.snow)} " +
             "FROM fz3 GROUP BY ROLLUP(1, 2) ORDER BY g0, g1",
             s"SELECT (${key.sparkSql}) AS g0, (c % 2) AS g1, " +
             s"${sel(_.sparkSql)} FROM fz3_native GROUP BY ROLLUP(1, 2) " +
-            "ORDER BY g0, g1")
+            "ORDER BY g0 NULLS LAST, g1 NULLS LAST")
         case _ => // global (no grouping)
           (s"SELECT ${sel(_.snow)} FROM fz3",
             s"SELECT ${sel(_.sparkSql)} FROM fz3_native")

@@ -118,10 +118,11 @@ class JoinFuzzSpec extends AnyFunSuite {
            FROM fzl l $jt fzr r ON $cs GROUP BY 1 ORDER BY g"""
       val sparkQ =
         s"""SELECT l.c AS g, ${checksums.mkString(", ")}
-           FROM fzl_native l $jt fzr_native r ON $cn GROUP BY 1 ORDER BY g"""
+           FROM fzl_native l $jt fzr_native r ON $cn
+           GROUP BY 1 ORDER BY g NULLS LAST"""
       // RIGHT/FULL: unmatched right rows have NULL l.c → group lands in
-      // the NULL-g row, both sides identically (both are Spark SQL
-      // grouping semantics — the snow side's value is the translation)
+      // the NULL-g row, both sides identically. The engine sorts NULLs
+      // HIGHEST (Snowflake default) — stated explicitly Spark-side.
       cases += run(snowQ, sparkQ, s"$jt/$cs")
     }
 
@@ -139,7 +140,7 @@ class JoinFuzzSpec extends AnyFunSuite {
       val sparkQ =
         s"""SELECT l.c AS g, COUNT(*), SUM(l.vl), SUM(l.uid)
            FROM fzl_native l $jt fzr_native r ON r.k = l.k$extra
-           GROUP BY 1 ORDER BY g"""
+           GROUP BY 1 ORDER BY g NULLS LAST"""
       cases += run(snowQ, sparkQ, s"$ex$extra")
     }
 
@@ -174,7 +175,7 @@ class JoinFuzzSpec extends AnyFunSuite {
                  ORDER BY r.ts $ord NULLS LAST) AS rn
              FROM fzl_native l $nj fzr_native r
                ON $onSpark AND r.ts ${flip(cmp)} l.ts)
-           WHERE rn = 1 GROUP BY 1 ORDER BY g"""
+           WHERE rn = 1 GROUP BY 1 ORDER BY g NULLS LAST"""
       cases += run(snowQ, sparkQ, s"$aj $cmp ON $onSnow")
     }
 

@@ -195,9 +195,9 @@ class RewriterSpec extends AnyFunSuite {
 
   test("SELECT TOP n becomes LIMIT, including subqueries") {
     assert(rw("SELECT TOP 5 a FROM t ORDER BY a") ==
-      "SELECT a FROM t ORDER BY a LIMIT 5")
+      "SELECT a FROM t ORDER BY a NULLS LAST LIMIT 5")
     assert(rw("SELECT x FROM (SELECT TOP 3 x FROM t ORDER BY x) s") ==
-      "SELECT x FROM (SELECT x FROM t ORDER BY x LIMIT 3) s")
+      "SELECT x FROM (SELECT x FROM t ORDER BY x NULLS LAST LIMIT 3) s")
     // TOP as a column name is untouched
     assert(rw("SELECT top FROM t") == "SELECT top FROM t")
   }
@@ -259,7 +259,8 @@ class RewriterSpec extends AnyFunSuite {
   test(":: cast binds the whole ordered-set aggregate, not its GROUP clause") {
     assert(rw(
       "SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY q)::double FROM t") ==
-      "SELECT CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY q) AS DOUBLE) FROM t")
+      "SELECT CAST(PERCENTILE_CONT(0.25) WITHIN GROUP " +
+      "(ORDER BY q NULLS LAST) AS DOUBLE) FROM t")
   }
 
   test("REGEXP_COUNT, ARRAY_SLICE, DAYOFWEEKISO") {
@@ -317,8 +318,27 @@ class RewriterSpec extends AnyFunSuite {
   test("QUALIFY becomes a nested filtered select") {
     assert(rw("SELECT a, b FROM t QUALIFY row_number() OVER (ORDER BY a) <= 2 ORDER BY a") ==
       "SELECT * EXCEPT (__graft_q) FROM (SELECT a, b , " +
-      "(row_number() OVER (ORDER BY a) <= 2) AS __graft_q FROM t ) " +
-      "WHERE __graft_q ORDER BY a")
+      "(row_number() OVER (ORDER BY a NULLS LAST) <= 2) AS __graft_q FROM t ) " +
+      "WHERE __graft_q ORDER BY a NULLS LAST")
+  }
+
+  test("ORDER BY gets Snowflake null ordering (NULLs are highest)") {
+    assert(rw("SELECT a FROM t ORDER BY a") ==
+      "SELECT a FROM t ORDER BY a NULLS LAST")
+    assert(rw("SELECT a FROM t ORDER BY a DESC") ==
+      "SELECT a FROM t ORDER BY a DESC NULLS FIRST")
+    // explicit null ordering is preserved
+    assert(rw("SELECT a FROM t ORDER BY a DESC NULLS LAST") ==
+      "SELECT a FROM t ORDER BY a DESC NULLS LAST")
+    assert(rw("SELECT a, b FROM t ORDER BY a DESC, b LIMIT 3") ==
+      "SELECT a, b FROM t ORDER BY a DESC NULLS FIRST, b NULLS LAST LIMIT 3")
+    // window ORDER BY too (rank over a nullable key ranks NULLs last)
+    assert(rw("SELECT rank() OVER (PARTITION BY g ORDER BY v) FROM t") ==
+      "SELECT rank() OVER (PARTITION BY g ORDER BY v NULLS LAST) FROM t")
+    // frame keywords terminate the sort-item list
+    assert(rw("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t") ==
+      "SELECT sum(v) OVER (ORDER BY k NULLS LAST " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
   }
 
   test("LATERAL FLATTEN becomes lateral view posexplode") {
@@ -508,15 +528,15 @@ class RewriterSpec extends AnyFunSuite {
       "MATCH_CONDITION(a.ts >= b.ts) ON a.k = b.k ORDER BY 1")
     assert(out.contains(", LATERAL (SELECT * FROM b b WHERE ("))
     assert(out.contains("a.k = b.k") && out.contains("AND (a.ts >= b.ts)"))
-    assert(out.contains("ORDER BY b.ts DESC LIMIT 1) b"))
-    assert(out.endsWith("ORDER BY 1"))
+    assert(out.contains("ORDER BY b.ts DESC NULLS FIRST LIMIT 1) b"))
+    assert(out.endsWith("ORDER BY 1 NULLS LAST"))
     // flipped operand order / direction
     val asc = rw("SELECT * FROM a ASOF JOIN b " +
       "MATCH_CONDITION(a.ts <= b.ts) ON a.k = b.k")
-    assert(asc.contains("ORDER BY b.ts ASC LIMIT 1) b"))
+    assert(asc.contains("ORDER BY b.ts ASC NULLS LAST LIMIT 1) b"))
     val flip = rw("SELECT * FROM a ASOF JOIN b " +
       "MATCH_CONDITION(b.ts <= a.ts) ON a.k = b.k")
-    assert(flip.contains("ORDER BY b.ts DESC LIMIT 1) b"))
+    assert(flip.contains("ORDER BY b.ts DESC NULLS FIRST LIMIT 1) b"))
     // explicit alias and no ON clause
     val al = rw("SELECT * FROM a ASOF JOIN big_b r " +
       "MATCH_CONDITION(a.ts > r.ts)")
