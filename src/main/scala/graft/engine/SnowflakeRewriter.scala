@@ -1369,10 +1369,15 @@ object SnowflakeRewriter {
             toks(j) match {
               case Op(".") if j + 1 < toks.length => j += 1
               case Op("[") =>
-                val close = matchBracket(toks, j)
-                val idx = render(toks.slice(j + 1, close)).trim
-                path.append('[').append(idx).append(']')
-                j = close + 1
+                // one or more consecutive subscripts: v:k[1][0]
+                var k2 = j
+                while (k2 < toks.length && toks(k2) == Op("[")) {
+                  val close = matchBracket(toks, k2)
+                  val idx = render(toks.slice(k2 + 1, close)).trim
+                  path.append('[').append(idx).append(']')
+                  k2 = close + 1
+                }
+                j = k2
                 more = j < toks.length && toks(j) == Op(".")
                 if (more) j += 1
               case _ => more = false

@@ -57,6 +57,16 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT CAST(get_json_object(props, '$.k') AS INT) FROM events")
   }
 
+  test("variant path with consecutive subscripts") {
+    // v:a[1][0] — nested array indexing folds into ONE json path (the
+    // 13th fuzz family caught the second subscript leaking to Spark's
+    // complex-type extractor, which cannot subscript a STRING)
+    assert(rw("SELECT v:a[1][0] FROM t") ==
+      "SELECT get_json_object(v, '$.a[1][0]') FROM t")
+    assert(rw("SELECT v:a[1][0].b FROM t") ==
+      "SELECT get_json_object(v, '$.a[1][0].b') FROM t")
+  }
+
   test("variant path with quoted key") {
     assert(rw("SELECT v:'my key' FROM t") ==
       "SELECT get_json_object(v, '$['my key']') FROM t")
