@@ -290,6 +290,45 @@ class ConcurrencySpec extends AnyFunSuite {
       s"replace lost/mixed rows: $rows != $expected")
   }
 
+  test("readers racing COW UPDATEs never observe a torn state") {
+    // the stated reader policy: readers don't lock — a read racing a
+    // COW rewrite may fail LOUDLY (files swapped under it) but must
+    // never silently mix pre- and post-state. Every SUCCESSFUL sum
+    // must therefore equal a committed state: an exact multiple of one
+    // full +1 pass over the row set.
+    val ss = sessions(2)
+    ss.head.sql("""CREATE OR REPLACE TABLE conc10 AS
+      SELECT o_orderkey AS k, 0::bigint AS v
+      FROM orders WHERE o_orderkey <= 600""")
+    val nRows = ss.head.sql("SELECT count(*) AS n FROM conc10")
+      .collect()(0).getLong(0)
+    val updates = 8
+    val sums = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    var loudFailures = 0
+    inParallel(Seq(
+      () => for (_ <- 0 until updates)
+        ss.head.sql("UPDATE conc10 SET v = v + 1"),
+      () => for (_ <- 0 until 30) {
+        try {
+          val sv = ss(1).sql(
+            "SELECT coalesce(sum(v), 0) AS sv FROM conc10")
+            .collect()(0).getLong(0)
+          sums.add(sv)
+        } catch {
+          case _: Exception => loudFailures += 1 // allowed: loud, not torn
+        }
+      }
+    ))
+    import scala.jdk.CollectionConverters._
+    val seen = sums.asScala.toSeq
+    assert(seen.nonEmpty, "no read ever succeeded")
+    seen.foreach { sv =>
+      assert(sv % nRows == 0 && sv / nRows <= updates,
+        s"torn read: sum=$sv rows=$nRows (committed states only; " +
+          s"loud failures seen: $loudFailures)")
+    }
+  }
+
   test("CLONE racing COW UPDATEs sees exactly one committed snapshot") {
     val ss = sessions(2)
     ss.head.sql("""CREATE OR REPLACE TABLE conc9 AS
