@@ -323,16 +323,21 @@ object SnowflakeRewriter {
     while (i < toks.length) {
       if (isKw(toks(i), "ORDER")) {
         var j = i + 1
-        while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+        while (j < toks.length &&
+            (toks(j).isInstanceOf[Ws] || toks(j).isInstanceOf[Comment])) j += 1
         if (j < toks.length && isKw(toks(j), "BY")) {
           out ++= toks.slice(i, j + 1)
           i = j + 1
           var depth = 0
+          // itemSig sees only the item's TOP-LEVEL tokens (depth == 0):
+          // a DESC or NULLS inside a parenthesized sub-expression or
+          // subquery must not be read as the item's own direction/NULLS.
           var itemSig = Vector.empty[Tok]
+          var hasContent = false
           var pending = Vector.empty[Tok]
           def flushItem(): Unit = {
             val hasNulls = itemSig.exists(t => isKw(t, "NULLS"))
-            if (itemSig.nonEmpty && !hasNulls) {
+            if (hasContent && !hasNulls) {
               val desc = itemSig.lastOption.exists(t => isKw(t, "DESC"))
               var k = pending.length
               while (k > 0 && (pending(k - 1).isInstanceOf[Ws] ||
@@ -343,12 +348,13 @@ object SnowflakeRewriter {
             } else out ++= pending
             pending = Vector.empty
             itemSig = Vector.empty
+            hasContent = false
           }
           var done = false
           while (!done && i < toks.length) {
             toks(i) match {
               case t @ Op("(") =>
-                depth += 1; pending :+= t; i += 1
+                depth += 1; pending :+= t; hasContent = true; i += 1
               case t @ Op(")") =>
                 if (depth == 0) { flushItem(); done = true }
                 else { depth -= 1; pending :+= t; i += 1 }
@@ -356,13 +362,19 @@ object SnowflakeRewriter {
                 flushItem(); out += t; i += 1
               case t @ Op(";") if depth == 0 =>
                 flushItem(); done = true
-              case Ident(w) if depth == 0 &&
+              // A terminator keyword as the FIRST significant token of an
+              // item is an ordinary identifier (a column literally named
+              // rows/range/limit/…); only an item already under way can
+              // be terminated.
+              case Ident(w) if depth == 0 && hasContent &&
                   terminators.contains(w.toUpperCase) =>
                 flushItem(); done = true
               case t @ (_: Ws | _: Comment) =>
                 pending :+= t; i += 1
               case t =>
-                pending :+= t; itemSig :+= t; i += 1
+                pending :+= t
+                if (depth == 0) itemSig :+= t
+                hasContent = true; i += 1
             }
           }
           if (!done) flushItem()
@@ -1663,11 +1675,15 @@ object SnowflakeRewriter {
             i = close + 1
           } else if (up == "DIV0" || up == "DIV0NULL") {
             // DIV0(a, b): a/b, 0 when b = 0; DIV0NULL also maps a NULL
-            // divisor to 0. NULL otherwise propagates — the previous
+            // divisor to 0. NULL otherwise propagates — the earlier
             // coalesce(try_divide(a, b), 0) form collapsed a NULL
             // dividend (and, for DIV0, a NULL divisor) to 0, which
-            // Snowflake does not. The CASE never divides by zero, so it
-            // is ANSI-safe without try_divide.
+            // Snowflake does not. The ELSE divides with try_divide: the
+            // divisor is evaluated twice (guard + divide), so with a
+            // NONDETERMINISTIC divisor the guard can see a nonzero draw
+            // while the divide draws a fresh zero — try_divide makes
+            // that degenerate draw a NULL instead of an ANSI
+            // divide-by-zero error.
             val argRanges = splitArgs(toks, open, close)
             require(argRanges.length == 2, s"$up needs 2 arguments")
             val a = rewriteFunctions(
@@ -1682,11 +1698,11 @@ object SnowflakeRewriter {
               out ++= b
               out ++= lex(") IS NULL ")
             }
-            out ++= lex("THEN 0 ELSE (")
+            out ++= lex("THEN 0 ELSE try_divide((")
             out ++= a
-            out ++= lex(") / (")
+            out ++= lex("), (")
             out ++= b
-            out ++= lex(") END)")
+            out ++= lex(")) END)")
             i = close + 1
           } else if (up == "GENERATOR") {
             // GENERATOR(ROWCOUNT => n) → range(n) (table function; usually
@@ -1990,6 +2006,31 @@ object SnowflakeRewriter {
             out ++= lex("filter(split(")
             out ++= rewriteFunctions(toks.slice(argRanges(0)._1, argRanges(0)._2))
             out ++= lex(s", $sqlLit), x -> x <> '')")
+            i = close + 1
+          } else if ((up == "TRUNC" || up == "TRUNCATE") && {
+              // Snowflake also accepts a BARE date-part keyword —
+              // TRUNC(d, month) — which must not fall into the numeric
+              // path (it would read `month` as a column and emit
+              // floor(d * power(10, month))). Recognize any date-part
+              // alias spelling and emit the quoted-literal date form.
+              val ar = splitArgs(toks, open, close)
+              ar.length == 2 && {
+                val a2 = toks.slice(ar(1)._1, ar(1)._2)
+                val sg = significant(a2)
+                sg.size == 1 && (a2(sg.head) match {
+                  case Ident(w) => normalizeDatePart(w).isDefined
+                  case _ => false
+                })
+              }
+            }) {
+            val ar = splitArgs(toks, open, close)
+            val part = significant(toks.slice(ar(1)._1, ar(1)._2))
+              .map(ix => toks.slice(ar(1)._1, ar(1)._2)(ix))
+              .collectFirst { case Ident(w) => normalizeDatePart(w).get }
+              .get
+            out ++= lex("trunc(")
+            out ++= rewriteFunctions(toks.slice(ar(0)._1, ar(0)._2))
+            out ++= lex(s", '$part')")
             i = close + 1
           } else if ((up == "TRUNC" || up == "TRUNCATE") && {
               val ar = splitArgs(toks, open, close)

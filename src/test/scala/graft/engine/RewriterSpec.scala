@@ -371,7 +371,7 @@ class RewriterSpec extends AnyFunSuite {
     // arg slices keep their own spacing — compare space-normalized
     val d0 = rw("SELECT DIV0(a, b) FROM t").replace(" ", "")
     assert(d0.contains("CASEWHEN(b)=0THEN0") &&
-      d0.contains("(a)/(b)END"), d0)
+      d0.contains("try_divide((a),(b))END"), d0)
     // DIV0NULL additionally maps a NULL divisor to 0
     val dn = rw("SELECT DIV0NULL(a, b) FROM t").replace(" ", "")
     assert(dn.contains("(b)ISNULL") && dn.contains("THEN0"), dn)
@@ -656,6 +656,56 @@ class RewriterSpec extends AnyFunSuite {
       "(PARTITION BY u ORDER BY ts) FROM t")
     assert(out.contains("sum(if((v > 5), 1, 0)) OVER ("))
     assert(out.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+  }
+
+  test("NULLS compensation reads only top-level tokens of a sort item") {
+    // inner DESC must not flip the outer (ASC) item to NULLS FIRST
+    // (the inner sort itself is left as-is — documented limitation)
+    val a = rw("SELECT * FROM t ORDER BY (SELECT y FROM u ORDER BY z DESC)")
+    assert(a.endsWith("ORDER BY (SELECT y FROM u ORDER BY z DESC) NULLS LAST"), a)
+    // inner NULLS must not suppress compensation on the outer item
+    val b = rw("SELECT * FROM t ORDER BY (SELECT y FROM u ORDER BY z NULLS FIRST)")
+    assert(b.endsWith("ORDER BY z NULLS FIRST) NULLS LAST"), b)
+    // a parenthesized expression item still gets the default
+    assert(rw("SELECT * FROM t ORDER BY (a + b)")
+      .endsWith("ORDER BY (a + b) NULLS LAST"))
+    assert(rw("SELECT * FROM t ORDER BY (a + b) DESC")
+      .endsWith("ORDER BY (a + b) DESC NULLS FIRST"))
+  }
+
+  test("NULLS compensation survives a comment between ORDER and BY") {
+    val out = SnowflakeRewriter.rewrite(
+      "SELECT a FROM t ORDER /*hint*/ BY a LIMIT 3")
+    assert(out.replaceAll("\\s+", " ").contains("BY a NULLS LAST LIMIT 3"), out)
+  }
+
+  test("NULLS compensation: terminator word as first token is a column") {
+    // a column literally named `rows` used as the (only) sort key
+    assert(rw("SELECT * FROM t ORDER BY rows") ==
+      "SELECT * FROM t ORDER BY rows NULLS LAST")
+    assert(rw("SELECT * FROM t ORDER BY a, rows DESC") ==
+      "SELECT * FROM t ORDER BY a NULLS LAST, rows DESC NULLS FIRST")
+    // ...but a genuine window frame after a key still terminates the item
+    val w = rw("SELECT sum(x) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW) FROM t")
+    assert(w.contains("ORDER BY ts NULLS LAST ROWS BETWEEN"), w)
+  }
+
+  test("TRUNC with a bare date-part keyword is the date form") {
+    assert(rw("SELECT TRUNC(d, month) FROM t") ==
+      "SELECT trunc(d, 'month') FROM t")
+    assert(rw("SELECT TRUNC(d, yy) FROM t") ==
+      "SELECT trunc(d, 'year') FROM t")
+    // numeric form unaffected: column 2nd arg that is NOT a date part
+    val n = rw("SELECT TRUNC(x, scale_col) FROM t")
+    assert(n.contains("power(10"), n)
+  }
+
+  test("DIV0 divides with try_divide in the ELSE branch") {
+    val out = rw("SELECT DIV0(a, b) FROM t")
+    assert(out.contains("ELSE try_divide((a), ( b)) END"), out)
+    val n = rw("SELECT DIV0NULL(a, b) FROM t")
+    assert(n.contains("IS NULL THEN 0 ELSE try_divide"), n)
   }
 }
 
