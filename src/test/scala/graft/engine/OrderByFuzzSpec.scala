@@ -1,0 +1,156 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grammar-based randomized DIFFERENTIAL fuzz of the ORDER BY
+  * null-ordering compensation pass (`sortNullsCompensation`) — the
+  * fourteenth fuzz family. The pass is a lexical scan over every ORDER
+  * BY in the statement (top level, subqueries, window ORDER BY), and
+  * exactly the kind of token-boundary code (parenthesized sort items,
+  * CASE keys, frames, terminators, comments) that fuzzing catches.
+  *
+  * Snowflake's documented default sorts NULLs as the HIGHEST values
+  * (ASC → NULLS LAST, DESC → NULLS FIRST); DuckDB's default is NULLS
+  * LAST in both directions — so the DuckDB rendering spells the
+  * SNOWFLAKE default out explicitly on every item the engine-side SQL
+  * leaves implicit, and copies explicit NULLS FIRST/LAST verbatim.
+  * Every query carries a unique `id` tie-breaker as the last sort item
+  * (explicit on the DuckDB side) so row order is fully determined and
+  * LIMIT/OFFSET row selection is decidable.
+  *
+  * Shapes drawn: 1–3 sort items from {column, parenthesized
+  * arithmetic, CASE, coalesce (comma inside parens), positional
+  * ordinal}, each ± ASC/DESC ± explicit NULLS; ± LIMIT/OFFSET;
+  * ORDER-BY-under-LIMIT inside a subquery (row selection, not just
+  * order); window ORDER BY with ± ROWS frame (compensation must land
+  * BEFORE the frame keyword); and a comment between ORDER and BY.
+  *
+  * ≥140 cases per run, fixed seed (GRAFT_FUZZ_SEED env /
+  * graft.fuzz.seed prop override); failures carry seed + both
+  * renderings.
+  */
+class OrderByFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("140+ random ORDER BY shapes: engine == DuckDB with explicit NULLS") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED")
+      .orElse(sys.props.get("graft.fuzz.seed")).getOrElse("20260816").toLong
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    // shared relation: ints and strings with NULLs and heavy ties
+    val rows = (1 to 36).map { id =>
+      val g = id % 3
+      val k = if (rnd.nextInt(4) == 0) "NULL" else rnd.nextInt(5).toString
+      val v = if (rnd.nextInt(5) == 0) "NULL" else rnd.nextInt(7).toString
+      val s = if (rnd.nextInt(4) == 0) "NULL"
+              else "'" + pick(Seq("a", "b", "bb", "c", "")) + "'"
+      s"($id, $g, $k, $v, $s)"
+    }.mkString(", ")
+    val cte =
+      s"WITH t AS (SELECT * FROM (VALUES $rows) AS v0(id, g, k, v, s)) "
+
+    // a sort item: (snowflake text, duckdb text, direction or "")
+    case class Item(snow: String, duck: String)
+    def genItem(allowOrdinal: Boolean): Item = {
+      val key = rnd.nextInt(if (allowOrdinal) 6 else 5) match {
+        case 0 => pick(Seq("k", "v", "s", "g"))
+        case 1 => "(k + v)"
+        case 2 => "CASE WHEN k IS NULL THEN v ELSE k END"
+        case 3 => "coalesce(k, v)"
+        case 4 => "(k)"
+        case _ => "1" // positional: the first select-list column
+      }
+      val dir = pick(Seq("", " ASC", " DESC"))
+      val explicitNulls = pick(Seq("", "", " NULLS FIRST", " NULLS LAST"))
+      val duckNulls =
+        if (explicitNulls.nonEmpty) explicitNulls
+        else if (dir == " DESC") " NULLS FIRST" // Snowflake default
+        else " NULLS LAST"
+      Item(s"$key$dir$explicitNulls", s"$key$dir$duckNulls")
+    }
+
+    case class C(snow: String, duck: String, selectsWindow: Boolean)
+
+    def genTopLevel(): C = {
+      val n = 1 + rnd.nextInt(3)
+      val items = Vector.fill(n)(genItem(allowOrdinal = true))
+      val orderKw = if (rnd.nextInt(6) == 0) "ORDER /*c*/ BY" else "ORDER BY"
+      val limit = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => s" LIMIT ${1 + rnd.nextInt(20)}"
+        case _ => s" LIMIT ${1 + rnd.nextInt(12)} OFFSET ${rnd.nextInt(6)}"
+      }
+      C(cte + "SELECT CAST(id AS VARCHAR) AS r FROM t " +
+          s"$orderKw ${items.map(_.snow).mkString(", ")}, id$limit",
+        cte + "SELECT CAST(id AS VARCHAR) AS r FROM t " +
+          s"ORDER BY ${items.map(_.duck).mkString(", ")}, " +
+          s"id ASC NULLS LAST$limit",
+        selectsWindow = false)
+    }
+
+    def genSubqueryLimit(): C = {
+      // the inner ORDER BY + LIMIT SELECTS rows; the outer sort (by id,
+      // explicit on both sides) only normalizes presentation order
+      val items = Vector.fill(1 + rnd.nextInt(2))(genItem(allowOrdinal = false))
+      val lim = 3 + rnd.nextInt(15)
+      C(cte + "SELECT r FROM (SELECT CAST(id AS VARCHAR) AS r, id FROM t " +
+          s"ORDER BY ${items.map(_.snow).mkString(", ")}, id LIMIT $lim) " +
+          "sub ORDER BY id",
+        cte + "SELECT r FROM (SELECT CAST(id AS VARCHAR) AS r, id FROM t " +
+          s"ORDER BY ${items.map(_.duck).mkString(", ")}, " +
+          s"id ASC NULLS LAST LIMIT $lim) sub ORDER BY id ASC NULLS LAST",
+        selectsWindow = false)
+    }
+
+    def genWindow(): C = {
+      val item = genItem(allowOrdinal = false)
+      val frame = pick(Seq("",
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW"))
+      val fn = pick(Seq("sum(v)", "count(k)", "row_number()"))
+      val f = if (fn == "row_number()") "" else frame
+      C(cte + s"SELECT CAST(id AS VARCHAR) AS r, CAST($fn OVER " +
+          s"(PARTITION BY g ORDER BY ${item.snow}, id$f) AS VARCHAR) AS w " +
+          "FROM t ORDER BY id",
+        cte + s"SELECT CAST(id AS VARCHAR) AS r, CAST($fn OVER " +
+          s"(PARTITION BY g ORDER BY ${item.duck}, id ASC NULLS LAST$f) " +
+          "AS VARCHAR) AS w FROM t ORDER BY id ASC NULLS LAST",
+        selectsWindow = true)
+    }
+
+    val gens: Seq[() => C] =
+      Seq(genTopLevel _, genTopLevel _, genTopLevel _,
+        genSubqueryLimit _, genWindow _)
+    val cases = Vector.fill(145)(pick(gens)())
+
+    val duckResults = DuckOracle.run(cases.zipWithIndex.map {
+      case (c, i) => s"c$i" -> c.duck
+    })
+
+    val s = new GraftSession(spark)
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val want = duckResults(s"c$i") match {
+        case Right(r) => r
+        case Left(err) =>
+          fail(s"duckdb failed (seed=$seed case=$i): $err\n sql: ${c.duck}")
+      }
+      val got = s.sql(c.snow).collect().map { row =>
+        (0 until row.length).map(j =>
+          if (row.isNullAt(j)) "NULL" else row.get(j).toString)
+          .mkString("|")
+      }.toSeq
+      assert(got == want,
+        s"ORDER BY divergence (seed=$seed case=$i)\n snow: ${c.snow}\n " +
+          s"duck: ${c.duck}\n got:  ${got.mkString(",")}\n " +
+          s"want: ${want.mkString(",")}")
+    }
+  }
+}
