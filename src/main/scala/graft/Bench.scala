@@ -204,7 +204,10 @@ object Bench {
   }
 
   /** `,"ratio_floor_to_floor":R,"ratio_floor_to_floor_bucketed":B` from
-    * the committed floors files, or "" if either file is unreadable.
+    * the committed floors files FOR THIS RUN'S SCALE, or "" when no
+    * floors were recorded at it — round-12's repl=400 artifact carried
+    * floors computed from 60 M-row runs, a number describing a
+    * different scale than the artifact's own (round-13 directive #2).
     * Independent of the live machine state by construction. */
   private def floorToFloorJson(): String = try {
     import scala.jdk.CollectionConverters._
@@ -212,8 +215,10 @@ object Bench {
     def qmap(path: String): Map[String, Double] =
       om.readTree(new java.io.File(path)).path("queries").fields().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
-    val sf = qmap("probes/spark_floors.json")
-    val df = qmap("probes/duckdb_floors.json")
+    val repl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
+    val suffix = if (repl == 100) "" else s"_repl$repl"
+    val sf = qmap(s"probes/spark_floors$suffix.json")
+    val df = qmap(s"probes/duckdb_floors$suffix.json")
     val common = df.keySet.intersect(sf.keySet).toSeq.sorted
     val dSum = common.map(df).sum
     if (common.isEmpty || dSum <= 0) return ""
@@ -455,6 +460,34 @@ object Bench {
     // covered by the loadavg gate + per-sweep loadavg in the artifact.
     val confirmBar =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_CONFIRM_BAR", "1.5").toDouble
+    // floors prefer probes/spark_floors.json (round 11: reproduction-
+    // required minima pooled across fresh-JVM runs — the symmetric
+    // protocol to duckdb_floors.json) over scale_sweep.json's
+    // single-leg repl-100 column. SCALE-INDEXED (round-13 directive
+    // #2): repl ≠ 100 reads probes/spark_floors_repl<N>.json recorded
+    // at that scale, never the 60 M-row floors.
+    val floors: Map[String, Double] = try {
+      import scala.jdk.CollectionConverters._
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sf = new java.io.File(
+        if (repl == 100) "probes/spark_floors.json"
+        else s"probes/spark_floors_repl$repl.json")
+      if (sf.exists()) {
+        om.readTree(sf).path("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } else if (repl == 100) {
+        om.readTree(new java.io.File("probes/scale_sweep.json"))
+          .path("queries").fields().asScala.map(e =>
+            e.getKey -> e.getValue.path("secs").path(0).asDouble()).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    // A min at or below its committed quiet floor is ALREADY the quiet
+    // truth — exempt it from the confirmation check (round-13 directive
+    // #7: r12's h01 min was below floor yet its 1.51 spread triggered a
+    // pure-waste chase to the sweep cap).
+    def atFloor(name: String): Boolean =
+      samples(name).nonEmpty &&
+        floors.get(name).exists(f => f > 0 && samples(name).min <= f)
     // Confirmation inspects ALL samples, not the steady tail — the
     // REPORTED value is the min over all samples, so a first-sweep min
     // must itself be reproduced by a second sample from any sweep
@@ -462,7 +495,7 @@ object Bench {
     // first-sweep min ship). A query with <2 successful samples cannot
     // be confirmed at all — unconfirmed, never vacuously passed.
     def unconfirmed(): Seq[String] = heavy.collect { case (name, _, _)
-        if !failedQ(name) && {
+        if !failedQ(name) && !atFloor(name) && {
           val st = samples(name).sorted
           st.size < 2 || (st(0) > 0 &&
             st(1) - st(0) >= spreadFloor && st(1) / st(0) > confirmBar)
@@ -484,25 +517,6 @@ object Bench {
     // check uses, BEFORE the artifact is stamped.
     val chaseBar =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_CHASE_BAR", "1.5").toDouble
-    // floors prefer probes/spark_floors.json (round 11: reproduction-
-    // required minima pooled across fresh-JVM runs — the symmetric
-    // protocol to duckdb_floors.json) over scale_sweep.json's
-    // single-leg repl-100 column
-    val floors: Map[String, Double] =
-      if (repl != 100) Map.empty
-      else try {
-        import scala.jdk.CollectionConverters._
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val sf = new java.io.File("probes/spark_floors.json")
-        if (sf.exists()) {
-          om.readTree(sf).path("queries").fields().asScala
-            .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        } else {
-          om.readTree(new java.io.File("probes/scale_sweep.json"))
-            .path("queries").fields().asScala.map(e =>
-              e.getKey -> e.getValue.path("secs").path(0).asDouble()).toMap
-        }
-      } catch { case _: Throwable => Map.empty }
     def overFloorNow(bar: Double): Seq[String] = heavy.collect {
       case (name, _, _) if !failedQ(name) && samples(name).nonEmpty &&
         floors.get(name).exists(f => f > 0 && samples(name).min > bar * f)
@@ -625,7 +639,7 @@ object Bench {
     * timeout proceeds anyway and says so in the artifact. */
   private def gateOnLoad(): String = {
     val bar = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "2.0").toDouble
-    val cap = sys.env.getOrElse("SPARK_GRAFT_GATE_TIMEOUT_SEC", "1200").toLong
+    val cap = sys.env.getOrElse("SPARK_GRAFT_GATE_TIMEOUT_SEC", "7200").toLong
     def load1(): Double =
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
@@ -638,9 +652,51 @@ object Bench {
       Thread.sleep(30000)
       waitedSec = (System.nanoTime() - t0) / 1000000000L
     }
-    val timedOut = load1() >= bar
-    s""","gate_wait_sec":$waitedSec""" +
+    // round-13 directive #1: loadavg < 2.0 is not QUIET — four rounds of
+    // official artifacts started into windows where another process held
+    // 0.5-2 cores and the refusal path (rc 3) fired while the quiet truth
+    // had to live in probes/. Require SUSTAINED external quiet (3
+    // consecutive external-cores samples below the bar) before starting,
+    // re-polling over a long horizon; the same sustained gate re-runs
+    // between the Spark and DuckDB phases.
+    val (ext, qWait, timedOutQ) = waitForQuiet(
+      capSec = math.max(0L, cap - waitedSec))
+    val timedOut = load1() >= bar || timedOutQ
+    s""","gate_wait_sec":${waitedSec + qWait}""" +
+      s""","gate_ext_cores":${f"$ext%.2f"}""" +
       (if (timedOut) s""","gate_timeout":true""" else "")
+  }
+
+  /** Block (bounded) until external load is QUIET: `need` consecutive
+    * externalCores() samples, `gapSec` apart, all below
+    * SPARK_GRAFT_QUIET_EXT_CORES (default 0.25). One hot sample resets
+    * the streak and sleeps SPARK_GRAFT_QUIET_POLL_SEC (default 60)
+    * before re-sampling. A single-instant gate kept passing windows
+    * where a background burst was merely between beats — sustained
+    * quiet is what the committed floors were recorded under.
+    * @return (last external-cores reading, seconds waited, timedOut) */
+  private def waitForQuiet(capSec: Long, need: Int = 3,
+      gapSec: Long = 10): (Double, Long, Boolean) = {
+    val bar =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_EXT_CORES", "0.25").toDouble
+    val poll = sys.env.getOrElse("SPARK_GRAFT_QUIET_POLL_SEC", "60").toLong
+    val t0 = System.nanoTime()
+    def waited = (System.nanoTime() - t0) / 1000000000L
+    var streak = 0
+    var ext = externalCores()
+    while (streak < need && waited < capSec) {
+      if (ext < bar) {
+        streak += 1
+        if (streak < need) Thread.sleep(gapSec * 1000)
+      } else {
+        streak = 0
+        System.err.println(f"external load $ext%.2f cores >= $bar%.2f — " +
+          s"waiting for sustained quiet ($waited s/$capSec s)")
+        Thread.sleep(poll * 1000)
+      }
+      if (streak < need) ext = externalCores()
+    }
+    (ext, waited, streak < need)
   }
 
   /** Run tools/bench_duckdb.py over the SAME heavy dir in the SAME
@@ -669,17 +725,30 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_CHASE_BAR", "1.5").toDouble
     val maxTries =
       sys.env.getOrElse("SPARK_GRAFT_DUCKDB_MAX_TRIES", "3").toInt
-    val dFloors: Map[String, Double] =
-      if (sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt != 100)
-        Map.empty
-      else try {
+    // floors are SCALE-INDEXED (round-13 directive #2): repl=100 reads
+    // the committed probes/duckdb_floors.json (60 M rows); any other
+    // repl reads probes/duckdb_floors_repl<N>.json recorded at that
+    // scale, or — with no committed floors for the scale — runs
+    // unfloored rather than judging against numbers from another scale.
+    val dFloors: Map[String, Double] = {
+      val repl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
+      val path = if (repl == 100) "probes/duckdb_floors.json"
+                 else s"probes/duckdb_floors_repl$repl.json"
+      try {
         val n = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File("probes/duckdb_floors.json"))
+          .readTree(new java.io.File(path))
         import scala.jdk.CollectionConverters._
         n.path("queries").fields().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       } catch { case _: Throwable => Map.empty }
+    }
 
+    // round-13 directive #1: re-gate for SUSTAINED quiet between the
+    // Spark and DuckDB phases — the per-try gateSweepExternal bar (2.0
+    // cores) only keeps out gross bursts; a 0.5-core background process
+    // passing it inflates DuckDB and FLATTERS the published ratio.
+    val (pExt, pWait, pTimedOut) = waitForQuiet(capSec =
+      sys.env.getOrElse("SPARK_GRAFT_PHASE_GATE_SEC", "3600").toLong)
     var tries = 0
     var duck = Map.empty[String, Double]
     var best = Map.empty[String, Double] // per-query min across tries
@@ -690,6 +759,8 @@ object Bench {
     val tryExt = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tryWait = scala.collection.mutable.ArrayBuffer.empty[Long]
     def gateJson =
+      s""","duckdb_phase_gate_wait_sec":$pWait,"duckdb_phase_gate_ext":${f"$pExt%.2f"}""" +
+      (if (pTimedOut) s""","duckdb_phase_gate_timeout":true""" else "") +
       s""","duckdb_gate_ext_cores":${tryExt.map(v => f"$v%.2f").mkString("[", ",", "]")},""" +
       s""""duckdb_gate_wait_sec":${tryWait.mkString("[", ",", "]")},"duckdb_tries":$tries"""
     def overChase(m: Map[String, Double]): Seq[String] =
