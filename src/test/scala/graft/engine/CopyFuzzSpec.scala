@@ -386,4 +386,218 @@ class CopyFuzzSpec extends AnyFunSuite {
     assert(mismatches == 0,
       s"seed=$seed: $mismatches/${duckSql.size} COPY cases diverged:$report")
   }
+
+  /** Round-13 directive #4: the avro + unload gaps. AVRO loads are
+    * self-oracled (this DuckDB build has no avro reader — the table
+    * contents are compared against the generated rows the test wrote),
+    * and unload→re-load cycles run format × compression × HEADER ×
+    * SINGLE × OVERWRITE through COPY INTO @stage and back, with DuckDB
+    * independently reading the unloaded bytes for every format it can
+    * (csv/json/parquet) so a mis-mapped writer option surfaces as a
+    * byte-level divergence, not just a self-consistent round trip. */
+  test("100+ avro-load and unload/re-load COPY cases") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED")
+      .orElse(sys.props.get("graft.fuzz.seed")).getOrElse("20260815").toLong
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+
+    def genRows(base: Long, n: Int, strGen: () => Option[String]): Seq[R] =
+      (0 until n).map { i =>
+        R(base + i,
+          if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(40000) / 4.0),
+          strGen(),
+          if (rnd.nextInt(6) == 0) None
+          else Some(LocalDate.of(2020, 1, 1).plusDays(rnd.nextInt(1500))),
+          if (rnd.nextInt(6) == 0) None
+          else Some(LocalDateTime.of(2020, 1, 1, 0, 0, 0)
+            .plusSeconds(rnd.nextInt(100000000))))
+      }
+    def expectRender(rows: Seq[R]): Seq[String] = rows.map(r => Seq(
+      r.k.toString,
+      r.v.map(d => String.format(Locale.ROOT, "%.2f", d)).getOrElse("NULL"),
+      r.s.getOrElse("NULL"),
+      r.d.map(_.toString).getOrElse("NULL"),
+      r.t.map(_.format(TS_FMT)).getOrElse("NULL")).mkString("|"))
+    def tableRender(table: String): Seq[String] =
+      s.sql(s"SELECT k, v, s, d, t FROM $table ORDER BY k")
+        .collect().toSeq.map(r =>
+          (0 until 5).map(j => fmtCell(r.get(j))).mkString("|"))
+
+    val failures = new StringBuilder
+    var nCases = 0
+    def check(id: String, desc: String, got: => Seq[String],
+        want: Seq[String]): Unit = {
+      nCases += 1
+      val g = try Right(got) catch { case e: Throwable => Left(e.toString) }
+      g match {
+        case Right(rows) if rows == want => ()
+        case Right(rows) =>
+          val diffs = rows.zipAll(want, "<missing>", "<missing>")
+            .filter { case (a, b) => a != b }.take(3)
+          failures ++= s"\n== $id ($desc) ${rows.length} vs ${want.length} rows:\n" +
+            diffs.map { case (a, b) => s"   got=$a\n  want=$b" }.mkString("\n")
+        case Left(err) =>
+          failures ++= s"\n== $id ($desc) ERROR: $err"
+      }
+    }
+
+    // ── AVRO loads: engine COPY over independently written avro files ──
+    val nAvro = sys.env.get("GRAFT_COPYFUZZ_AVRO").map(_.toInt).getOrElse(30)
+    for (ai <- 0 until nAvro) {
+      val ci = 30000 + ai
+      val id = s"avro_$ai"
+      val upper = rnd.nextBoolean()
+      val twoFiles = rnd.nextInt(3) == 0
+      val rows = genRows(ci * 1000000L, 12 + rnd.nextInt(15),
+        () => if (rnd.nextInt(5) == 0) None
+              else Some("av" + rnd.nextInt(1000) + pick(Seq("", " x", "é"))))
+      import spark.implicits._
+      val names = Seq("k", "v", "s", "d", "t")
+        .map(n => if (upper) n.toUpperCase else n)
+      val df = rows.map(r => (r.k, r.v, r.s,
+          r.d.map(java.sql.Date.valueOf), r.t.map(_.format(TS_FMT))))
+        .toDF(names: _*)
+        .withColumn(names(4),
+          org.apache.spark.sql.functions.col(names(4))
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+      val dir = Files.createTempDirectory(s"graft_copyfuzz_$id")
+      df.coalesce(if (twoFiles) 2 else 1).write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat")
+        .save(dir.resolve("a").toString)
+      s.sql(s"CREATE OR REPLACE TABLE cfa_$ci " +
+        "(k BIGINT, v DOUBLE, s VARCHAR, d DATE, t TIMESTAMP)")
+      s.sql(s"CREATE STAGE cfa_stage_$ci URL='${dir.toString}'")
+      s.sql(s"COPY INTO cfa_$ci FROM @cfa_stage_$ci/a " +
+        "FILE_FORMAT = (TYPE = AVRO)")
+      check(id, s"upper=$upper twoFiles=$twoFiles",
+        tableRender(s"cfa_$ci"), expectRender(rows))
+    }
+
+    // ── unload → re-load cycles ───────────────────────────────────────
+    val duckSql = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val duckWant = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val duckDesc = scala.collection.mutable.Map.empty[String, String]
+    val duckProj2 =
+      """coalesce(k::VARCHAR,'NULL')||'|'||coalesce(printf('%.2f',v),'NULL')||'|'||""" +
+      """coalesce(s,'NULL')||'|'||coalesce(strftime(d,'%Y-%m-%d'),'NULL')||'|'||""" +
+      """coalesce(strftime(t,'%Y-%m-%d %H:%M:%S'),'NULL')"""
+    val nUnload =
+      sys.env.get("GRAFT_COPYFUZZ_UNLOAD").map(_.toInt).getOrElse(75)
+    for (ui <- 0 until nUnload) {
+      val ci = 40000 + ui
+      val id = s"unload_$ui"
+      val fmt = pick(Seq("CSV", "CSV", "CSV", "JSON", "PARQUET", "AVRO"))
+      val delim = if (fmt == "CSV") pick(Seq(",", "|", ";")) else ","
+      val gz = fmt != "PARQUET" && fmt != "AVRO" && rnd.nextInt(3) == 0
+      val header = fmt == "CSV" && rnd.nextBoolean()
+      val single = rnd.nextInt(3) == 0
+      val rewrite = rnd.nextInt(4) == 0 // second unload with OVERWRITE
+      val desc = s"fmt=$fmt delim=$delim gz=$gz header=$header " +
+        s"single=$single rewrite=$rewrite"
+      // strings exercise the writer's quoting: embedded delimiter and
+      // quote chars (backslash left out — its round trip is covered by
+      // the load family; here the WRITER picks the escapes)
+      def strGen(): Option[String] =
+        if (rnd.nextInt(6) == 0) None
+        else Some(rnd.nextInt(8) match {
+          case 0 => s"a${delim}b"
+          case 1 => "he said \"hi\""
+          case 2 => s"q\"${delim}\"q"
+          case _ => "u" + rnd.nextInt(1000) + pick(Seq("", " tail", "é"))
+        })
+      val rows = genRows(ci * 1000000L, 12 + rnd.nextInt(12), () => strGen())
+      def sqlLit(r: R): String = Seq(
+        r.k.toString,
+        r.v.map(d => String.format(Locale.ROOT, "%.2f", d)).getOrElse("NULL"),
+        r.s.map(snowLit).getOrElse("NULL"),
+        r.d.map(d => s"DATE '$d'").getOrElse("NULL"),
+        r.t.map(t => s"TIMESTAMP '${t.format(TS_FMT)}'").getOrElse("NULL")
+      ).mkString("(", ", ", ")")
+      val dir = Files.createTempDirectory(s"graft_copyfuzz_$id")
+      s.sql(s"CREATE OR REPLACE TABLE cfu_src_$ci " +
+        "(k BIGINT, v DOUBLE, s VARCHAR, d DATE, t TIMESTAMP)")
+      s.sql(s"INSERT INTO cfu_src_$ci VALUES " +
+        rows.map(sqlLit).mkString(", "))
+      s.sql(s"CREATE STAGE cfu_stage_$ci URL='${dir.toString}'")
+      val ffW = scala.collection.mutable.ArrayBuffer[String](s"TYPE = $fmt")
+      if (fmt == "CSV") {
+        ffW += s"FIELD_DELIMITER = ${snowLit(delim)}"
+        ffW += "FIELD_OPTIONALLY_ENCLOSED_BY = '\"'"
+      }
+      if (gz) ffW += "COMPRESSION = GZIP"
+      val copyOpts = (if (header) " HEADER = TRUE" else "") +
+        (if (single) " SINGLE = TRUE" else "") + " OVERWRITE = TRUE"
+      def unload(): Unit =
+        s.sql(s"COPY INTO @cfu_stage_$ci/out FROM cfu_src_$ci " +
+          s"FILE_FORMAT = (${ffW.mkString(" ")})$copyOpts")
+      unload()
+      if (rewrite) unload() // OVERWRITE replaces, never appends
+      else if (rnd.nextInt(5) == 0) {
+        // without OVERWRITE a second unload to the same path must refuse
+        val noOw = s"COPY INTO @cfu_stage_$ci/out FROM cfu_src_$ci " +
+          s"FILE_FORMAT = (${ffW.mkString(" ")})" +
+          (if (header) " HEADER = TRUE" else "")
+        intercept[Exception] { s.sql(noOw) }
+      }
+      val ffR = scala.collection.mutable.ArrayBuffer[String](s"TYPE = $fmt")
+      if (fmt == "CSV") {
+        ffR += s"FIELD_DELIMITER = ${snowLit(delim)}"
+        ffR += "FIELD_OPTIONALLY_ENCLOSED_BY = '\"'"
+        if (header) ffR += "SKIP_HEADER = 1"
+      }
+      if (gz) ffR += "COMPRESSION = GZIP"
+      s.sql(s"CREATE OR REPLACE TABLE cfu_dst_$ci " +
+        "(k BIGINT, v DOUBLE, s VARCHAR, d DATE, t TIMESTAMP)")
+      s.sql(s"COPY INTO cfu_dst_$ci FROM @cfu_stage_$ci/out " +
+        s"FILE_FORMAT = (${ffR.mkString(" ")})")
+      val srcRender = tableRender(s"cfu_src_$ci")
+      check(id, desc, tableRender(s"cfu_dst_$ci"), srcRender)
+      // independent read of the unloaded bytes where DuckDB can
+      val glob = dir.resolve("out").toString + "/*"
+      val duckRead = fmt match {
+        case "CSV" =>
+          val ext = if (gz) "*.csv.gz" else "*.csv"
+          Some(s"read_csv([${DuckOracle.lit(dir.resolve("out").toString + "/" + ext)}], " +
+            "columns={'k':'BIGINT','v':'DOUBLE','s':'VARCHAR','d':'DATE','t':'TIMESTAMP'}, " +
+            s"header=$header, auto_detect=false, delim=${DuckOracle.lit(delim)}, " +
+            "quote='\"', escape='\\')")
+        case "JSON" =>
+          val ext = if (gz) "*.json.gz" else "*.json"
+          // unquoted identifiers normalize to UPPERCASE in the engine, so
+          // the unloaded JSON keys are K/V/S/D/T — json keys are
+          // case-sensitive data for DuckDB's columns map (identifier
+          // references in the projection stay case-insensitive)
+          Some(s"read_json([${DuckOracle.lit(dir.resolve("out").toString + "/" + ext)}], " +
+            "format='newline_delimited', " +
+            "columns={'K':'BIGINT','V':'DOUBLE','S':'VARCHAR','D':'DATE','T':'TIMESTAMP'})")
+        case "PARQUET" =>
+          Some(s"read_parquet([${DuckOracle.lit(dir.resolve("out").toString + "/*.parquet")}])")
+        case _ => None // AVRO: no reader in this DuckDB build
+      }
+      duckRead.foreach { rd =>
+        duckSql += id -> s"SELECT $duckProj2 AS r FROM $rd ORDER BY k"
+        duckWant(id) = srcRender
+        duckDesc(id) = desc
+      }
+    }
+    val oracle = DuckOracle.run(duckSql.toSeq)
+    duckSql.foreach { case (id, sql) =>
+      nCases += 1
+      oracle(id) match {
+        case Right(got) if got == duckWant(id) => ()
+        case Right(got) =>
+          val diffs = got.zipAll(duckWant(id), "<missing>", "<missing>")
+            .filter { case (a, b) => a != b }.take(3)
+          failures ++= s"\n== $id/duck (${duckDesc(id)}):\n" +
+            diffs.map { case (a, b) => s"   duck=$a\n  want=$b" }.mkString("\n") +
+            s"\n  sql: $sql"
+        case Left(err) =>
+          failures ++= s"\n== $id/duck (${duckDesc(id)}) DUCKDB ERROR: $err\n  sql: $sql"
+      }
+    }
+    assert(failures.isEmpty, s"seed=$seed:$failures")
+    assert(nAvro + nUnload >= 100, s"case budget shrank: ${nAvro + nUnload}")
+  }
 }
