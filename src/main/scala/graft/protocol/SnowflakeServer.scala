@@ -47,7 +47,22 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    // the handler pool's threads are non-daemon; without shutdown they
+    // keep a main()-driven JVM (graft.VerifyProtocol) alive after stop
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
+  }
+
+  /** The live session behind a login token — verification harnesses
+    * (graft.VerifyProtocol) use it to stage result data inside the
+    * session's cloned SparkSession; the clone's temp-view catalog
+    * snapshots the parent lazily, so views created on the parent after
+    * the session's first statement are not visible through the wire. */
+  def sessionOf(token: String): Option[GraftSession] = sessions.get(token)
 
   // ── endpoint bodies ────────────────────────────────────────────────────
 
