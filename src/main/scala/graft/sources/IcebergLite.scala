@@ -254,6 +254,65 @@ object IcebergLite {
     commitEvolution(mp, evolved, newMap, tombstones(mp))
   }
 
+  // ── cross-process commit protocol (round-13 directive #5) ────────────
+  //
+  // Within one JVM, TableLocks serializes writers; across PROCESSES the
+  // version file itself is the lock. Publishing vN.metadata.json goes
+  // tmp-file → Files.createLink(target, tmp): the hard link is an atomic
+  // O_EXCL claim WITH content — either this process wins version N or the
+  // link fails because another process already committed it, and the
+  // loser aborts loudly with nothing published (the single-box analog of
+  // Iceberg's optimistic catalog commit). Data-writing commits
+  // additionally claim vN.claim BEFORE touching data/sN, so a losing
+  // process can never clobber the winner's already-published snapshot
+  // directory. A claim left by a crashed process blocks later writers
+  // loudly (the error names the file); it never silently unblocks.
+
+  /** Atomically publish `bytes` as `path`; loud conflict when another
+    * process committed the same version first. */
+  private def publishMetadata(path: java.nio.file.Path,
+      bytes: Array[Byte]): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = Files.createTempFile(path.getParent, ".commit-", ".tmp")
+    try {
+      Files.write(tmp, bytes)
+      try Files.createLink(path, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit: $path was published by another writer " +
+              "(another engine process committed this version first) — " +
+              "re-run the statement against the table's current state")
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Claim a data-writing commit's version before any data lands; `f`
+    * runs holding the claim. Loud when the version is already claimed
+    * (live writer in another process, or a crashed writer's leftover —
+    * the error names the claim file) or already committed. */
+  private def withVersionClaim[T](metadataPath: java.nio.file.Path)(f: => T): T = {
+    val claim = metadataPath.resolveSibling(metadataPath.getFileName.toString + ".claim")
+    Files.createDirectories(claim.getParent)
+    try Files.createFile(claim)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit: version claim $claim is held — another " +
+            "engine process is committing this version (or crashed " +
+            "mid-commit; delete the claim file if so). Re-run the " +
+            "statement.")
+    }
+    try {
+      if (Files.exists(metadataPath))
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit: $metadataPath already exists — another " +
+            "process committed this version; re-run the statement " +
+            "against the table's current state")
+      f
+    } finally Files.deleteIfExists(claim)
+  }
+
   /** Write a new metadata version identical to `mp` except for the
     * declared schema, physical-name map, and tombstones. */
   private def commitEvolution(mp: String, schema: StructType,
@@ -265,7 +324,7 @@ object IcebergLite {
     writeSchemaInto(tree, schema, physMap, tombs)
     val newPath = Paths.get(mp).getParent.resolve(
       s"v${version + 1}.metadata.json")
-    Files.write(newPath, mapper.writerWithDefaultPrettyPrinter()
+    publishMetadata(newPath, mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(tree))
     newPath.toString
   }
@@ -317,7 +376,7 @@ object IcebergLite {
       .map(_.group(1).toInt).getOrElse(1)
     val newPath = Paths.get(mp).getParent.resolve(
       s"v${version + 1}.metadata.json")
-    Files.write(newPath, mapper.writerWithDefaultPrettyPrinter()
+    publishMetadata(newPath, mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(tree))
     newPath.toString
   }
@@ -980,7 +1039,21 @@ object IcebergLite {
       newVersion: Int,
       carryForward: Seq[(String, Option[String], Option[String])],
       partitionBy: Seq[String] = Nil,
-      baseMeta: Option[String] = None): String = {
+      baseMeta: Option[String] = None): String =
+    // the claim is taken BEFORE any data lands in data/s<N>: a process
+    // losing the version race must abort without having overwritten the
+    // winner's already-published snapshot directory
+    withVersionClaim(Paths.get(
+        s"$tableDir/metadata/v$newVersion.metadata.json")) {
+      commitClaimed(spark, df0, tableDir, newVersion, carryForward,
+        partitionBy, baseMeta)
+    }
+
+  private def commitClaimed(spark: SparkSession, df0: DataFrame,
+      tableDir: String, newVersion: Int,
+      carryForward: Seq[(String, Option[String], Option[String])],
+      partitionBy: Seq[String],
+      baseMeta: Option[String]): String = {
     import org.apache.spark.sql.functions._
     // evolution state carried from the base metadata (appends must not
     // discard renames or tombstones committed before them)
@@ -1110,7 +1183,7 @@ object IcebergLite {
     val tree = mapper.readTree(json.getBytes)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     writeSchemaInto(tree, recorded0, physMap, baseTombs)
-    Files.write(Paths.get(metadataPath),
+    publishMetadata(Paths.get(metadataPath),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(tree))
     metadataPath
   }

@@ -1,0 +1,104 @@
+package graft.engine
+
+import graft.sources.IcebergLite
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Cross-process writer-writer protection (round-13 directive #5):
+  * TableLocks serializes writers inside one JVM; across PROCESSES the
+  * version file itself is the lock — commits claim `vN.metadata.json
+  * .claim` (O_EXCL) before any data lands and publish the metadata via
+  * tmp + hard-link (atomic O_EXCL with content). This spec races a
+  * REAL second JVM (graft.tools.CrossProcessCommit — the protocol is
+  * pure NIO, so the racing process needs no Spark) against in-process
+  * IcebergLite commits and asserts the loser always fails LOUDLY with
+  * nothing clobbered, and that a retry against the table's current
+  * state succeeds. */
+class CrossProcessCommitSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def secondJvm(args: String*): Process = {
+    val pb = new ProcessBuilder(
+      (Seq("java", "-cp", System.getProperty("java.class.path"),
+        "graft.tools.CrossProcessCommit") ++ args): _*)
+    pb.redirectErrorStream(false)
+    pb.start()
+  }
+
+  private def awaitLine(p: Process, want: String): Unit = {
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    var line = r.readLine()
+    while (line != null && line != want && System.nanoTime() < deadline)
+      line = r.readLine()
+    assert(line == want, s"second JVM never printed $want (got $line)")
+  }
+
+  test("live claim in another process fails this process's commit fast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xproc1").toString
+    val mp1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = s"$dir/metadata/v2.metadata.json"
+    val holder = secondJvm("hold", v2, "30000")
+    try {
+      awaitLine(holder, "CLAIMED")
+      val e = intercept[java.util.ConcurrentModificationException] {
+        IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "s"), mp1)
+      }
+      assert(e.getMessage.contains("claim"), e.getMessage)
+      // nothing was published and no data directory was clobbered
+      assert(!Files.exists(java.nio.file.Paths.get(v2)))
+      assert(!Files.exists(java.nio.file.Paths.get(s"$dir/data/s2")))
+      // v1 still scans clean
+      assert(IcebergLite.scan(spark, mp1).count() == 1)
+    } finally { holder.destroyForcibly(); holder.waitFor() }
+    // leftover claim from the killed process blocks loudly too
+    intercept[java.util.ConcurrentModificationException] {
+      IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "s"), mp1)
+    }
+    Files.deleteIfExists(java.nio.file.Paths.get(v2 + ".claim"))
+  }
+
+  test("version published by another process forces loud retry, not lost update") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xproc2").toString
+    val mp1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = s"$dir/metadata/v2.metadata.json"
+    // the OTHER process wins version 2 (its metadata content is a copy
+    // of v1 — the conflict mechanics don't depend on what it committed)
+    val pub = secondJvm("publish", v2, mp1)
+    assert(pub.waitFor() == 0)
+    // this process still holds the stale v1 handle: its v2 commit must
+    // fail loudly instead of silently clobbering the other's commit
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "s"), mp1)
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // retrying against the CURRENT state (v2) succeeds and sees one
+    // consistent history
+    val mp3 = IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "s"), v2)
+    assert(mp3.endsWith("v3.metadata.json"))
+    assert(IcebergLite.scan(spark, mp3).count() == 2)
+  }
+
+  test("two concurrent publishes: exactly one wins, loser exits loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xproc3").toString
+    val mp1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = s"$dir/metadata/v2.metadata.json"
+    val ps = (1 to 4).map(_ => secondJvm("publish", v2, mp1))
+    val rcs = ps.map(_.waitFor())
+    assert(rcs.count(_ == 0) == 1, s"exactly one winner expected: $rcs")
+    assert(rcs.count(_ == 17) == 3, s"three loud losers expected: $rcs")
+    assert(Files.exists(java.nio.file.Paths.get(v2)))
+  }
+}
