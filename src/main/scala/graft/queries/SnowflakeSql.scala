@@ -2127,6 +2127,82 @@ object SnowflakeSql extends QueryPack {
         ORDER BY nk DESC, k LIMIT 15""")
     },
 
+    // ORDER BY token-boundary edges (round-13 ADVICE): a comment between
+    // ORDER and BY, a parenthesized sort item whose inner subquery-free
+    // expression must not leak direction, and a column literally named
+    // like a frame terminator (`rows`) as a sort key — all under LIMIT,
+    // so the null-ordering compensation SELECTS rows.
+    GQuery("snow87_order_by_edges", Some("""
+      SELECT o_orderkey AS k, nullif(o_orderkey % 5, 2) AS rows
+      FROM orders WHERE o_orderkey <= 300
+      ORDER BY (nullif(o_orderkey % 5, 2) + 0) DESC NULLS FIRST,
+        k NULLS LAST LIMIT 12""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderkey AS k, NULLIF(MOD(o_orderkey, 5), 2) AS rows
+        FROM orders WHERE o_orderkey <= 300
+        ORDER /* compensate me */ BY (NULLIF(MOD(o_orderkey, 5), 2) + 0)
+          DESC, k LIMIT 12""")
+    },
+
+    // Avro unload → re-load round trip (round-13 directive #4): COPY INTO
+    // @stage writes avro, COPY INTO reads it back; values must survive
+    // bit-exact. Oracle reads the source rows directly.
+    GQuery("snow88_avro_roundtrip", Some("""
+      SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+      FROM nation ORDER BY k""")) { (s, dir) =>
+      val gs = session(s, dir)
+      val stageDir = Files.createTempDirectory("graft_avro_gate").toString
+      gs.sql(s"CREATE STAGE gate_avro URL='$stageDir'")
+      gs.sql("""
+        COPY INTO @gate_avro/n FROM
+          (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+          FILE_FORMAT = (TYPE = AVRO) OVERWRITE = TRUE;
+        CREATE OR REPLACE TABLE gate_nation_avro
+          (n_nationkey INT, n_name VARCHAR, n_regionkey INT);
+        COPY INTO gate_nation_avro FROM @gate_avro/n
+          FILE_FORMAT = (TYPE = AVRO);""")
+      gs.sql("""SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+                FROM gate_nation_avro ORDER BY k""")
+    },
+
+    // The HTTP protocol façade as a GATE (round-13 directive #3): the
+    // query runs through login → query-request → base64 Arrow IPC and is
+    // decoded back into a DataFrame; the oracle hash-compares the wire
+    // result itself. Plain wire types only (text/int/double) — the
+    // struct-timestamp encoding is pack-validated by graft.VerifyProtocol.
+    GQuery("snow89_protocol_wire", Some("""
+      SELECT o_orderpriority AS pri, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY pri""")) { (s, dir) =>
+      val server = new graft.protocol.SnowflakeServer(s, Some(dir))
+      val port = server.start()
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def post(path: String, body: String, token: Option[String]) = {
+          val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST"); conn.setDoOutput(true)
+          token.foreach(t => conn.setRequestProperty(
+            "Authorization", s"""Snowflake Token="$t""""))
+          val os = conn.getOutputStream
+          try os.write(body.getBytes("UTF-8")) finally os.close()
+          val j = om.readTree(conn.getInputStream); conn.disconnect(); j
+        }
+        val login = post("/session/v1/login-request", "{}", None)
+        require(login.path("success").asBoolean(), login.toString)
+        val token = login.path("data").path("token").asText()
+        val q = """SELECT o_orderpriority AS pri, count(*) AS n,
+          sum(o_totalprice::number(12,2))::double AS total
+          FROM orders GROUP BY 1 ORDER BY pri"""
+        val resp = post("/queries/v1/query-request",
+          om.createObjectNode().put("sqlText", q).toString, Some(token))
+        require(resp.path("success").asBoolean(), resp.toString)
+        val bytes = java.util.Base64.getDecoder.decode(
+          resp.path("data").path("rowsetBase64").asText())
+        org.apache.spark.sql.GraftArrow.fromArrowIpcStream(s, bytes)
+      } finally server.stop()
+    },
+
     GQuery("snow81_query_history", Some("""
       SELECT * FROM (VALUES ('SELECT ''beta'' AS tag'),
         ('SELECT ''gamma'' AS tag')) AS t(qt) ORDER BY qt""")) { (s, dir) =>
