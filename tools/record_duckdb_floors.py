@@ -15,8 +15,10 @@ recorded floor per query is the smallest value CONFIRMED by a second
 sample within 20%; an unconfirmed global min is reported but not
 committed.
 
-Usage: python3 tools/record_duckdb_floors.py <heavy_dir> [runs=5]
-Writes probes/duckdb_floors.json.
+Usage: python3 tools/record_duckdb_floors.py <heavy_dir> [runs=5] [repl=100]
+Writes probes/duckdb_floors.json (repl=100) or
+probes/duckdb_floors_repl<N>.json — scale-indexed floors, round-13
+directive #2.
 """
 import json
 import os
@@ -30,6 +32,7 @@ def loadavg1():
 def main():
     heavy = sys.argv[1]
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    repl = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     threads = os.environ.get("THREADS", "32")
     samples = {}
     loads = []
@@ -62,7 +65,7 @@ def main():
                         f"(next sample {st[1]:.3f}); committed the "
                         f"reproduced {floor:.3f}")
     out = {
-        "what": ("DuckDB QUIET per-query floors at repl=100, threads=" +
+        "what": (f"DuckDB QUIET per-query floors at repl={repl}, threads=" +
                  threads + ", re-recorded round 11 with REPRODUCTION "
                  "required: each floor is the smallest of " + str(runs) +
                  " fresh-process min-of-3 values that a second sample "
@@ -76,7 +79,10 @@ def main():
         "threads": threads,
         "loadavg_per_run": loads,
     }
-    with open("probes/duckdb_floors.json", "w") as f:
+    out_path = ("probes/duckdb_floors.json" if repl == 100
+                else f"probes/duckdb_floors_repl{repl}.json")
+    out["repl"] = repl
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"floors": floors, "notes": notes}, indent=1))
 

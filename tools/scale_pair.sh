@@ -6,8 +6,10 @@
 # = 48 g at 32 cpus, the A/B-proven GC-quiet provisioning); DuckDB runs
 # uncapped via the same bench_duckdb.py pairing inside ONE Bench
 # invocation, so both sides see adjacent machine state. Mins are
-# reproduction-checked by Bench's own unconfirmed/chase machinery
-# (floors don't exist at repl=400, so the confirm bar is the gate).
+# reproduction-checked by Bench's own unconfirmed/chase machinery AND
+# (since round 13) against the scale-indexed committed floors
+# probes/{spark,duckdb}_floors_repl<N>.json; ratio_floor_to_floor in
+# the artifact describes THIS scale.
 # Usage: tools/scale_pair.sh [repl=400] [reps=4]
 set -euo pipefail
 cd "$(dirname "$0")/.."
