@@ -729,6 +729,16 @@ class IcebergLiteSpec extends AnyFunSuite {
         v2.replace("v2.metadata.json", "v1.metadata.json")).count()
     }
 
+    // the library-level expire above committed v3 OUT-OF-BAND (the
+    // session ref still points at v2) — a session DML from the stale
+    // handle must now fail LOUDLY instead of silently clobbering v3
+    // (cross-process commit protocol, round 13); re-pointing to the
+    // current version is the documented remediation
+    intercept[java.util.ConcurrentModificationException] {
+      s.sql("UPDATE evo_exp SET nm = upper(nm) WHERE k < 3")
+    }
+    s.registry.register(refIns.copy(path = Some(v3)))
+
     // a PREDICATED UPDATE goes file-granular: the replace snapshot
     // commits INTO the same table dir (continuous metadata chain) —
     // no orphan dir to reclaim
