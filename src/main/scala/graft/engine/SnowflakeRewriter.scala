@@ -2431,8 +2431,14 @@ object SnowflakeRewriter {
               if (desc) s"reverse($sorted)" else sorted
             } else {
               val expr = render(rewriteFunctions(argToks)).trim
+              // each key carries an IS NULL flag field ahead of it:
+              // struct comparison puts false < true, so NULL keys sort
+              // AFTER non-null ascending — Snowflake's nulls-highest
+              // default (ASC → NULLS LAST; the DESC reverse then puts
+              // them FIRST, also Snowflake's default). Spark's bare
+              // struct sort would put null fields lowest in both.
               val fields = keys.zipWithIndex
-                .map { case (k, x) => s"($k) AS __o$x" }
+                .map { case (k, x) => s"(($k) IS NULL) AS __n$x, ($k) AS __o$x" }
                 .mkString(", ")
               val sorted = s"array_sort(collect_list(" +
                 s"struct($fields, ($expr) AS __v)))"

@@ -126,10 +126,29 @@ class OrderByFuzzSpec extends AnyFunSuite {
         selectsWindow = true)
     }
 
+    def genWithinGroup(): C = {
+      // LISTAGG(s, d) WITHIN GROUP (ORDER BY keys [DESC]) — the engine's
+      // supported ordered-set grammar is a key list with ONE trailing
+      // direction; Snowflake's nulls-highest default must hold for NULL
+      // keys (the string the agg produces depends on it). NULL s values
+      // don't aggregate on either engine, hence the coalesce payload.
+      val key = pick(Seq("k", "v", "(k + v)", "coalesce(k, v)",
+        "CASE WHEN k IS NULL THEN v ELSE k END"))
+      val desc = rnd.nextBoolean()
+      val dir = if (desc) " DESC" else ""
+      val duckNulls = if (desc) "DESC NULLS FIRST" else "ASC NULLS LAST"
+      C(cte + "SELECT g, LISTAGG(coalesce(s, 'Ø'), ',') WITHIN GROUP " +
+          s"(ORDER BY $key, id$dir) AS agg FROM t GROUP BY g ORDER BY g",
+        cte + "SELECT g, string_agg(coalesce(s, 'Ø'), ',' " +
+          s"ORDER BY $key $duckNulls, id $duckNulls) AS agg FROM t " +
+          "GROUP BY g ORDER BY g ASC NULLS LAST",
+        selectsWindow = false)
+    }
+
     val gens: Seq[() => C] =
       Seq(genTopLevel _, genTopLevel _, genTopLevel _,
-        genSubqueryLimit _, genWindow _)
-    val cases = Vector.fill(145)(pick(gens)())
+        genSubqueryLimit _, genWindow _, genWithinGroup _)
+    val cases = Vector.fill(160)(pick(gens)())
 
     val duckResults = DuckOracle.run(cases.zipWithIndex.map {
       case (c, i) => s"c$i" -> c.duck

@@ -518,16 +518,20 @@ class RewriterSpec extends AnyFunSuite {
   }
 
   test("ARRAY_AGG WITHIN GROUP becomes a struct-sorted collect") {
+    // each key carries an IS NULL flag so NULL keys sort HIGHEST
+    // (Snowflake default) instead of Spark's struct-field nulls-lowest
     val asc = rw("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY k) FROM t")
     assert(asc.contains(
-      "transform(array_sort(collect_list(struct((k) AS __o0, (x) AS __v))), __s -> __s.__v)"))
+      "transform(array_sort(collect_list(struct(((k) IS NULL) AS __n0, " +
+        "(k) AS __o0, (x) AS __v))), __s -> __s.__v)"), asc)
     val desc = rw("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY k DESC) FROM t")
     assert(desc.startsWith("SELECT reverse(transform(array_sort("))
     val dist = rw("SELECT ARRAY_AGG(DISTINCT x) WITHIN GROUP (ORDER BY x) FROM t")
     assert(dist.contains("array_sort(collect_set((x)))"))
     // two sort keys
     val two = rw("SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY a, b) FROM t")
-    assert(two.contains("(a) AS __o0, (b) AS __o1, (v) AS __v"))
+    assert(two.contains("((a) IS NULL) AS __n0, (a) AS __o0, " +
+      "((b) IS NULL) AS __n1, (b) AS __o1, (v) AS __v"), two)
     // plain ARRAY_AGG stays native (Spark has array_agg)
     assert(rw("SELECT ARRAY_AGG(x) FROM t").toLowerCase
       .contains("array_agg(x)"))
