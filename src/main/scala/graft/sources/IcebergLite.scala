@@ -294,14 +294,24 @@ object IcebergLite {
   private def withVersionClaim[T](metadataPath: java.nio.file.Path)(f: => T): T = {
     val claim = metadataPath.resolveSibling(metadataPath.getFileName.toString + ".claim")
     Files.createDirectories(claim.getParent)
-    try Files.createFile(claim)
-    catch {
+    try {
+      Files.createFile(claim)
+      // diagnostics for the loser's error message: who holds it, since when
+      Files.writeString(claim,
+        s"pid=${ProcessHandle.current().pid()}\n")
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        val holder =
+          try Files.readString(claim).trim catch { case _: Throwable => "?" }
+        val ageSec =
+          try (System.currentTimeMillis() -
+            Files.getLastModifiedTime(claim).toMillis) / 1000
+          catch { case _: Throwable => -1L }
         throw new java.util.ConcurrentModificationException(
-          s"concurrent commit: version claim $claim is held — another " +
-            "engine process is committing this version (or crashed " +
-            "mid-commit; delete the claim file if so). Re-run the " +
-            "statement.")
+          s"concurrent commit: version claim $claim is held ($holder, " +
+            s"${ageSec}s old) — another engine process is committing this " +
+            "version (or crashed mid-commit; delete the claim file if " +
+            "so). Re-run the statement.")
     }
     try {
       if (Files.exists(metadataPath))
