@@ -2378,19 +2378,15 @@ object SnowflakeRewriter {
               wgInner(wgSig(0)).text.equalsIgnoreCase("ORDER") &&
               wgInner(wgSig(1)).text.equalsIgnoreCase("BY"),
               "WITHIN GROUP supports (ORDER BY …)")
-            var keyToks = wgInner.slice(wgSig(1) + 1, wgInner.length)
-            // trailing ASC/DESC (single direction for the whole key list)
-            var desc = false
-            val kSig = significant(keyToks)
-            if (kSig.nonEmpty) keyToks(kSig.last) match {
-              case Ident(w) if w.equalsIgnoreCase("DESC") =>
-                desc = true; keyToks = keyToks.take(kSig.last)
-              case Ident(w) if w.equalsIgnoreCase("ASC") =>
-                keyToks = keyToks.take(kSig.last)
-              case _ =>
-            }
-            val keys = {
-              // split key list on top-level commas
+            val keyToks = wgInner.slice(wgSig(1) + 1, wgInner.length)
+            // Snowflake direction and NULLS are PER KEY (`ORDER BY a,
+            // b DESC` sorts a ascending) — split on top-level commas
+            // FIRST, then strip each item's trailing NULLS FIRST/LAST
+            // and ASC/DESC. nullsLast default follows the Snowflake
+            // nulls-highest rule (ASC → last, DESC → first) unless
+            // explicit.
+            case class WgKey(sql: String, desc: Boolean, nullsLast: Boolean)
+            val keys: Seq[WgKey] = {
               val parts = Seq.newBuilder[Vector[Tok]]
               var depth = 0; var st = 0
               keyToks.indices.foreach { x =>
@@ -2403,8 +2399,36 @@ object SnowflakeRewriter {
                 }
               }
               parts += keyToks.slice(st, keyToks.length)
-              parts.result().map(p => render(rewriteFunctions(p)).trim)
+              parts.result().map { p0 =>
+                var p = p0
+                def lastIs(w: String): Boolean = {
+                  val s = significant(p)
+                  s.nonEmpty && (p(s.last) match {
+                    case Ident(x) => x.equalsIgnoreCase(w); case _ => false })
+                }
+                def dropLast(): Unit = { p = p.take(significant(p).last) }
+                var explicitNulls: Option[Boolean] = None // Some(nullsLast)
+                if (lastIs("FIRST") || lastIs("LAST")) {
+                  val isLast = lastIs("LAST")
+                  dropLast()
+                  require(lastIs("NULLS"),
+                    "FIRST/LAST in WITHIN GROUP must follow NULLS")
+                  dropLast()
+                  explicitNulls = Some(isLast)
+                }
+                var desc = false
+                if (lastIs("DESC")) { desc = true; dropLast() }
+                else if (lastIs("ASC")) dropLast()
+                WgKey(render(rewriteFunctions(p)).trim, desc,
+                  explicitNulls.getOrElse(!desc))
+              }
             }
+            // fast struct-sort path when one whole-list direction with
+            // default null policy expresses the order; comparator path
+            // otherwise (mixed directions / explicit NULLS)
+            val allAscDefault = keys.forall(k => !k.desc && k.nullsLast)
+            val allDescDefault = keys.forall(k => k.desc && !k.nullsLast)
+            val desc = allDescDefault
             val allArgToks = toks.slice(open + 1, close)
             // LISTAGG carries an optional second (delimiter) argument —
             // split it off before the shared ordered-collect lowering
@@ -2425,10 +2449,11 @@ object SnowflakeRewriter {
             val arrSql = if (isDistinct) {
               val expr = render(rewriteFunctions(
                 argToks.drop(argSig.head + 1))).trim
-              require(keys == Seq(expr),
+              require(keys.map(_.sql) == Seq(expr),
                 s"$up(DISTINCT x) WITHIN GROUP supports ORDER BY x only")
+              // collect_set drops NULLs, so the null policy is moot here
               val sorted = s"array_sort(collect_set(($expr)))"
-              if (desc) s"reverse($sorted)" else sorted
+              if (keys.head.desc) s"reverse($sorted)" else sorted
             } else {
               val expr = render(rewriteFunctions(argToks)).trim
               // each key carries an IS NULL flag field ahead of it:
@@ -2438,12 +2463,41 @@ object SnowflakeRewriter {
               // them FIRST, also Snowflake's default). Spark's bare
               // struct sort would put null fields lowest in both.
               val fields = keys.zipWithIndex
-                .map { case (k, x) => s"(($k) IS NULL) AS __n$x, ($k) AS __o$x" }
+                .map { case (k, x) =>
+                  s"((${k.sql}) IS NULL) AS __n$x, (${k.sql}) AS __o$x" }
                 .mkString(", ")
-              val sorted = s"array_sort(collect_list(" +
-                s"struct($fields, ($expr) AS __v)))"
-              val picked = s"transform($sorted, __s -> __s.__v)"
-              if (desc) s"reverse($picked)" else picked
+              val collected = s"collect_list(struct($fields, ($expr) AS __v))"
+              if (allAscDefault || allDescDefault) {
+                val sorted = s"array_sort($collected)"
+                val picked = s"transform($sorted, __s -> __s.__v)"
+                if (desc) s"reverse($picked)" else picked
+              } else {
+                // mixed per-key directions / explicit NULLS: array_sort
+                // with a comparator lambda — per key, d = ±1 encodes the
+                // direction and n = ±1 the null policy (null compares as
+                // if largest when NULLS LAST ⇒ +1 on the left side)
+                // equal keys tie-break on the value itself — the same
+                // determinism the struct-sort fast path gets from its
+                // trailing __v field
+                val vTie = "(CASE WHEN __l.__v IS NULL AND __r.__v IS NULL " +
+                  "THEN 0 WHEN __l.__v IS NULL THEN 1 " +
+                  "WHEN __r.__v IS NULL THEN -1 " +
+                  "WHEN __l.__v < __r.__v THEN -1 " +
+                  "WHEN __l.__v > __r.__v THEN 1 ELSE 0 END)"
+                val cmp = keys.zipWithIndex.foldRight(vTie) {
+                  case ((k, x), tie) =>
+                    val d = if (k.desc) -1 else 1
+                    val n = if (k.nullsLast) 1 else -1
+                    s"(CASE WHEN __l.__n$x AND __r.__n$x THEN $tie " +
+                      s"WHEN __l.__n$x THEN $n " +
+                      s"WHEN __r.__n$x THEN ${-n} " +
+                      s"WHEN __l.__o$x < __r.__o$x THEN ${-d} " +
+                      s"WHEN __l.__o$x > __r.__o$x THEN $d " +
+                      s"ELSE $tie END)"
+                }
+                val sorted = s"array_sort($collected, (__l, __r) -> $cmp)"
+                s"transform($sorted, __s -> __s.__v)"
+              }
             }
             // LISTAGG stringifies AFTER the natural-type sort (casting
             // first would order numbers lexicographically)

@@ -127,20 +127,26 @@ class OrderByFuzzSpec extends AnyFunSuite {
     }
 
     def genWithinGroup(): C = {
-      // LISTAGG(s, d) WITHIN GROUP (ORDER BY keys [DESC]) — the engine's
-      // supported ordered-set grammar is a key list with ONE trailing
-      // direction; Snowflake's nulls-highest default must hold for NULL
-      // keys (the string the agg produces depends on it). NULL s values
-      // don't aggregate on either engine, hence the coalesce payload.
+      // LISTAGG(s, d) WITHIN GROUP (ORDER BY key [dir] [NULLS …], id) —
+      // direction and NULLS are PER KEY (Snowflake); the string the agg
+      // produces depends on where NULL keys sort. NULL s values don't
+      // aggregate on either engine, hence the coalesce payload.
       val key = pick(Seq("k", "v", "(k + v)", "coalesce(k, v)",
         "CASE WHEN k IS NULL THEN v ELSE k END"))
       val desc = rnd.nextBoolean()
-      val dir = if (desc) " DESC" else ""
-      val duckNulls = if (desc) "DESC NULLS FIRST" else "ASC NULLS LAST"
+      val dir = if (desc) " DESC" else pick(Seq("", " ASC"))
+      val explicitNulls = pick(Seq("", "", " NULLS FIRST", " NULLS LAST"))
+      val duckNulls =
+        if (explicitNulls.nonEmpty) explicitNulls
+        else if (desc) " NULLS FIRST" else " NULLS LAST"
+      val idDir = if (rnd.nextInt(3) == 0) " DESC NULLS FIRST" else ""
+      val duckIdDir = if (idDir.nonEmpty) " DESC NULLS FIRST"
+                      else " ASC NULLS LAST"
       C(cte + "SELECT g, LISTAGG(coalesce(s, 'Ø'), ',') WITHIN GROUP " +
-          s"(ORDER BY $key, id$dir) AS agg FROM t GROUP BY g ORDER BY g",
+          s"(ORDER BY $key$dir$explicitNulls, id$idDir) AS agg " +
+          "FROM t GROUP BY g ORDER BY g",
         cte + "SELECT g, string_agg(coalesce(s, 'Ø'), ',' " +
-          s"ORDER BY $key $duckNulls, id $duckNulls) AS agg FROM t " +
+          s"ORDER BY $key$dir$duckNulls, id$duckIdDir) AS agg FROM t " +
           "GROUP BY g ORDER BY g ASC NULLS LAST",
         selectsWindow = false)
     }

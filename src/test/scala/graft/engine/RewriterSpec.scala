@@ -532,6 +532,20 @@ class RewriterSpec extends AnyFunSuite {
     val two = rw("SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY a, b) FROM t")
     assert(two.contains("((a) IS NULL) AS __n0, (a) AS __o0, " +
       "((b) IS NULL) AS __n1, (b) AS __o1, (v) AS __v"), two)
+    // direction is PER KEY (Snowflake): a trailing DESC binds to its own
+    // key only, so mixed lists lower to a comparator array_sort — the
+    // whole-list reverse would silently sort `a` descending too
+    val mixed = rw("SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY a, b DESC) FROM t")
+    assert(mixed.contains("(__l, __r) ->"), mixed)
+    assert(!mixed.contains("reverse("), mixed)
+    assert(mixed.contains("WHEN __l.__o1 < __r.__o1 THEN 1"), mixed)
+    assert(mixed.contains("WHEN __l.__o0 < __r.__o0 THEN -1"), mixed)
+    // explicit NULLS overrides the default policy (asc + NULLS FIRST)
+    val nf = rw("SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY a NULLS FIRST) FROM t")
+    assert(nf.contains("WHEN __l.__n0 THEN -1"), nf)
+    // uniform DESC still takes the fast reverse path
+    val dd = rw("SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY a DESC, b DESC) FROM t")
+    assert(dd.contains("reverse(") && !dd.contains("__l"), dd)
     // plain ARRAY_AGG stays native (Spark has array_agg)
     assert(rw("SELECT ARRAY_AGG(x) FROM t").toLowerCase
       .contains("array_agg(x)"))
