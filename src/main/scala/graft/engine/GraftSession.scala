@@ -1027,6 +1027,23 @@ final class GraftSession(
     "graft_to_json",
     exprs => graft.functions.VariantToJson(exprs.head), "built-in")
 
+  // TRUNC/DATE_TRUNC with a date part are type-polymorphic in Snowflake
+  // (DATE in → DATE out, TIMESTAMP in → truncated TIMESTAMP); Spark's
+  // trunc/date_trunc each destroy one of those types, so the rewriter
+  // routes both to this RuntimeReplaceable (ADVICE r13 #1). The part is
+  // always a canonical-name string literal emitted by the rewriter.
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    "graft_trunc",
+    exprs => {
+      val part = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _: StringType)
+            if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_trunc expects a literal part, got $other")
+      }
+      graft.functions.SnowTrunc(exprs.head, part)
+    }, "built-in")
+
   // auto-collected table stats (AutoStats) reach plans through the CBO
   // stats visitor — session-scoped via the clone (see above). NOTE: with
   // CBO on and rowCount set, Spark's toPlanStats recomputes sizeInBytes

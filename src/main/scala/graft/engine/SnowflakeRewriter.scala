@@ -2008,17 +2008,21 @@ object SnowflakeRewriter {
             out ++= lex(s", $sqlLit), x -> x <> '')")
             i = close + 1
           } else if ((up == "TRUNC" || up == "TRUNCATE") && {
-              // Snowflake also accepts a BARE date-part keyword —
-              // TRUNC(d, month) — which must not fall into the numeric
-              // path (it would read `month` as a column and emit
-              // floor(d * power(10, month))). Recognize any date-part
-              // alias spelling and emit the quoted-literal date form.
+              // Snowflake's date TRUNC takes the part as a BARE keyword —
+              // TRUNC(d, month) — or a string literal — TRUNC(d, 'day').
+              // Neither may fall into the numeric path (a bare `month`
+              // would read as a column and emit floor(d * power(10,
+              // month))), and neither may reach Spark's own trunc, which
+              // NULLs out sub-month parts and demotes TIMESTAMP to DATE
+              // (ADVICE r13 #1). Both route to the type-polymorphic
+              // graft_trunc ([[graft.functions.SnowTrunc]]).
               val ar = splitArgs(toks, open, close)
               ar.length == 2 && {
                 val a2 = toks.slice(ar(1)._1, ar(1)._2)
                 val sg = significant(a2)
                 sg.size == 1 && (a2(sg.head) match {
                   case Ident(w) => normalizeDatePart(w).isDefined
+                  case s: Str => normalizeDatePart(s.value).isDefined
                   case _ => false
                 })
               }
@@ -2026,10 +2030,39 @@ object SnowflakeRewriter {
             val ar = splitArgs(toks, open, close)
             val part = significant(toks.slice(ar(1)._1, ar(1)._2))
               .map(ix => toks.slice(ar(1)._1, ar(1)._2)(ix))
-              .collectFirst { case Ident(w) => normalizeDatePart(w).get }
-              .get
-            out ++= lex("trunc(")
+              .collectFirst {
+                case Ident(w) => normalizeDatePart(w).get
+                case s: Str => normalizeDatePart(s.value).get
+              }.get
+            out ++= lex("graft_trunc(")
             out ++= rewriteFunctions(toks.slice(ar(0)._1, ar(0)._2))
+            out ++= lex(s", '$part')")
+            i = close + 1
+          } else if (up == "DATE_TRUNC" && {
+              // Snowflake DATE_TRUNC(part, x) — part first, ident or
+              // string, any alias spelling. Spark's date_trunc rejects
+              // the aliases, promotes DATE → TIMESTAMP, and NULLs on
+              // NANOSECOND; route through graft_trunc like TRUNC above.
+              val ar = splitArgs(toks, open, close)
+              ar.length == 2 && {
+                val a1 = toks.slice(ar(0)._1, ar(0)._2)
+                val sg = significant(a1)
+                sg.size == 1 && (a1(sg.head) match {
+                  case Ident(w) => normalizeDatePart(w).isDefined
+                  case s: Str => normalizeDatePart(s.value).isDefined
+                  case _ => false
+                })
+              }
+            }) {
+            val ar = splitArgs(toks, open, close)
+            val part = significant(toks.slice(ar(0)._1, ar(0)._2))
+              .map(ix => toks.slice(ar(0)._1, ar(0)._2)(ix))
+              .collectFirst {
+                case Ident(w) => normalizeDatePart(w).get
+                case s: Str => normalizeDatePart(s.value).get
+              }.get
+            out ++= lex("graft_trunc(")
+            out ++= rewriteFunctions(toks.slice(ar(1)._1, ar(1)._2))
             out ++= lex(s", '$part')")
             i = close + 1
           } else if ((up == "TRUNC" || up == "TRUNCATE") && {
@@ -2407,13 +2440,21 @@ object SnowflakeRewriter {
                     case Ident(x) => x.equalsIgnoreCase(w); case _ => false })
                 }
                 def dropLast(): Unit = { p = p.take(significant(p).last) }
+                // FIRST/LAST is only the NULLS modifier when the token
+                // before it IS the word NULLS — a sort key that is a
+                // column literally named `first` or `last` (ORDER BY
+                // last) must stay part of the key expression
+                // (ADVICE r13 #2)
+                def secondLastIs(w: String): Boolean = {
+                  val s = significant(p)
+                  s.length >= 2 && (p(s(s.length - 2)) match {
+                    case Ident(x) => x.equalsIgnoreCase(w); case _ => false })
+                }
                 var explicitNulls: Option[Boolean] = None // Some(nullsLast)
-                if (lastIs("FIRST") || lastIs("LAST")) {
+                if ((lastIs("FIRST") || lastIs("LAST")) &&
+                    secondLastIs("NULLS")) {
                   val isLast = lastIs("LAST")
-                  dropLast()
-                  require(lastIs("NULLS"),
-                    "FIRST/LAST in WITHIN GROUP must follow NULLS")
-                  dropLast()
+                  dropLast(); dropLast()
                   explicitNulls = Some(isLast)
                 }
                 var desc = false

@@ -4,6 +4,7 @@ import graft.{GQuery, QueryPack}
 import graft.engine.{GraftSession, SnowflakeTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Statement-layer operators (SURVEY §2.A) exercised through the
   * correctness gate: every query here enters as **Snowflake-dialect SQL**
@@ -2151,8 +2152,12 @@ object SnowflakeSql extends QueryPack {
       SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
       FROM nation ORDER BY k""")) { (s, dir) =>
       val gs = session(s, dir)
-      val stageDir = Files.createTempDirectory("graft_avro_gate").toString
-      gs.sql(s"CREATE STAGE gate_avro URL='$stageDir'")
+      val stagePath = Files.createTempDirectory("graft_avro_gate")
+      // OR REPLACE so the gate is rerunnable within one session, and the
+      // temp stage directory is deleted after the round trip — the
+      // result below is materialized from gate_nation_avro's own storage
+      // before cleanup (ADVICE r13 #4)
+      gs.sql(s"CREATE OR REPLACE STAGE gate_avro URL='$stagePath'")
       gs.sql("""
         COPY INTO @gate_avro/n FROM
           (SELECT n_nationkey, n_name, n_regionkey FROM nation)
@@ -2161,8 +2166,16 @@ object SnowflakeSql extends QueryPack {
           (n_nationkey INT, n_name VARCHAR, n_regionkey INT);
         COPY INTO gate_nation_avro FROM @gate_avro/n
           FILE_FORMAT = (TYPE = AVRO);""")
-      gs.sql("""SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
-                FROM gate_nation_avro ORDER BY k""")
+      val res = gs.sql(
+        """SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+           FROM gate_nation_avro ORDER BY k""").localCheckpoint()
+      def rmTree(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.foreach(rmTree)
+        Files.deleteIfExists(p)
+      }
+      rmTree(stagePath)
+      res
     },
 
     // The HTTP protocol façade as a GATE (round-13 directive #3): the

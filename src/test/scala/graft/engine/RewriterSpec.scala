@@ -388,8 +388,25 @@ class RewriterSpec extends AnyFunSuite {
     assert(t3.contains("/ 100") && t3.contains("ceil("), t3)
     val t4 = rw("SELECT TRUNC(x, n) FROM t").replace(" ", "")
     assert(t4.contains("power(10,(n))"), t4)
+    // string-literal date part routes to the type-polymorphic function
+    // (Spark's own trunc would NULL sub-month parts and demote
+    // TIMESTAMP → DATE — ADVICE r13 #1)
     assert(rw("SELECT TRUNC(d, 'MONTH') FROM t") ==
-      "SELECT TRUNC(d, 'MONTH') FROM t")
+      "SELECT graft_trunc(d, 'month') FROM t")
+    assert(rw("SELECT TRUNC(d, 'DD') FROM t") ==
+      "SELECT graft_trunc(d, 'day') FROM t")
+    // a string that is NOT a date part stays verbatim
+    assert(rw("SELECT TRUNC(d, 'XYZ') FROM t") ==
+      "SELECT TRUNC(d, 'XYZ') FROM t")
+  }
+
+  test("DATE_TRUNC canonicalizes alias parts and is type-polymorphic") {
+    assert(rw("SELECT DATE_TRUNC('wk', ts) FROM t").replace(" ", "") ==
+      "SELECTgraft_trunc(ts,'week')FROMt")
+    assert(rw("SELECT DATE_TRUNC(qtr, ts) FROM t").replace(" ", "") ==
+      "SELECTgraft_trunc(ts,'quarter')FROMt")
+    assert(rw("SELECT DATE_TRUNC('day', d) FROM t").replace(" ", "") ==
+      "SELECTgraft_trunc(d,'day')FROMt")
   }
 
   test("strings and comments survive untouched") {
@@ -711,9 +728,12 @@ class RewriterSpec extends AnyFunSuite {
 
   test("TRUNC with a bare date-part keyword is the date form") {
     assert(rw("SELECT TRUNC(d, month) FROM t") ==
-      "SELECT trunc(d, 'month') FROM t")
+      "SELECT graft_trunc(d, 'month') FROM t")
     assert(rw("SELECT TRUNC(d, yy) FROM t") ==
-      "SELECT trunc(d, 'year') FROM t")
+      "SELECT graft_trunc(d, 'year') FROM t")
+    // sub-month parts must NOT reach Spark's trunc (it NULLs them)
+    assert(rw("SELECT TRUNC(ts, hh) FROM t") ==
+      "SELECT graft_trunc(ts, 'hour') FROM t")
     // numeric form unaffected: column 2nd arg that is NOT a date part
     val n = rw("SELECT TRUNC(x, scale_col) FROM t")
     assert(n.contains("power(10"), n)

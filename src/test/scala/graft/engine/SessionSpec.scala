@@ -974,6 +974,61 @@ class SessionSpec extends AnyFunSuite {
     assert(lim.length == 1 && lim(0).getString(1) == "QUERY_HISTORY()")
   }
 
+  test("TRUNC/DATE_TRUNC preserve the input type for every part") {
+    // ADVICE r13 #1: Spark's trunc NULLs sub-month parts and demotes
+    // TIMESTAMP → DATE; date_trunc promotes DATE → TIMESTAMP. Snowflake
+    // (and DuckDB, where the reference executes) are type-polymorphic.
+    val s = newSession()
+    val df = s.sql("""
+      SELECT TRUNC('2024-03-15 13:45:30'::timestamp, day) AS t_day,
+             TRUNC('2024-03-15 13:45:30'::timestamp, hh) AS t_hh,
+             TRUNC('2024-03-15'::date, month) AS d_mon,
+             TRUNC('2024-03-15'::date, 'DD') AS d_day,
+             DATE_TRUNC('minute', '2024-03-15 13:45:30'::timestamp) AS t_min,
+             DATE_TRUNC(wk, '2024-03-15'::date) AS d_wk""")
+    // this engine's ::timestamp is TIMESTAMP_NTZ (Snowflake's default
+    // TIMESTAMP flavor) — the point is the flavor survives truncation
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    val sch = df.schema
+    assert(sch("t_day").dataType == TimestampNTZType, sch)
+    assert(sch("t_hh").dataType == TimestampNTZType, sch)
+    assert(sch("d_mon").dataType == DateType, sch)
+    assert(sch("d_day").dataType == DateType, sch)
+    assert(sch("t_min").dataType == TimestampNTZType, sch)
+    assert(sch("d_wk").dataType == DateType, sch)
+    val r = s.sql("""
+      SELECT TRUNC('2024-03-15 13:45:30'::timestamp, day)::varchar,
+             TRUNC('2024-03-15 13:45:30'::timestamp, hh)::varchar,
+             TRUNC('2024-03-15'::date, month)::varchar,
+             TRUNC('2024-03-15'::date, 'DD')::varchar,
+             DATE_TRUNC('minute', '2024-03-15 13:45:30'::timestamp)::varchar,
+             DATE_TRUNC(wk, '2024-03-15'::date)::varchar""").collect()(0)
+    assert(r.getString(0) == "2024-03-15 00:00:00", r)
+    assert(r.getString(1) == "2024-03-15 13:00:00", r)
+    assert(r.getString(2) == "2024-03-01", r)
+    assert(r.getString(3) == "2024-03-15", r)
+    assert(r.getString(4) == "2024-03-15 13:45:00", r)
+    assert(r.getString(5) == "2024-03-11", r) // Monday of that ISO week
+  }
+
+  test("WITHIN GROUP sort key may be a column literally named last") {
+    // ADVICE r13 #2: a trailing identifier first/last is only the NULLS
+    // modifier when preceded by the word NULLS
+    val s = newSession()
+    val df = s.sql("""
+      WITH t AS (SELECT 1 AS g, 3 AS last, 'c' AS v UNION ALL
+                 SELECT 1, 1, 'a' UNION ALL SELECT 1, 2, 'b')
+      SELECT LISTAGG(v, ',') WITHIN GROUP (ORDER BY last) AS l
+      FROM t GROUP BY g""")
+    assert(df.collect()(0).getString(0) == "a,b,c")
+    val desc = s.sql("""
+      WITH t AS (SELECT 1 AS g, 3 AS first, 'c' AS v UNION ALL
+                 SELECT 1, 1, 'a' UNION ALL SELECT 1, 2, 'b')
+      SELECT LISTAGG(v, ',') WITHIN GROUP (ORDER BY first DESC) AS l
+      FROM t GROUP BY g""")
+    assert(desc.collect()(0).getString(0) == "c,b,a")
+  }
+
   test("result wire typing: rowtype + complex-to-json") {
     val s = newSession()
     val df = s.sql("SELECT ARRAY_CONSTRUCT(1,2,3) AS arr, 1::int AS n")
