@@ -35,7 +35,14 @@ final class GraftSession(
       * visible across sessions by design-tradeoff — treat temp objects
       * as session-private, as Snowflake does. */
     sharedCatalog: Option[scala.collection.concurrent.TrieMap[FQN, TableRef]] =
-      None) {
+      None,
+    /** Share STREAM offset state the same way: Snowflake streams are
+      * schema objects — a stream created through one session resolves
+      * (and its consume advances the one shared offset) from every
+      * session of the server. Sessions built without it keep private
+      * streams (the historical single-session behavior). */
+    sharedStreams: Option[scala.collection.concurrent.TrieMap[
+      FQN, StreamState]] = None) {
 
   /** Execution runs in a CLONED session state: same SharedState (external
     * catalog, cached blocks), but a private SQLConf + temp-view namespace.
@@ -89,8 +96,8 @@ final class GraftSession(
   /** CREATE STREAM registry (Snowflake table CDC, [[Streams]]): name →
     * offset state. Reads resolve through [[ensureView]]; DML/CTAS
     * statements that read a stream advance its offset on success. */
-  private val streams = scala.collection.concurrent.TrieMap
-    .empty[FQN, StreamState]
+  private val streams = sharedStreams.getOrElse(
+    scala.collection.concurrent.TrieMap.empty[FQN, StreamState])
   /** Streams resolved by the statement currently executing — consulted
     * after it completes to apply the consume-advances-offset rule. */
   private val streamsReadInStmt = scala.collection.mutable.Set.empty[FQN]

@@ -34,12 +34,46 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
   private val mapper = new ObjectMapper()
   private val sessions =
     scala.collection.concurrent.TrieMap.empty[String, GraftSession]
+
+  /** ONE catalog state + warehouse for every wire session — a server is
+    * the single-process analog of Snowflake's shared metastore: a table
+    * CREATEd through one token must resolve from every other (the
+    * reference shares one catalog the same way; sessions there differ
+    * only in USE state). Without this, each login got a private
+    * registry and cross-session DML through the wire 404'd
+    * (round-13 directive #7 scenario caught it). */
+  private val sharedCatalog = scala.collection.concurrent.TrieMap
+    .empty[graft.engine.FQN, graft.engine.TableRef]
+  private val sharedStreams = scala.collection.concurrent.TrieMap
+    .empty[graft.engine.FQN, graft.engine.StreamState]
+  private val sharedWarehouse =
+    java.nio.file.Files.createTempDirectory("graft_wire_wh").toString
+
+  /** Protocol-level query history: one entry per query-request, visible
+    * while RUNNING (the session's own statementHistory only records
+    * completed statements). Serves `/monitoring/queries/{id}` and routes
+    * `/queries/v1/abort-request` to the right Spark job group. */
+  private final class QueryState(val queryId: String, val sqlText: String,
+      val startMs: Long) {
+    @volatile var status: String = "RUNNING"
+    @volatile var endMs: Long = 0L
+    @volatile var errorMessage: String = null
+    @volatile var abortRequested: Boolean = false
+  }
+  private val queries =
+    scala.collection.concurrent.TrieMap.empty[String, QueryState]
+  // the connector addresses aborts by the REQUEST id it generated, not
+  // the server-minted query id — keep the translation
+  private val requestToQuery =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private var server: HttpServer = _
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/session/v1/login-request", handler(doLogin))
     server.createContext("/queries/v1/query-request", handler(doQuery))
+    server.createContext("/queries/v1/abort-request", handler(doAbort))
+    server.createContext("/monitoring/queries", handler(doMonitoring))
     server.createContext("/session/heartbeat", handler((_, _) => ok()))
     server.createContext("/session", handler(doSessionDelete))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -71,7 +105,8 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     * `universql/protocol/snowflake.py:55-75`). */
   private def doLogin(ex: HttpExchange, body: JsonNode): ObjectNode = {
     val token = UUID.randomUUID().toString
-    val session = new GraftSession(spark)
+    val session = new GraftSession(spark, sharedWarehouse,
+      Some(sharedCatalog), Some(sharedStreams))
     lakeDir.foreach(session.attachLake(_))
     val q = queryParams(ex)
     val env = body.path("data").path("CLIENT_ENVIRONMENT")
@@ -122,15 +157,44 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
   }
 
   /** Query: run sqlText through the session, Arrow-encode the result
-    * (parity with `universql/protocol/snowflake.py:188-264`, `:223-243`). */
+    * (parity with `universql/protocol/snowflake.py:188-264`, `:223-243`).
+    * The whole statement — planning and the Arrow collect — runs inside
+    * a Spark job group keyed by the query id (set thread-locally; the
+    * JDK HttpServer runs each request on one pool thread), so
+    * `/queries/v1/abort-request` can cancel it mid-flight. */
   private def doQuery(ex: HttpExchange, body: JsonNode): ObjectNode = {
     val session = sessionFor(ex)
     val sqlText = body.path("sqlText").asText("")
     require(sqlText.nonEmpty, "empty sqlText")
-    val df = session.sql(sqlText)
-    val (b64, rowtype) = SnowflakeTypes.toRowsetBase64(df)
+    val queryId = UUID.randomUUID().toString
+    val state = new QueryState(queryId, sqlText, System.currentTimeMillis())
+    queries.put(queryId, state)
+    queryParams(ex).get("requestId")
+      .orElse(Option(body.path("requestId").asText(null)))
+      .foreach(rid => requestToQuery.put(rid, queryId))
+    val sc = spark.sparkContext
+    sc.setJobGroup(queryId, s"snowflake-wire: $sqlText", true)
+    val (b64, rowtype) =
+      try {
+        val df = session.sql(sqlText)
+        val r = SnowflakeTypes.toRowsetBase64(df)
+        state.status = "SUCCESS"
+        r
+      } catch {
+        case NonFatal(e) =>
+          state.status =
+            if (state.abortRequested) "ABORTED" else "FAILED_WITH_ERROR"
+          state.errorMessage = Option(e.getMessage).getOrElse(e.toString)
+          throw e
+      } finally {
+        state.endMs = System.currentTimeMillis()
+        sc.clearJobGroup()
+        if (queries.size > 1024)
+          queries.filter(_._2.status != "RUNNING").keys
+            .take(queries.size - 1024).foreach(queries.remove)
+      }
     val data = mapper.createObjectNode()
-    data.put("queryId", UUID.randomUUID().toString)
+    data.put("queryId", queryId)
     data.put("queryResultFormat", "arrow")
     data.put("rowsetBase64", b64)
     data.put("finalDatabaseName", session.currentDatabase)
@@ -163,6 +227,50 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     if (queryParams(ex).get("delete").contains("true"))
       tokenOf(ex).foreach(sessions.remove)
     ok()
+  }
+
+  /** Abort: cancel the query's Spark job group mid-flight (reference
+    * route `universql/protocol/snowflake.py:182-186` — a no-op there;
+    * here it genuinely interrupts the running collect, round-13
+    * directive #3). The connector addresses the query by the requestId
+    * it generated for the original query-request; queryId is accepted
+    * too. Aborting an unknown or already-finished query succeeds
+    * quietly, like Snowflake. */
+  private def doAbort(ex: HttpExchange, body: JsonNode): ObjectNode = {
+    sessionFor(ex) // authenticate; throws → success:false like doQuery
+    val target = Option(body.path("requestId").asText(null))
+      .flatMap(requestToQuery.get)
+      .orElse(Option(body.path("queryId").asText(null)))
+    target.flatMap(queries.get).filter(_.status == "RUNNING").foreach { st =>
+      st.abortRequested = true
+      spark.sparkContext.cancelJobGroup(st.queryId)
+    }
+    ok()
+  }
+
+  /** Monitoring: query status by id from the protocol-level history
+    * (reference route `universql/protocol/snowflake.py:337-345`). Real
+    * connectors poll this for async results and after cancels. */
+  private def doMonitoring(ex: HttpExchange, body: JsonNode): ObjectNode = {
+    val queryId = ex.getRequestURI.getPath.stripPrefix("/monitoring/queries")
+      .stripPrefix("/").takeWhile(_ != '?')
+    queries.get(queryId) match {
+      case None =>
+        val n = mapper.createObjectNode()
+        n.put("success", false)
+        n.put("message", "query not found")
+        n
+      case Some(st) =>
+        val data = mapper.createObjectNode()
+        val q = data.putArray("queries").addObject()
+        q.put("id", st.queryId)
+        q.put("status", st.status)
+        q.put("sqlText", st.sqlText)
+        q.put("startTime", st.startMs)
+        if (st.endMs > 0) q.put("endTime", st.endMs)
+        Option(st.errorMessage).foreach(q.put("errorMessage", _))
+        ok(data)
+    }
   }
 
   // ── plumbing ───────────────────────────────────────────────────────────

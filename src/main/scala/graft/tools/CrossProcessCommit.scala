@@ -23,6 +23,9 @@ object CrossProcessCommit {
       try Files.createFile(claim)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         System.err.println(s"claim already held: $claim"); sys.exit(17) }
+      // record the holder pid exactly like the engine's withVersionClaim
+      // — the dead-holder reclaim path keys on it
+      Files.writeString(claim, s"pid=${ProcessHandle.current().pid()}\n")
       println("CLAIMED")
       Console.out.flush()
       Thread.sleep(millis.toLong)

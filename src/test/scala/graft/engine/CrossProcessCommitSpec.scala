@@ -61,11 +61,56 @@ class CrossProcessCommitSpec extends AnyFunSuite {
       // v1 still scans clean
       assert(IcebergLite.scan(spark, mp1).count() == 1)
     } finally { holder.destroyForcibly(); holder.waitFor() }
-    // leftover claim from the killed process blocks loudly too
-    intercept[java.util.ConcurrentModificationException] {
+    // the SIGKILLed holder left its claim behind with a dead pid — the
+    // next commit must self-heal: loudly reclaim the stale claim and
+    // succeed (round-13 directive #2; previously this blocked until a
+    // human deleted the file)
+    val mp2 = IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "s"), mp1)
+    assert(mp2.endsWith("v2.metadata.json"))
+    assert(IcebergLite.scan(spark, mp2).count() == 2)
+    // and the claim was released by the successful commit
+    assert(!Files.exists(java.nio.file.Paths.get(v2 + ".claim")))
+  }
+
+  test("claim without a recorded pid is never auto-reclaimed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xproc4").toString
+    val mp1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = java.nio.file.Paths.get(s"$dir/metadata/v2.metadata.json.claim")
+    // a crash inside the create-then-write-pid window leaves an EMPTY
+    // claim; liveness is unknowable, so it must keep blocking loudly
+    Files.createFile(v2)
+    val e = intercept[java.util.ConcurrentModificationException] {
       IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "s"), mp1)
     }
-    Files.deleteIfExists(java.nio.file.Paths.get(v2 + ".claim"))
+    assert(e.getMessage.contains("claim"), e.getMessage)
+    Files.deleteIfExists(v2)
+  }
+
+  test("SIGKILL mid-hold with concurrent reclaimers: one commit per version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xproc5").toString
+    val mp1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = s"$dir/metadata/v2.metadata.json"
+    val holder = secondJvm("hold", v2, "30000")
+    awaitLine(holder, "CLAIMED")
+    holder.destroyForcibly(); holder.waitFor()
+    // several threads race to reclaim the dead holder's claim and
+    // commit; exactly one may win version 2 (the losers see either the
+    // new live claim or the already-published metadata, both loud)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 4).toList.map { i =>
+      Future {
+        try Right(IcebergLite.append(
+          spark, Seq((10L + i, s"r$i")).toDF("k", "s"), mp1))
+        catch { case e: java.util.ConcurrentModificationException => Left(e) }
+      }
+    }), 120.seconds)
+    assert(results.count(_.isRight) == 1, results)
+    assert(IcebergLite.scan(
+      spark, results.collectFirst { case Right(mp) => mp }.get).count() == 2)
   }
 
   test("version published by another process forces loud retry, not lost update") {

@@ -176,6 +176,193 @@ class SnowflakeServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  private def get(port: Int, path: String, token: Option[String] = None) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    token.foreach(t =>
+      conn.setRequestProperty("Authorization", s"""Snowflake Token="$t""""))
+    val json = mapper.readTree(conn.getInputStream)
+    conn.disconnect()
+    json
+  }
+
+  test("abort-request cancels a long query mid-flight; session stays usable") {
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val token = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      // ~9e10-row cross join — minutes of work if not cancelled
+      val longSql =
+        """SELECT max(a.s * b.s) AS m FROM
+           (SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 300000))) a,
+           (SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 300000))) b"""
+      val requestId = java.util.UUID.randomUUID().toString
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val pending = Future(post(port,
+        s"/queries/v1/query-request?requestId=$requestId",
+        mapper.createObjectNode().put("sqlText", longSql).toString,
+        token = Some(token)))
+      Thread.sleep(2000) // let the collect start
+      val t0 = System.nanoTime()
+      val ab = post(port, "/queries/v1/abort-request",
+        s"""{"requestId":"$requestId"}""", token = Some(token))
+      assert(ab.path("success").asBoolean(), ab.toString)
+      val resp = Await.result(pending, 60.seconds)
+      val cancelSec = (System.nanoTime() - t0) / 1e9
+      assert(!resp.path("success").asBoolean(), resp.toString)
+      assert(cancelSec < 30, s"cancel took ${cancelSec}s")
+      // the session is not poisoned: the next statement runs fine
+      val after = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT count(*) AS n FROM orders"}""",
+        token = Some(token))
+      assert(after.path("success").asBoolean(), after.toString)
+    } finally server.stop()
+  }
+
+  test("monitoring endpoint serves status by query id") {
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val token = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      val resp = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT count(*) AS n FROM orders"}""",
+        token = Some(token))
+      val qid = resp.path("data").path("queryId").asText()
+      val mon = get(port, s"/monitoring/queries/$qid", Some(token))
+      assert(mon.path("success").asBoolean(), mon.toString)
+      val q = mon.path("data").path("queries").get(0)
+      assert(q.path("status").asText() == "SUCCESS", mon.toString)
+      assert(q.path("id").asText() == qid)
+      // unknown id → success:false, like the reference
+      val unknown = get(port, "/monitoring/queries/no-such-query", Some(token))
+      assert(!unknown.path("success").asBoolean())
+      assert(unknown.path("message").asText() == "query not found")
+      // a failed statement reports FAILED_WITH_ERROR — find its id via
+      // abort bookkeeping (requestId → queryId is internal, so just run
+      // and scan: the failed query is absent from the response, so use
+      // requestId-addressed abort path to confirm no crash instead)
+      val bad = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT * FROM nonexistent_xyz"}""", token = Some(token))
+      assert(!bad.path("success").asBoolean())
+    } finally server.stop()
+  }
+
+  test("two wire sessions racing INSERTs + a CHANGES reader on a shared table") {
+    // round-13 directive #7: compose the protocol layer with the
+    // concurrency layer — everything below goes through HTTP
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val t1 = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      val t2 = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      def run(tok: String, sql: String) = {
+        val r = post(port, "/queries/v1/query-request",
+          mapper.createObjectNode().put("sqlText", sql).toString,
+          token = Some(tok))
+        r
+      }
+      val mk = run(t1, """CREATE OR REPLACE ICEBERG TABLE wire_race AS
+        SELECT 0 AS k, 'seed' AS v""")
+      assert(mk.path("success").asBoolean(), mk.toString)
+      // CDC reader state: a stream created BEFORE the race sees exactly
+      // the 16 raced inserts when it's read afterwards
+      val mkStream = run(t1,
+        "CREATE OR REPLACE STREAM wire_race_s ON TABLE wire_race")
+      assert(mkStream.path("success").asBoolean(), mkStream.toString)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // two sessions race 8 single-row INSERTs each; cross-process-style
+      // commit conflicts surface as success:false — retry like a client
+      def insertLoop(tok: String, base: Int): Future[Int] = Future {
+        var landed = 0
+        for (i <- 1 to 8) {
+          var done = false
+          var attempts = 0
+          var lastErr = ""
+          while (!done && attempts < 20) {
+            attempts += 1
+            val r = run(tok,
+              s"INSERT INTO wire_race VALUES (${base + i}, 's$base')")
+            if (r.path("success").asBoolean()) { landed += 1; done = true }
+            else { lastErr = r.path("message").asText(); Thread.sleep(50) }
+          }
+          assert(done, s"insert ${base + i} never landed: $lastErr")
+        }
+        landed
+      }
+      val w1 = insertLoop(t1, 100)
+      val w2 = insertLoop(t2, 200)
+      // a third session polls the table while the writers race — every
+      // observed count is a consistent committed snapshot (monotone)
+      val t3 = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      var lastSeen = 0L
+      val reader = Future {
+        while (!w1.isCompleted || !w2.isCompleted) {
+          // CDC poll through the wire: the stream's delta only ever grows
+          val r = run(t3, "SELECT count(*) AS n FROM wire_race_s")
+          if (r.path("success").asBoolean()) {
+            val bytes = java.util.Base64.getDecoder.decode(
+              r.path("data").path("rowsetBase64").asText())
+            val alloc = new org.apache.arrow.memory.RootAllocator()
+            val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+              new ByteArrayInputStream(bytes), alloc)
+            try {
+              assert(rd.loadNextBatch())
+              val v = rd.getVectorSchemaRoot.getVector(0)
+              val n = v match {
+                case b: org.apache.arrow.vector.BigIntVector => b.get(0)
+                case i: org.apache.arrow.vector.IntVector => i.get(0).toLong
+                case o => o.getObject(0).toString.toLong
+              }
+              assert(n >= lastSeen, s"count went backwards: $lastSeen -> $n")
+              lastSeen = n
+            } finally { rd.close(); alloc.close() }
+          }
+          Thread.sleep(100)
+        }
+      }
+      assert(Await.result(w1, 180.seconds) == 8)
+      assert(Await.result(w2, 180.seconds) == 8)
+      Await.result(reader, 30.seconds)
+      def longs(resp: com.fasterxml.jackson.databind.JsonNode): Seq[Long] = {
+        val bytes = java.util.Base64.getDecoder.decode(
+          resp.path("data").path("rowsetBase64").asText())
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          new ByteArrayInputStream(bytes), alloc)
+        try {
+          assert(rd.loadNextBatch())
+          val root = rd.getVectorSchemaRoot
+          (0 until root.getFieldVectors.size()).map(i =>
+            root.getVector(i) match {
+              case b: org.apache.arrow.vector.BigIntVector => b.get(0)
+              case iv: org.apache.arrow.vector.IntVector => iv.get(0).toLong
+              case o => o.getObject(0).toString.toLong
+            })
+        } finally { rd.close(); alloc.close() }
+      }
+      // table: the 16 raced rows + the seed, every key exactly once
+      val fin = run(t3, "SELECT count(*) AS n, count(DISTINCT k) AS d " +
+        "FROM wire_race")
+      assert(fin.path("success").asBoolean(), fin.toString)
+      assert(longs(fin) == Seq(17L, 17L), fin.toString)
+      // CDC: the pre-race stream saw exactly the 16 raced inserts
+      val cdc = run(t3, "SELECT count(*) AS n FROM wire_race_s " +
+        "WHERE METADATA$ACTION = 'INSERT'")
+      assert(cdc.path("success").asBoolean(), cdc.toString)
+      assert(longs(cdc) == Seq(16L), cdc.toString)
+    } finally server.stop()
+  }
+
   test("USE DATABASE from login params sticks to the session") {
     val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
     val port = server.start()
