@@ -152,7 +152,14 @@ object Bench {
     // harness that collects this output keeps only a bounded tail.
     val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":${loadavg()}""" +
       f2fJson + heapJson
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$heavyJson$loadJson$gateJson}"""
+    // name the committed floors the floor-to-floor ratios were computed
+    // against, so the artifact is self-contained evidence (r13 dir. #4)
+    val floorRepl = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPL", "100").toInt
+    val floorSuffix = if (floorRepl == 100) "" else s"_repl$floorRepl"
+    val floorsJson =
+      s""","floors":{"spark":"probes/spark_floors$floorSuffix.json",""" +
+      s""""duckdb":"probes/duckdb_floors$floorSuffix.json"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$heavyJson$loadJson$gateJson$floorsJson}"""
     println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
@@ -160,27 +167,23 @@ object Bench {
 
     // The LAST stdout line is the machine-read result and must fit,
     // together with sbt's trailing "[success] ..." line, inside a
-    // 2000-char tail window. Compact encoding: per-query keys shortened
-    // to their unique numeric prefix (q01, snow09, x13, stream02),
-    // seconds at 2 decimals; if the pack ever outgrows the budget, keep
-    // the slowest queries and flag the truncation.
+    // 2000-char tail window — BENCH_r13 proved the 40-query compact
+    // form still doesn't survive it (the window also holds the end of
+    // the detail line, and the driver recorded "parsed": null — round-13
+    // directive #4). The line is now a SHORT summary: heavy map +
+    // ratios + the 10 slowest gates, with "detail" naming the stable
+    // self-contained artifact (bench_detail.json, committed per round)
+    // that carries the full per-query map, floors, and gate evidence.
     def short(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String = f"$v%.2f"
-    val compactAll = results.map { case (k, v) => s"""\"${short(k)}\":${fmt(v)}""" }
-    def line(entries: Seq[String], truncated: Boolean): String = {
-      val extra = if (truncated) s""","queries_truncated":true""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"$heavyCompact$loadJson$gateJson$extra}"""
-    }
-    val full = line(compactAll, truncated = false)
+    val slowest = results.sortBy(-_._2).take(10).map { case (k, v) =>
+      s"""\"${short(k)}\":${fmt(v)}""" }
     val out =
-      if (full.length <= 1800) full
-      else {
-        val slowest = results.sortBy(-_._2).take(40).map { case (k, v) =>
-          s"""\"${short(k)}\":${fmt(v)}""" }
-        line(slowest, truncated = true)
-      }
-    println(out)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${slowest.mkString("{", ",", "}")},"queries_truncated":true,"detail":"bench_detail.json","sf":"$sfDir"$heavyCompact$loadJson$gateJson}"""
+    // stop Spark BEFORE the machine-read line: its shutdown logging must
+    // not be able to land between the metric line and end-of-output
     spark.stop()
+    println(out)
     if (heavyOut.exists(_.autoFailed)) {
       System.err.println("FATAL: stats-gated auto did NOT fire on the " +
         "eligible heavy shapes (see heavy_gate_mode) — artifact written, " +
