@@ -1051,6 +1051,33 @@ final class GraftSession(
       graft.functions.SnowTrunc(exprs.head, part)
     }, "built-in")
 
+  // single-evaluation lowerings (round-13 directive #5): the rewriter
+  // routes DIV0/DIV0NULL, numeric TRUNC, SPLIT_PART, and quarter/month
+  // DATEDIFF here so shared operands bind ONCE (Catalyst With) instead
+  // of being spliced 2-3x into the rendered SQL
+  locally {
+    import graft.functions.{SingleEval, SingleEvalFn}
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_div0", exprs =>
+      SingleEvalFn("graft_div0", exprs,
+        SingleEval.div0(exprs(0), exprs(1), nullAsZero = false)), "built-in")
+    reg.createOrReplaceTempFunction("graft_div0null", exprs =>
+      SingleEvalFn("graft_div0null", exprs,
+        SingleEval.div0(exprs(0), exprs(1), nullAsZero = true)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ntrunc", exprs =>
+      SingleEvalFn("graft_ntrunc", exprs,
+        SingleEval.numTrunc(exprs.head, exprs.drop(1).headOption)), "built-in")
+    reg.createOrReplaceTempFunction("graft_split_part", exprs =>
+      SingleEvalFn("graft_split_part", exprs,
+        SingleEval.splitPart(exprs(0), exprs(1), exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_ddiff_quarter", exprs =>
+      SingleEvalFn("graft_ddiff_quarter", exprs,
+        SingleEval.dateDiffOrdinal("quarter", exprs(0), exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_ddiff_month", exprs =>
+      SingleEvalFn("graft_ddiff_month", exprs,
+        SingleEval.dateDiffOrdinal("month", exprs(0), exprs(1))), "built-in")
+  }
+
   // auto-collected table stats (AutoStats) reach plans through the CBO
   // stats visitor — session-scoped via the clone (see above). NOTE: with
   // CBO on and rowCount set, Spark's toPlanStats recomputes sizeInBytes

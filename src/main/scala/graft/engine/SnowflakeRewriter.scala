@@ -241,14 +241,15 @@ object SnowflakeRewriter {
       case "year" =>
         app("CAST((year("); arg(bT); app(") - year("); arg(aT)
         app(")) AS BIGINT)")
+      // quarter/month ordinal diffs need each argument twice — those two
+      // route to native single-evaluation functions (Catalyst With,
+      // [[graft.functions.SingleEval.dateDiffOrdinal]]) so each end is
+      // bound once (round-13 directive #5); every other part below
+      // already renders each argument exactly once.
       case "quarter" =>
-        app("CAST(((year("); arg(bT); app(") - year("); arg(aT)
-        app(")) * 4 + (quarter("); arg(bT); app(") - quarter("); arg(aT)
-        app("))) AS BIGINT)")
+        app("graft_ddiff_quarter("); arg(aT); app(","); arg(bT); app(")")
       case "month" =>
-        app("CAST(((year("); arg(bT); app(") - year("); arg(aT)
-        app(")) * 12 + (month("); arg(bT); app(") - month("); arg(aT)
-        app("))) AS BIGINT)")
+        app("graft_ddiff_month("); arg(aT); app(","); arg(bT); app(")")
       case "week" =>
         // date_trunc('WEEK') is Monday-start in both Spark and DuckDB;
         // Snowflake's default WEEK_START=0 is Monday-start weeks too.
@@ -1678,31 +1679,20 @@ object SnowflakeRewriter {
             // divisor to 0. NULL otherwise propagates — the earlier
             // coalesce(try_divide(a, b), 0) form collapsed a NULL
             // dividend (and, for DIV0, a NULL divisor) to 0, which
-            // Snowflake does not. The ELSE divides with try_divide: the
-            // divisor is evaluated twice (guard + divide), so with a
-            // NONDETERMINISTIC divisor the guard can see a nonzero draw
-            // while the divide draws a fresh zero — try_divide makes
-            // that degenerate draw a NULL instead of an ANSI
-            // divide-by-zero error.
+            // Snowflake does not. Lowered to a native single-evaluation
+            // function ([[graft.functions.SingleEval.div0]]): the
+            // divisor binds ONCE, so guard and divide see the same
+            // value even for a nondeterministic divisor (the previous
+            // CASE form spliced it 2-3× — round-13 directive #5).
             val argRanges = splitArgs(toks, open, close)
             require(argRanges.length == 2, s"$up needs 2 arguments")
-            val a = rewriteFunctions(
+            out ++= lex(if (up == "DIV0") "graft_div0(" else "graft_div0null(")
+            out ++= rewriteFunctions(
               toks.slice(argRanges(0)._1, argRanges(0)._2))
-            val b = rewriteFunctions(
+            out += Op(",")
+            out ++= rewriteFunctions(
               toks.slice(argRanges(1)._1, argRanges(1)._2))
-            out ++= lex("(CASE WHEN (")
-            out ++= b
-            out ++= lex(") = 0 ")
-            if (up == "DIV0NULL") {
-              out ++= lex("OR (")
-              out ++= b
-              out ++= lex(") IS NULL ")
-            }
-            out ++= lex("THEN 0 ELSE try_divide((")
-            out ++= a
-            out ++= lex("), (")
-            out ++= b
-            out ++= lex(")) END)")
+            out += Op(")")
             i = close + 1
           } else if (up == "GENERATOR") {
             // GENERATOR(ROWCOUNT => n) → range(n) (table function; usually
@@ -2077,56 +2067,19 @@ object SnowflakeRewriter {
                 !(sg.size == 1 && a2(sg.head).isInstanceOf[Str])
               })
             }) {
+            // truncate toward zero (floor/ceil by sign; literal scales
+            // stay in exact decimal arithmetic — TRUNC(0.29, 2) must be
+            // 0.29). Lowered to the native single-evaluation function
+            // [[graft.functions.SingleEval.numTrunc]]: x binds ONCE (the
+            // previous CASE form spliced it 3× — round-13 directive #5).
             val ar = splitArgs(toks, open, close)
-            val x = rewriteFunctions(toks.slice(ar(0)._1, ar(0)._2))
-            if (ar.length == 1) {
-              // truncate toward zero: floor for positives, ceil for
-              // negatives (NULL propagates through both)
-              out ++= lex("(CASE WHEN (")
-              out ++= x
-              out ++= lex(") >= 0 THEN floor(")
-              out ++= x
-              out ++= lex(") ELSE ceil(")
-              out ++= x
-              out ++= lex(") END)")
-            } else {
-              // At scale n: scale by 10^|n|, truncate, scale back. For a
-              // LITERAL scale the multiplier is an exact integer so
-              // decimal inputs stay in exact decimal arithmetic —
-              // TRUNC(0.29, 2) must be 0.29, but in doubles
-              // 0.29 * power(10, 2) is 28.999… and floors to 0.28. A
-              // non-literal scale falls back to double power() (scale
-              // expressions are vanishingly rare in real queries).
-              val nToks = toks.slice(ar(1)._1, ar(1)._2)
-              val sg = significant(nToks)
-              val litN: Option[Int] = sg.map(ix => nToks(ix)) match {
-                case Vector(Num(t)) if t.forall(_.isDigit) =>
-                  t.toIntOption
-                case Vector(Op("-"), Num(t)) if t.forall(_.isDigit) =>
-                  t.toIntOption.map(-_)
-                case _ => None
-              }
-              def emitCase(scaleUp: String, scaleBack: String): Unit = {
-                out ++= lex("((CASE WHEN (")
-                out ++= x
-                out ++= lex(") >= 0 THEN floor((")
-                out ++= x
-                out ++= lex(s") $scaleUp) ELSE ceil((")
-                out ++= x
-                out ++= lex(s") $scaleUp) END) $scaleBack)")
-              }
-              litN match {
-                case Some(n) if n >= 0 && n <= 18 =>
-                  val p = java.math.BigInteger.TEN.pow(n).toString
-                  emitCase(s"* $p", s"/ $p")
-                case Some(n) if n < 0 && n >= -18 =>
-                  val p = java.math.BigInteger.TEN.pow(-n).toString
-                  emitCase(s"/ $p", s"* $p")
-                case _ =>
-                  val n = render(rewriteFunctions(nToks))
-                  emitCase(s"* power(10, ($n))", s"/ power(10, ($n))")
-              }
+            out ++= lex("graft_ntrunc(")
+            out ++= rewriteFunctions(toks.slice(ar(0)._1, ar(0)._2))
+            if (ar.length == 2) {
+              out += Op(",")
+              out ++= rewriteFunctions(toks.slice(ar(1)._1, ar(1)._2))
             }
+            out += Op(")")
             i = close + 1
           } else if (up == "SQUARE") {
             val inner = rewriteFunctions(toks.slice(open + 1, close))
@@ -2189,21 +2142,21 @@ object SnowflakeRewriter {
             i = close + 1
           } else if (up == "SPLIT_PART" &&
               splitArgs(toks, open, close).length == 3) {
-            // Snowflake treats part 0 as part 1; Spark's split_part throws
-            // on 0. The CASE constant-folds away for literal parts.
+            // Snowflake treats part 0 as part 1; Spark's split_part
+            // throws on 0. Native single-evaluation lowering
+            // ([[graft.functions.SingleEval.splitPart]]): the part
+            // expression binds ONCE (was spliced twice — r13 dir. #5).
             val argRanges = splitArgs(toks, open, close)
-            val part = toks.slice(argRanges(2)._1, argRanges(2)._2)
-            out ++= lex("split_part(")
+            out ++= lex("graft_split_part(")
             out ++= rewriteFunctions(
               toks.slice(argRanges(0)._1, argRanges(0)._2))
-            out ++= lex(", ")
+            out += Op(",")
             out ++= rewriteFunctions(
               toks.slice(argRanges(1)._1, argRanges(1)._2))
-            out ++= lex(", CASE WHEN (")
-            out ++= rewriteFunctions(part)
-            out ++= lex(") = 0 THEN 1 ELSE (")
-            out ++= rewriteFunctions(part)
-            out ++= lex(") END)")
+            out += Op(",")
+            out ++= rewriteFunctions(
+              toks.slice(argRanges(2)._1, argRanges(2)._2))
+            out += Op(")")
             i = close + 1
           } else if (up == "DAYNAME" || up == "MONTHNAME") {
             val fmt = if (up == "DAYNAME") "EEE" else "MMM"

@@ -2216,6 +2216,54 @@ object SnowflakeSql extends QueryPack {
       } finally server.stop()
     },
 
+    // WITHIN GROUP × DISTINCT × delimiters (round-13 directive #6): a
+    // quote-escaped delimiter, a DISTINCT agg with its mandatory
+    // same-expression key, and a multi-key mixed-direction ordered
+    // collect with an explicit-NULLS nullable key — all per-key
+    // Snowflake semantics, oracle rendered with explicit NULLS.
+    GQuery("snow90_within_group_distinct", Some("""
+      SELECT o_orderpriority AS pri,
+        string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS st,
+        string_agg(CAST(o_custkey AS VARCHAR), ''''
+          ORDER BY o_orderstatus DESC NULLS FIRST,
+          o_orderkey ASC NULLS LAST) AS cq,
+        string_agg(CAST(o_orderkey AS VARCHAR), ','
+          ORDER BY nullif(o_orderkey % 5, 2) ASC NULLS FIRST,
+          o_orderkey ASC NULLS LAST) AS nk
+      FROM orders WHERE o_orderkey <= 100
+      GROUP BY 1 ORDER BY pri""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderpriority AS pri,
+          LISTAGG(DISTINCT o_orderstatus, '|')
+            WITHIN GROUP (ORDER BY o_orderstatus) AS st,
+          LISTAGG(o_custkey::varchar, '''') WITHIN GROUP (
+            ORDER BY o_orderstatus DESC, o_orderkey) AS cq,
+          LISTAGG(o_orderkey::varchar, ',') WITHIN GROUP (
+            ORDER BY NULLIF(o_orderkey % 5, 2) NULLS FIRST, o_orderkey) AS nk
+        FROM orders WHERE o_orderkey <= 100
+        GROUP BY 1 ORDER BY pri""")
+    },
+
+    // Type-polymorphic TRUNC/DATE_TRUNC (round-13 ADVICE #1): sub-month
+    // parts on a TIMESTAMP (Spark's own trunc NULLs these), DATE inputs
+    // staying DATE, and alias part spellings — values must match
+    // DuckDB's equally polymorphic date_trunc.
+    GQuery("snow91_trunc_parts", Some("""
+      SELECT event_id AS k,
+        CAST(date_trunc('hour', ts) AS VARCHAR) AS th,
+        CAST(date_trunc('minute', ts) AS VARCHAR) AS tm,
+        CAST(date_trunc('month', CAST(ts AS DATE)) AS VARCHAR) AS dm,
+        CAST(date_trunc('week', CAST(ts AS DATE)) AS VARCHAR) AS dw
+      FROM events WHERE event_id <= 200 ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT event_id AS k,
+          TRUNC(ts, hh)::varchar AS th,
+          DATE_TRUNC('minute', ts)::varchar AS tm,
+          TRUNC(ts::date, month)::varchar AS dm,
+          DATE_TRUNC(wk, ts::date)::varchar AS dw
+        FROM events WHERE event_id <= 200 ORDER BY k""")
+    },
+
     GQuery("snow81_query_history", Some("""
       SELECT * FROM (VALUES ('SELECT ''beta'' AS tag'),
         ('SELECT ''gamma'' AS tag')) AS t(qt) ORDER BY qt""")) { (s, dir) =>

@@ -126,39 +126,93 @@ class OrderByFuzzSpec extends AnyFunSuite {
         selectsWindow = true)
     }
 
-    def genWithinGroup(): C = {
-      // LISTAGG(s, d) WITHIN GROUP (ORDER BY key [dir] [NULLS …], id) —
-      // direction and NULLS are PER KEY (Snowflake); the string the agg
-      // produces depends on where NULL keys sort. NULL s values don't
-      // aggregate on either engine, hence the coalesce payload.
+    // one WITHIN GROUP sort key with its own per-key direction + NULLS
+    // (Snowflake semantics) and the DuckDB rendering made explicit
+    def wgKey(): Item = {
       val key = pick(Seq("k", "v", "(k + v)", "coalesce(k, v)",
-        "CASE WHEN k IS NULL THEN v ELSE k END"))
+        "CASE WHEN k IS NULL THEN v ELSE k END", "(v * 2 - k)"))
       val desc = rnd.nextBoolean()
       val dir = if (desc) " DESC" else pick(Seq("", " ASC"))
       val explicitNulls = pick(Seq("", "", " NULLS FIRST", " NULLS LAST"))
       val duckNulls =
         if (explicitNulls.nonEmpty) explicitNulls
         else if (desc) " NULLS FIRST" else " NULLS LAST"
+      Item(s"$key$dir$explicitNulls", s"$key$dir$duckNulls")
+    }
+
+    // LISTAGG delimiters incl. quote-escapes and empty (r13 dir. #6) —
+    // identical SQL literal text on both sides
+    def delim(): String =
+      pick(Seq("','", "';'", "' '", "'~~'", "''", "''''", "'a''b'", "'|'"))
+
+    def genWithinGroup(): C = {
+      // LISTAGG(s, d) WITHIN GROUP (ORDER BY k1 …, k3 …, id) — 1-3 keys,
+      // EACH with its own direction/NULLS draw (mixed directions force
+      // the comparator path); the string the agg produces depends on
+      // where NULL keys sort. NULL s values don't aggregate on either
+      // engine, hence the coalesce payload.
+      val keys = Vector.fill(1 + rnd.nextInt(3))(wgKey())
+      val d = delim()
       val idDir = if (rnd.nextInt(3) == 0) " DESC NULLS FIRST" else ""
       val duckIdDir = if (idDir.nonEmpty) " DESC NULLS FIRST"
                       else " ASC NULLS LAST"
-      C(cte + "SELECT g, LISTAGG(coalesce(s, 'Ø'), ',') WITHIN GROUP " +
-          s"(ORDER BY $key$dir$explicitNulls, id$idDir) AS agg " +
+      C(cte + s"SELECT g, LISTAGG(coalesce(s, 'Ø'), $d) WITHIN GROUP " +
+          s"(ORDER BY ${keys.map(_.snow).mkString(", ")}, id$idDir) AS agg " +
           "FROM t GROUP BY g ORDER BY g",
-        cte + "SELECT g, string_agg(coalesce(s, 'Ø'), ',' " +
-          s"ORDER BY $key$dir$duckNulls, id$duckIdDir) AS agg FROM t " +
-          "GROUP BY g ORDER BY g ASC NULLS LAST",
+        cte + s"SELECT g, string_agg(coalesce(s, 'Ø'), $d " +
+          s"ORDER BY ${keys.map(_.duck).mkString(", ")}, id$duckIdDir) " +
+          "AS agg FROM t GROUP BY g ORDER BY g ASC NULLS LAST",
         selectsWindow = false)
+    }
+
+    def genDistinctAgg(): C = {
+      // the DISTINCT forms constrain ORDER BY to the aggregated
+      // expression itself (Snowflake rule; the mismatch error path is
+      // pinned below). Engine lowers to array_sort(collect_set(x)) —
+      // NULLs dropped — so the DuckDB side filters NULLs explicitly.
+      val desc = rnd.nextBoolean()
+      val dir = if (desc) " DESC" else pick(Seq("", " ASC"))
+      val col = pick(Seq("k", "v", "s"))
+      if (rnd.nextBoolean()) {
+        val d = delim()
+        C(cte + s"SELECT g, LISTAGG(DISTINCT $col, $d) WITHIN GROUP " +
+            s"(ORDER BY $col$dir) AS agg FROM t GROUP BY g ORDER BY g",
+          cte + s"SELECT g, string_agg(DISTINCT $col, $d " +
+            s"ORDER BY $col$dir) AS agg FROM t GROUP BY g " +
+            "ORDER BY g ASC NULLS LAST",
+          selectsWindow = false)
+      } else {
+        val duckSort = if (desc) ", 'DESC'" else ""
+        C(cte + "SELECT g, ARRAY_TO_STRING(ARRAY_AGG(DISTINCT " +
+            s"$col) WITHIN GROUP (ORDER BY $col$dir), '/') AS agg " +
+            "FROM t GROUP BY g ORDER BY g",
+          cte + "SELECT g, array_to_string(list_sort(list(DISTINCT " +
+            s"$col) FILTER (WHERE $col IS NOT NULL)$duckSort), '/') " +
+            "AS agg FROM t GROUP BY g ORDER BY g ASC NULLS LAST",
+          selectsWindow = false)
+      }
     }
 
     val gens: Seq[() => C] =
       Seq(genTopLevel _, genTopLevel _, genTopLevel _,
-        genSubqueryLimit _, genWindow _, genWithinGroup _)
-    val cases = Vector.fill(160)(pick(gens)())
+        genSubqueryLimit _, genWindow _, genWithinGroup _,
+        genWithinGroup _, genDistinctAgg _)
+    val cases = Vector.fill(300)(pick(gens)())
 
     val duckResults = DuckOracle.run(cases.zipWithIndex.map {
       case (c, i) => s"c$i" -> c.duck
     })
+
+    // pinned error path: DISTINCT constrains the WITHIN GROUP key to the
+    // aggregated expression itself (Snowflake errors on a mismatch too)
+    locally {
+      val s = new GraftSession(spark)
+      val e = intercept[Exception] {
+        s.sql(cte + "SELECT g, ARRAY_AGG(DISTINCT k) WITHIN GROUP " +
+          "(ORDER BY v) AS agg FROM t GROUP BY g").collect()
+      }
+      assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+    }
 
     val s = new GraftSession(spark)
     cases.zipWithIndex.foreach { case (c, i) =>

@@ -366,28 +366,28 @@ class RewriterSpec extends AnyFunSuite {
   test("ZEROIFNULL / NULLIFZERO / DIV0 / DIV0NULL") {
     assert(rw("SELECT ZEROIFNULL(x) FROM t") == "SELECT coalesce(x, 0) FROM t")
     assert(rw("SELECT NULLIFZERO(x) FROM t") == "SELECT nullif(x, 0) FROM t")
-    // DIV0 is 0 only when the DIVISOR is 0; NULL operands propagate (the
-    // old coalesce(try_divide(..), 0) collapsed NULLs to 0)
-    // arg slices keep their own spacing — compare space-normalized
+    // DIV0/DIV0NULL lower to the native single-evaluation functions
+    // (graft.functions.SingleEval — the divisor binds once; zero-guard
+    // and NULL semantics now live in the expression, covered by
+    // NumericFuzzSpec + SessionSpec runtime tests)
     val d0 = rw("SELECT DIV0(a, b) FROM t").replace(" ", "")
-    assert(d0.contains("CASEWHEN(b)=0THEN0") &&
-      d0.contains("try_divide((a),(b))END"), d0)
-    // DIV0NULL additionally maps a NULL divisor to 0
+    assert(d0 == "SELECTgraft_div0(a,b)FROMt", d0)
     val dn = rw("SELECT DIV0NULL(a, b) FROM t").replace(" ", "")
-    assert(dn.contains("(b)ISNULL") && dn.contains("THEN0"), dn)
+    assert(dn == "SELECTgraft_div0null(a,b)FROMt", dn)
   }
 
   test("numeric TRUNC truncates toward zero; string-unit TRUNC stays date") {
-    val t1 = rw("SELECT TRUNC(x) FROM t")
-    assert(t1.contains("floor(") && t1.contains("ceil("), t1)
-    // literal scales use exact integer powers (decimal stays decimal —
-    // 0.29 * power(10, 2) in doubles floors to 0.28)
-    val t2 = rw("SELECT TRUNC(x, 2) FROM t")
-    assert(t2.contains("* 100") && t2.contains("floor("), t2)
-    val t3 = rw("SELECT TRUNC(x, -2) FROM t")
-    assert(t3.contains("/ 100") && t3.contains("ceil("), t3)
-    val t4 = rw("SELECT TRUNC(x, n) FROM t").replace(" ", "")
-    assert(t4.contains("power(10,(n))"), t4)
+    // numeric forms lower to the native single-evaluation graft_ntrunc
+    // (x binds once; exact-decimal literal scales and the power()
+    // fallback live in SingleEval.numTrunc, value-covered by
+    // NumericFuzzSpec + SessionSpec)
+    assert(rw("SELECT TRUNC(x) FROM t") == "SELECT graft_ntrunc(x) FROM t")
+    assert(rw("SELECT TRUNC(x, 2) FROM t").replace(" ", "") ==
+      "SELECTgraft_ntrunc(x,2)FROMt")
+    assert(rw("SELECT TRUNC(x, -2) FROM t").replace(" ", "") ==
+      "SELECTgraft_ntrunc(x,-2)FROMt")
+    assert(rw("SELECT TRUNC(x, n) FROM t").replace(" ", "") ==
+      "SELECTgraft_ntrunc(x,n)FROMt")
     // string-literal date part routes to the type-polymorphic function
     // (Spark's own trunc would NULL sub-month parts and demote
     // TIMESTAMP → DATE — ADVICE r13 #1)
@@ -736,14 +736,32 @@ class RewriterSpec extends AnyFunSuite {
       "SELECT graft_trunc(ts, 'hour') FROM t")
     // numeric form unaffected: column 2nd arg that is NOT a date part
     val n = rw("SELECT TRUNC(x, scale_col) FROM t")
-    assert(n.contains("power(10"), n)
+    assert(n.contains("graft_ntrunc(x, scale_col)"), n)
   }
 
-  test("DIV0 divides with try_divide in the ELSE branch") {
-    val out = rw("SELECT DIV0(a, b) FROM t")
-    assert(out.contains("ELSE try_divide((a), ( b)) END"), out)
-    val n = rw("SELECT DIV0NULL(a, b) FROM t")
-    assert(n.contains("IS NULL THEN 0 ELSE try_divide"), n)
+  test("single-evaluation lowerings render a subquery operand exactly once") {
+    // round-13 directive #5: DIV0/DIV0NULL, numeric TRUNC, SPLIT_PART
+    // and quarter/month DATEDIFF must not splice an expensive operand
+    // 2-3x into the output — the marker subquery appears ONCE
+    def occurrences(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    val marker = "SELECTmax(m)FROMt2"
+    val cases = Seq(
+      "SELECT DIV0(a, (SELECT max(m) FROM t2)) FROM t",
+      "SELECT DIV0NULL(a, (SELECT max(m) FROM t2)) FROM t",
+      "SELECT TRUNC((SELECT max(m) FROM t2)) FROM t",
+      "SELECT TRUNC((SELECT max(m) FROM t2), 2) FROM t",
+      "SELECT SPLIT_PART(s, ',', (SELECT max(m) FROM t2)) FROM t",
+      "SELECT DATEDIFF(month, (SELECT max(m) FROM t2), d) FROM t",
+      "SELECT DATEDIFF(quarter, (SELECT max(m) FROM t2), d) FROM t")
+    for (c <- cases) {
+      val out = rw(c).replace(" ", "")
+      assert(occurrences(out, marker) == 1, s"$c -> $out")
+    }
+    // the non-ordinal DATEDIFF parts already rendered each end once
+    val wk = rw("SELECT DATEDIFF(week, (SELECT max(m) FROM t2), d) FROM t")
+      .replace(" ", "")
+    assert(occurrences(wk, marker) == 1, wk)
   }
 }
 

@@ -1029,6 +1029,44 @@ class SessionSpec extends AnyFunSuite {
     assert(desc.collect()(0).getString(0) == "c,b,a")
   }
 
+  test("single-evaluation lowerings keep their Snowflake semantics") {
+    // values must be unchanged by the With-bound forms (r13 directive #5)
+    val s = newSession()
+    val r = s.sql("""
+      SELECT DIV0(10, 0) AS a, DIV0(10, 2)::double AS b,
+             DIV0(NULL, 2) AS c, DIV0(10, NULL) AS d,
+             DIV0NULL(10, NULL) AS e, DIV0NULL(10, 0) AS f,
+             TRUNC(0.29, 2)::varchar AS g, TRUNC(-5.7)::varchar AS h,
+             TRUNC(123.456, -2)::varchar AS i,
+             SPLIT_PART('a,b,c', ',', 0) AS j,
+             SPLIT_PART('a,b,c', ',', -1) AS k,
+             DATEDIFF(month, '2023-12-31'::date, '2024-01-01'::date) AS l,
+             DATEDIFF(quarter, '2023-11-15'::date, '2024-02-01'::date) AS m
+    """).collect()(0)
+    assert(r.get(0).toString.toDouble == 0.0, r)
+    assert(r.getDouble(1) == 5.0, r)
+    assert(r.isNullAt(2) && r.isNullAt(3), r)
+    assert(r.get(4).toString.toDouble == 0.0, r)
+    assert(r.get(5).toString.toDouble == 0.0, r)
+    // exact decimal path: 0.29, not the double artifact 0.28 (the
+    // division's result scale pads zeros — compare numerically)
+    assert(BigDecimal(r.getString(6)) == BigDecimal("0.29"), r)
+    assert(BigDecimal(r.getString(7)) == BigDecimal(-5), r)
+    assert(BigDecimal(r.getString(8)) == BigDecimal(100), r)
+    assert(r.getString(9) == "a", r)    // part 0 means part 1
+    assert(r.getString(10) == "c", r)   // negative counts from the end
+    assert(r.getLong(11) == 1L, r)      // boundary count, not full months
+    assert(r.getLong(12) == 1L, r)
+    // a nondeterministic divisor: guard and divide see the SAME draw,
+    // so the result can never be a divide-by-zero artifact of a second
+    // draw — every row is either 0 (zero divisor) or a finite quotient
+    val nd = s.sql("""
+      SELECT DIV0(1, CAST(random() * 2 AS INT)) AS q
+      FROM orders LIMIT 500""").collect()
+    assert(nd.forall(row => row.isNullAt(0) ||
+      !row.get(0).toString.toLowerCase.contains("inf")), "no infinities")
+  }
+
   test("result wire typing: rowtype + complex-to-json") {
     val s = newSession()
     val df = s.sql("SELECT ARRAY_CONSTRUCT(1,2,3) AS arr, 1::int AS n")
