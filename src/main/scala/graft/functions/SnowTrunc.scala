@@ -28,9 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     sub-day boundary is the date itself)
   *   - TIMESTAMP                     → Spark `date_trunc`
   *   - TIMESTAMP_NTZ                 → `date_trunc` through a session-tz
-  *     round-trip (TruncTimestamp's input contract is TIMESTAMP; the
-  *     same wall-clock instant interpretation both ways is the identity
-  *     on the wall-clock fields being truncated)
+  *     cast pair (TruncTimestamp's input contract is TIMESTAMP; the
+  *     same-zone round trip is the identity on the wall-clock fields
+  *     being truncated, so the NTZ flavor AND values are preserved).
+  *     [[graft.plans.TruncToFloor]] matches through this exact cast
+  *     pair so `date_trunc` grouping keys keep feeding the NDV-gated
+  *     columnar aggregate.
   *   - anything else (string dates…) → cast to TIMESTAMP, `date_trunc`
   * NANOSECOND maps to MICROSECOND: Spark timestamps are µs-precision, so
   * ns-truncation is the identity there (and Spark's `date_trunc` would

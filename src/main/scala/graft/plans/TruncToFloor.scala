@@ -2,10 +2,10 @@ package graft.plans
 
 import graft.functions.FloorTimestamp
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Literal, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, TruncTimestamp}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{StringType, TimestampNTZType}
+import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule: `date_trunc('hour'|'minute'|'second'|'day', ts)` under
@@ -33,6 +33,20 @@ object TruncToFloor extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // the type-polymorphic TRUNC/DATE_TRUNC lowering
+      // ([[graft.functions.SnowTrunc]]) wraps an NTZ input in a same-zone
+      // cast pair around TruncTimestamp (its input contract is
+      // TIMESTAMP). The round trip is the identity on the wall-clock
+      // micros, and NTZ micros ARE wall-clock micros, so for fixed-width
+      // units the whole sandwich is FloorTimestamp on the NTZ value —
+      // in ANY session zone (flooring happens in the input's own wall
+      // clock either way). Matching through the casts keeps date_trunc
+      // grouping keys eligible for the NDV-gated columnar aggregate.
+      case Cast(t @ TruncTimestamp(Literal(fmt: UTF8String, StringType),
+            Cast(inner, TimestampType, _, _), _), TimestampNTZType, _, _)
+          if unitMicros.contains(fmt.toString.toLowerCase) &&
+            inner.dataType == TimestampNTZType && t.deterministic =>
+        FloorTimestamp(inner, unitMicros(fmt.toString.toLowerCase))
       case t @ TruncTimestamp(Literal(fmt: UTF8String, StringType), child, tz)
           if unitMicros.contains(fmt.toString.toLowerCase) &&
             (child.dataType == TimestampNTZType || utc(tz)) &&
