@@ -189,9 +189,16 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       } finally {
         state.endMs = System.currentTimeMillis()
         sc.clearJobGroup()
+        // bound both protocol-history maps on a long-lived server;
+        // RUNNING entries are never evicted
         if (queries.size > 1024)
           queries.filter(_._2.status != "RUNNING").keys
             .take(queries.size - 1024).foreach(queries.remove)
+        if (requestToQuery.size > 1024)
+          requestToQuery.filter(kv => !queries.get(kv._2)
+              .exists(_.status == "RUNNING"))
+            .keys.take(requestToQuery.size - 1024)
+            .foreach(requestToQuery.remove)
       }
     val data = mapper.createObjectNode()
     data.put("queryId", queryId)

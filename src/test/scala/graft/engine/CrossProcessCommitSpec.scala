@@ -87,6 +87,35 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     Files.deleteIfExists(v2)
   }
 
+  test("crash mid-commit: garbage data + stale claim, readers clean, retry heals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xproc6").toString
+    val mp1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = s"$dir/metadata/v2.metadata.json"
+    // simulate the full crashed-writer footprint: the claim (real, from
+    // a SIGKILLed process, so it carries a dead pid) AND partial data
+    // files already landed in the snapshot directory
+    val holder = secondJvm("hold", v2, "30000")
+    awaitLine(holder, "CLAIMED")
+    holder.destroyForcibly(); holder.waitFor()
+    val s2 = java.nio.file.Paths.get(s"$dir/data/s2")
+    Files.createDirectories(s2)
+    Files.writeString(s2.resolve("part-garbage.parquet"), "not parquet")
+    Files.writeString(s2.resolve("part-000.parquet.tmp"), "partial")
+    // 1) the published version is untouched by the torn commit: v1 scans
+    //    clean (manifests address files explicitly; s2 is invisible)
+    assert(IcebergLite.scan(spark, mp1).count() == 1)
+    // 2) the next commit reclaims the dead claim, OVERWRITES the torn
+    //    snapshot directory, and publishes a consistent v2
+    val mp2 = IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "s"), mp1)
+    assert(mp2.endsWith("v2.metadata.json"))
+    assert(IcebergLite.scan(spark, mp2).count() == 2)
+    assert(IcebergLite.scan(spark, mp2).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // 3) the garbage is gone (mode=overwrite cleared the torn dir)
+    assert(!Files.exists(s2.resolve("part-garbage.parquet")))
+  }
+
   test("SIGKILL mid-hold with concurrent reclaimers: one commit per version") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_xproc5").toString
