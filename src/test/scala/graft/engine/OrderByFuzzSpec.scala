@@ -46,22 +46,26 @@ class OrderByFuzzSpec extends AnyFunSuite {
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
 
     // shared relation: ints and strings with NULLs and heavy ties
+    // `last` is a column deliberately named like the NULLS-modifier
+    // keyword: a sort key that is literally `last` (or `first`) must
+    // parse as the key expression, not the modifier (r13 ADVICE #2)
     val rows = (1 to 36).map { id =>
       val g = id % 3
       val k = if (rnd.nextInt(4) == 0) "NULL" else rnd.nextInt(5).toString
       val v = if (rnd.nextInt(5) == 0) "NULL" else rnd.nextInt(7).toString
       val s = if (rnd.nextInt(4) == 0) "NULL"
               else "'" + pick(Seq("a", "b", "bb", "c", "")) + "'"
-      s"($id, $g, $k, $v, $s)"
+      val last = if (rnd.nextInt(6) == 0) "NULL" else rnd.nextInt(4).toString
+      s"($id, $g, $k, $v, $s, $last)"
     }.mkString(", ")
     val cte =
-      s"WITH t AS (SELECT * FROM (VALUES $rows) AS v0(id, g, k, v, s)) "
+      s"WITH t AS (SELECT * FROM (VALUES $rows) AS v0(id, g, k, v, s, last)) "
 
     // a sort item: (snowflake text, duckdb text, direction or "")
     case class Item(snow: String, duck: String)
     def genItem(allowOrdinal: Boolean): Item = {
       val key = rnd.nextInt(if (allowOrdinal) 6 else 5) match {
-        case 0 => pick(Seq("k", "v", "s", "g"))
+        case 0 => pick(Seq("k", "v", "s", "g", "last"))
         case 1 => "(k + v)"
         case 2 => "CASE WHEN k IS NULL THEN v ELSE k END"
         case 3 => "coalesce(k, v)"
@@ -129,7 +133,7 @@ class OrderByFuzzSpec extends AnyFunSuite {
     // one WITHIN GROUP sort key with its own per-key direction + NULLS
     // (Snowflake semantics) and the DuckDB rendering made explicit
     def wgKey(): Item = {
-      val key = pick(Seq("k", "v", "(k + v)", "coalesce(k, v)",
+      val key = pick(Seq("k", "v", "last", "(k + v)", "coalesce(k, last)",
         "CASE WHEN k IS NULL THEN v ELSE k END", "(v * 2 - k)"))
       val desc = rnd.nextBoolean()
       val dir = if (desc) " DESC" else pick(Seq("", " ASC"))
