@@ -61,9 +61,14 @@ object SingleEval {
             fn("*", truncToZero(fn("/", r, p)), p) }
         case _ =>
           // non-literal scale: double power() fallback (scale
-          // expressions are vanishingly rare); factor bound once too
-          With(x, fn("power", Literal(10.0d), Cast(n, DoubleType))) {
-            case Seq(r, f) => fn("/", truncToZero(fn("*", r, f)), f) }
+          // expressions are vanishingly rare). The factor CANNOT be a
+          // With def: CommonExpressionDef.dataType is queried during
+          // analysis before an UnresolvedFunction def resolves
+          // (UnresolvedException) — so the scale renders twice (it is a
+          // scale: trivially cheap) while x still binds once.
+          def f() = fn("power", Literal(10.0d), Cast(n, DoubleType))
+          With(x) { case Seq(r) =>
+            fn("/", truncToZero(fn("*", r, f())), f()) }
       }
     }
   }

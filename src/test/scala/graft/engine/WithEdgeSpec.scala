@@ -41,4 +41,22 @@ class WithEdgeSpec extends AnyFunSuite {
       SELECT a FROM t ORDER BY DIV0(a, b) DESC NULLS LAST, a""").collect()
     assert(o.map(_.getInt(0)).toSeq == Seq(30, 9, 8), o.toSeq)
   }
+
+  test("numeric TRUNC with a NON-literal scale executes (power fallback)") {
+    // regression: the first With-based lowering put power(10, n) in a
+    // CommonExpressionDef, whose dataType is queried during analysis
+    // before the UnresolvedFunction resolves -> UnresolvedException
+    val gs = new GraftSession(spark)
+    val r = gs.sql("""
+      WITH t AS (SELECT * FROM (VALUES (12345.678, 2), (12345.678, -2),
+        (12345.678, 0)) AS v(x, n))
+      SELECT TRUNC(x, n)::varchar AS t FROM t ORDER BY n""").collect()
+    assert(r.map(_.getString(0)).toSeq.map(BigDecimal(_)) ==
+      Seq(BigDecimal(12300), BigDecimal(12345), BigDecimal("12345.67")),
+      r.toSeq)
+    // and the literal negative scale stays on the exact decimal path
+    val d = gs.sql(
+      "SELECT TRUNC(12345.678::number(9,3), -2) AS a").schema("a").dataType
+    assert(d.isInstanceOf[org.apache.spark.sql.types.DecimalType], d)
+  }
 }
