@@ -22,6 +22,12 @@ import scala.util.control.NonFatal
   * Endpoints (paths match the reference's FastAPI routes):
   *   - POST /session/v1/login-request    → token + session parameters
   *   - POST /queries/v1/query-request    → run sqlText on the session
+  *     (asyncExec=true → query-in-progress code + getResultUrl; runs on
+  *     a pool thread — genuinely async, unlike the reference's
+  *     synchronous stash at `universql/protocol/snowflake.py:216-218`)
+  *   - POST /queries/v1/abort-request    → cancel the query's job group
+  *   - GET  /queries/{id}/result         → async result fetch
+  *   - GET  /monitoring/queries/{id}     → status from query history
   *   - POST /session/heartbeat           → keep-alive
   *   - POST /session (delete=true)       → close session
   *
@@ -59,6 +65,10 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     @volatile var endMs: Long = 0L
     @volatile var errorMessage: String = null
     @volatile var abortRequested: Boolean = false
+    // async-exec queries park their rendered result here for the
+    // GET /queries/{id}/result fetch (rowsetBase64, rowtype, db, schema)
+    @volatile var result:
+      Option[(String, Seq[SnowflakeTypes.ColumnMeta], String, String)] = None
   }
   private val queries =
     scala.collection.concurrent.TrieMap.empty[String, QueryState]
@@ -66,6 +76,14 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
   // the server-minted query id — keep the translation
   private val requestToQuery =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Executor for asyncExec statements (daemon threads: an abandoned
+    * async query must not pin a main()-driven JVM open). */
+  private lazy val asyncPool = java.util.concurrent.Executors
+    .newFixedThreadPool(4, (r: Runnable) => {
+      val t = new Thread(r, "graft-wire-async")
+      t.setDaemon(true)
+      t
+    })
   private var server: HttpServer = _
 
   def start(port: Int = 0): Int = {
@@ -73,6 +91,9 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     server.createContext("/session/v1/login-request", handler(doLogin))
     server.createContext("/queries/v1/query-request", handler(doQuery))
     server.createContext("/queries/v1/abort-request", handler(doAbort))
+    // longest-prefix routing: the exact /queries/v1/* contexts above win
+    // for their paths; this one serves GET /queries/{id}/result
+    server.createContext("/queries", handler(doQueryResult))
     server.createContext("/monitoring/queries", handler(doMonitoring))
     server.createContext("/session/heartbeat", handler((_, _) => ok()))
     server.createContext("/session", handler(doSessionDelete))
@@ -89,6 +110,7 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       case es: java.util.concurrent.ExecutorService => es.shutdown()
       case _ =>
     }
+    asyncPool.shutdown()
   }
 
   /** The live session behind a login token — verification harnesses
@@ -162,6 +184,41 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     * a Spark job group keyed by the query id (set thread-locally; the
     * JDK HttpServer runs each request on one pool thread), so
     * `/queries/v1/abort-request` can cancel it mid-flight. */
+  /** Run one statement inside its job group, recording outcome (and,
+    * for async fetches, the rendered result) on the QueryState. */
+  private def runTracked(session: GraftSession, state: QueryState)
+      : (String, Seq[SnowflakeTypes.ColumnMeta]) = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(state.queryId, s"snowflake-wire: ${state.sqlText}", true)
+    try {
+      val df = session.sql(state.sqlText)
+      val r = SnowflakeTypes.toRowsetBase64(df)
+      state.result = Some((r._1, r._2,
+        session.currentDatabase, session.currentSchema))
+      state.status = "SUCCESS"
+      r
+    } catch {
+      case NonFatal(e) =>
+        state.status =
+          if (state.abortRequested) "ABORTED" else "FAILED_WITH_ERROR"
+        state.errorMessage = Option(e.getMessage).getOrElse(e.toString)
+        throw e
+    } finally {
+      state.endMs = System.currentTimeMillis()
+      sc.clearJobGroup()
+      // bound both protocol-history maps on a long-lived server;
+      // RUNNING entries are never evicted
+      if (queries.size > 1024)
+        queries.filter(_._2.status != "RUNNING").keys
+          .take(queries.size - 1024).foreach(queries.remove)
+      if (requestToQuery.size > 1024)
+        requestToQuery.filter(kv => !queries.get(kv._2)
+            .exists(_.status == "RUNNING"))
+          .keys.take(requestToQuery.size - 1024)
+          .foreach(requestToQuery.remove)
+    }
+  }
+
   private def doQuery(ex: HttpExchange, body: JsonNode): ObjectNode = {
     val session = sessionFor(ex)
     val sqlText = body.path("sqlText").asText("")
@@ -172,40 +229,41 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     queryParams(ex).get("requestId")
       .orElse(Option(body.path("requestId").asText(null)))
       .foreach(rid => requestToQuery.put(rid, queryId))
-    val sc = spark.sparkContext
-    sc.setJobGroup(queryId, s"snowflake-wire: $sqlText", true)
-    val (b64, rowtype) =
-      try {
-        val df = session.sql(sqlText)
-        val r = SnowflakeTypes.toRowsetBase64(df)
-        state.status = "SUCCESS"
-        r
-      } catch {
-        case NonFatal(e) =>
-          state.status =
-            if (state.abortRequested) "ABORTED" else "FAILED_WITH_ERROR"
-          state.errorMessage = Option(e.getMessage).getOrElse(e.toString)
-          throw e
-      } finally {
-        state.endMs = System.currentTimeMillis()
-        sc.clearJobGroup()
-        // bound both protocol-history maps on a long-lived server;
-        // RUNNING entries are never evicted
-        if (queries.size > 1024)
-          queries.filter(_._2.status != "RUNNING").keys
-            .take(queries.size - 1024).foreach(queries.remove)
-        if (requestToQuery.size > 1024)
-          requestToQuery.filter(kv => !queries.get(kv._2)
-              .exists(_.status == "RUNNING"))
-            .keys.take(requestToQuery.size - 1024)
-            .foreach(requestToQuery.remove)
-      }
+    if (body.path("asyncExec").asBoolean(false)) {
+      // genuinely asynchronous (the reference executes synchronously
+      // even for asyncExec and only stashes the result,
+      // universql/protocol/snowflake.py:216-218): run on the pool,
+      // return Snowflake's query-in-progress-async shape; the client
+      // polls /monitoring/queries/{id} and fetches
+      // GET /queries/{id}/result when SUCCESS. Job-group keyed like the
+      // sync path, so abort-request cancels async queries too.
+      asyncPool.submit(new Runnable {
+        override def run(): Unit =
+          try runTracked(session, state)
+          catch { case NonFatal(_) => () } // outcome recorded on state
+      })
+      val data = mapper.createObjectNode()
+      data.put("queryId", queryId)
+      data.put("getResultUrl", s"/queries/$queryId/result")
+      val n = ok(data)
+      n.put("code", "333334") // queryInProgressAsyncCode
+      return n
+    }
+    val (b64, rowtype) = runTracked(session, state)
+    queryData(queryId, b64, rowtype,
+      session.currentDatabase, session.currentSchema)
+  }
+
+  /** The query-request/result payload for a finished statement. */
+  private def queryData(queryId: String, b64: String,
+      rowtype: Seq[SnowflakeTypes.ColumnMeta],
+      db: String, schema: String): ObjectNode = {
     val data = mapper.createObjectNode()
     data.put("queryId", queryId)
     data.put("queryResultFormat", "arrow")
     data.put("rowsetBase64", b64)
-    data.put("finalDatabaseName", session.currentDatabase)
-    data.put("finalSchemaName", session.currentSchema)
+    data.put("finalDatabaseName", db)
+    data.put("finalSchemaName", schema)
     val rt = data.putArray("rowtype")
     rowtype.foreach { m =>
       val c = rt.addObject()
@@ -214,8 +272,8 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       c.put("nullable", m.nullable)
       m.precision.foreach(c.put("precision", _))
       m.scale.foreach(c.put("scale", _))
-      c.put("database", session.currentDatabase)
-      c.put("schema", session.currentSchema)
+      c.put("database", db)
+      c.put("schema", schema)
       c.put("table", "")
       // charLength/byteLength analogs (reference surfaces these in Arrow
       // field metadata, `universql/protocol/utils.py:26-30`)
@@ -253,6 +311,45 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       spark.sparkContext.cancelJobGroup(st.queryId)
     }
     ok()
+  }
+
+  /** Result fetch for async statements: GET /queries/{id}/result — the
+    * URL shape query-request returns in `getResultUrl` for asyncExec.
+    * SUCCESS serves the identical payload a synchronous query-request
+    * would have; RUNNING answers with the in-progress code so clients
+    * keep polling; failed/aborted answers success:false with the
+    * recorded error. */
+  private def doQueryResult(ex: HttpExchange, body: JsonNode): ObjectNode = {
+    val parts = ex.getRequestURI.getPath.stripPrefix("/queries/")
+      .split("/").toSeq
+    require(parts.length == 2 && parts(1) == "result",
+      s"unknown path ${ex.getRequestURI.getPath}")
+    queries.get(parts.head) match {
+      case None =>
+        val n = mapper.createObjectNode()
+        n.put("success", false)
+        n.put("message", "query not found")
+        n
+      case Some(st) => st.status match {
+        case "RUNNING" =>
+          val n = mapper.createObjectNode()
+          n.put("success", false)
+          n.put("message", "query still running")
+          n.put("code", "333333") // queryInProgressCode
+          n
+        case "SUCCESS" =>
+          val (b64, rowtype, db, schema) = st.result.getOrElse(
+            throw new IllegalStateException(
+              s"query ${st.queryId} succeeded with no stored result"))
+          queryData(st.queryId, b64, rowtype, db, schema)
+        case other =>
+          val n = mapper.createObjectNode()
+          n.put("success", false)
+          n.put("message", Option(st.errorMessage).getOrElse(other))
+          n.put("status", other)
+          n
+      }
+    }
   }
 
   /** Monitoring: query status by id from the protocol-level history

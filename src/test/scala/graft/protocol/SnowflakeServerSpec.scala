@@ -252,6 +252,75 @@ class SnowflakeServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("asyncExec: in-progress code, monitoring poll, result fetch, async abort") {
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val token = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      // happy path: submit async, poll monitoring to SUCCESS, fetch result
+      val sub = post(port, "/queries/v1/query-request",
+        mapper.createObjectNode()
+          .put("sqlText", "SELECT o_orderpriority AS pri, count(*) AS n " +
+            "FROM orders GROUP BY 1 ORDER BY 1")
+          .put("asyncExec", true).toString,
+        token = Some(token))
+      assert(sub.path("success").asBoolean(), sub.toString)
+      assert(sub.path("code").asText() == "333334", sub.toString)
+      val qid = sub.path("data").path("queryId").asText()
+      assert(sub.path("data").path("getResultUrl").asText() ==
+        s"/queries/$qid/result")
+      var status = "RUNNING"
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (status == "RUNNING" && System.nanoTime() < deadline) {
+        val mon = get(port, s"/monitoring/queries/$qid", Some(token))
+        status = mon.path("data").path("queries").get(0)
+          .path("status").asText()
+        if (status == "RUNNING") Thread.sleep(100)
+      }
+      assert(status == "SUCCESS", status)
+      val res = get(port, s"/queries/$qid/result", Some(token))
+      assert(res.path("success").asBoolean(), res.toString)
+      val bytes = java.util.Base64.getDecoder.decode(
+        res.path("data").path("rowsetBase64").asText())
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new ByteArrayInputStream(bytes), alloc)
+      try {
+        var n = 0
+        while (rd.loadNextBatch()) n += rd.getVectorSchemaRoot.getRowCount
+        assert(n == 5, s"expected 5 priority groups, got $n")
+      } finally { rd.close(); alloc.close() }
+      // fetching an unknown id
+      val missing = get(port, "/queries/nope/result", Some(token))
+      assert(!missing.path("success").asBoolean())
+      // async abort: long query submitted async, cancelled by queryId,
+      // result endpoint reports the aborted status
+      val longSub = post(port, "/queries/v1/query-request",
+        mapper.createObjectNode()
+          .put("sqlText", "SELECT max(a.s * b.s) AS m FROM (SELECT seq4() " +
+            "AS s FROM TABLE(GENERATOR(ROWCOUNT => 300000))) a, " +
+            "(SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 300000))) b")
+          .put("asyncExec", true).toString, token = Some(token))
+      val lqid = longSub.path("data").path("queryId").asText()
+      Thread.sleep(1500)
+      val ab = post(port, "/queries/v1/abort-request",
+        s"""{"queryId":"$lqid"}""", token = Some(token))
+      assert(ab.path("success").asBoolean(), ab.toString)
+      var st = "RUNNING"
+      val dl2 = System.nanoTime() + 60L * 1000000000L
+      while (st == "RUNNING" && System.nanoTime() < dl2) {
+        st = get(port, s"/monitoring/queries/$lqid", Some(token))
+          .path("data").path("queries").get(0).path("status").asText()
+        if (st == "RUNNING") Thread.sleep(200)
+      }
+      assert(st == "ABORTED", st)
+      val abres = get(port, s"/queries/$lqid/result", Some(token))
+      assert(!abres.path("success").asBoolean(), abres.toString)
+      assert(abres.path("status").asText() == "ABORTED", abres.toString)
+    } finally server.stop()
+  }
+
   test("two wire sessions racing INSERTs + a CHANGES reader on a shared table") {
     // round-13 directive #7: compose the protocol layer with the
     // concurrency layer — everything below goes through HTTP
