@@ -58,6 +58,27 @@ object SnowflakeTypes {
     (java.util.Base64.getEncoder.encodeToString(bytes), rowType(df))
   }
 
+  /** Chunked wire payload for large results (Snowflake ships these as an
+    * inline first chunk + addressable chunk downloads): the first chunk
+    * comes back base64-inline, the rest spill to temp files ONE AT A
+    * TIME as they stream off `executeToIterator` — the server never
+    * holds more than one chunk of a large result in memory. Each rest
+    * entry is `(rowCount, file)`. */
+  def toRowsetChunked(df: DataFrame, maxRowsPerChunk: Int)
+      : (String, Seq[ColumnMeta], Seq[(Long, java.nio.file.Path)]) = {
+    val wire = toSnowflakeWire(df)
+    val meta = df.schema.fields.map(f => f.name -> wireFieldMetadata(f)).toMap
+    val it = org.apache.spark.sql.GraftArrow.toArrowIpcStreamChunks(
+      wire, meta, maxRowsPerChunk)
+    val first = it.next()._2
+    val rest = it.map { case (n, bytes) =>
+      val p = java.nio.file.Files.createTempFile("graft_wire_chunk", ".arrow")
+      java.nio.file.Files.write(p, bytes)
+      (n, p)
+    }.toList
+    (java.util.Base64.getEncoder.encodeToString(first), rowType(df), rest)
+  }
+
   /** Normalize a result for the wire: ARRAY/STRUCT/MAP columns become JSON
     * text (the reference serializes semi-structured results as JSON
     * strings tagged ARRAY/OBJECT). */

@@ -35,7 +35,15 @@ import scala.util.control.NonFatal
   * no extra dependencies. One `GraftSession` per token, sharing a single
   * SparkSession, like the reference shares one process across sessions.
   */
-final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
+final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String],
+    /** Rows per wire chunk: results larger than this come back as an
+      * inline first chunk + addressable `chunks` URLs
+      * (GET /results/{id}/chunk/{n}); the server spills chunks to temp
+      * files one at a time, so a huge result never sits in one base64
+      * buffer (the single-buffer path was the protocol layer's last
+      * collect-everything smell at scale). */
+    chunkRows: Int = sys.env.getOrElse(
+      "SPARK_GRAFT_WIRE_CHUNK_ROWS", "100000").toInt) {
 
   private val mapper = new ObjectMapper()
   private val sessions =
@@ -65,11 +73,13 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     @volatile var endMs: Long = 0L
     @volatile var errorMessage: String = null
     @volatile var abortRequested: Boolean = false
-    // async-exec queries park their rendered result here for the
-    // GET /queries/{id}/result fetch (rowsetBase64, rowtype, db, schema)
-    @volatile var result:
-      Option[(String, Seq[SnowflakeTypes.ColumnMeta], String, String)] = None
+    // the rendered result: inline first chunk + spilled rest (async
+    // fetches read it from here; chunk downloads stream the files)
+    @volatile var result: Option[WireResult] = None
   }
+  private final case class WireResult(b64: String,
+      rowtype: Seq[SnowflakeTypes.ColumnMeta], db: String, schema: String,
+      chunks: Seq[(Long, java.nio.file.Path)])
   private val queries =
     scala.collection.concurrent.TrieMap.empty[String, QueryState]
   // the connector addresses aborts by the REQUEST id it generated, not
@@ -94,6 +104,30 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     // longest-prefix routing: the exact /queries/v1/* contexts above win
     // for their paths; this one serves GET /queries/{id}/result
     server.createContext("/queries", handler(doQueryResult))
+    // raw (non-JSON) chunk downloads: GET /results/{id}/chunk/{n} streams
+    // the standalone Arrow IPC bytes of one spilled chunk
+    server.createContext("/results", (ex: HttpExchange) => {
+      try {
+        val parts = ex.getRequestURI.getPath.stripPrefix("/results/")
+          .split("/").toSeq
+        val bytes = (for {
+          st <- if (parts.length == 3 && parts(1) == "chunk")
+                  queries.get(parts.head) else None
+          wr <- st.result
+          i <- parts(2).toIntOption
+          if i >= 0 && i < wr.chunks.length
+        } yield java.nio.file.Files.readAllBytes(wr.chunks(i)._2))
+          .getOrElse(null)
+        if (bytes == null) {
+          ex.sendResponseHeaders(404, -1L)
+        } else {
+          ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
+      } finally ex.close()
+    })
     server.createContext("/monitoring/queries", handler(doMonitoring))
     server.createContext("/session/heartbeat", handler((_, _) => ok()))
     server.createContext("/session", handler(doSessionDelete))
@@ -111,6 +145,8 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       case _ =>
     }
     asyncPool.shutdown()
+    // spilled chunk files die with the server
+    queries.keys.foreach(dropQuery)
   }
 
   /** The live session behind a login token — verification harnesses
@@ -185,18 +221,19 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
     * JDK HttpServer runs each request on one pool thread), so
     * `/queries/v1/abort-request` can cancel it mid-flight. */
   /** Run one statement inside its job group, recording outcome (and,
-    * for async fetches, the rendered result) on the QueryState. */
+    * for async/chunk fetches, the rendered result) on the QueryState. */
   private def runTracked(session: GraftSession, state: QueryState)
-      : (String, Seq[SnowflakeTypes.ColumnMeta]) = {
+      : WireResult = {
     val sc = spark.sparkContext
     sc.setJobGroup(state.queryId, s"snowflake-wire: ${state.sqlText}", true)
     try {
       val df = session.sql(state.sqlText)
-      val r = SnowflakeTypes.toRowsetBase64(df)
-      state.result = Some((r._1, r._2,
-        session.currentDatabase, session.currentSchema))
+      val (b64, rowtype, rest) = SnowflakeTypes.toRowsetChunked(df, chunkRows)
+      val wr = WireResult(b64, rowtype,
+        session.currentDatabase, session.currentSchema, rest)
+      state.result = Some(wr)
       state.status = "SUCCESS"
-      r
+      wr
     } catch {
       case NonFatal(e) =>
         state.status =
@@ -207,10 +244,10 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       state.endMs = System.currentTimeMillis()
       sc.clearJobGroup()
       // bound both protocol-history maps on a long-lived server;
-      // RUNNING entries are never evicted
+      // RUNNING entries are never evicted (chunk files go with them)
       if (queries.size > 1024)
         queries.filter(_._2.status != "RUNNING").keys
-          .take(queries.size - 1024).foreach(queries.remove)
+          .take(queries.size - 1024).foreach(dropQuery)
       if (requestToQuery.size > 1024)
         requestToQuery.filter(kv => !queries.get(kv._2)
             .exists(_.status == "RUNNING"))
@@ -218,6 +255,11 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
           .foreach(requestToQuery.remove)
     }
   }
+
+  private def dropQuery(queryId: String): Unit =
+    queries.remove(queryId).foreach(_.result.foreach(_.chunks.foreach {
+      case (_, p) => java.nio.file.Files.deleteIfExists(p)
+    }))
 
   private def doQuery(ex: HttpExchange, body: JsonNode): ObjectNode = {
     val session = sessionFor(ex)
@@ -249,21 +291,29 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
       n.put("code", "333334") // queryInProgressAsyncCode
       return n
     }
-    val (b64, rowtype) = runTracked(session, state)
-    queryData(queryId, b64, rowtype,
-      session.currentDatabase, session.currentSchema)
+    queryData(queryId, runTracked(session, state))
   }
 
   /** The query-request/result payload for a finished statement. */
-  private def queryData(queryId: String, b64: String,
-      rowtype: Seq[SnowflakeTypes.ColumnMeta],
-      db: String, schema: String): ObjectNode = {
+  private def queryData(queryId: String, wr: WireResult): ObjectNode = {
+    val WireResult(b64, rowtype, db, schema, chunks) = wr
     val data = mapper.createObjectNode()
     data.put("queryId", queryId)
     data.put("queryResultFormat", "arrow")
     data.put("rowsetBase64", b64)
     data.put("finalDatabaseName", db)
     data.put("finalSchemaName", schema)
+    if (chunks.nonEmpty) {
+      // large result: inline first chunk + addressable rest, the
+      // Snowflake chunks shape (each URL serves a STANDALONE Arrow IPC
+      // stream the client decodes independently)
+      val arr = data.putArray("chunks")
+      chunks.zipWithIndex.foreach { case ((n, _), i) =>
+        val c = arr.addObject()
+        c.put("url", s"/results/$queryId/chunk/$i")
+        c.put("rowCount", n)
+      }
+    }
     val rt = data.putArray("rowtype")
     rowtype.foreach { m =>
       val c = rt.addObject()
@@ -338,10 +388,10 @@ final class SnowflakeServer(spark: SparkSession, lakeDir: Option[String]) {
           n.put("code", "333333") // queryInProgressCode
           n
         case "SUCCESS" =>
-          val (b64, rowtype, db, schema) = st.result.getOrElse(
+          val wr = st.result.getOrElse(
             throw new IllegalStateException(
               s"query ${st.queryId} succeeded with no stored result"))
-          queryData(st.queryId, b64, rowtype, db, schema)
+          queryData(st.queryId, wr)
         case other =>
           val n = mapper.createObjectNode()
           n.put("success", false)

@@ -20,12 +20,41 @@ object GraftArrow {
   def toArrowIpcStream(df: Dataset[Row],
       fieldMetadata: Map[String, Map[String, String]] = Map.empty): Array[Byte] = {
     val classic = df.asInstanceOf[ClassicDataFrame]
+    val rows = classic.queryExecution.executedPlan.executeCollect()
+    encodeStream(rows.iterator, classic, fieldMetadata)
+  }
+
+  /** Chunked sink: the result as a sequence of STANDALONE Arrow IPC
+    * streams of at most `maxRowsPerChunk` rows each (Snowflake's large
+    * results ship the same way — an inline first chunk plus addressable
+    * chunks a client decodes independently). Rows are pulled with
+    * `executeToIterator` — one partition materialized at a time — so the
+    * caller never holds the whole result; each element of the returned
+    * iterator is `(rowCount, streamBytes)` and should be consumed (e.g.
+    * spilled to disk) before the next is drawn. An empty result yields
+    * exactly one empty stream (schema + end-of-stream). */
+  def toArrowIpcStreamChunks(df: Dataset[Row],
+      fieldMetadata: Map[String, Map[String, String]],
+      maxRowsPerChunk: Int): Iterator[(Long, Array[Byte])] = {
+    val classic = df.asInstanceOf[ClassicDataFrame]
+    val rows = classic.queryExecution.executedPlan.executeToIterator()
+    if (!rows.hasNext)
+      return Iterator((0L, encodeStream(Iterator.empty, classic, fieldMetadata)))
+    rows.grouped(maxRowsPerChunk).map { group =>
+      (group.length.toLong,
+        encodeStream(group.iterator, classic, fieldMetadata))
+    }
+  }
+
+  private def encodeStream(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      classic: ClassicDataFrame,
+      fieldMetadata: Map[String, Map[String, String]]): Array[Byte] = {
     val spark = classic.sparkSession
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val schema = classic.schema
-    val rows = classic.queryExecution.executedPlan.executeCollect()
     val batches = ArrowConverters.toBatchIterator(
-      rows.iterator, schema, maxRecordsPerBatch = 10000, timeZoneId = tz,
+      rows, schema, maxRecordsPerBatch = 10000, timeZoneId = tz,
       errorOnDuplicatedFieldNames = false, largeVarTypes = false,
       context = null)
 

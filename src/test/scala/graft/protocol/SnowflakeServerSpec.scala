@@ -321,6 +321,69 @@ class SnowflakeServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("large results ship chunked: inline first chunk + addressable rest") {
+    // 250k rows with chunkRows=60000 → inline first chunk + 4 chunk URLs;
+    // each chunk is a STANDALONE Arrow IPC stream; the reassembled total
+    // must be exact and the sum over all rows must match closed form
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"),
+      chunkRows = 60000)
+    val port = server.start()
+    try {
+      val token = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      val resp = post(port, "/queries/v1/query-request",
+        mapper.createObjectNode().put("sqlText",
+          "SELECT seq4() AS s FROM TABLE(GENERATOR(ROWCOUNT => 250000))")
+          .toString, token = Some(token))
+      assert(resp.path("success").asBoolean(), resp.toString)
+      val data = resp.path("data")
+      val chunks = data.path("chunks")
+      assert(chunks.size() == 4, s"expected 4 rest chunks: $chunks")
+      def decode(bytes: Array[Byte]): (Long, Long) = {
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          new ByteArrayInputStream(bytes), alloc)
+        try {
+          var n = 0L; var sum = 0L
+          while (rd.loadNextBatch()) {
+            val v = rd.getVectorSchemaRoot.getVector(0)
+              .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+            for (i <- 0 until rd.getVectorSchemaRoot.getRowCount) {
+              n += 1; sum += v.get(i)
+            }
+          }
+          (n, sum)
+        } finally { rd.close(); alloc.close() }
+      }
+      var (total, sum) = decode(java.util.Base64.getDecoder.decode(
+        data.path("rowsetBase64").asText()))
+      assert(total == 60000L, s"inline first chunk rows: $total")
+      for (i <- 0 until chunks.size()) {
+        val url = chunks.get(i).path("url").asText()
+        val conn = new URI(s"http://127.0.0.1:$port$url").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.disconnect()
+        val (n, s2) = decode(bytes)
+        assert(n == chunks.get(i).path("rowCount").asLong(), s"chunk $i")
+        total += n; sum += s2
+      }
+      assert(total == 250000L, s"reassembled rows: $total")
+      assert(sum == 250000L * 249999L / 2, s"reassembled sum: $sum")
+      // small results keep the old single-buffer shape: no chunks key
+      val small = post(port, "/queries/v1/query-request",
+        """{"sqlText":"SELECT count(*) AS n FROM orders"}""",
+        token = Some(token))
+      assert(small.path("data").path("chunks").isMissingNode, small.toString)
+      // unknown chunk index 404s
+      val qid = resp.path("data").path("queryId").asText()
+      val bad = new URI(s"http://127.0.0.1:$port/results/$qid/chunk/99")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(bad.getResponseCode == 404)
+      bad.disconnect()
+    } finally server.stop()
+  }
+
   test("two wire sessions racing INSERTs + a CHANGES reader on a shared table") {
     // round-13 directive #7: compose the protocol layer with the
     // concurrency layer — everything below goes through HTTP
