@@ -292,20 +292,31 @@ object IcebergLite {
     * a LIVE writer in another process or already committed. A claim
     * whose recorded holder pid no longer exists is a crashed writer's
     * leftover: it is reclaimed LOUDLY (stderr names the stale claim and
-    * the dead holder) and the acquire retried once — the one manual
-    * recovery step the r13 protocol still had (VERDICT r13 #2/next #2).
-    * Reclaim races safely: the stale claim is first renamed to a
-    * per-reclaimer tombstone (ATOMIC_MOVE — exactly one concurrent
-    * reclaimer wins the rename; the rest just retry the O_EXCL create),
-    * so no reclaimer can ever delete a NEW claim created after the
-    * rename. A claim with no parseable pid (crash inside the
-    * create-then-write-pid window, or a foreign writer) is never
-    * auto-reclaimed — it keeps the old block-loudly behavior. */
+    * the dead holder) and the acquire retried — the one manual recovery
+    * step the r13 protocol still had (VERDICT r13 #2/next #2).
+    *
+    * Reclaim safety: deleting someone else's claim is only ever done
+    * while holding `<claim>.reclaimlock` (O_EXCL), and only after
+    * RE-READING the claim under that lock and re-verifying its recorded
+    * holder is still a dead pid. The earlier rename-based reclaim had a
+    * stolen-claim race (caught by the 4-way SIGKILL scenario): a
+    * reclaimer that read the dead claim could ATOMIC_MOVE a FRESH claim
+    * created in between — content is not part of a rename's atomicity —
+    * letting two writers into one snapshot directory. Under the lock,
+    * a wrong delete is impossible: new claims can only appear after the
+    * old file is gone, only the lock holder deletes foreign claims, and
+    * it deletes only what it re-verified as dead. A claim with no
+    * parseable pid (crash inside the create-then-write-pid window) is
+    * never auto-reclaimed — it keeps the old block-loudly behavior. */
   private def withVersionClaim[T](metadataPath: java.nio.file.Path)(f: => T): T = {
     val claim = metadataPath.resolveSibling(metadataPath.getFileName.toString + ".claim")
     Files.createDirectories(claim.getParent)
     val self = ProcessHandle.current().pid()
-    var reclaimTried = false
+    val pidRe = "pid=(\\d+)".r
+    def pidOf(s: String): Option[Long] =
+      pidRe.findFirstMatchIn(s).flatMap(m => m.group(1).toLongOption)
+    def deadForeign(p: Long): Boolean = p != self && ProcessHandle.of(p).isEmpty
+    var attempts = 0
     var acquired = false
     while (!acquired) {
       try {
@@ -315,29 +326,41 @@ object IcebergLite {
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
           val holder =
             try Files.readString(claim).trim catch { case _: Throwable => "?" }
-          val holderPid = "pid=(\\d+)".r.findFirstMatchIn(holder)
-            .flatMap(m => m.group(1).toLongOption)
-          val holderDead = holderPid.exists(p =>
-            p != self && ProcessHandle.of(p).isEmpty)
-          if (holderDead && !reclaimTried) {
-            reclaimTried = true
-            val tomb = claim.resolveSibling(
-              claim.getFileName.toString + s".reclaimed-$self")
-            try {
-              Files.move(claim, tomb,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(tomb)
-              System.err.println(s"[graft] reclaimed stale version claim " +
-                s"$claim ($holder — holder process is dead); retrying " +
-                "the commit acquire")
-            } catch {
-              // another waiter won the reclaim rename between our read
-              // and move — fine, just retry the create below
-              case _: java.nio.file.NoSuchFileException => ()
-            }
-            // loop: retry the O_EXCL create exactly once
+          val holderDead = pidOf(holder).exists(deadForeign)
+          if (holderDead && attempts <= 10) {
+            val rlock = claim.resolveSibling(
+              claim.getFileName.toString + ".reclaimlock")
+            val gotLock =
+              try { Files.createFile(rlock); true }
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  // a reclaimer crashed holding the lock is itself a
+                  // dead holder — clear it and retry on the next loop
+                  val rh = try Files.readString(rlock).trim
+                           catch { case _: Throwable => "" }
+                  if (pidOf(rh).exists(deadForeign))
+                    Files.deleteIfExists(rlock)
+                  false
+              }
+            if (gotLock) {
+              try {
+                Files.writeString(rlock, s"pid=$self\n")
+                // re-verify UNDER the lock before deleting: the claim we
+                // read may have been replaced by a live writer's
+                val cur = try Files.readString(claim).trim
+                          catch { case _: Throwable => "" }
+                if (pidOf(cur).exists(deadForeign)) {
+                  Files.deleteIfExists(claim)
+                  System.err.println("[graft] reclaimed stale version " +
+                    s"claim $claim ($cur — holder process is dead); " +
+                    "retrying the commit acquire")
+                }
+              } finally Files.deleteIfExists(rlock)
+            } else Thread.sleep(25)
+            // loop: retry the O_EXCL create
           } else {
             val ageSec =
               try (System.currentTimeMillis() -
