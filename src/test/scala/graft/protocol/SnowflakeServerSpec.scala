@@ -384,6 +384,76 @@ class SnowflakeServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("chunk reassembly fuzz: sizes, wire-struct timestamps, nulls at boundaries") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 5) {
+      val chunkRows = 1000 + rnd.nextInt(9000)
+      val total = chunkRows * (1 + rnd.nextInt(4)) + rnd.nextInt(chunkRows)
+      val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"),
+        chunkRows = chunkRows)
+      val port = server.start()
+      try {
+        val token = post(port, "/session/v1/login-request", "{}")
+          .path("data").path("token").asText()
+        // s: dense ids; v: NULL every 7th row (nulls must survive chunk
+        // boundaries); ts: struct{epoch,fraction}-encoded on the wire
+        val resp = post(port, "/queries/v1/query-request",
+          mapper.createObjectNode().put("sqlText",
+            s"""SELECT seq4() AS s, IFF(seq4() % 7 = 0, NULL, seq4() * 2) AS v,
+               DATEADD(second, seq4(), '2024-01-01'::timestamp) AS ts
+               FROM TABLE(GENERATOR(ROWCOUNT => $total))""").toString,
+          token = Some(token))
+        assert(resp.path("success").asBoolean(), resp.toString)
+        val data = resp.path("data")
+        var n = 0L; var sumS = 0L; var nulls = 0L; var sumEpoch = 0L
+        def drain(bytes: Array[Byte]): Long = {
+          val alloc = new org.apache.arrow.memory.RootAllocator()
+          val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+            new ByteArrayInputStream(bytes), alloc)
+          var rows = 0L
+          try {
+            while (rd.loadNextBatch()) {
+              val root = rd.getVectorSchemaRoot
+              val s = root.getVector(0)
+                .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+              val v = root.getVector(1)
+                .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+              val ts = root.getVector(2)
+                .asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+              val epoch = ts.getChild("epoch")
+                .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+              for (i <- 0 until root.getRowCount) {
+                rows += 1; n += 1
+                sumS += s.get(i)
+                if (v.isNull(i)) nulls += 1
+                sumEpoch += epoch.get(i)
+              }
+            }
+            rows
+          } finally { rd.close(); alloc.close() }
+        }
+        drain(java.util.Base64.getDecoder.decode(
+          data.path("rowsetBase64").asText()))
+        val chunks = data.path("chunks")
+        for (i <- 0 until chunks.size()) {
+          val conn = new URI("http://127.0.0.1:" + port +
+            chunks.get(i).path("url").asText()).toURL
+            .openConnection().asInstanceOf[HttpURLConnection]
+          val got = drain(conn.getInputStream.readAllBytes())
+          conn.disconnect()
+          assert(got == chunks.get(i).path("rowCount").asLong(),
+            s"chunk $i rows $got (chunkRows=$chunkRows total=$total)")
+        }
+        val e0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+        assert(n == total, s"rows $n != $total (chunkRows=$chunkRows)")
+        assert(sumS == total.toLong * (total - 1) / 2, s"sum $sumS")
+        assert(nulls == (total + 6) / 7, s"nulls $nulls (total=$total)")
+        assert(sumEpoch == total * e0 + total.toLong * (total - 1) / 2,
+          s"epoch sum $sumEpoch")
+      } finally server.stop()
+    }
+  }
+
   test("two wire sessions racing INSERTs + a CHANGES reader on a shared table") {
     // round-13 directive #7: compose the protocol layer with the
     // concurrency layer — everything below goes through HTTP
