@@ -9,8 +9,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Type-polymorphic date/time truncation for the Snowflake surface:
   * `TRUNC(x, part)` / `DATE_TRUNC(part, x)` preserve the input's type
   * (DATE in → DATE out, TIMESTAMP in → truncated TIMESTAMP out —
-  * Snowflake's documented behavior; reference executes these in DuckDB,
-  * whose `date_trunc` is equally polymorphic).
+  * Snowflake's documented behavior; the reference transpiles the query
+  * through sqlglot and executes on DuckDB,
+  * `universql/warehouse/duckdb.py:156,189`, whose `date_trunc` is
+  * equally polymorphic, so it inherits the same type preservation for
+  * free).
   *
   * Spark's built-ins split the semantics across two functions with
   * type-destroying edges (ADVICE r13 #1):
