@@ -1186,9 +1186,22 @@ final class GraftSession(
       StructType(Seq(StructField(label, org.apache.spark.sql.types.LongType))))
 
   // ── statement driver (A2) ──────────────────────────────────────────────
+  /** Serializes statements WITHIN this session: the wire façade runs
+    * asyncExec statements on a pool thread while the same token can POST
+    * another query-request on an HTTP thread (the normal connector
+    * pattern for async), and the per-statement state below
+    * (streamsReadInStmt / currentSeq / infoSchemaReadInStmt /
+    * lastQueryLog) is stack-unfriendly session state — unsynchronized,
+    * concurrent same-session statements could advance stream offsets for
+    * the wrong statement or cross-wire LAST_QUERY_ID bookkeeping (ADVICE
+    * r14 #1). Sessions stay independent: each has its own monitor, so
+    * cross-session parallelism is untouched (Snowflake likewise queues
+    * statements within one session). Reentrant, so nested sql() calls
+    * (DT refresh) are fine. */
+  private val stmtLock = new Object
   /** Execute a (possibly multi-statement) Snowflake-dialect batch; returns
     * the last statement's result. */
-  def sql(batch: String): DataFrame = {
+  def sql(batch: String): DataFrame = stmtLock.synchronized {
     val stmts = SqlTokens.splitStatements(batch)
     require(stmts.nonEmpty, "empty batch")
     stmts.map { st =>

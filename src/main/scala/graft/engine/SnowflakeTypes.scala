@@ -64,19 +64,38 @@ object SnowflakeTypes {
     * TIME as they stream off `executeToIterator` — the server never
     * holds more than one chunk of a large result in memory. Each rest
     * entry is `(rowCount, file)`. */
-  def toRowsetChunked(df: DataFrame, maxRowsPerChunk: Int)
+  def toRowsetChunked(df: DataFrame, maxRowsPerChunk: Int,
+      spillDir: Option[java.nio.file.Path] = None)
       : (String, Seq[ColumnMeta], Seq[(Long, java.nio.file.Path)]) = {
     val wire = toSnowflakeWire(df)
     val meta = df.schema.fields.map(f => f.name -> wireFieldMetadata(f)).toMap
     val it = org.apache.spark.sql.GraftArrow.toArrowIpcStreamChunks(
       wire, meta, maxRowsPerChunk)
-    val first = it.next()._2
-    val rest = it.map { case (n, bytes) =>
-      val p = java.nio.file.Files.createTempFile("graft_wire_chunk", ".arrow")
-      java.nio.file.Files.write(p, bytes)
-      (n, p)
-    }.toList
-    (java.util.Base64.getEncoder.encodeToString(first), rowType(df), rest)
+    // if the drain dies mid-way (query aborted, executor failure) the
+    // exception leaves before the caller ever sees the chunk list, so
+    // already-spilled files would be orphaned for the process lifetime
+    // (ADVICE r14 #5) — delete them on the way out
+    val spilled = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.nio.file.Path)]
+    try {
+      val first = it.next()._2
+      it.foreach { case (n, bytes) =>
+        val p = spillDir match {
+          case Some(dir) => java.nio.file.Files
+            .createTempFile(dir, "graft_wire_chunk", ".arrow")
+          case None => java.nio.file.Files
+            .createTempFile("graft_wire_chunk", ".arrow")
+        }
+        java.nio.file.Files.write(p, bytes)
+        spilled += ((n, p))
+      }
+      (java.util.Base64.getEncoder.encodeToString(first), rowType(df),
+        spilled.toList)
+    } catch {
+      case t: Throwable =>
+        spilled.foreach(c => java.nio.file.Files.deleteIfExists(c._2))
+        throw t
+    }
   }
 
   /** Normalize a result for the wire: ARRAY/STRUCT/MAP columns become JSON

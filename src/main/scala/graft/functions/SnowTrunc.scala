@@ -30,10 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - DATE + day-or-finer           → identity (truncating a date to a
   *     sub-day boundary is the date itself)
   *   - TIMESTAMP                     → Spark `date_trunc`
-  *   - TIMESTAMP_NTZ                 → `date_trunc` through a session-tz
-  *     cast pair (TruncTimestamp's input contract is TIMESTAMP; the
-  *     same-zone round trip is the identity on the wall-clock fields
-  *     being truncated, so the NTZ flavor AND values are preserved).
+  *   - TIMESTAMP_NTZ                 → `date_trunc` through a UTC-PINNED
+  *     cast pair (TruncTimestamp's input contract is TIMESTAMP). UTC on
+  *     both casts and the trunc treats the NTZ micros as wall-clock for
+  *     every part: a session-zone sandwich would be a wall-clock
+  *     identity except for instants inside a DST gap of a non-UTC
+  *     session zone, where the round trip shifts the value (ADVICE r14
+  *     #3) — UTC has no gaps, so the identity is unconditional.
   *     [[graft.plans.TruncToFloor]] matches through this exact cast
   *     pair so `date_trunc` grouping keys keep feeding the NDV-gated
   *     columnar aggregate.
@@ -65,7 +68,9 @@ case class SnowTrunc(child: Expression, part: String)
       }
       case TimestampType => dtrunc(child)
       case TimestampNTZType =>
-        Cast(dtrunc(Cast(child, TimestampType, tz)), TimestampNTZType, tz)
+        val utc = Some("UTC")
+        Cast(TruncTimestamp(partLit, Cast(child, TimestampType, utc), utc),
+          TimestampNTZType, utc)
       case _ => dtrunc(Cast(child, TimestampType, tz))
     }
   }

@@ -305,9 +305,17 @@ object IcebergLite {
     * letting two writers into one snapshot directory. Under the lock,
     * a wrong delete is impossible: new claims can only appear after the
     * old file is gone, only the lock holder deletes foreign claims, and
-    * it deletes only what it re-verified as dead. A claim with no
-    * parseable pid (crash inside the create-then-write-pid window) is
-    * never auto-reclaimed — it keeps the old block-loudly behavior. */
+    * it deletes only what it re-verified as dead.
+    *
+    * Claims are ATOMIC-WITH-CONTENT (round-14 directive #2): the pid is
+    * written to a tmp file first and the claim appears via
+    * `Files.createLink` — the same publish trick [[publishMetadata]]
+    * uses — so a claim either exists with its holder pid or not at all.
+    * The old `createFile` + `writeString` two-step had a SIGKILL window
+    * that left an EMPTY claim, which (by policy: unparseable pid is
+    * never auto-reclaimed) blocked every later writer forever. That
+    * pid-less branch still blocks loudly, but it is dead code for
+    * claims this engine wrote — only a foreign tool's file trips it. */
   private def withVersionClaim[T](metadataPath: java.nio.file.Path)(f: => T): T = {
     val claim = metadataPath.resolveSibling(metadataPath.getFileName.toString + ".claim")
     Files.createDirectories(claim.getParent)
@@ -316,16 +324,21 @@ object IcebergLite {
     def pidOf(s: String): Option[Long] =
       pidRe.findFirstMatchIn(s).flatMap(m => m.group(1).toLongOption)
     def deadForeign(p: Long): Boolean = p != self && ProcessHandle.of(p).isEmpty
+    /** O_EXCL-create `target` already containing `pid=self`: hard-link
+      * from a written tmp file, so there is no observable empty state. */
+    def claimWithPid(target: java.nio.file.Path): Boolean = {
+      val tmp = Files.createTempFile(target.getParent, ".claim-", ".tmp")
+      try {
+        Files.writeString(tmp, s"pid=$self\n")
+        try { Files.createLink(target, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally Files.deleteIfExists(tmp)
+    }
     var attempts = 0
     var acquired = false
     while (!acquired) {
-      try {
-        Files.createFile(claim)
-        // diagnostics + liveness: who holds it, since when
-        Files.writeString(claim, s"pid=$self\n")
-        acquired = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
+      if (claimWithPid(claim)) acquired = true
+      else {
           attempts += 1
           val holder =
             try Files.readString(claim).trim catch { case _: Throwable => "?" }
@@ -333,21 +346,19 @@ object IcebergLite {
           if (holderDead && attempts <= 10) {
             val rlock = claim.resolveSibling(
               claim.getFileName.toString + ".reclaimlock")
-            val gotLock =
-              try { Files.createFile(rlock); true }
-              catch {
-                case _: java.nio.file.FileAlreadyExistsException =>
-                  // a reclaimer crashed holding the lock is itself a
-                  // dead holder — clear it and retry on the next loop
-                  val rh = try Files.readString(rlock).trim
-                           catch { case _: Throwable => "" }
-                  if (pidOf(rh).exists(deadForeign))
-                    Files.deleteIfExists(rlock)
-                  false
-              }
+            // atomic-with-pid like the claim itself: a reclaimer
+            // SIGKILLed at lock-create can never leave an empty rlock
+            val gotLock = claimWithPid(rlock) || {
+              // a reclaimer that crashed HOLDING the lock is itself a
+              // dead holder — clear it and retry on the next loop
+              val rh = try Files.readString(rlock).trim
+                       catch { case _: Throwable => "" }
+              if (pidOf(rh).exists(deadForeign))
+                Files.deleteIfExists(rlock)
+              false
+            }
             if (gotLock) {
               try {
-                Files.writeString(rlock, s"pid=$self\n")
                 // re-verify UNDER the lock before deleting: the claim we
                 // read may have been replaced by a live writer's
                 val cur = try Files.readString(claim).trim

@@ -72,6 +72,40 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(v2 + ".claim")))
   }
 
+  test("SIGKILL at the claim-create instant: claims are atomic-with-content") {
+    import spark.implicits._
+    // round-14 directive #2: a writer killed at ANY instant of claim
+    // creation leaves either no claim or a pid-bearing claim — never an
+    // empty file (the old createFile-then-writeString two-step had a
+    // window that left an empty claim, which by policy blocks forever).
+    // `claimloop` claims+releases via the engine's tmp+createLink
+    // primitive in a tight loop; kill it at random instants and assert
+    // the invariant + that the next writer ALWAYS self-heals.
+    val rnd = new scala.util.Random(15L)
+    val dir = Files.createTempDirectory("graft_xproc7").toString
+    var mp = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    var n = 1L
+    for (round <- 1 to 6) {
+      val next = s"$dir/metadata/v${round + 1}.metadata.json"
+      val looper = secondJvm("claimloop", next)
+      awaitLine(looper, "LOOPING")
+      Thread.sleep(5 + rnd.nextInt(40)) // land the kill mid-loop
+      looper.destroyForcibly(); looper.waitFor()
+      val claim = java.nio.file.Paths.get(next + ".claim")
+      if (Files.exists(claim)) {
+        val content = Files.readString(claim)
+        assert(content.contains("pid="),
+          s"round $round: pid-less claim observed: '$content'")
+      }
+      // the next writer always gets through: either the claim is gone or
+      // it names the (now dead) looper pid and is loudly reclaimed
+      mp = IcebergLite.append(spark, Seq((round + 1L, "x")).toDF("k", "s"), mp)
+      n += 1
+      assert(IcebergLite.scan(spark, mp).count() == n, s"round $round")
+      assert(!Files.exists(claim), s"round $round: claim not released")
+    }
+  }
+
   test("claim without a recorded pid is never auto-reclaimed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_xproc4").toString

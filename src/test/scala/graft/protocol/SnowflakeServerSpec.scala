@@ -362,6 +362,8 @@ class SnowflakeServerSpec extends AnyFunSuite {
         val url = chunks.get(i).path("url").asText()
         val conn = new URI(s"http://127.0.0.1:$port$url").toURL
           .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestProperty("Authorization",
+          s"""Snowflake Token="$token"""")
         val bytes = conn.getInputStream.readAllBytes()
         conn.disconnect()
         val (n, s2) = decode(bytes)
@@ -375,12 +377,25 @@ class SnowflakeServerSpec extends AnyFunSuite {
         """{"sqlText":"SELECT count(*) AS n FROM orders"}""",
         token = Some(token))
       assert(small.path("data").path("chunks").isMissingNode, small.toString)
-      // unknown chunk index 404s
       val qid = resp.path("data").path("queryId").asText()
+      // chunk downloads are token-gated: no token → 401 (ADVICE r14 #2)
+      val noTok = new URI(s"http://127.0.0.1:$port/results/$qid/chunk/0")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(noTok.getResponseCode == 401)
+      noTok.disconnect()
+      // unknown chunk index 404s (with a valid token)
       val bad = new URI(s"http://127.0.0.1:$port/results/$qid/chunk/99")
         .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      bad.setRequestProperty("Authorization", s"""Snowflake Token="$token"""")
       assert(bad.getResponseCode == 404)
       bad.disconnect()
+      // closing the session drops its spilled chunk files immediately —
+      // the per-server chunk dir is empty after login → big query →
+      // fetch → close (round-14 directive #5)
+      assert(java.nio.file.Files.list(server.chunkDir).count() > 0)
+      post(port, "/session?delete=true", "{}", token = Some(token))
+      assert(java.nio.file.Files.list(server.chunkDir).count() == 0,
+        "session delete left spilled chunk files behind")
     } finally server.stop()
   }
 
@@ -439,6 +454,8 @@ class SnowflakeServerSpec extends AnyFunSuite {
           val conn = new URI("http://127.0.0.1:" + port +
             chunks.get(i).path("url").asText()).toURL
             .openConnection().asInstanceOf[HttpURLConnection]
+          conn.setRequestProperty("Authorization",
+            s"""Snowflake Token="$token"""")
           val got = drain(conn.getInputStream.readAllBytes())
           conn.disconnect()
           assert(got == chunks.get(i).path("rowCount").asLong(),
@@ -562,6 +579,31 @@ class SnowflakeServerSpec extends AnyFunSuite {
         "WHERE METADATA$ACTION = 'INSERT'")
       assert(cdc.path("success").asBoolean(), cdc.toString)
       assert(longs(cdc) == Seq(16L), cdc.toString)
+    } finally server.stop()
+  }
+
+  test("telemetry is accepted-and-discarded; unknown paths get JSON 404") {
+    // reference parity: POST /telemetry/send returns {'success': True}
+    // without reading the payload (`universql/protocol/snowflake.py:138`),
+    // and ancillary connector traffic to unrouted paths must see a JSON
+    // shape, not the JDK server's raw HTML error page
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val tel = post(port, "/telemetry/send",
+        """{"logs":[{"message":"whatever"}]}""")
+      assert(tel.path("success").asBoolean(), tel.toString)
+      val conn = new URI(s"http://127.0.0.1:$port/no/such/route").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 404)
+      assert(conn.getContentType == "application/json")
+      val body = mapper.readTree(conn.getErrorStream)
+      conn.disconnect()
+      assert(!body.path("success").asBoolean())
+      assert(body.path("message").asText().contains("/no/such/route"))
+      // monitoring + async-result endpoints are token-gated too
+      val noTok = get(port, "/monitoring/queries/whatever", None)
+      assert(!noTok.path("success").asBoolean())
     } finally server.stop()
   }
 
