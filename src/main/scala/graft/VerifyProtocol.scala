@@ -91,35 +91,52 @@ object VerifyProtocol {
           s"rowtype names $rtNames != schema ${df.schema.fieldNames.toSeq}")
         val bytes = java.util.Base64.getDecoder.decode(
           data.path("rowsetBase64").asText())
-        val wire = decodeArrow(bytes).sorted
+        // large results come back as inline first chunk + addressable
+        // chunk URLs, each a STANDALONE Arrow IPC stream — reassemble
+        // exactly like a Snowflake client (with SPARK_GRAFT_WIRE_CHUNK_ROWS
+        // small, every multi-row gate exercises this path — round-14
+        // directive #1)
+        val chunksNode = data.path("chunks")
+        val restRows = (0 until chunksNode.size()).flatMap { i =>
+          val url = chunksNode.get(i).path("url").asText()
+          val declared = chunksNode.get(i).path("rowCount").asLong()
+          val rows = decodeArrow(getBytes(port, url, token))
+          require(rows.length.toLong == declared,
+            s"chunk $i served ${rows.length} rows, declared $declared")
+          rows
+        }
+        val nChunks = 1 + chunksNode.size()
+        val wire = (decodeArrow(bytes) ++ restRows).sorted
 
-        if (direct == wire) { matched += 1; ("true", rows.length, "") }
+        if (direct == wire) { matched += 1; ("true", rows.length, nChunks, "") }
         else {
           val diff = direct.zipAll(wire, "<missing>", "<missing>")
             .find { case (a, b) => a != b }
-          ("false", rows.length,
+          ("false", rows.length, nChunks,
             diff.map { case (a, b) => s"direct=$a wire=$b" }.getOrElse(""))
         }
       } catch {
         case e: Throwable =>
           System.err.println(s"[proto] $name ERROR: ${e.getMessage}")
-          ("false", -1, Option(e.getMessage).getOrElse(e.toString))
+          ("false", -1, 0, Option(e.getMessage).getOrElse(e.toString))
       }
-      System.err.println(s"[proto] $name match=${r._1} rows=${r._2}")
+      System.err.println(
+        s"[proto] $name match=${r._1} rows=${r._2} chunks=${r._3}")
       name -> r
     }
 
     post(port, "/session?delete=true", "{}", Some(token))
     server.stop()
-    val gates = results.map { case (n, (ok, rows, err)) =>
-      s""""$n":{"match":$ok,"rows":$rows${
+    val multiChunk = results.count(_._2._3 > 1)
+    val gates = results.map { case (n, (ok, rows, chunks, err)) =>
+      s""""$n":{"match":$ok,"rows":$rows,"chunks":$chunks${
         if (err.isEmpty) "" else s""","err":${mapper.writeValueAsString(err)}"""}}"""
     }.mkString("{", ",", "}")
     val out =
-      s"""{"what":"every gate served through the HTTP facade (login/query-request/base64 Arrow IPC), decoded with the raw Arrow vector API, compared to the direct result as canonical row multisets (round-13 directive #3)","matched":$matched,"total":${results.size},"gates":$gates}"""
+      s"""{"what":"every gate served through the HTTP facade (login/query-request/base64 Arrow IPC), decoded with the raw Arrow vector API, chunk URLs fetched + reassembled like a Snowflake client, compared to the direct result as canonical row multisets","chunk_rows_env":${mapper.writeValueAsString(sys.env.getOrElse("SPARK_GRAFT_WIRE_CHUNK_ROWS", "default"))},"matched":$matched,"total":${results.size},"multi_chunk_gates":$multiChunk,"gates":$gates}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
       out + "\n")
-    println(s"""{"protocol_pack_matched":$matched,"total":${results.size}}""")
+    println(s"""{"protocol_pack_matched":$matched,"total":${results.size},"multi_chunk_gates":$multiChunk}""")
     spark.stop()
     if (matched != results.size) sys.exit(1)
   }
@@ -179,6 +196,14 @@ object VerifyProtocol {
       }
       out.result()
     } finally { reader.close(); alloc.close() }
+  }
+
+  /** Raw GET (chunk downloads are token-gated application/octet-stream). */
+  private def getBytes(port: Int, path: String, token: String): Array[Byte] = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestProperty("Authorization", s"""Snowflake Token="$token"""")
+    try conn.getInputStream.readAllBytes() finally conn.disconnect()
   }
 
   private def post(port: Int, path: String, body: String,
