@@ -582,6 +582,80 @@ class SnowflakeServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("concurrent statements on ONE token serialize through the session lock") {
+    // the connector's normal async pattern: asyncExec statements run on
+    // the server pool while the same token keeps POSTing sync requests.
+    // GraftSession.sql holds per-statement state (stream offsets,
+    // LAST_QUERY_ID bookkeeping), so same-session statements must
+    // serialize (ADVICE r14 #1). Race 8 concurrent statements — a mix of
+    // async and sync, DML and reads on a shared stream — and assert
+    // every one succeeds and CDC accounting stays exact.
+    val server = new SnowflakeServer(spark, Some("/root/testdata/sf0.001"))
+    val port = server.start()
+    try {
+      val token = post(port, "/session/v1/login-request", "{}")
+        .path("data").path("token").asText()
+      def run(sql: String, async: Boolean = false) = post(port,
+        "/queries/v1/query-request",
+        mapper.createObjectNode().put("sqlText", sql)
+          .put("asyncExec", async).toString, token = Some(token))
+      assert(run("CREATE OR REPLACE ICEBERG TABLE one_tok AS SELECT 0 AS k")
+        .path("success").asBoolean())
+      assert(run("CREATE OR REPLACE STREAM one_tok_s ON TABLE one_tok")
+        .path("success").asBoolean())
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val work = (1 to 8).map { i =>
+        Future {
+          if (i % 2 == 0) {
+            // INSERTs retry on commit conflicts like a real client
+            var ok = false; var n = 0
+            while (!ok && n < 30) {
+              n += 1
+              ok = run(s"INSERT INTO one_tok VALUES ($i)")
+                .path("success").asBoolean()
+              if (!ok) Thread.sleep(25)
+            }
+            assert(ok, s"insert $i never landed")
+          } else {
+            val r = run("SELECT count(*) AS n FROM one_tok_s", async = true)
+            assert(r.path("success").asBoolean(), r.toString)
+            val qid = r.path("data").path("queryId").asText()
+            var st = "RUNNING"
+            val dl = System.nanoTime() + 60L * 1000000000L
+            while (st == "RUNNING" && System.nanoTime() < dl) {
+              st = get(port, s"/monitoring/queries/$qid", Some(token))
+                .path("data").path("queries").get(0).path("status").asText()
+              if (st == "RUNNING") Thread.sleep(50)
+            }
+            assert(st == "SUCCESS", st)
+          }
+        }
+      }
+      Await.result(Future.sequence(work), 120.seconds)
+      // a pure read never advances the stream: all 4 raced inserts are
+      // still unconsumed, exactly once each
+      val cdc = run("SELECT count(*) AS n FROM one_tok_s " +
+        "WHERE METADATA$ACTION = 'INSERT'")
+      assert(cdc.path("success").asBoolean(), cdc.toString)
+      val bytes = java.util.Base64.getDecoder.decode(
+        cdc.path("data").path("rowsetBase64").asText())
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new ByteArrayInputStream(bytes), alloc)
+      try {
+        assert(rd.loadNextBatch())
+        val n = rd.getVectorSchemaRoot.getVector(0) match {
+          case b: org.apache.arrow.vector.BigIntVector => b.get(0)
+          case iv: org.apache.arrow.vector.IntVector => iv.get(0).toLong
+          case o => o.getObject(0).toString.toLong
+        }
+        assert(n == 4L, s"stream saw $n inserts, expected 4")
+      } finally { rd.close(); alloc.close() }
+    } finally server.stop()
+  }
+
   test("telemetry is accepted-and-discarded; unknown paths get JSON 404") {
     // reference parity: POST /telemetry/send returns {'success': True}
     // without reading the payload (`universql/protocol/snowflake.py:138`),
