@@ -323,6 +323,13 @@ object Bench {
       // key, so the join itself needs NO exchange — h09's residual
       // materialized exchange, amortized into the one-time write. The
       // bucketed copies are built once and cached next to the heavy dir.
+      // h09 LEDGER CLOSED (round 15, probes/h09_spj_close.json): the
+      // executed plan here is SMJ directly over two bucketed scans —
+      // zero exchanges/sorts on the join inputs — so a storage-
+      // partitioned-join (DSv2 KeyGroupedPartitioning) read path has
+      // nothing left to remove, and raw h09's ~2× is the inherent
+      // materialized-exchange cost on unorganized storage. No further
+      // relitigation.
       ("h09b_join_agg_bucketed", () => {
         ensureHeavyBucketed(spark, dir)
         spark.table("graft_h09b_li")
