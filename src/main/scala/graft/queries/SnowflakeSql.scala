@@ -2216,6 +2216,61 @@ object SnowflakeSql extends QueryPack {
       } finally server.stop()
     },
 
+    // Chunked wire results under the oracle (round-14 directive #1):
+    // with chunkRows=64 a 500-row result ships as an inline first chunk
+    // plus 7 addressable chunk URLs, each a STANDALONE Arrow IPC stream
+    // — the gate reassembles them exactly like a Snowflake client
+    // (token-gated GET per chunk, decode, concatenate in order) and the
+    // result must still hash-match DuckDB. Large results are the shape
+    // that matters at scale; snow89 pins the single-buffer path.
+    GQuery("snow92_protocol_chunked", Some("""
+      SELECT event_id AS k, event_type AS t, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_id <= 500 ORDER BY k""")) { (s, dir) =>
+      val server = new graft.protocol.SnowflakeServer(s, Some(dir),
+        chunkRows = 64)
+      val port = server.start()
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def post(path: String, body: String, token: Option[String]) = {
+          val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST"); conn.setDoOutput(true)
+          token.foreach(t => conn.setRequestProperty(
+            "Authorization", s"""Snowflake Token="$t""""))
+          val os = conn.getOutputStream
+          try os.write(body.getBytes("UTF-8")) finally os.close()
+          val j = om.readTree(conn.getInputStream); conn.disconnect(); j
+        }
+        def getBytes(path: String, token: String): Array[Byte] = {
+          val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestProperty("Authorization",
+            s"""Snowflake Token="$token"""")
+          try conn.getInputStream.readAllBytes() finally conn.disconnect()
+        }
+        val login = post("/session/v1/login-request", "{}", None)
+        require(login.path("success").asBoolean(), login.toString)
+        val token = login.path("data").path("token").asText()
+        val q = """SELECT event_id AS k, event_type AS t,
+          value::double AS v FROM events WHERE event_id <= 500 ORDER BY k"""
+        val resp = post("/queries/v1/query-request",
+          om.createObjectNode().put("sqlText", q).toString, Some(token))
+        require(resp.path("success").asBoolean(), resp.toString)
+        val data = resp.path("data")
+        val chunks = data.path("chunks")
+        require(chunks.size() > 1,
+          s"expected a multi-chunk result, got ${chunks.size()} chunks")
+        val parts = org.apache.spark.sql.GraftArrow.fromArrowIpcStream(s,
+          java.util.Base64.getDecoder.decode(
+            data.path("rowsetBase64").asText())) +:
+          (0 until chunks.size()).map { i =>
+            org.apache.spark.sql.GraftArrow.fromArrowIpcStream(s,
+              getBytes(chunks.get(i).path("url").asText(), token))
+          }
+        parts.reduce(_.unionAll(_))
+      } finally server.stop()
+    },
+
     // WITHIN GROUP × DISTINCT × delimiters (round-13 directive #6): a
     // quote-escaped delimiter, a DISTINCT agg with its mandatory
     // same-expression key, and a multi-key mixed-direction ordered
