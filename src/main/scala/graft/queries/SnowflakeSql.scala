@@ -2271,6 +2271,65 @@ object SnowflakeSql extends QueryPack {
       } finally server.stop()
     },
 
+    // Bit operations + TRY_TO_* conversions (round-15 coverage sweep:
+    // mapped by the rewriter since round 6 but never gated): BITAND/
+    // BITOR/BITXOR lower to native & | ^, shifts to shiftleft/right,
+    // ZEROIFNULL to coalesce, TRY_TO_NUMBER/DOUBLE to try-casts whose
+    // failure rows are NULL not errors.
+    GQuery("snow93_bitops_conversions", Some("""
+      SELECT o_orderkey AS k,
+        o_orderkey & 255 AS ba,
+        o_orderkey | 16 AS bo,
+        xor(o_orderkey, 85) AS bx,
+        o_orderkey << 2 AS bl,
+        o_orderkey >> 1 AS br,
+        COALESCE(NULLIF(o_orderkey % 3, 0), 0) AS z,
+        CAST(TRY_CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4)
+          AS DECIMAL(38,0)) AS DOUBLE) AS tn,
+        TRY_CAST(o_orderstatus AS DOUBLE) AS td
+      FROM orders WHERE o_orderkey <= 50 ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT o_orderkey AS k,
+          BITAND(o_orderkey, 255) AS ba,
+          BITOR(o_orderkey, 16) AS bo,
+          BITXOR(o_orderkey, 85) AS bx,
+          BITSHIFTLEFT(o_orderkey, 2) AS bl,
+          BITSHIFTRIGHT(o_orderkey, 1) AS br,
+          ZEROIFNULL(NULLIF(o_orderkey % 3, 0)) AS z,
+          TRY_TO_NUMBER(SUBSTR(o_orderdate::varchar, 1, 4))::double AS tn,
+          TRY_TO_DOUBLE(o_orderstatus) AS td
+        FROM orders WHERE o_orderkey <= 50 ORDER BY k""")
+    },
+
+    // Array flatten/intersection + boolean aggregates + EDITDISTANCE
+    // (same coverage sweep): BOOLOR_AGG/BOOLAND_AGG → bool_or/bool_and,
+    // EDITDISTANCE → levenshtein, ARRAY_FLATTEN → flatten,
+    // ARRAY_INTERSECTION → array_intersect (size-compared: the
+    // intersection's element ORDER is engine-specific on both sides).
+    GQuery("snow94_array_bool_aggs", Some("""
+      SELECT r_name AS k,
+        bool_or(n_nationkey % 2 = 0) AS anyeven,
+        bool_and(length(n_name) > 5) AS alllong,
+        max(levenshtein(n_name, r_name)) AS ed,
+        max(len(list_intersect(string_split(n_name, ' '),
+          string_split(r_name, ' ')))) AS inter,
+        max(array_to_string(flatten([string_split(n_name, ' '),
+          string_split(r_name, ' ')]), '|')) AS flat
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1 ORDER BY k""")) { (s, dir) =>
+      session(s, dir).sql("""
+        SELECT r_name AS k,
+          BOOLOR_AGG(n_nationkey % 2 = 0) AS anyeven,
+          BOOLAND_AGG(LEN(n_name) > 5) AS alllong,
+          MAX(EDITDISTANCE(n_name, r_name)) AS ed,
+          MAX(ARRAY_SIZE(ARRAY_INTERSECTION(
+            SPLIT(n_name, ' '), SPLIT(r_name, ' ')))) AS inter,
+          MAX(ARRAY_TO_STRING(ARRAY_FLATTEN(ARRAY_CONSTRUCT(
+            SPLIT(n_name, ' '), SPLIT(r_name, ' '))), '|')) AS flat
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1 ORDER BY k""")
+    },
+
     // WITHIN GROUP × DISTINCT × delimiters (round-13 directive #6): a
     // quote-escaped delimiter, a DISTINCT agg with its mandatory
     // same-expression key, and a multi-key mixed-direction ordered
