@@ -33,8 +33,19 @@ object Tables {
         df.withColumn("ts", col("ts").cast(TimestampNTZType))
     }
 
+  /** path → inferred schema. `spark.read.parquet` without a declared
+    * schema runs one footer-reading Spark job per CALL; the pack loads
+    * the same immutable testdata files hundreds of times (every gate,
+    * warm and timed pass), paying a cluster round-trip each time for a
+    * schema that cannot change. One inference per path per JVM. */
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventsTs(df) else df
   }
 

@@ -335,6 +335,87 @@ object AutoStats {
     (instrumented, record)
   }
 
+  /** The store key an ICEBERG snapshot's scan resolves to: [[keyOf]]
+    * joins the HadoopFsRelation's root paths — for
+    * [[graft.sources.IcebergLite.scan]] that is the snapshot's data-file
+    * list. Pure metadata (planFiles is memoized driver-side). */
+  private def icebergScanKey(spark: SparkSession,
+      metadataPath: String): Option[String] = try {
+    val files = graft.sources.IcebergLite.dataFiles(spark, metadataPath)
+    if (files.isEmpty) None
+    else {
+      val fs = new org.apache.hadoop.fs.Path(files.head)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Some(files.map(f =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString)
+        .sorted.mkString(","))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Record stats for a FRESH Iceberg table (CTAS / overwrite): the
+    * observed batch IS the table. Without this, the first SELECT after
+    * every commit pays a lazy re-collection scan — the write job
+    * already measured everything (class doc: fold stats into the write
+    * at scale). */
+  def recordIcebergWrite(spark: SparkSession, newMeta: String,
+      stats: Option[CatalogStatistics]): Unit =
+    (icebergScanKey(spark, newMeta), stats) match {
+      case (Some(key), Some(s)) =>
+        val size = try {
+          graft.sources.IcebergLite.dataFiles(spark, newMeta)
+            .map(f => new java.io.File(f).length()).sum
+        } catch { case scala.util.control.NonFatal(_) => s.sizeInBytes.toLong }
+        skipped.remove(key)
+        store.put(key, s.copy(sizeInBytes = BigInt(size)))
+        ()
+      case _ => ()
+    }
+
+  /** Append-commit sibling: merge the observed batch's stats with the
+    * PREVIOUS snapshot's recorded stats (same fold as
+    * [[observedForAppend]]) and record them under the NEW snapshot's
+    * scan key. No previous stats → leave unset (one lazy collection
+    * fires later, exactly as before). */
+  def recordIcebergAppend(spark: SparkSession, oldMeta: String,
+      newMeta: String, stats: Option[CatalogStatistics]): Unit =
+    (icebergScanKey(spark, oldMeta).flatMap(store.get),
+        icebergScanKey(spark, newMeta), stats) match {
+      case (Some(old), Some(newKey), Some(add)) if old.rowCount.isDefined =>
+        val rows = old.rowCount.get + add.rowCount.getOrElse(BigInt(0))
+        val colStats = old.colStats.map { case (name, o) =>
+          name -> add.colStats.get(name).map { a =>
+            val oN = o.nullCount.getOrElse(BigInt(0))
+            val aN = a.nullCount.getOrElse(BigInt(0))
+            val oNonNull = (old.rowCount.get - oN).max(0)
+            val aNonNull = (add.rowCount.getOrElse(BigInt(0)) - aN).max(0)
+            val avgLen = (o.avgLen, a.avgLen) match {
+              case (Some(x), Some(y)) =>
+                val w = oNonNull + aNonNull
+                Some(if (w <= 0) 0L
+                     else ((x * oNonNull + y * aNonNull) / w).toLong)
+              case (x, y) => y.orElse(x)
+            }
+            CatalogColumnStat(
+              distinctCount = Some(
+                (o.distinctCount.getOrElse(BigInt(0)) +
+                  a.distinctCount.getOrElse(BigInt(0))).min(rows.max(1))),
+              nullCount = Some(oN + aN),
+              avgLen = avgLen,
+              maxLen = (o.maxLen ++ a.maxLen).reduceOption(_ max _))
+          }.getOrElse(o)
+        }
+        val size = try {
+          graft.sources.IcebergLite.dataFiles(spark, newMeta)
+            .map(f => new java.io.File(f).length()).sum
+        } catch { case scala.util.control.NonFatal(_) =>
+          (old.sizeInBytes + add.sizeInBytes).toLong }
+        skipped.remove(newKey)
+        store.put(newKey, CatalogStatistics(sizeInBytes = BigInt(size),
+          rowCount = Some(rows), colStats = colStats))
+        ()
+      case _ => ()
+    }
+
   /** Drop stats for any path matching `pathFragment` at a path-segment
     * boundary (called after in-place writes; the next reference
     * re-collects). Substring containment alone would invalidate `/wh/t2`

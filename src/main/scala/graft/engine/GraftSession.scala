@@ -233,8 +233,18 @@ final class GraftSession(
     val seq = snapshotSeq.incrementAndGet()
     val delDir = s"${newPath}__dtdel_$seq"
     val addDir = s"${newPath}__dtadd_$seq"
-    delRows.write.mode("overwrite").parquet(delDir)
-    addRows.write.mode("overwrite").parquet(addDir)
+    // the two sidecar writes are independent jobs over tiny result-sized
+    // frames — overlap them (guide §2.6: submit independent jobs from
+    // separate threads so the second's tasks back-fill the first's tail;
+    // at scale the same overlap hides one write's latency entirely)
+    var delErr: Option[Throwable] = None
+    val delThread = new Thread(() =>
+      try delRows.write.mode("overwrite").parquet(delDir)
+      catch { case t: Throwable => delErr = Some(t) })
+    delThread.start()
+    try addRows.write.mode("overwrite").parquet(addDir)
+    finally delThread.join()
+    delErr.foreach(throw _)
     val entry = DtDelta(oldPath, newPath, addDir, delDir)
     val all = dtDeltaLog.getOrElse(f, Nil) :+ entry
     val kept = all.takeRight(32)
@@ -315,9 +325,10 @@ final class GraftSession(
     val (matDf, statePath) = derivedSpec(inc) match {
       case Some(am) =>
         val sp = s"${path}__state_v${snapshotSeq.incrementAndGet()}"
-        DynamicTables.partialize(df, force = am.having.isDefined)
-          .write.mode("overwrite").parquet(sp)
-        (DynamicTables.finalizeState(spark.read.parquet(sp), am, df.schema),
+        val part = DynamicTables.partialize(df, force = am.having.isDefined)
+        part.write.mode("overwrite").parquet(sp)
+        TableRegistry.primeSchema(sp, part.schema)
+        (DynamicTables.finalizeState(readStateParquet(sp), am, df.schema),
           Some(sp))
       case None => (df, None)
     }
@@ -325,6 +336,7 @@ final class GraftSession(
     AutoStats.invalidate(path)
     instrumented.write.mode("overwrite").parquet(path)
     record()
+    TableRegistry.primeSchema(path, matDf.schema)
     val ref = TableRef(f, TableKind.Lake, Some(path))
     registry.register(ref)
     resetHistory(f, ref)
@@ -388,6 +400,7 @@ final class GraftSession(
           AutoStats.observedForAppend(spark, aligned, ref.path.get)
         instrumented.write.mode("append").parquet(ref.path.get)
         record()
+        TableRegistry.primeSchema(ref.path.get, st.schema)
         // in-place append invalidates older versions (same as INSERT)
         resetHistory(f, ref)
       case am: DynamicTables.AggMerge if am.needsState =>
@@ -396,16 +409,17 @@ final class GraftSession(
         // via partialIfDerived at the call sites): merge it into the state
         // sidecar, version the state COW-style, then re-derive the
         // visible table from the new state — O(|result| + |delta|)
-        val oldState = spark.read.parquet(st.statePath.get)
+        val oldState = readStateParquet(st.statePath.get)
         val mergedState = DynamicTables.merge(
           oldState, deltaResult, am.stateSpec, oldState.schema)
         val newSp = st.statePath.get.split("__state_v").head +
           s"__state_v${snapshotSeq.incrementAndGet()}"
         mergedState.write.mode("overwrite").parquet(newSp)
+        TableRegistry.primeSchema(newSp, mergedState.schema)
         st.statePath = Some(newSp)
         val oldVisible = registry.load(ref)
         swapMaterialization(f, ref,
-          DynamicTables.finalizeState(spark.read.parquet(newSp), am, st.schema))
+          DynamicTables.finalizeState(readStateParquet(newSp), am, st.schema))
         publishDtDelta(f, ref.path.get, oldVisible, keyRestrict(am.keys,
           if (am.keys.isEmpty) deltaResult
           else deltaResult.select(am.keys.map(
@@ -444,12 +458,13 @@ final class GraftSession(
           // merge would fold its delta into pre-rewrite state
           val newSp = st.statePath.get.split("__state_v").head +
             s"__state_v${snapshotSeq.incrementAndGet()}"
-          DynamicTables.partialize(runQuery(st.query),
+          val part = DynamicTables.partialize(runQuery(st.query),
               force = am.having.isDefined)
-            .write.mode("overwrite").parquet(newSp)
+          part.write.mode("overwrite").parquet(newSp)
+          TableRegistry.primeSchema(newSp, part.schema)
           st.statePath = Some(newSp)
           swapMaterialization(f, ref, DynamicTables.finalizeState(
-            spark.read.parquet(newSp), am, st.schema))
+            readStateParquet(newSp), am, st.schema))
         case None =>
           swapMaterialization(f, ref, runQuery(st.query))
       }
@@ -481,7 +496,7 @@ final class GraftSession(
       DynamicTables.lastRefreshMode = mode
       st.statePath match {
         case Some(sp) =>
-          val oldState = spark.read.parquet(sp)
+          val oldState = readStateParquet(sp)
           val recomputed = DynamicTables.partialize(runQuery(st.query),
               force = am.having.isDefined).filter(pred)
             .select(oldState.schema.fields.map(sf =>
@@ -490,9 +505,10 @@ final class GraftSession(
             s"__state_v${snapshotSeq.incrementAndGet()}"
           oldState.filter(not(pred)).unionByName(recomputed)
             .write.mode("overwrite").parquet(newSp)
+          TableRegistry.primeSchema(newSp, oldState.schema)
           st.statePath = Some(newSp)
           swapMaterialization(f, ref, DynamicTables.finalizeState(
-            spark.read.parquet(newSp), am, st.schema))
+            readStateParquet(newSp), am, st.schema))
         case None =>
           val oldMat = registry.load(ref)
           val recomputed = runQuery(st.query).filter(pred)
@@ -837,10 +853,18 @@ final class GraftSession(
     AutoStats.invalidate(newPath)
     instrumented.write.mode("overwrite").parquet(newPath)
     record()
+    TableRegistry.primeSchema(newPath, df.schema)
     val newRef = ref.copy(path = Some(newPath))
     registry.register(newRef)
     recordVersion(f, newRef)
   }
+
+  /** Engine-internal parquet read with the schema memo
+    * ([[TableRegistry.readParquetCachedSchema]]) — every write site
+    * primes the memo, so the write→read-back pattern the DT refresh
+    * machinery lives on costs zero schema-inference jobs. */
+  private def readStateParquet(path: String): DataFrame =
+    TableRegistry.readParquetCachedSchema(spark, path)
 
   /** Per-table insert history: the file set each INSERT/COPY appended,
     * with the statement seq — O(metadata) per statement (the files are
@@ -1118,15 +1142,43 @@ final class GraftSession(
     * a failed write never corrupts the current version). */
   private[engine] def swapSnapshot(f: FQN, ref: TableRef,
       next: DataFrame): Long = {
+    // The returned row count rides the snapshot write itself as an
+    // Observation (CollectMetrics) instead of a second pass over the
+    // data just written — the old shape re-scanned the new snapshot
+    // after every DML/TRUNCATE/OPTIMIZE/ALTER COLUMN swap (at 100 TB: a
+    // full table read per statement, purely to report a count). Each
+    // branch performs exactly one action over `next`, so the metric is
+    // always populated; the read-back stays as a fallback for the
+    // degenerate zero-task plans where no metric fires.
+    val swapObs = org.apache.spark.sql.Observation()
+    val next0 = next.observe(swapObs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__graft_swap_n"))
+    def observedCount(readBack: => Long): Long =
+      org.apache.spark.sql.GraftObservation.getOrEmpty(swapObs)
+          .get("__graft_swap_n") match {
+        case Some(n: Number) => n.longValue
+        case _ => readBack
+      }
+    swapSnapshotCore(f, ref, next0, observedCount)
+  }
+
+  private def swapSnapshotCore(f: FQN, ref: TableRef, next: DataFrame,
+      observedCount: (=> Long) => Long): Long = {
     if (ref.format == "iceberg") {
       val dir = java.nio.file.Paths.get(ref.path.get)
         .getParent.getParent.toString + s"__v${snapshotSeq.incrementAndGet()}"
-      // the rewritten snapshot keeps the table's partition spec
-      val newMeta = graft.sources.IcebergLite.write(spark, next, dir,
+      // the rewritten snapshot keeps the table's partition spec; the
+      // rewrite IS the table, so its observed stats ride the commit
+      val (instrumented, stats) =
+        if (AutoStats.enabled(spark)) AutoStats.observed(spark, next)
+        else (next, () => None)
+      val newMeta = graft.sources.IcebergLite.write(spark, instrumented, dir,
         graft.sources.IcebergLite.partitionColumns(ref.path.get))
+      AutoStats.recordIcebergWrite(spark, newMeta, stats())
       registry.register(ref.copy(path = Some(newMeta)))
       recordVersion(f, ref.copy(path = Some(newMeta)))
-      graft.sources.IcebergLite.scan(spark, newMeta).count()
+      observedCount(graft.sources.IcebergLite.scan(spark, newMeta).count())
     } else if (ref.format == "bucketed" && {
         // a bucketed table's COW snapshot re-clusters through the recorded
         // bucket spec whenever the rewritten frame still carries every
@@ -1146,7 +1198,7 @@ final class GraftSession(
       val newRef = ref.copy(path = Some(newCat))
       registry.register(newRef)
       recordVersion(f, newRef)
-      spark.table(newCat).count()
+      observedCount(spark.table(newCat).count())
     } else {
       // bucketed tables whose rewrite dropped a cluster key downgrade to
       // plain parquet — loudly, not silently (ADVICE r5)
@@ -1164,9 +1216,10 @@ final class GraftSession(
         AutoStats.observedForWrite(spark, next, newPath)
       instrumented.write.mode("overwrite").parquet(newPath)
       record()
+      TableRegistry.primeSchema(newPath, next.schema)
       registry.register(newRef.copy(path = Some(newPath)))
       recordVersion(f, newRef.copy(path = Some(newPath)))
-      spark.read.parquet(newPath).count()
+      observedCount(spark.read.parquet(newPath).count())
     }
   }
   /** JVM-global (not per-session): two sessions COW-swapping the same
@@ -2219,9 +2272,15 @@ final class GraftSession(
         val path = tablePath(f, temp)
         val newRef =
           if (iceberg) {
-            // CREATE ICEBERG TABLE AS (A9): real spec-layout Iceberg commit
-            val metadataPath = graft.sources.IcebergLite.write(spark, df, path,
-              partitionBy = createPartitionBy)
+            // CREATE ICEBERG TABLE AS (A9): real spec-layout Iceberg
+            // commit; the batch IS the table, so its observed stats are
+            // the table's — recorded at write, no lazy re-scan
+            val (instrumented, stats) =
+              if (AutoStats.enabled(spark)) AutoStats.observed(spark, df)
+              else (df, () => None)
+            val metadataPath = graft.sources.IcebergLite.write(spark,
+              instrumented, path, partitionBy = createPartitionBy)
+            AutoStats.recordIcebergWrite(spark, metadataPath, stats())
             TableRef(f, TableKind.Lake, Some(metadataPath), format = "iceberg")
           } else if (clusterBy.isDefined) {
             // bucketed CTAS: the bucket spec lives in the Spark catalog,
@@ -2244,6 +2303,7 @@ final class GraftSession(
             AutoStats.invalidate(path)
             instrumented.write.mode("overwrite").parquet(path)
             record()
+            TableRegistry.primeSchema(path, df.schema)
             TableRef(f, TableKind.Lake, Some(path))
           }
         registry.register(newRef)
@@ -2258,6 +2318,7 @@ final class GraftSession(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema)
           .write.mode("overwrite").parquet(path)
+        TableRegistry.primeSchema(path, schema)
         // exact zero stats anchor the merge path: the first COPY/INSERT
         // append then records live stats with no extra scan
         AutoStats.invalidate(path)
@@ -2639,13 +2700,22 @@ final class GraftSession(
           .select(existing.schema.fields.map(sf =>
             org.apache.spark.sql.functions.col(sf.name).cast(sf.dataType)).toIndexedSeq: _*)
     if (ref.format == "iceberg") {
-      // append = new snapshot; overwrite = fresh snapshot chain (A12)
+      // append = new snapshot; overwrite = fresh snapshot chain (A12).
+      // The commit write OBSERVES the batch's stats and records them
+      // under the new snapshot's scan key — without this every
+      // post-commit read re-collected stats with a full scan job
+      // (AutoStats class doc: at scale stats must ride the write job)
+      val (instrumented, stats) =
+        if (AutoStats.enabled(spark)) AutoStats.observed(spark, aligned)
+        else (aligned, () => None)
       val newMeta =
         if (overwrite)
-          graft.sources.IcebergLite.write(spark, aligned,
+          graft.sources.IcebergLite.write(spark, instrumented,
             java.nio.file.Paths.get(ref.path.get).getParent.getParent.toString + "_ow" +
               System.nanoTime())
-        else graft.sources.IcebergLite.append(spark, aligned, ref.path.get)
+        else graft.sources.IcebergLite.append(spark, instrumented, ref.path.get)
+      if (overwrite) AutoStats.recordIcebergWrite(spark, newMeta, stats())
+      else AutoStats.recordIcebergAppend(spark, ref.path.get, newMeta, stats())
       registry.register(ref.copy(path = Some(newMeta)))
       // Iceberg metadata chains are immutable → older versions stay
       // time-travelable; in-place parquet loads invalidate them
@@ -2684,6 +2754,7 @@ final class GraftSession(
       AutoStats.invalidate(ref.path.get)
       instrumented.write.mode("overwrite").parquet(ref.path.get)
       record()
+      TableRegistry.primeSchema(ref.path.get, aligned.schema)
       resetHistory(f, ref)
     } else {
       // stats ride the append job and merge with the recorded table stats
@@ -2692,6 +2763,7 @@ final class GraftSession(
         AutoStats.observedForAppend(spark, aligned, ref.path.get)
       instrumented.write.mode("append").parquet(ref.path.get)
       record()
+      TableRegistry.primeSchema(ref.path.get, aligned.schema)
       resetHistory(f, ref)
     }
     logInsert(f, beforeFiles)
@@ -2829,6 +2901,7 @@ final class GraftSession(
     val beforeFiles = Streams.filesOf(spark, ref)._1
     instrumented.write.mode("append").parquet(ref.path.get)
     record()
+    TableRegistry.primeSchema(ref.path.get, aligned.schema)
     resetHistory(f, ref)
     logInsert(f, beforeFiles)
     loadHistory.update(f, already ++ paths)

@@ -37,12 +37,16 @@ object IvfIndex {
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, Model(centroids), idCol, vecCol)
       val dim = centroids.head._2.length
+      // cast the vector to double ONCE per row (columnar projection);
+      // the old shape re-cast the whole array inside every per-dimension
+      // sum term — dim × |vec| copies per row instead of |vec|
       val sums = assigned
+        .select(col("list_id"), col(vecCol).cast("array<double>").as("__vd"))
         .groupBy("list_id")
         .agg(
           count(lit(1)).as("n"),
           array((0 until dim).map(j =>
-            sum(element_at(col(vecCol).cast("array<double>"), j + 1))): _*)
+            sum(element_at(col("__vd"), j + 1))): _*)
             .as("sums"))
         .collect()
       val updated = sums.map { r =>

@@ -1110,8 +1110,14 @@ object Extensions extends QueryPack {
         .filter(!col("keep")).select(col("doc_id").as("rem"))
       val joined = semRemoved.join(exactRemoved,
         col("rem") === col("doc_id"), "left_outer")
-      val miss = joined.filter(col("doc_id").isNull).count()
-      val hit = joined.filter(col("doc_id").isNotNull).count()
+      // one pass: count(col) skips NULLs, so hit = matched removals and
+      // miss = the rest — the old two-filter shape recomputed the whole
+      // semanticDedup pipeline (k-means + pair join + components) twice,
+      // once per count (guide §1.2: don't run passes you can fold)
+      val mh = joined.agg(count(lit(1)).as("tot"),
+        count(col("doc_id")).as("hit")).collect()(0)
+      val hit = mh.getLong(1)
+      val miss = mh.getLong(0) - hit
       exactRemoved.agg(count(lit(1)).cast("long").as("n_exact_removed"))
         .select(col("n_exact_removed"),
           lit(miss == 0).as("precision_ok"),

@@ -21,8 +21,13 @@ object Streaming extends QueryPack {
     * footer so both ts encodings the driver has shipped (INT64 nanos,
     * timestamp[us]) stream correctly — [[graft.Tables.normalizeEventsTs]]
     * then maps either to TIMESTAMP_NTZ. */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
   private def eventsSchema(s: SparkSession, dir: String): StructType =
-    s.read.parquet(s"$dir/events.parquet").schema
+    // one inference job per source dir per JVM, not one per gate call —
+    // the testdata file is immutable within a run
+    schemaMemo.getOrElseUpdate(dir,
+      s.read.parquet(s"$dir/events.parquet").schema)
 
   private val counter = new AtomicInteger(0)
 

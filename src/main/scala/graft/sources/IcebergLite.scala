@@ -38,7 +38,6 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergLite {
 
-  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
   private val mapper = new ObjectMapper()
 
   /** Data-file entry status in manifests: 0=EXISTING 1=ADDED 2=DELETED. */
@@ -442,8 +441,8 @@ object IcebergLite {
         // manifests referenced by this expired list (may be shared with
         // the kept snapshot only via carry-forward REWRITES, which this
         // writer never does — each snapshot writes its own manifest dir)
-        val mans = spark.read.format(avroFmt).load(listDir.toString)
-          .collect().map(r => stripScheme(r.getAs[String]("manifest_path")))
+        val mans = readAvroRecords(listDir.toString)
+          .map(r => stripScheme(avroStr(r, "manifest_path").get))
         def rmTree(p: java.nio.file.Path): Unit =
           if (Files.exists(p)) {
             Files.walk(p).iterator().asScala.toSeq.reverse
@@ -712,40 +711,30 @@ object IcebergLite {
         s"snapshot $snapId not found in $metadataPath"))
     val manifestList = stripScheme(snapshot.path("manifest-list").asText())
 
-    // manifest list: one row per manifest; content 1 = delete manifest (v2)
-    val manifests = spark.read.format(avroFmt).load(manifestList).collect()
-    def longField(r: org.apache.spark.sql.Row, name: String): Option[Long] =
-      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-        Some(r.getAs[Number](name).longValue)
-      else None
-    def intField(r: org.apache.spark.sql.Row, name: String): Option[Int] =
-      longField(r, name).map(_.toInt)
+    // manifest list: one row per manifest; content 1 = delete manifest (v2).
+    // Manifests are KB-scale metadata, read driver-side with the Avro
+    // Java API ([[readAvroRecords]]) — the previous spark.read.format(avro)
+    // round-trips cost 1 + #manifests Spark jobs per snapshot plan.
+    val manifests = readAvroRecords(manifestList)
 
     val dataOut = Seq.newBuilder[DataEntry]
     val delOut = Seq.newBuilder[DeleteEntry]
     manifests.foreach { m =>
-      val mPath = stripScheme(m.getAs[String]("manifest_path"))
-      val isDeleteManifest = intField(m, "content").contains(1)
-      val mSeq = longField(m, "sequence_number").getOrElse(0L)
+      val mPath = stripScheme(avroStr(m, "manifest_path").get)
+      val isDeleteManifest = avroInt(m, "content").contains(1)
+      val mSeq = avroLong(m, "sequence_number").getOrElse(0L)
       // read each manifest separately: data and delete manifests have
       // different Avro schemas
-      val entries = spark.read.format(avroFmt).load(mPath).collect()
+      val entries = readAvroRecords(mPath)
       entries.foreach { e =>
-        if (e.getAs[Int]("status") != StatusDeleted) {
-          val eSeq = longField(e, "sequence_number").getOrElse(mSeq)
-          val dataFile = e.getAs[org.apache.spark.sql.Row]("data_file")
-          val path = stripScheme(dataFile.getAs[String]("file_path"))
-          val fileContent = intField(dataFile, "content").getOrElse(0)
-          val part =
-            if (dataFile.schema.fieldNames.contains("partition") &&
-                !dataFile.isNullAt(dataFile.fieldIndex("partition")))
-              Some(dataFile.getAs[String]("partition"))
-            else None
-          val bounds =
-            if (dataFile.schema.fieldNames.contains("bounds") &&
-                !dataFile.isNullAt(dataFile.fieldIndex("bounds")))
-              Some(dataFile.getAs[String]("bounds"))
-            else None
+        if (avroInt(e, "status").get != StatusDeleted) {
+          val eSeq = avroLong(e, "sequence_number").getOrElse(mSeq)
+          val dataFile = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val path = stripScheme(avroStr(dataFile, "file_path").get)
+          val fileContent = avroInt(dataFile, "content").getOrElse(0)
+          val part = avroStr(dataFile, "partition")
+          val bounds = avroStr(dataFile, "bounds")
           if (isDeleteManifest || fileContent > 0)
             delOut += DeleteEntry(path, math.max(fileContent, 1), eSeq)
           else dataOut += DataEntry(path, eSeq, part, bounds)
@@ -772,6 +761,48 @@ object IcebergLite {
   private val manifestListSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"}]}""".stripMargin)
+
+  /** Driver-side read of an Avro container (a single `.avro` file or a
+    * directory of `part-*.avro` the way both [[avroOut]] and Spark's avro
+    * writer lay them out). Manifests are METADATA — a few KB: reading
+    * them through `spark.read.format(avro).load(...).collect()` cost one
+    * full Spark job per manifest file (2+ jobs per snapshot plan, ~150 ms
+    * of pure scheduler latency per Iceberg statement at any scale, and
+    * the planner round-trips the cluster for bytes the driver then holds
+    * anyway). Real Iceberg planners read manifests with the Avro Java
+    * API in-process; do the same. */
+  private def readAvroRecords(path: String)
+      : Seq[org.apache.avro.generic.GenericRecord] = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val p = new java.io.File(stripScheme(path))
+    val files: Seq[java.io.File] =
+      if (p.isDirectory)
+        p.listFiles().filter(_.getName.endsWith(".avro")).sortBy(_.getName).toSeq
+      else Seq(p)
+    files.flatMap { f =>
+      val r = DataFileReader.openReader(f, new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+        while (r.hasNext) buf += r.next()
+        buf.toSeq
+      } finally r.close()
+    }
+  }
+
+  /** Nullable field access over a GenericRecord: None when the schema
+    * has no such field or the value is null; Utf8 → String. */
+  private def avroField(r: org.apache.avro.generic.GenericRecord,
+      name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name))
+  private def avroStr(r: org.apache.avro.generic.GenericRecord,
+      name: String): Option[String] = avroField(r, name).map(_.toString)
+  private def avroLong(r: org.apache.avro.generic.GenericRecord,
+      name: String): Option[Long] =
+    avroField(r, name).collect { case n: Number => n.longValue }
+  private def avroInt(r: org.apache.avro.generic.GenericRecord,
+      name: String): Option[Int] = avroLong(r, name).map(_.toInt)
 
   private def avroOut(dir: String, schema: org.apache.avro.Schema)
       : org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = {

@@ -32,12 +32,38 @@ object StmtOverheadProbe {
     s.sql("CREATE DYNAMIC TABLE so_d AS SELECT c, count(*) AS n, " +
       "sum(p) AS total FROM so_i GROUP BY c")
 
+    // per-statement Spark job counter: names the fixed cost (how many
+    // scheduler round-trips a statement shape pays, not just wall time)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          sites.add(js.stageInfos.lastOption.map(si =>
+            si.name.takeWhile(_ != '\n')).getOrElse("?") +
+            s"[${js.stageInfos.size}st]")
+          ()
+        }
+      })
     def timed(label: String)(f: => Any): Unit = {
       f // warm
+      Thread.sleep(100) // let listener drain
+      val j0 = jobs.get()
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
       }
-      println(f"STMT $label%-34s min=${t.min}%8.1f ms  med=${t.sorted.apply(reps / 2)}%8.1f ms")
+      Thread.sleep(100)
+      val perRep = (jobs.get() - j0).toDouble / reps
+      println(f"STMT $label%-34s min=${t.min}%8.1f ms  med=${t.sorted.apply(reps / 2)}%8.1f ms  jobs=$perRep%4.1f")
+      if (sys.env.contains("STMT_PROBE_SITES")) {
+        import scala.jdk.CollectionConverters._
+        val lastRep = sites.asScala.toSeq.drop(
+          j0 + ((reps - 1) * perRep).toInt)
+        println(s"  sites: ${lastRep.mkString(" | ")}")
+      }
     }
     timed("select_literal")(s.sql("SELECT 1 AS x").collect())
     timed("select_count_small")(
@@ -51,6 +77,22 @@ object StmtOverheadProbe {
     timed("dt_refresh_noop")(s.sql("ALTER DYNAMIC TABLE so_d REFRESH"))
     timed("iceberg_delete_none")(s.sql("DELETE FROM so_i WHERE k < 0"))
     timed("show_tables")(s.sql("SHOW TABLES").collect())
+    timed("ctas_small")(s.sql("CREATE OR REPLACE TABLE so_c AS " +
+      "SELECT o_orderkey AS k, o_totalprice::number(12,2) AS p " +
+      "FROM orders WHERE o_orderkey <= 2000"))
+    var seq = 0
+    timed("insert_plus_dt_refresh") {
+      seq += 1
+      s.sql(s"INSERT INTO so_i SELECT k + ${2000000 + seq * 10000}, c, p " +
+        "FROM so_t WHERE k <= 100")
+      s.sql("ALTER DYNAMIC TABLE so_d REFRESH")
+    }
+    timed("iceberg_update_granular")(
+      s.sql("UPDATE so_i SET p = p + 0 WHERE k <= 50"))
+    timed("truncate_reload") {
+      s.sql("CREATE OR REPLACE TABLE so_tr AS SELECT * FROM so_t")
+      s.sql("TRUNCATE TABLE so_tr")
+    }
     spark.stop()
   }
 }
