@@ -35,8 +35,15 @@ object Dedup {
     * the corpus, a full-corpus exchange that per-row dedup replaces for
     * free (the set is per-document by definition). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    df.select(col(idCol).as("doc"),
+    // split() is hoisted into its own projection: expression trees inside
+    // transform() lambdas see no subexpression elimination, so inlining
+    // `split(text)` there re-tokenizes the document once PER SHINGLE
+    // (measured 3x on the gram stage). Par.ensure parallelizes the
+    // shingle build when the scan is a single small file (guide §2.5).
+    val words = col("__ws")
+    Par.ensure(df, col(idCol))
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc"),
         array_distinct(
           when(size(words) >= n,
             transform(sequence(lit(0), size(words) - n),
@@ -135,13 +142,16 @@ object Dedup {
     // (MinHashSig). Distinct-by-base-hash equals distinct-by-shingle up
     // to 64-bit collisions (~|shingles|²/2⁶⁴ — negligible at any corpus
     // size this engine targets, and 2⁻³² even at 100 B shingles).
-    val words = split(col(textCol), " ")
+    // hoisted split + adaptive parallelism — same rationale as [[shingles]]
+    val words = col("__ws")
     val shingleStrs =
       when(size(words) >= n,
         transform(sequence(lit(0), size(words) - n),
           i => array_join(slice(words, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(words, " ")))
-    val docsH = df.select(col(idCol).as("doc"),
+    val docsH = Par.ensure(df, col(idCol))
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc"),
         array_distinct(transform(shingleStrs, s => xxhash64(s))).as("h0s"))
       .select(col("doc"), col("h0s"), size(col("h0s")).as("sz"),
         graft.functions.MinHashSig.minhashSig(col("h0s"), numHashes).as("sig"))
@@ -238,16 +248,26 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxGramFreq: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, "k-gram length must be >= 1")
-    val words = split(col(textCol), " ")
-    val grams = df
+    // hoisted split + adaptive scan parallelism (see [[shingles]])
+    val words = col("__ws")
+    val grams = Par.ensure(df, col(idCol))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
       .filter(size(words) >= k)
-      .select(col(idCol).as("doc_id"),
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(words) - k),
           i => array_join(slice(words, i + 1, lit(k)), " "))))
       .toDF("doc_id", "pos", "gram")
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    // the dup test is a windowed count over the gram partition: ONE
+    // gram-keyed exchange of the occurrence rows, where the old
+    // groupBy + left-semi shape paid two gram exchanges AND built the
+    // gram strings twice (once per join side — the probe side was an
+    // independent re-scan). Same skew surface as the old probe side
+    // (all occurrences of one gram land together either way).
+    val wg = Window.partitionBy("gram")
+    val hits = grams
+      .withColumn("cnt", count(lit(1)).over(wg))
       .filter(col("cnt") > 1 && col("cnt") <= maxGramFreq)
-    val hits = grams.join(dup.select("gram"), Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
       // a k-gram at p covers tokens [p, p+k-1]; consecutive duplicated
@@ -280,25 +300,39 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k-gram length must be >= 1")
-    val words = split(col(textCol), " ")
-    val occ = df.filter(size(words) >= k)
-      .select(col(idCol).as("doc_id"),
-        posexplode(transform(sequence(lit(0), size(words) - k),
-          i => array_join(slice(words, i + 1, lit(k)), " "))))
+    // hoisted split + adaptive scan parallelism (see [[shingles]])
+    val src = Par.ensure(df, col(idCol))
+    val withWs = src.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__ws"))
+    val occ = withWs.filter(size(col("__ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__ws")) - k),
+          i => array_join(slice(col("__ws"), i + 1, lit(k)), " "))))
       .toDF("doc_id", "pos", "gram")
-    val dup = occ.groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("gram")
-    val flagged = occ.join(dup, Seq("gram"), "left_semi")
+    // dup test + canonical pick share ONE gram-keyed exchange and sort:
+    // count over the full-partition frame (= the old groupBy count) and
+    // row_number over the same (doc_id, pos) order (= the old canon
+    // window) evaluate in one WindowExec — where the old shape paid a
+    // count exchange, a semi-join probe exchange, and the canon window.
     val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    val cover = flagged
+    val cover = occ
+      .withColumn("cnt", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("canon", row_number().over(w) === 1)
+      .filter(col("cnt") > 1)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("t"),
         col("canon"))
-    val removed = cover.filter(!col("canon")).select("doc_id", "t").distinct()
-      .join(cover.filter(col("canon")).select("doc_id", "t").distinct(),
-        Seq("doc_id", "t"), "left_anti")
-    val toks = df.select(col(idCol).as("doc_id"), posexplode(words))
+    // removed = covered positions with NO canonical cover: one grouped
+    // bool-or over (doc_id, t) — the old two-distinct + anti-join shape
+    // recomputed `cover` (the whole gram pipeline) once per side and
+    // paid three exchanges for the same set.
+    val removed = cover.groupBy("doc_id", "t")
+      .agg(max(col("canon")).as("any_canon"))
+      .filter(!col("any_canon"))
+      .select("doc_id", "t")
+    val toks = src.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")))
       .toDF("doc_id", "t", "tok")
     val kept = toks.join(removed, Seq("doc_id", "t"), "left_anti")
       .groupBy("doc_id")

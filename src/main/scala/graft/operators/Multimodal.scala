@@ -259,7 +259,9 @@ object Multimodal {
     * without any image library. */
   def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(payloadSchema))
-    df.select(col(idCol).cast(LongType).as("doc_id"))
+    // pixel fill + PNG encode is per-row CPU work: a single-file scan
+    // would serialize it on one core (Par.ensure no-ops when parallel)
+    Par.ensure(df, col(idCol)).select(col(idCol).cast(LongType).as("doc_id"))
       .mapPartitions { rows =>
         ImageIO.setUseCache(false)
         rows.map { r =>
@@ -291,7 +293,8 @@ object Multimodal {
     * any audio library. */
   def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(payloadSchema))
-    df.select(col(idCol).cast(LongType).as("doc_id"))
+    // container assembly is per-row CPU work (see syntheticImages)
+    Par.ensure(df, col(idCol)).select(col(idCol).cast(LongType).as("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -328,7 +331,8 @@ object Multimodal {
     * checks duration/tracks/bytes with no video library. */
   def syntheticMp4s(df: DataFrame, idCol: String): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(payloadSchema))
-    df.select(col(idCol).cast(LongType).as("doc_id"))
+    // container assembly is per-row CPU work (see syntheticImages)
+    Par.ensure(df, col(idCol)).select(col(idCol).cast(LongType).as("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

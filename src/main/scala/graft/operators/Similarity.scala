@@ -41,8 +41,12 @@ object Similarity {
     * engines and runs. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the per-pair dot-product stage streams the corpus side of the
+    // broadcast cross join — parallelize it when the scan is one small
+    // file (Par.ensure is a no-op on already-parallel inputs)
     val q = withNormSq(queries, idCol, vecCol, "query_id", "qv", "qn")
-    val c = withNormSq(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val c = withNormSq(Par.ensure(corpus, col(idCol)),
+      idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
@@ -59,8 +63,12 @@ object Similarity {
     * correctness baseline the LSH path is judged against). */
   def thresholdPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = withNormSq(corpus, idCol, vecCol, "i", "va", "na")
-    val b = withNormSq(corpus, idCol, vecCol, "j", "vb", "nb")
+    // O(n²) pair scoring streams one side of the cross join per task —
+    // a single-file corpus scan would run the whole quadratic loop on
+    // one core (Par.ensure is a no-op on already-parallel inputs)
+    val src = Par.ensure(corpus, col(idCol))
+    val a = withNormSq(src, idCol, vecCol, "i", "va", "na")
+    val b = withNormSq(src, idCol, vecCol, "j", "vb", "nb")
     a.crossJoin(b)
       .filter(col("i") < col("j"))
       .withColumn("sim",
@@ -80,7 +88,8 @@ object Similarity {
     require(numBits % bands == 0)
     val rowsPerBand = numBits / bands
     val mask = (1 << rowsPerBand) - 1
-    val sigs = corpus.select(col(idCol).as("doc"),
+    val corpusPar = Par.ensure(corpus, col(idCol))
+    val sigs = corpusPar.select(col(idCol).as("doc"),
         VectorOps.lshSignBits(col(vecCol), numBits).as("sig"))
     val banded = sigs.select(col("doc"),
         posexplode(array((0 until bands).map(bnd =>
@@ -122,6 +131,7 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double, nlist: Int,
       iters: Int = 2, probes: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val corpusPar = Par.ensure(corpus, col(idCol))
     val model = IvfIndex.train(corpus, nlist, iters, idCol, vecCol)
     // multi-probe assignment: each vector joins its `probes` nearest
     // clusters (still per-row / shuffle-free — the standard recall lever
@@ -135,7 +145,7 @@ object Similarity {
       when(l.getField("score") > r.getField("score"), -1)
         .when(l.getField("score") < r.getField("score"), 1)
         .otherwise(l.getField("lid") - r.getField("lid"))
-    val assigned = corpus.withColumn("list_id",
+    val assigned = corpusPar.withColumn("list_id",
       explode(transform(
         slice(array_sort(array(scored.toIndexedSeq: _*), byScoreDesc),
           1, math.min(probes, nlist)),
@@ -192,7 +202,8 @@ object Similarity {
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       probeFactor: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val qc = quantize(corpus, idCol, vecCol)
+    val corpusPar = Par.ensure(corpus, col(idCol))
+    val qc = quantize(corpusPar, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("qvec").as("cq"),
         VectorOps.normSq(col("qvec")).as("cqn"))
     val qq = quantize(queries, idCol, vecCol)

@@ -102,14 +102,23 @@ object TextAnalysis {
     * mirroring [[Dedup.shingles]]. */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, maxDupFraction: Double = 0.2): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val shs = when(size(ws) >= n,
+    // split() hoisted into its own projection (lambda bodies get no
+    // subexpression elimination — inlining re-tokenizes per shingle) and
+    // the shingle build itself bound once: `shs` appears in four output
+    // columns below, and top-level CSE cannot always prove the transform
+    // chain common. Par.ensure parallelizes the single-file scan case.
+    val ws = col("__ws")
+    val shs0 = when(size(ws) >= n,
         transform(sequence(lit(0), size(ws) - n),
           i => array_join(slice(ws, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(ws, " ")))
+    val shs = col("__shs")
     val total = size(shs)
     val distinctN = size(array_distinct(shs))
-    df.select(
+    Par.ensure(df, col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), shs0.as("__shs"))
+      .select(
       col(idCol),
       total.as("n_ngrams"),
       distinctN.as("n_distinct"),
@@ -130,6 +139,11 @@ object TextAnalysis {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
     val step = maxTokens - overlap
+    // deliberately NOT hoisting split or guarding parallelism here: the
+    // per-row work after tokenization is a cheap slice/explode, and both
+    // variants measured slower at sf0.1 (0.32 s as-is vs 0.45 s hoisted
+    // vs 0.63 s hoisted+repartitioned) — the materialized token array
+    // widens the Generate input for no codegen win at this site
     val ws = split(col(textCol), " ")
     val nChunks = greatest(lit(1),
       ceil((size(ws) - lit(overlap)).cast(DoubleType) / step).cast("int"))
