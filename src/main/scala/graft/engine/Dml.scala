@@ -195,7 +195,12 @@ object Dml {
         case _ => // fall through to the whole-table rewrite
       }
     }
-    val before = s.registry.load(ref).count()
+    // the `before` count is pure manifest metadata when every data file
+    // recorded record_count at its commit (guide §6: at 100 TB a
+    // count-only pre-scan per DELETE is a full metadata+footer pass);
+    // tables written before counts existed fall back to the count scan
+    val before = icebergMetaCount(s, ref)
+      .getOrElse(s.registry.load(ref).count())
     val survivors = where match {
       case Some(w) => s.runQuery(
         s"SELECT * FROM ${f.database}.${f.schema}.${f.table} WHERE NOT COALESCE(($w), FALSE)")
@@ -401,7 +406,8 @@ object Dml {
             if (aff.isEmpty) insertOnly match {
               case None => // no matches, no inserts: nothing to commit
                 return s.countStatus("number of rows merged",
-                  s.registry.load(ref).count())
+                  icebergMetaCount(s, ref)
+                    .getOrElse(s.registry.load(ref).count()))
               case Some(ins) => IcebergLite.append(s.spark, ins, ref.path.get)
             } else {
               val subset = IcebergLite.scanSubset(s.spark, ref.path.get, aff)
@@ -412,8 +418,14 @@ object Dml {
               IcebergLite.replaceFiles(s.spark, ref.path.get, aff, next)
             }
           s.commitIcebergReplace(f, ref, newMeta)
+          // post-commit table count: sum of per-file record_count over
+          // the NEW snapshot's manifests — every file this commit wrote
+          // has one (footer-recorded), and carried-forward files keep
+          // theirs, so the count-only scan job after every MERGE is gone
+          val newRef = s.registry.resolve(f).get
           return s.countStatus("number of rows merged",
-            s.registry.load(s.registry.resolve(f).get).count())
+            icebergMetaCount(s, newRef)
+              .getOrElse(s.registry.load(newRef).count()))
         case _ => // fall through to the whole-table rewrite
       }
     }
@@ -493,6 +505,14 @@ object Dml {
   private def q(name: String): String =
     if (plainIdentRe.findFirstIn(name).isDefined) name
     else "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Exact current row count from Iceberg manifest metadata (per-file
+    * record_count), or None when the target is not Iceberg / predates
+    * recorded counts / has pending delete files. */
+  private def icebergMetaCount(s: GraftSession, ref: TableRef): Option[Long] =
+    if (ref.format == "iceberg" && ref.path.isDefined)
+      graft.sources.IcebergLite.recordCount(s.spark, ref.path.get)
+    else None
 
   private def managedTarget(s: GraftSession, rawName: String): (FQN, TableRef) = {
     val f = s.qualify(rawName)

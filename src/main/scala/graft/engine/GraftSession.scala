@@ -231,20 +231,25 @@ final class GraftSession(
     if (!dtHasDeltaConsumer(f)) return
     val newPath = registry.resolve(f).get.path.get
     val seq = snapshotSeq.incrementAndGet()
-    val delDir = s"${newPath}__dtdel_$seq"
-    val addDir = s"${newPath}__dtadd_$seq"
-    // the two sidecar writes are independent jobs over tiny result-sized
-    // frames — overlap them (guide §2.6: submit independent jobs from
-    // separate threads so the second's tasks back-fill the first's tail;
-    // at scale the same overlap hides one write's latency entirely)
-    var delErr: Option[Throwable] = None
-    val delThread = new Thread(() =>
-      try delRows.write.mode("overwrite").parquet(delDir)
-      catch { case t: Throwable => delErr = Some(t) })
-    delThread.start()
-    try addRows.write.mode("overwrite").parquet(addDir)
-    finally delThread.join()
-    delErr.foreach(throw _)
+    // ONE sign-partitioned write instead of two sequential (r14) or two
+    // overlapped (r15) sidecar jobs: both sides union into a single
+    // job partitioned by __sign, landing the del rows under __sign=-1
+    // and the add rows under __sign=1 (partitionBy adds no shuffle —
+    // each task splits its rows by value). Chain consumers keep reading
+    // the two subdirs as plain parquet with an explicit schema: the
+    // partition value lives in the DIRECTORY name, not in the files, so
+    // the subdir contents are byte-compatible with the old layout.
+    val dir = s"${newPath}__dtdelta_$seq"
+    val delDir = s"$dir/__sign=-1"
+    val addDir = s"$dir/__sign=1"
+    delRows.withColumn("__sign", org.apache.spark.sql.functions.lit(-1))
+      .unionByName(addRows.withColumn("__sign",
+        org.apache.spark.sql.functions.lit(1)))
+      .write.mode("overwrite").partitionBy("__sign").parquet(dir)
+    // a side with no rows writes no __sign dir; consumers read the
+    // subdir paths with an explicit schema, so materialize empty ones
+    new java.io.File(delDir).mkdirs()
+    new java.io.File(addDir).mkdirs()
     val entry = DtDelta(oldPath, newPath, addDir, delDir)
     val all = dtDeltaLog.getOrElse(f, Nil) :+ entry
     val kept = all.takeRight(32)
@@ -263,7 +268,13 @@ final class GraftSession(
         if (p.isDirectory) p.listFiles().foreach(rm)
         p.delete()
       }
-      rm(new java.io.File(e.addDir)); rm(new java.io.File(e.delDir))
+      // add/del are __sign=… subdirs of one partitioned write — remove
+      // the parent so the _SUCCESS marker dir doesn't linger
+      def root(d: String): java.io.File = {
+        val f = new java.io.File(d)
+        if (f.getName.startsWith("__sign=")) f.getParentFile else f
+      }
+      rm(root(e.addDir)); rm(root(e.delDir))
     }
 
   /** Touched-group restriction: null-safe semi join on the output key
@@ -614,8 +625,19 @@ final class GraftSession(
           else {
             val m = per.flatten.toMap
             // pure appends take the plain join path; this one exists
-            // for the replaced-file case
-            if (m.values.exists(_._2.nonEmpty)) Some(m) else None
+            // for the replaced-file case — and for any DT base whose
+            // published chain resolved (the chain IS the exact signed
+            // delta even when both sides are empty: a merge refresh
+            // that swapped the base's path while changing zero rows).
+            // Emptiness is not detectable from the raw guard once the
+            // sign-partitioned sidecar write stopped materializing
+            // empty part-files, so the chain's presence is the signal.
+            val chainBase = st.bases.exists(b =>
+              st.offsets.get(b).flatMap(_._1.path).exists(fp =>
+                curs(b).path.exists(cp =>
+                  fp != cp && dtLogChainDirs(b, fp, cp).isDefined)))
+            if (m.values.exists(_._2.nonEmpty) || chainBase) Some(m)
+            else None
           }
         case _ => None
       }
@@ -785,7 +807,12 @@ final class GraftSession(
           registry.load(curs(b)).createOrReplaceTempView(viewName(b)))
         DynamicTables.lastDeltaFiles =
           st.bases.flatMap(b => chg(b)._1 ++ chg(b)._2).distinct.sorted
-        applyIncrement(am, parts.reduce(_ unionByName _),
+        if (parts.isEmpty)
+          // every base's signed delta is empty (e.g. the DT base's
+          // merge refresh swapped its path while touching zero rows):
+          // the result is unchanged — advance offsets, write nothing
+          DynamicTables.lastRefreshMode = "incremental-join-retract-merge"
+        else applyIncrement(am, parts.reduce(_ unionByName _),
           "incremental-join-retract-")
       case (Some(plan), None) if dtChainDelta.isDefined =>
         val (addDirs, delDirs) = dtChainDelta.get

@@ -216,10 +216,15 @@ object Components {
     * keep (longest/cleanest doc wins; id breaks ties). Docs in no pair
     * are their own cluster and survive. Cost: components (O(log n)
     * rounds over the PAIRS, which are sparse) plus one window over the
-    * corpus keyed by cluster — a single corpus shuffle. */
+    * corpus keyed by cluster — a single corpus shuffle.
+    * `alternating` passes through to [[dedupClusters]]: callers whose
+    * pair graph has known small diameter (high-threshold Jaccard pairs
+    * are near-cliques, diameter <= ~2) set it false and save the
+    * alternating-star scheme's extra fixed-cost rounds. */
   def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String,
-      qualityCol: String, d1: String = "d1", d2: String = "d2"): DataFrame = {
-    val comp = dedupClusters(pairs, d1, d2)
+      qualityCol: String, d1: String = "d1", d2: String = "d2",
+      alternating: Boolean = true): DataFrame = {
+    val comp = dedupClusters(pairs, d1, d2, alternating)
       .select(col("doc_id").as("__cid"), col("component"))
     val joined = docs.join(comp, docs(idCol) === col("__cid"), "left_outer")
       .withColumn("__comp", coalesce(col("component"), docs(idCol)))

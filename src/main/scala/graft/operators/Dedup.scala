@@ -235,13 +235,15 @@ object Dedup {
     * spans detected at k-gram resolution.
     *
     * Plan shape at scale: positions explode to O(tokens) rows, the dup
-    * test is ONE hash-shuffle on the gram (partial-aggregated count,
-    * then a left-semi join back on the same key — co-partitioned, no
-    * second full exchange of the probe side's data), and span merging is
-    * one window per document (gaps-and-islands over positions). Nothing
-    * collects; no O(n²) pair join anywhere. `maxGramFreq` optionally
-    * drops stop-grams (Zipf head) before the join — the skew valve for
-    * web corpora, off by default for exact semantics.
+    * test is a PARTIAL-AGGREGATED per-gram count (a hot stop-word gram
+    * collapses map-side to one row per task before any exchange)
+    * re-attached to the occurrences with a left-semi join — broadcast
+    * when the dup-gram set is small, AQE-skew-splittable shuffle join
+    * otherwise — and span merging is one window per document
+    * (gaps-and-islands over positions). Nothing collects; no O(n²)
+    * pair join anywhere. `maxGramFreq` optionally drops stop-grams
+    * (Zipf head) on the aggregated side, before the wide join — the
+    * skew valve for web corpora, off by default for exact semantics.
     *
     * Output: one row per maximal duplicated span, `(doc_id, span_start,
     * span_end)` in 0-based token indices, end inclusive. */
@@ -257,16 +259,21 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(words) - k),
           i => array_join(slice(words, i + 1, lit(k)), " "))))
       .toDF("doc_id", "pos", "gram")
-    // the dup test is a windowed count over the gram partition: ONE
-    // gram-keyed exchange of the occurrence rows, where the old
-    // groupBy + left-semi shape paid two gram exchanges AND built the
-    // gram strings twice (once per join side — the probe side was an
-    // independent re-scan). Same skew surface as the old probe side
-    // (all occurrences of one gram land together either way).
-    val wg = Window.partitionBy("gram")
-    val hits = grams
-      .withColumn("cnt", count(lit(1)).over(wg))
+    // the dup test is a two-level shape (guide §2.5): the per-gram
+    // count PARTIAL-aggregates map-side — a hot stop-word gram
+    // collapses to one row per map task before any exchange — and the
+    // filtered dup-gram set re-attaches with a left-semi join the
+    // planner broadcasts when small (occurrences then never shuffle at
+    // all) and AQE can skew-split when not. The r15 whole-partition
+    // window count shuffled AND sorted every occurrence of a hot gram
+    // into one task, with no mitigation available (AQE skew handling
+    // applies to joins only, and windows see no partial aggregation);
+    // the maxGramFreq cap also lands here, on the aggregated side,
+    // before the wide join instead of after the wide exchange.
+    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1 && col("cnt") <= maxGramFreq)
+      .select("gram")
+    val hits = grams.join(dupGrams, Seq("gram"), "left_semi")
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
@@ -289,12 +296,14 @@ object Dedup {
     * NON-canonical duplicated-gram occurrence and not covered by any
     * canonical one, so the kept copy always survives intact.
     *
-    * Scale shape: the occurrence/dup stages are [[duplicateSpans]]'s one
-    * gram shuffle plus a per-gram min (same key, co-partitioned); the
-    * coverage explode is k rows per duplicated occurrence (linear, and
-    * only over the DUPLICATED subset, not the corpus); reconstruction is
-    * one shuffle on doc_id (distinct + anti-join + ordered re-join of
-    * kept tokens). Nothing collects, no pair joins.
+    * Scale shape: the dup test and the canonical pick are ONE
+    * partial-aggregated per-gram pass (count + min(doc_id, pos) — a hot
+    * gram collapses map-side before any exchange) re-attached to the
+    * occurrences by a join the planner broadcasts when small and AQE
+    * can skew-split when not; the coverage explode is k rows per
+    * duplicated occurrence (linear, and only over the DUPLICATED
+    * subset, not the corpus); reconstruction is one shuffle on doc_id.
+    * Nothing collects, no pair joins.
     *
     * Output: `(doc_id, clean_text)` for every input row. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
@@ -309,20 +318,27 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("__ws")) - k),
           i => array_join(slice(col("__ws"), i + 1, lit(k)), " "))))
       .toDF("doc_id", "pos", "gram")
-    // dup test + canonical pick share ONE gram-keyed exchange and sort:
-    // count over the full-partition frame (= the old groupBy count) and
-    // row_number over the same (doc_id, pos) order (= the old canon
-    // window) evaluate in one WindowExec — where the old shape paid a
-    // count exchange, a semi-join probe exchange, and the canon window.
-    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    val cover = occ
-      .withColumn("cnt", count(lit(1)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("canon", row_number().over(w) === 1)
+    // dup test + canonical pick are ONE partial-aggregated per-gram
+    // pass: count + min(struct(doc_id, pos)) — min over the struct IS
+    // the first occurrence in (doc_id, pos) order, exactly the row the
+    // old row_number()==1 window picked ((doc_id, pos) is unique per
+    // occurrence, so the min is unique). Both aggregates combine
+    // map-side, so a hot stop-word gram collapses to one row per map
+    // task BEFORE any exchange; the join back to the occurrences is
+    // broadcast when the dup-gram set is small and AQE-skew-splittable
+    // when not. The r15 shape was a whole-partition window (count +
+    // row_number over one gram sort): every occurrence of a hot gram
+    // shuffled AND sorted into one task, unsplittable by AQE.
+    val agg = occ.groupBy("gram").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
       .filter(col("cnt") > 1)
+      .select("gram", "first_occ")
+    val cover = occ.join(agg, Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("t"),
-        col("canon"))
+        (col("doc_id") === col("first_occ.doc_id") &&
+          col("pos") === col("first_occ.pos")).as("canon"))
     // removed = covered positions with NO canonical cover: one grouped
     // bool-or over (doc_id, t) — the old two-distinct + anti-join shape
     // recomputed `cover` (the whole gram pipeline) once per side and

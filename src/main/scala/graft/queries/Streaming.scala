@@ -22,12 +22,21 @@ object Streaming extends QueryPack {
     * timestamp[us]) stream correctly — [[graft.Tables.normalizeEventsTs]]
     * then maps either to TIMESTAMP_NTZ. */
   private val schemaMemo =
-    scala.collection.concurrent.TrieMap.empty[String, StructType]
-  private def eventsSchema(s: SparkSession, dir: String): StructType =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, StructType)]
+  private def eventsSchema(s: SparkSession, dir: String): StructType = {
     // one inference job per source dir per JVM, not one per gate call —
-    // the testdata file is immutable within a run
-    schemaMemo.getOrElseUpdate(dir,
-      s.read.parquet(s"$dir/events.parquet").schema)
+    // guarded by a size/mtime signature (parity with Tables.load) so a
+    // re-generated testdata file inside a live JVM re-infers
+    val path = s"$dir/events.parquet"
+    val sig = graft.Tables.pathSig(path)
+    schemaMemo.get(dir) match {
+      case Some((sg, sc)) if sg == sig => sc
+      case _ =>
+        val sc = s.read.parquet(path).schema
+        schemaMemo.put(dir, (sig, sc))
+        sc
+    }
+  }
 
   private val counter = new AtomicInteger(0)
 

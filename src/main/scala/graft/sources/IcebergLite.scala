@@ -49,7 +49,8 @@ object IcebergLite {
     * dates as epoch-day, timestamps as micros), "double", "string".
     * None on manifests written before bounds existed — never prunes. */
   private final case class DataEntry(path: String, seq: Long,
-      partition: Option[String] = None, bounds: Option[String] = None)
+      partition: Option[String] = None, bounds: Option[String] = None,
+      records: Option[Long] = None)
   /** content: 1 = position deletes, 2 = equality deletes. */
   private final case class DeleteEntry(path: String, content: Int, seq: Long)
 
@@ -735,9 +736,10 @@ object IcebergLite {
           val fileContent = avroInt(dataFile, "content").getOrElse(0)
           val part = avroStr(dataFile, "partition")
           val bounds = avroStr(dataFile, "bounds")
+          val records = avroLong(dataFile, "record_count")
           if (isDeleteManifest || fileContent > 0)
             delOut += DeleteEntry(path, math.max(fileContent, 1), eSeq)
-          else dataOut += DataEntry(path, eSeq, part, bounds)
+          else dataOut += DataEntry(path, eSeq, part, bounds, records)
         }
       }
     }
@@ -756,7 +758,8 @@ object IcebergLite {
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"partition","type":["null","string"],"default":null},
-      |  {"name":"bounds","type":["null","string"],"default":null}]}}
+      |  {"name":"bounds","type":["null","string"],"default":null},
+      |  {"name":"record_count","type":["null","long"],"default":null}]}}
       |]}""".stripMargin)
   private val manifestListSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -813,19 +816,21 @@ object IcebergLite {
     w.create(schema, new java.io.File(dir, "part-00000.avro"))
   }
 
-  /** One manifest row per (status, file_path, partition, bounds) —
-    * nullable fields arrive null-encoded already (orNull). */
+  /** One manifest row per (status, file_path, partition, bounds,
+    * record_count) — nullable fields arrive null-encoded already
+    * (orNull). */
   private def writeManifestAvro(dir: String,
-      rows: Seq[(Int, String, String, String)]): Unit = {
+      rows: Seq[(Int, String, String, String, Option[Long])]): Unit = {
     import org.apache.avro.generic.GenericData
     val dfSchema = manifestSchema.getField("data_file").schema()
     val w = avroOut(dir, manifestSchema)
-    try rows.foreach { case (st, path, part, bounds) =>
+    try rows.foreach { case (st, path, part, bounds, records) =>
       val df = new GenericData.Record(dfSchema)
       df.put("file_path", path)
       df.put("file_format", "PARQUET")
       df.put("partition", part)
       df.put("bounds", bounds)
+      df.put("record_count", records.map(Long.box).orNull)
       val r = new GenericData.Record(manifestSchema)
       r.put("status", st)
       r.put("data_file", df)
@@ -873,8 +878,13 @@ object IcebergLite {
     * TIMESTAMP micros), "double" (fp, NaN-poisoned stats skipped),
     * "string" (UTF-8 byte order). A column missing stats in ANY row
     * group records no bound. None when nothing is recordable. */
-  private def footerBoundsJson(spark: SparkSession,
-      path: String): Option[String] = try {
+  /** Footer stats of one freshly written parquet file in a single footer
+    * open: (column bounds JSON, exact row count). The row count comes
+    * from the block metadata (sum of per-row-group counts) — the spec's
+    * `record_count` data-file field; with it recorded per file, snapshot
+    * COUNT(*) and DML return counts are pure metadata (no scan). */
+  private def footerStats(spark: SparkSession,
+      path: String): (Option[String], Option[Long]) = try {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -883,8 +893,10 @@ object IcebergLite {
       new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
     val reader = ParquetFileReader.open(in)
     try {
+      var rowCount = 0L
       var acc = Map.empty[String, Option[(String, String, String)]]
       reader.getFooter.getBlocks.asScala.foreach { block =>
+        rowCount += block.getRowCount
         block.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
           if (!name.contains('.')) {
@@ -950,9 +962,10 @@ object IcebergLite {
           val arr = root.putArray(n); arr.add(d); arr.add(lo); arr.add(hi)
         case _ =>
       }
-      if (root.size() == 0) None else Some(mapper.writeValueAsString(root))
+      (if (root.size() == 0) None else Some(mapper.writeValueAsString(root)),
+        Some(rowCount))
     } finally reader.close()
-  } catch { case _: Throwable => None }
+  } catch { case _: Throwable => (None, None) }
 
   private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long, Long), Map[String, Map[String, (String, String, String)]]]()
@@ -1034,9 +1047,24 @@ object IcebergLite {
       .map(_.group(1).toInt).getOrElse(1)
     commit(spark, df, dir, version + 1,
       carryForward = planFiles(spark, metadataPath)._1
-        .map(e => (e.path, e.partition, e.bounds)).distinct,
+        .map(e => (e.path, e.partition, e.bounds, e.records)).distinct,
       partitionBy = partitionColumns(metadataPath),
       baseMeta = Some(metadataPath))
+  }
+
+  /** Exact row count of the snapshot at `metadataPath` from manifest
+    * metadata alone: Some(total) iff every data file recorded
+    * `record_count` at its commit and no row-level delete files are
+    * pending; None otherwise (callers fall back to a count scan).
+    * O(manifest bytes) driver-side — never touches data files. */
+  def recordCount(spark: SparkSession, metadataPath: String): Option[Long] = {
+    val (data, dels) = planFiles(spark, metadataPath)
+    if (dels.nonEmpty) None
+    else {
+      val uniq = data.distinctBy(_.path)
+      if (uniq.forall(_.records.isDefined)) Some(uniq.map(_.records.get).sum)
+      else None
+    }
   }
 
   /** Compact small data files: partitions holding ≥2 files under
@@ -1100,7 +1128,7 @@ object IcebergLite {
     require(affected.subsetOf(entries.map(_.path).toSet),
       "affected paths must be current data files of the table")
     val keep = entries.filterNot(e => affected.contains(e.path))
-      .map(e => (e.path, e.partition, e.bounds)).distinct
+      .map(e => (e.path, e.partition, e.bounds, e.records)).distinct
     val dir = Paths.get(stripScheme(metadataPath)).getParent.getParent.toString
     val version = "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(metadataPath)
       .map(_.group(1).toInt).getOrElse(1)
@@ -1123,7 +1151,7 @@ object IcebergLite {
     }.toSeq
     if (toCompact.isEmpty) return metadataPath
     val keep = entries.filterNot(toCompact.contains)
-      .map(e => (e.path, e.partition, e.bounds)).distinct
+      .map(e => (e.path, e.partition, e.bounds, e.records)).distinct
     val smallTotal = toCompact.map(e => sizeOf(e.path)).sum
     val outParts = math.max(1L, smallTotal / math.max(1L, smallBytes)).toInt
     val parts = partitionColumns(metadataPath)
@@ -1151,7 +1179,7 @@ object IcebergLite {
 
   private def commit(spark: SparkSession, df0: DataFrame, tableDir: String,
       newVersion: Int,
-      carryForward: Seq[(String, Option[String], Option[String])],
+      carryForward: Seq[(String, Option[String], Option[String], Option[Long])],
       partitionBy: Seq[String] = Nil,
       baseMeta: Option[String] = None): String =
     // the claim is taken BEFORE any data lands in data/s<N>: a process
@@ -1165,7 +1193,7 @@ object IcebergLite {
 
   private def commitClaimed(spark: SparkSession, df0: DataFrame,
       tableDir: String, newVersion: Int,
-      carryForward: Seq[(String, Option[String], Option[String])],
+      carryForward: Seq[(String, Option[String], Option[String], Option[Long])],
       partitionBy: Seq[String],
       baseMeta: Option[String]): String = {
     import org.apache.spark.sql.functions._
@@ -1265,9 +1293,12 @@ object IcebergLite {
     // writes cost two full Spark jobs (~200 ms) per commit, which
     // dominated small appends and every lifecycle statement.
     writeManifestAvro(manifestDir,
-      carryForward.map { case (f, p, b) => (0, f, p.orNull, b.orNull) } ++
-        newFiles.map(f =>                       // 0=EXISTING 1=ADDED
-          (1, f, partOf(f).orNull, footerBoundsJson(spark, f).orNull)))
+      carryForward.map { case (f, p, b, rc) =>
+        (0, f, p.orNull, b.orNull, rc) } ++
+        newFiles.map { f =>                     // 0=EXISTING 1=ADDED
+          val (bounds, records) = footerStats(spark, f)
+          (1, f, partOf(f).orNull, bounds.orNull, records)
+        })
 
     val listDir = s"$tableDir/metadata/manifest-list-s$snapId"
     writeManifestListAvro(listDir, Seq(manifestDir))

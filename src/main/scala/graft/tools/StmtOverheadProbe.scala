@@ -93,6 +93,29 @@ object StmtOverheadProbe {
       s.sql("CREATE OR REPLACE TABLE so_tr AS SELECT * FROM so_t")
       s.sql("TRUNCATE TABLE so_tr")
     }
+    // r16 additions (placed AFTER the r15 ladder so earlier shapes stay
+    // comparable across probe JSONs): granular MERGE (the post-commit
+    // table count now reads manifest record_count metadata instead of
+    // scanning) and a DT chain refresh (the sidecar publish is one
+    // sign-partitioned write instead of two)
+    timed("iceberg_merge_granular") {
+      seq += 1
+      s.sql("MERGE INTO so_i t USING (SELECT k, c, p FROM so_t " +
+        "WHERE k <= 50) src ON t.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET p = src.p " +
+        s"WHEN NOT MATCHED AND src.k > ${10000000 + seq} THEN " +
+        "INSERT (k, c, p) VALUES (src.k, src.c, src.p)")
+    }
+    s.sql("CREATE DYNAMIC TABLE so_d2 AS SELECT c % 3 AS g, " +
+      "sum(n) AS sn, sum(total) AS st FROM so_d GROUP BY c % 3")
+    s.sql("ALTER DYNAMIC TABLE so_d2 REFRESH")
+    timed("insert_refresh_chain") {
+      seq += 1
+      s.sql(s"INSERT INTO so_i SELECT k + ${3000000 + seq * 10000}, c, p " +
+        "FROM so_t WHERE k <= 100")
+      s.sql("ALTER DYNAMIC TABLE so_d REFRESH") // publishes: so_d2 consumes
+      s.sql("ALTER DYNAMIC TABLE so_d2 REFRESH")
+    }
     spark.stop()
   }
 }

@@ -201,4 +201,86 @@ class DtFuzzSpec extends AnyFunSuite {
         s"modes=$modes seed=$seed")
     Seq("fzdt", "fzdim").foreach(t => s.sql(s"DROP TABLE $t"))
   }
+
+  /** Randomized coverage of the PUBLISHED sidecar path — the
+    * sign-partitioned single-write delta layout (__dtdelta_N/__sign=±1)
+    * a downstream DT consumes: random base-DT shapes × random mutation
+    * windows, including ones that touch ONLY brand-new groups (empty
+    * del side → the __sign=-1 dir exists but holds no files) and
+    * update-style windows that touch existing groups (both sides
+    * populated). After every downstream refresh the materialization
+    * must equal a from-scratch recompute, the refresh must have gone
+    * through the dtdelta path (not full), and every delta file read
+    * must come from the sign-partitioned layout. */
+  test("sidecar chain fuzz: sign-partitioned delta layout feeds downstream") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED")
+      .orElse(sys.props.get("graft.fuzz.seed")).getOrElse("20260818").toLong
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val s = new GraftSession(spark)
+    s.attachLake("/root/testdata/sf0.001")
+
+    var dtdeltaRefreshes = 0
+    for (round <- 1 to 6) {
+      s.sql("""CREATE OR REPLACE TABLE fzct AS
+        SELECT o_orderkey AS id, o_custkey AS k,
+          o_totalprice::number(12,2) AS price
+        FROM orders WHERE o_orderkey <= 1200""")
+      // base DT: grouped aggregate (merge-refreshes and publishes)
+      val grp = pick(Seq("k % 9", "k % 4", "k % 13"))
+      s.sql(s"""CREATE OR REPLACE DYNAMIC TABLE fzca TARGET_LAG = '1 minute'
+        AS SELECT ($grp) AS g, count(*) AS n, sum(price) AS total
+        FROM fzct GROUP BY ($grp)""")
+      // downstream: retractable aggregate OVER the base DT — consumes
+      // the published signed delta
+      val down = pick(Seq(
+        "SELECT g % 3 AS gg, sum(n) AS sn, sum(total) AS st FROM fzca GROUP BY g % 3",
+        "SELECT g % 2 AS gg, count(*) AS c, sum(n) AS sn FROM fzca GROUP BY g % 2"))
+      s.sql(s"CREATE OR REPLACE DYNAMIC TABLE fzcb TARGET_LAG = '1 minute' AS $down")
+
+      var lo = 1200
+      for (step <- 1 to 2 + rnd.nextInt(2)) {
+        rnd.nextInt(3) match {
+          case 0 => // window over fresh ids: touched groups are a mix
+            val hi = lo + 200 + rnd.nextInt(600)
+            s.sql(s"""INSERT INTO fzct
+              SELECT o_orderkey, o_custkey, o_totalprice::number(12,2)
+              FROM orders WHERE o_orderkey > $lo AND o_orderkey <= $hi""")
+            lo = hi
+          case 1 => // brand-new group values only → empty del side
+            s.sql(s"""INSERT INTO fzct
+              SELECT id + 1000000, k + ${1000 * step * round}, price
+              FROM fzct WHERE id <= 1205""")
+          case _ => // empty window → no-op refreshes downstream
+            s.sql("INSERT INTO fzct SELECT id, k, price FROM fzct WHERE id < 0")
+        }
+        s.sql("ALTER DYNAMIC TABLE fzca REFRESH")
+        assert(DynamicTables.lastRefreshMode.startsWith("incremental") ||
+          DynamicTables.lastRefreshMode == "no-op",
+          s"base mode=${DynamicTables.lastRefreshMode} seed=$seed round=$round")
+        s.sql("ALTER DYNAMIC TABLE fzcb REFRESH")
+        val mode = DynamicTables.lastRefreshMode
+        if (mode.startsWith("incremental-dtdelta")) {
+          dtdeltaRefreshes += 1
+          assert(DynamicTables.lastDeltaFiles.forall(p =>
+            p.contains("__dtdelta_") && p.contains("__sign=")),
+            s"delta files outside the sign-partitioned layout: " +
+              DynamicTables.lastDeltaFiles.toString)
+        }
+        val got = s.sql("SELECT * FROM fzcb").collect().map(_.toString).sorted
+        val want = s.sql(down.replace("fzca",
+          s"(SELECT ($grp) AS g, count(*) AS n, sum(price) AS total " +
+            s"FROM fzct GROUP BY ($grp))")).collect().map(_.toString).sorted
+        assert(got.sameElements(want),
+          s"downstream diverged (seed=$seed round=$round step=$step " +
+            s"mode=$mode)\n got:  ${got.take(6).mkString(" | ")}" +
+            s"\n want: ${want.take(6).mkString(" | ")}")
+      }
+      s.sql("DROP DYNAMIC TABLE fzcb"); s.sql("DROP DYNAMIC TABLE fzca")
+    }
+    assert(dtdeltaRefreshes >= 6,
+      s"only $dtdeltaRefreshes downstream refreshes used the dtdelta " +
+        "path - the fuzz stopped guarding the sidecar layout")
+    s.sql("DROP TABLE fzct")
+  }
 }

@@ -857,7 +857,7 @@ class DynamicTableSpec extends AnyFunSuite {
     // the downstream read sidecar dirs, not the base materialization
     assert(DynamicTables.lastDeltaFiles.nonEmpty &&
       DynamicTables.lastDeltaFiles.forall(p =>
-        p.contains("__dtadd_") || p.contains("__dtdel_")),
+        p.contains("__dtdelta_") && p.contains("__sign=")),
       DynamicTables.lastDeltaFiles.toString)
     assertSame(s.sql("SELECT * FROM chain_b"), want)
     // cycle 2: TWO base refreshes before the downstream catches up —
@@ -980,7 +980,7 @@ class DynamicTableSpec extends AnyFunSuite {
     // swapped materialization wholesale
     assert(DynamicTables.lastDeltaFiles.nonEmpty &&
       DynamicTables.lastDeltaFiles.forall(p =>
-        p.contains("__dtadd_") || p.contains("__dtdel_")),
+        p.contains("__dtdelta_") && p.contains("__sign=")),
       DynamicTables.lastDeltaFiles.toString)
     assertSame(s.sql("SELECT * FROM chain_j"), want)
     // two more base merges before the join catches up — chained entries

@@ -322,7 +322,7 @@ class StreamsSpec extends AnyFunSuite {
     val parent = new java.io.File(ref.path.get).getParentFile
     def sidecars = parent.listFiles().filter { f =>
       val n = f.getName.toLowerCase
-      n.contains("sgc_a") && (n.contains("__dtadd_") || n.contains("__dtdel_"))
+      n.contains("sgc_a") && n.contains("__dtdelta_")
     }
     assert(sidecars.nonEmpty)
     // a full refresh is an unlogged transition: prior sidecars unreachable
