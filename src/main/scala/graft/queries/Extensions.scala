@@ -1106,13 +1106,30 @@ object Extensions extends QueryPack {
         TRUE AS precision_ok, TRUE AS recall_ok
       FROM comp WHERE doc_id <> component""")) { (s, dir) =>
       val e = embs(s, dir)
-      val exactRemoved = graft.operators.Components.dedupClusters(
-          Similarity.thresholdPairs(e, threshold = 0.4).select("i", "j"),
-          "i", "j")
-        .filter(!col("keep")).select(col("doc_id")).cache()
-      val semRemoved = Similarity.semanticDedup(e, threshold = 0.4,
-          nlist = 8, iters = 2)
-        .filter(!col("keep")).select(col("doc_id").as("rem"))
+      // the exact-baseline pipeline (O(n²) pairs + components) and the
+      // semantic pipeline (k-means + cluster-scoped pairs + components)
+      // are INDEPENDENT until the final recall join, and both are
+      // driver-paced (eager checkpointed CC rounds, sequential k-means
+      // collects) with the cluster mostly idle between round-trips —
+      // overlap them on two threads (guide §2.6) so one pipeline's
+      // rounds back-fill the other's latency. Results are unchanged:
+      // each side is the same plan, just submitted concurrently.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val exactF = Future {
+        graft.operators.Components.dedupClusters(
+            Similarity.thresholdPairs(e, threshold = 0.4).select("i", "j"),
+            "i", "j")
+          .filter(!col("keep")).select(col("doc_id")).cache()
+      }
+      val semF = Future {
+        Similarity.semanticDedup(e, threshold = 0.4, nlist = 8, iters = 2)
+          .filter(!col("keep")).select(col("doc_id").as("rem"))
+      }
+      val exactRemoved =
+        Await.result(exactF, scala.concurrent.duration.Duration.Inf)
+      val semRemoved =
+        Await.result(semF, scala.concurrent.duration.Duration.Inf)
       val joined = semRemoved.join(exactRemoved,
         col("rem") === col("doc_id"), "left_outer")
       // one pass: count(col) skips NULLs, so hit = matched removals and
